@@ -1,0 +1,496 @@
+"""Rule compiler: declarative rules → native Column expressions (SURVEY §2.2).
+
+The reference validates each record by interpreting every rule per row
+(odevalidator/validator.py:294-302, 391-406). Here rules compile ONCE,
+driver-side, into a single wide ``select`` of validation-verdict
+structs — whole-stage-codegen'd by Tungsten, no Python on the hot path.
+One explode turns the wide verdicts into the long results table
+(file, record id, field_path, valid, details).
+
+Replicated semantics (reference file:line):
+
+* missing field → "Field missing: <path>"            (validator.py:197-198)
+* empty string  → "Field empty" unless AllowEmpty    (validator.py:200-204)
+* enum: case-insensitive membership                  (validator.py:206-207)
+* decimal: Decimal compare against Upper/LowerLimit; the message
+  renders %d-truncated values                        (validator.py:208-215)
+* timestamp: parse, then earliest ≤ t ≤ latest+1min  (validator.py:216-229)
+* choice: exactly one child path present             (validator.py:230-243)
+* serial: no type branch exists — presence/empty only (validator.py:196-243
+  vs config_2.ini:92)
+* conditional rules: first met non-skip condition wins, skip conditions
+  accumulate a sequential-skip set, no met condition → unconditional
+  check                                              (validator.py:96-170)
+* scalar EqualsValue (e.g. ``= 6``) short-circuits the whole rule to
+  valid (non-Iterable → None, validator.py:99, 129) — replicated via
+  Rule.conditions=None + noop detection in parse; here: a rule whose
+  EqualsValue was scalar validates nothing.
+
+Documented deviations (reference bugs not copied, SURVEY §7.5):
+* choice count>1 message is well-formed here ("Found 'N' choices in
+  '<path>'"); the reference raises a TypeError it then swallows
+  (validator.py:241).
+* parse-failure messages omit the Python exception text (engine-neutral).
+* timestamp values in messages are rendered Python-style
+  ("YYYY-MM-DD HH:MM:SS[.ffffff]", microseconds omitted when zero).
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import timedelta
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DataType,
+    DecimalType,
+    NumericType,
+    StringType,
+    StructType,
+    TimestampType,
+)
+
+from ..sources.rules import (
+    Rule,
+    RuleSet,
+    TYPE_CHOICE,
+    TYPE_DECIMAL,
+    TYPE_ENUM,
+    TYPE_TIMESTAMP,
+)
+
+_IDX_RE = re.compile(r"^([^{]*)\{(\d+)\}$")
+
+_DEC = DecimalType(38, 10)
+
+
+# ---------------------------------------------------------------- paths
+
+
+def schema_type(schema: DataType, path: str) -> DataType | None:
+    """Resolve a dotted path (with optional ``{i}`` indexes) against a
+    schema; None when the path doesn't exist (→ NULL per
+    validator.py:191-193)."""
+    cur = schema
+    for seg in path.split("."):
+        m = _IDX_RE.match(seg)
+        name = m.group(1) if m else seg
+        if not isinstance(cur, StructType) or name not in cur.fieldNames():
+            return None
+        cur = cur[name].dataType
+        if m:
+            if not isinstance(cur, ArrayType):
+                return None
+            cur = cur.elementType
+    return cur
+
+
+def field_col(schema: DataType, path: str) -> Column:
+    """Column expression for a dotted path; missing paths become NULL
+    (native Spark semantics already match validator.py:191-193)."""
+    if schema_type(schema, path) is None:
+        return F.lit(None)
+    col: Column | None = None
+    for seg in path.split("."):
+        m = _IDX_RE.match(seg)
+        name = m.group(1) if m else seg
+        col = F.col(name) if col is None else col.getField(name)
+        if m:
+            col = F.element_at(col, int(m.group(2)) + 1)
+    assert col is not None
+    return col
+
+
+# ------------------------------------------------------------- helpers
+
+
+def _py_ts_str(ts: Column) -> Column:
+    """Render a timestamp the way Python ``str(datetime)`` does:
+    microseconds omitted when zero (deterministic, oracle-expressible)."""
+    return F.when(
+        F.date_format(ts, "SSSSSS") == "000000",
+        F.date_format(ts, "yyyy-MM-dd HH:mm:ss"),
+    ).otherwise(F.date_format(ts, "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+
+
+def _falsy(col: Column, dtype: DataType | None) -> Column:
+    """Python truthiness test used by _is_condition_met (validator.py:137)."""
+    if dtype is None:
+        return F.lit(True)
+    cond = col.isNull()
+    if isinstance(dtype, StringType):
+        cond = cond | (col == "")
+    elif isinstance(dtype, NumericType):
+        cond = cond | (col == 0)
+    return cond
+
+
+# ------------------------------------------------- unconditional check
+
+
+def _type_check_details(rule: Rule, col: Column, dtype: DataType) -> Column:
+    """Details for the type-specific branch (validator.py:205-243);
+    NULL means valid."""
+    if rule.type == TYPE_ENUM and rule.values is not None:
+        lowered = [v.lower() for v in rule.values]
+        joined = ", ".join(str(v) for v in rule.values)
+        return F.when(
+            ~F.lower(col.cast("string")).isin(lowered),
+            F.format_string(
+                "Value '%s' not in list of known values: [%s]",
+                col.cast("string"),
+                F.lit(joined),
+            ),
+        )
+    if rule.type == TYPE_DECIMAL:
+        v = col.cast(_DEC)
+        parse_fail = v.isNull()  # non-null input that won't cast
+        details = F.when(
+            parse_fail,
+            F.format_string(
+                "failure to perform decimal validation on %s", col.cast("string")
+            ),
+        )
+        if rule.upper_limit is not None:
+            details = details.when(
+                v > F.lit(rule.upper_limit).cast(_DEC),
+                F.format_string(
+                    "Value '%d' is greater than upper limit '%d'",
+                    v.cast("long"),
+                    F.lit(int(rule.upper_limit)),
+                ),
+            )
+        if rule.lower_limit is not None:
+            details = details.when(
+                v < F.lit(rule.lower_limit).cast(_DEC),
+                F.format_string(
+                    "Value '%d' is less than lower limit '%d'",
+                    v.cast("long"),
+                    F.lit(int(rule.lower_limit)),
+                ),
+            )
+        return details
+    if rule.type == TYPE_TIMESTAMP:
+        if isinstance(dtype, TimestampType):
+            t = col
+            parse_fail = F.lit(False)
+        else:
+            t = _parse_ts(col, rule.date_format)
+            parse_fail = t.isNull()
+        details = F.when(
+            parse_fail, F.lit("failure to perform timestamp validation")
+        )
+        if rule.earliest_time is not None:
+            details = details.when(
+                t < F.lit(rule.earliest_time),
+                F.format_string(
+                    "Timestamp value '%s' occurs before earliest limit '%s'",
+                    _py_ts_str(t),
+                    F.lit(str(rule.earliest_time)),
+                ),
+            )
+        if rule.latest_time is not None:
+            # +1 minute slack on the upper bound (validator.py:226)
+            details = details.when(
+                t > F.lit(rule.latest_time + timedelta(minutes=1)),
+                F.format_string(
+                    "Timestamp value '%s' occurs after latest limit '%s'",
+                    _py_ts_str(t),
+                    F.lit(str(rule.latest_time)),
+                ),
+            )
+        return details
+    if rule.type == TYPE_CHOICE and rule.choices:
+        return None  # handled by caller (needs schema for child paths)
+    # string / serial / unknown: presence+empty already checked
+    return F.lit(None)
+
+
+def _parse_ts(col: Column, date_format: str | None) -> Column:
+    """String → timestamp. Without DateFormat the reference uses lenient
+    dateutil parsing (validator.py:219) — approximated with a coalesce
+    over common ISO shapes; with DateFormat, strptime (validator.py:221)
+    mapped to the Spark pattern dialect."""
+    if date_format:
+        return F.try_to_timestamp(col, F.lit(_strptime_to_spark(date_format)))
+    c = F.regexp_replace(col, "Z$", "+00:00")
+    return F.coalesce(
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSS")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd HH:mm:ss.SSSSSS")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd HH:mm:ss")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd")),
+    )
+
+
+_STRPTIME_MAP = [
+    ("%Y", "yyyy"),
+    ("%m", "MM"),
+    ("%d", "dd"),
+    ("%H", "HH"),
+    ("%M", "mm"),
+    ("%S", "ss"),
+    ("%f", "SSSSSS"),
+    ("%z", "XXX"),
+    ("%j", "DDD"),
+    ("%y", "yy"),
+]
+
+
+def _strptime_to_spark(fmt: str) -> str:
+    out = fmt
+    for py, jv in _STRPTIME_MAP:
+        out = out.replace(py, jv)
+    return out
+
+
+def _unconditional_details(rule: Rule, schema: DataType) -> Column:
+    """Full _check_unconditional chain (validator.py:196-243); NULL = valid."""
+    col = field_col(schema, rule.path)
+    dtype = schema_type(schema, rule.path)
+
+    missing = col.isNull()
+    details = F.when(missing, F.format_string("Field missing: %s", F.lit(rule.path)))
+
+    if isinstance(dtype, StringType):
+        if rule.allow_empty:
+            details = details.when(col == "", F.lit(None))
+        else:
+            details = details.when(col == "", F.lit("Field empty"))
+
+    if rule.type == TYPE_CHOICE and rule.choices:
+        present = [
+            field_col(schema, f"{rule.path}.{c}").isNotNull().cast("int")
+            for c in rule.choices
+        ]
+        cnt = sum(present[1:], present[0])
+        choice_details = F.when(
+            cnt == 0, F.format_string("No choices found in '%s'", F.lit(rule.path))
+        ).when(
+            cnt > 1,
+            F.format_string(
+                "Found '%s' choices in '%s'", cnt.cast("string"), F.lit(rule.path)
+            ),
+        )
+        return details.otherwise(choice_details)
+
+    type_details = _type_check_details(rule, col, dtype) if dtype else F.lit(None)
+    return details.otherwise(type_details)
+
+
+# --------------------------------------------------- conditional check
+
+
+def _condition_met(cond: dict, rule: Rule, schema: DataType) -> Column:
+    """ifPart evaluation (validator.py:131-148)."""
+    if_part = cond["ifPart"]
+    ref_path = if_part["fieldName"]
+    ref_col = field_col(schema, ref_path)
+    ref_type = schema_type(schema, ref_path)
+    expected = if_part.get("fieldValues")
+    if expected is None:
+        # existence-style: met iff referenced AND target both falsy
+        target = field_col(schema, rule.path)
+        target_type = schema_type(schema, rule.path)
+        return _falsy(ref_col, ref_type) & _falsy(target, target_type)
+    return ref_col.cast("string").isin([str(v) for v in expected])
+
+
+def _then_details(then_part: dict | None, rule: Rule, schema: DataType) -> Column:
+    """thenPart check (validator.py:150-170); NULL = valid."""
+    if not then_part:
+        return F.lit(None)
+    col = field_col(schema, rule.path)
+    details = F.when(col.isNull(), F.lit("Required Field is missing."))
+    if "startsWithField" in then_part:
+        sw = field_col(schema, then_part["startsWithField"])
+        sw_type = schema_type(schema, then_part["startsWithField"])
+        not_falsy = ~_falsy(sw, sw_type)
+        details = details.when(
+            not_falsy & ~col.cast("string").startswith(sw.cast("string")),
+            F.format_string(
+                "Value of Field ('%s') does not start with %s",
+                col.cast("string"),
+                sw.cast("string"),
+            ),
+        )
+    elif "matchAgainst" in then_part and isinstance(then_part["matchAgainst"], list):
+        allowed = then_part["matchAgainst"]
+        if allowed and all(isinstance(v, (int, float)) for v in allowed):
+            # numeric lists compare numerically (Python 3.0 == 3,
+            # validator.py:166)
+            member = col.cast(_DEC).isin([F.lit(v).cast(_DEC) for v in allowed])
+        else:
+            member = col.cast("string").isin([str(v) for v in allowed])
+        details = details.when(
+            ~member,
+            F.format_string(
+                "Value of Field ('%s') is not one of the expected values (%s)",
+                col.cast("string"),
+                F.lit(repr(then_part["matchAgainst"])),
+            ),
+        )
+    return details
+
+
+def _is_skip_condition(cond: dict) -> bool:
+    tp = cond.get("thenPart")
+    return bool(tp and tp.get("skipSequentialValidation"))
+
+
+def rule_details(rule: Rule, schema: DataType) -> Column:
+    """Compile one rule to its details Column (NULL = valid) — the
+    Spark-native replacement for Field.validate (validator.py:83-94)."""
+    if rule.noop:
+        return F.lit(None).cast("string")
+    uncond = _unconditional_details(rule, schema)
+    if not rule.conditions:
+        return uncond
+    chain: Column | None = None
+    for cond in rule.conditions:
+        if _is_skip_condition(cond):
+            continue  # participates in skip flags, not field validation
+        met = _condition_met(cond, rule, schema)
+        then = _then_details(cond.get("thenPart"), rule, schema)
+        chain = F.when(met, then) if chain is None else chain.when(met, then)
+    if chain is None:
+        return uncond
+    return chain.otherwise(uncond)
+
+
+def skip_flag_exprs(ruleset: RuleSet, schema: DataType) -> dict[str, Column]:
+    """Per-record boolean columns: rule path → 'this record meets a
+    skipSequentialValidation condition for that path'
+    (validator.py:110-112). The sequential operator ORs them per file —
+    the reference's skip set is per-file state."""
+    out: dict[str, Column] = {}
+    for rule in ruleset.rules:
+        if not rule.conditions:
+            continue
+        flags = [
+            _condition_met(c, rule, schema)
+            for c in rule.conditions
+            if _is_skip_condition(c)
+        ]
+        if flags:
+            expr = flags[0]
+            for f in flags[1:]:
+                expr = expr | f
+            out[rule.path] = F.coalesce(expr, F.lit(False))
+    return out
+
+
+# ------------------------------------------------------------ validate
+
+
+def validation_details(df: DataFrame, ruleset: RuleSet) -> list[tuple[str, Column]]:
+    """(field_path, details Column) per scalar rule, compiled against
+    df's schema. NULL details = valid."""
+    schema = df.schema
+    return [(r.path, rule_details(r, schema)) for r in ruleset.rules]
+
+
+def validate(
+    df: DataFrame, ruleset: RuleSet, id_cols: list[str]
+) -> DataFrame:
+    """Long-format validation results: one row per (record, rule), the
+    Spark-native form of RecordValidationResult (result.py:19-32).
+
+    Output: *id_cols, field_path, valid, details ('' when valid).
+    Scale: a single project + explode — no shuffle, no UDF; the explode
+    factor equals the rule count, pruned columns never leave the scan.
+    """
+    pairs = validation_details(df, ruleset)
+    verdicts = F.array(
+        *[
+            F.struct(
+                F.lit(path).alias("field_path"),
+                details.alias("details"),
+            )
+            for path, details in pairs
+        ]
+    )
+    out = df.select(*id_cols, F.explode(verdicts).alias("v")).select(
+        *id_cols,
+        F.col("v.field_path").alias("field_path"),
+        F.col("v.details").isNull().alias("valid"),
+        F.coalesce(F.col("v.details"), F.lit("")).alias("details"),
+    )
+    long_results = out
+    list_results = _validate_list_rules(df, ruleset, id_cols)
+    if list_results is not None:
+        long_results = long_results.unionByName(list_results)
+    return long_results
+
+
+# ------------------------------------------------------- list rules
+
+
+def _validate_list_rules(
+    df: DataFrame, ruleset: RuleSet, id_cols: list[str]
+) -> DataFrame | None:
+    """P13: ``a.list.b`` rules expand per actual array element via
+    posexplode (validator.py:304-378 re-expressed as a generator).
+    Missing/non-list data still yields one ``a{0}.b`` verdict so absence
+    can invalidate. Single-level ``.list.`` supported; deeper nesting
+    composes the same generator."""
+    if not ruleset.list_rules:
+        return None
+    schema = df.schema
+    outs = []
+    for rule in ruleset.list_rules:
+        head, _, tail = rule.path.partition(".list")
+        tail = tail.lstrip(".")
+        arr_type = schema_type(schema, head)
+        if not isinstance(arr_type, ArrayType):
+            # non-list / missing → one "Field missing" verdict at {0}
+            path0 = f"{head}{{0}}" + (f".{tail}" if tail else "")
+            outs.append(
+                df.select(
+                    *id_cols,
+                    F.lit(path0).alias("field_path"),
+                    F.lit(False).alias("valid"),
+                    F.lit(f"Field missing: {path0}").alias("details"),
+                )
+            )
+            continue
+        arr = field_col(schema, head)
+        exploded = df.select(
+            *id_cols, F.posexplode_outer(arr).alias("pos", "elem")
+        )
+        elem_rule = Rule(
+            path=f"elem.{tail}" if tail else "elem",
+            type=rule.type,
+            upper_limit=rule.upper_limit,
+            lower_limit=rule.lower_limit,
+            values=rule.values,
+            choices=rule.choices,
+            conditions=None,  # conditional list rules unsupported upstream
+            earliest_time=rule.earliest_time,
+            latest_time=rule.latest_time,
+            date_format=rule.date_format,
+            allow_empty=rule.allow_empty,
+        )
+        details = rule_details(elem_rule, exploded.schema)
+        path_expr = F.format_string(
+            f"{head}{{%s}}" + (f".{tail}" if tail else ""),
+            F.coalesce(F.col("pos"), F.lit(0)).cast("string"),
+        )
+        outs.append(
+            exploded.select(
+                *id_cols,
+                path_expr.alias("field_path"),
+                details.isNull().alias("valid"),
+                F.coalesce(details, F.lit("")).alias("details"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
