@@ -25,8 +25,12 @@ _registry.load_all()
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return _registry.QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The full CVP pipeline: INI rule compile → field validation →
+    sequential (window) validation → per-file tallies.
+    """
+    return _registry.QUERIES["cv_validation_tallies"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,2 +1,520 @@
-"""CVP-domain queries (validation, sequential, metrics) — filled in as
-the operators land (SURVEY.md §2.1, §2.2, §2.4, §2.5)."""
+"""CVP-domain queries: the reference pipeline's operator surface run
+over the driver testdata (SURVEY §2.1-§2.5), each with a DuckDB oracle.
+
+Mapping (FIXTURES.md §F6): ``events`` is the CV-record analog —
+    file          = 'f' || event_id // 2000      (contiguous "files")
+    serialNumber  = event_id
+    bundleId      = user_id
+    recordId      = props->'k'
+    bundleSize    = user_id % 4 + 1
+    timestamps    = ts (both recordGeneratedAt and odeReceivedAt)
+    logFileName?  = event_type != 'error'
+``documents`` synthesizes the file-arrival catalog (S3 keys, sizes,
+mtimes) for the metadata/metrics queries (FIXTURES.md §F4).
+
+Validation rules for events are declared in the same INI dialect the
+reference uses and compiled by operators/validation.py — so these
+queries exercise the real rule compiler end-to-end, and the oracle SQL
+re-states the semantics independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.metadata import file_metadata, file_metrics
+from ..operators.sequential import SequentialSpec, sequential_results
+from ..operators.validation import validate
+from ..sources.catalog import load_table
+from ..sources.rules import parse_rules_ini
+from .registry import register
+
+# ------------------------------------------------------------------ events
+
+EVENTS_RULES_INI = """
+[_settings]
+DataType = json
+Sequential = True
+
+[value]
+Type = decimal
+UpperLimit = 450
+LowerLimit = 0
+
+[event_type]
+Type = enum
+Values = ["click", "view", "signup", "purchase"]
+
+[ts]
+Type = timestamp
+EarliestTime = 2024-01-03T00:00:00+00:00
+LatestTime = 2024-01-28T00:00:00+00:00
+
+[props]
+Type = string
+
+[user_id]
+Type = decimal
+UpperLimit = 120
+LowerLimit = 0
+"""
+
+N_RULES = 5
+
+
+def _events_ruleset():
+    return parse_rules_ini(EVENTS_RULES_INI)
+
+
+def _events_with_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn(
+        "file",
+        F.concat(F.lit("f"), F.floor(F.col("event_id") / 2000).cast("string")),
+    )
+
+
+def _seq_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _events_with_file(spark, sf_dir)
+    spec = SequentialSpec(
+        file=F.col("file"),
+        bundle_id=F.col("user_id"),
+        serial_number=F.col("event_id"),
+        record_id=F.get_json_object("props", "$.k").cast("long"),
+        bundle_size=F.col("user_id") % 4 + 1,
+        record_generated_at=F.col("ts"),
+        ode_received_at=F.col("ts"),
+        has_log_file_name=F.col("event_type") != "error",
+    )
+    return sequential_results(d, spec)
+
+
+# --- shared oracle fragments -------------------------------------------
+
+_EV_SQL = """
+  SELECT 'f' || CAST(event_id // 2000 AS VARCHAR) AS file,
+         event_id, ts, user_id, event_type, value, props
+  FROM events
+"""
+
+_PYTS = (
+    "CASE WHEN strftime({c}, '%f') = '000000' "
+    "THEN strftime({c}, '%Y-%m-%d %H:%M:%S') "
+    "ELSE strftime({c}, '%Y-%m-%d %H:%M:%S.%f') END"
+)
+
+_RES_SQL = f"""
+  SELECT file, event_id, field_path,
+         details IS NULL AS valid, coalesce(details, '') AS details
+  FROM (
+    SELECT file, event_id, 'value' AS field_path,
+      CASE WHEN value IS NULL THEN 'Field missing: value'
+           WHEN CAST(value AS DECIMAL(38,10)) > 450 THEN
+             printf('Value ''%d'' is greater than upper limit ''%d''',
+                    CAST(TRUNC(CAST(value AS DECIMAL(38,10))) AS BIGINT), 450)
+           WHEN CAST(value AS DECIMAL(38,10)) < 0 THEN
+             printf('Value ''%d'' is less than lower limit ''%d''',
+                    CAST(TRUNC(CAST(value AS DECIMAL(38,10))) AS BIGINT), 0)
+      END AS details FROM ev
+    UNION ALL
+    SELECT file, event_id, 'event_type',
+      CASE WHEN event_type IS NULL THEN 'Field missing: event_type'
+           WHEN event_type = '' THEN 'Field empty'
+           WHEN lower(event_type) NOT IN ('click','view','signup','purchase') THEN
+             printf('Value ''%s'' not in list of known values: [%s]',
+                    event_type, 'click, view, signup, purchase')
+      END FROM ev
+    UNION ALL
+    SELECT file, event_id, 'ts',
+      CASE WHEN ts IS NULL THEN 'Field missing: ts'
+           WHEN ts < TIMESTAMP '2024-01-03 00:00:00' THEN
+             printf('Timestamp value ''%s'' occurs before earliest limit ''%s''',
+                    {_PYTS.format(c='ts')}, '2024-01-03 00:00:00+00:00')
+           WHEN ts > TIMESTAMP '2024-01-28 00:01:00' THEN
+             printf('Timestamp value ''%s'' occurs after latest limit ''%s''',
+                    {_PYTS.format(c='ts')}, '2024-01-28 00:00:00+00:00')
+      END FROM ev
+    UNION ALL
+    SELECT file, event_id, 'props',
+      CASE WHEN props IS NULL THEN 'Field missing: props'
+           WHEN props = '' THEN 'Field empty' END FROM ev
+    UNION ALL
+    SELECT file, event_id, 'user_id',
+      CASE WHEN user_id IS NULL THEN 'Field missing: user_id'
+           WHEN CAST(user_id AS DECIMAL(38,10)) > 120 THEN
+             printf('Value ''%d'' is greater than upper limit ''%d''',
+                    CAST(TRUNC(CAST(user_id AS DECIMAL(38,10))) AS BIGINT), 120)
+           WHEN CAST(user_id AS DECIMAL(38,10)) < 0 THEN
+             printf('Value ''%d'' is less than lower limit ''%d''',
+                    CAST(TRUNC(CAST(user_id AS DECIMAL(38,10))) AS BIGINT), 0)
+      END FROM ev
+  )
+"""
+
+_TSSTR = "strftime({c}, '%Y-%m-%d %H:%M:%S') || '+00:00'"
+
+_SEQ_SQL = f"""
+  WITH d AS (
+    SELECT file, user_id AS bid, event_id AS sn,
+           CAST(props->>'$.k' AS BIGINT) AS rid,
+           user_id % 4 + 1 AS bs,
+           date_trunc('second', ts) AS gen,
+           date_trunc('second', ts) AS recv,
+           event_type <> 'error' AS has_logf
+    FROM ev
+  ),
+  g AS (
+    SELECT *, SUM(CASE WHEN prev_bid IS NULL OR prev_bid <> bid THEN 1 ELSE 0 END)
+                OVER (PARTITION BY file ORDER BY sn ROWS UNBOUNDED PRECEDING) AS grp
+    FROM (SELECT *, lag(bid) OVER (PARTITION BY file ORDER BY sn) AS prev_bid FROM d)
+  ),
+  b AS (
+    SELECT *, lag(rid) OVER wb AS prev_rid, lag(sn) OVER wb AS prev_sn,
+           lag(gen) OVER wb AS prev_gen, lag(recv) OVER wb AS prev_recv,
+           first_value(rid) OVER wbf AS first_rid, last_value(rid) OVER wbf AS last_rid,
+           first_value(bs) OVER wbf AS first_bs, last_value(sn) OVER wbf AS last_sn,
+           count(*) OVER wbf AS cnt
+    FROM g
+    WINDOW wb AS (PARTITION BY file, grp ORDER BY sn),
+           wbf AS (PARTITION BY file, grp ORDER BY sn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+  ),
+  mono AS (
+    SELECT file, sn, 'metadata.serialId.recordId' AS field_path,
+           printf('Detected incorrectly incremented recordId. Expected recordId ''%d'' but got ''%d''',
+                  prev_rid + 1, rid) AS details
+    FROM b WHERE prev_sn IS NOT NULL AND bs > 1 AND rid <> prev_rid + 1
+    UNION ALL
+    SELECT file, sn, 'metadata.serialId.serialNumber',
+           printf('Detected incorrectly incremented serialNumber. Expected serialNumber ''%d'' but got ''%d''',
+                  prev_sn + 1, sn)
+    FROM b WHERE prev_sn IS NOT NULL AND sn <> prev_sn + 1
+    UNION ALL
+    SELECT file, sn, 'metadata.recordGeneratedAt',
+           printf('Detected non-chronological recordGeneratedAt. Previous timestamp was ''%s'' but current timestamp is ''%s''',
+                  {_TSSTR.format(c='prev_gen')}, {_TSSTR.format(c='gen')})
+    FROM b WHERE prev_sn IS NOT NULL AND gen < prev_gen
+    UNION ALL
+    SELECT file, sn, 'metadata.odeReceivedAt',
+           printf('Detected non-chronological odeReceivedAt. Previous timestamp was ''%s'' but current timestamp is ''%s''',
+                  {_TSSTR.format(c='prev_recv')}, {_TSSTR.format(c='recv')})
+    FROM b WHERE prev_sn IS NOT NULL AND recv < prev_recv
+  ),
+  fullq AS (
+    SELECT *, lag(bs) OVER (PARTITION BY file, grp ORDER BY sn) AS prev_bs_q
+    FROM b WHERE first_rid = 0 AND last_rid = first_bs - 1 AND has_logf AND cnt <> bs
+  ),
+  tailq AS (
+    SELECT *, lag(bs) OVER (PARTITION BY file, grp ORDER BY sn) AS prev_bs_q
+    FROM b WHERE first_rid <> 0 AND last_rid <> bs - 1
+  ),
+  size_err AS (
+    SELECT file, last_sn AS sn, 'metadata.serialId.bundleSize' AS field_path,
+           printf('bundleSize doesn''t match number of records. Number of records: ''%d'' != bundlSize: ''%d''',
+                  cnt, bs) AS details
+    FROM fullq WHERE prev_bs_q IS NULL OR prev_bs_q <> bs
+    UNION ALL
+    SELECT file, last_sn, 'metadata.serialId.bundleSize',
+           printf('bundleSize doesn''t match last recordId. Last recordId: ''%d'' != (bundleSize-1: ''%d'')',
+                  last_rid, bs - 1)
+    FROM tailq WHERE prev_bs_q IS NULL OR prev_bs_q <> bs
+  ),
+  seq_err AS (SELECT * FROM mono UNION ALL SELECT * FROM size_err)
+  SELECT file, sn AS serial_number, field_path, false AS valid, details FROM seq_err
+  UNION ALL
+  SELECT file, NULL, 'SequentialCheck', true, ''
+  FROM (SELECT DISTINCT file FROM d
+        EXCEPT SELECT DISTINCT file FROM seq_err)
+"""
+
+
+@register(
+    "cv_validation_results",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL})
+    {_RES_SQL}
+    ORDER BY file, event_id, field_path
+    """,
+)
+def cv_validation_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field validation over events via the compiled rule engine
+    (P5-P11, long results per result.py:6-17)."""
+    d = _events_with_file(spark, sf_dir)
+    return validate(d, _events_ruleset(), ["file", "event_id"]).orderBy(
+        "file", "event_id", "field_path"
+    )
+
+
+@register(
+    "cv_validation_tallies",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    res AS ({_RES_SQL}),
+    seq AS ({_SEQ_SQL}),
+    f AS (
+      SELECT file, count(*) AS records,
+             count(*) FILTER (WHERE NOT valid) AS field_errors_rows,
+             count(DISTINCT event_id) FILTER (WHERE NOT valid) AS error_records
+      FROM res GROUP BY file
+    ),
+    s AS (
+      SELECT file, count(*) AS seq_rows,
+             count(*) FILTER (WHERE NOT valid) AS seq_errors
+      FROM seq GROUP BY file
+    )
+    SELECT f.file,
+           records // {N_RULES} + 1 AS num_messages_total,
+           records + seq_rows AS num_validations,
+           field_errors_rows + seq_errors AS num_errors,
+           error_records + CASE WHEN seq_errors > 0 THEN 1 ELSE 0 END
+             AS num_error_messages,
+           records // {N_RULES} + 1
+             - (error_records + CASE WHEN seq_errors > 0 THEN 1 ELSE 0 END)
+             AS num_valid_messages
+    FROM f JOIN s USING (file)
+    ORDER BY file
+    """,
+)
+def cv_validation_tallies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A7: per-file tallies exactly as the reference accumulates them
+    (cvp_bucket_event_lambda_handler.py:115-153) — the sequential
+    result counts as one extra 'message' whose validations are the
+    sequential check rows."""
+    res = cv_validation_results(spark, sf_dir)
+    seq = _seq_results(spark, sf_dir)
+    f = res.groupBy("file").agg(
+        (F.count(F.lit(1)) / N_RULES).cast("long").alias("records"),
+        F.sum((~F.col("valid")).cast("long")).alias("field_errors_rows"),
+        F.count_distinct(
+            F.when(~F.col("valid"), F.col("event_id"))
+        ).alias("error_records"),
+    )
+    s = seq.groupBy("file").agg(
+        F.count(F.lit(1)).alias("seq_rows"),
+        F.sum((~F.col("valid")).cast("long")).alias("seq_errors"),
+    )
+    seq_err_msg = F.when(F.col("seq_errors") > 0, F.lit(1)).otherwise(F.lit(0))
+    return (
+        f.join(s, "file")
+        .select(
+            "file",
+            (F.col("records") + 1).alias("num_messages_total"),
+            (F.col("records") * N_RULES + F.col("seq_rows")).alias(
+                "num_validations"
+            ),
+            (F.col("field_errors_rows") + F.col("seq_errors")).alias("num_errors"),
+            (F.col("error_records") + seq_err_msg).alias("num_error_messages"),
+            (
+                F.col("records") + 1 - (F.col("error_records") + seq_err_msg)
+            ).alias("num_valid_messages"),
+        )
+        .orderBy("file")
+    )
+
+
+@register(
+    "cv_error_histogram",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    res AS ({_RES_SQL})
+    SELECT file,
+           'Invalid field ''' || field_path || ''' due to ' || details AS error_message,
+           count(*) AS occurrences
+    FROM res WHERE NOT valid
+    GROUP BY file, error_message
+    ORDER BY file, error_message
+    """,
+)
+def cv_error_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: per-file histogram of distinct error messages
+    (cvp_bucket_event_lambda_handler.py:122-135). Field-validation
+    errors only — the reference would crash concatenating the
+    sequential results' NULL field_path (line 131), a bug not copied."""
+    res = cv_validation_results(spark, sf_dir)
+    return (
+        res.filter(~F.col("valid"))
+        .select(
+            "file",
+            F.concat(
+                F.lit("Invalid field '"),
+                F.col("field_path"),
+                F.lit("' due to "),
+                F.col("details"),
+            ).alias("error_message"),
+        )
+        .groupBy("file", "error_message")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .orderBy("file", "error_message")
+    )
+
+
+@register(
+    "cv_sequential_checks",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    seq AS ({_SEQ_SQL})
+    SELECT * FROM seq
+    """,
+)
+def cv_sequential_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-W8 over the events analog: contiguous-run bundling, monotonic
+    serials/recordIds, chronological timestamps, bundle-size checks,
+    per-file all-pass synthesis (odevalidator/sequential.py:14-110)."""
+    return _seq_results(spark, sf_dir)
+
+
+# ------------------------------------------------------------- files
+
+_FILES_SQL = """
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 2 THEN 'curated' ELSE 'submissions' END AS bucket,
+    CASE
+      WHEN doc_id % 3 = 0 THEN
+        'waze/v1/state=' || upper(lang) || '/type=' ||
+        CASE WHEN doc_id % 2 = 0 THEN 'alert' ELSE 'jam' END ||
+        '/table=t' || CAST(doc_id % 4 AS VARCHAR) ||
+        '/part' || CAST(doc_id AS VARCHAR) || '.json'
+      WHEN doc_id % 3 = 1 THEN
+        'cv/' || source || '/bsm/part' || CAST(doc_id AS VARCHAR) || '.json.gz'
+      ELSE
+        'waze/cur/state=' || upper(lang) || '/type=' ||
+        CASE WHEN doc_id % 2 = 0 THEN 'alert' ELSE 'jam' END ||
+        '/table=t' || CAST(doc_id % 4 AS VARCHAR) ||
+        '/part' || CAST(doc_id AS VARCHAR) || '.json'
+    END AS key,
+    CASE WHEN doc_id % 7 = 0 THEN 166 ELSE n_chars END AS content_length,
+    TIMESTAMP '2023-01-01 00:00:00' + (doc_id % 1440) * INTERVAL 1 MINUTE
+      AS last_modified,
+    'application/json' AS content_type,
+    md5('part' || CAST(doc_id AS VARCHAR)) AS etag
+  FROM documents
+"""
+
+
+def _files_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic file-arrival catalog from documents (FIXTURES.md §F4)."""
+    d = load_table(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    state_key = F.concat(
+        F.lit("state="), F.upper("lang"),
+        F.lit("/type="),
+        F.when(doc % 2 == 0, F.lit("alert")).otherwise(F.lit("jam")),
+        F.lit("/table=t"), (doc % 4).cast("string"),
+        F.lit("/part"), doc.cast("string"), F.lit(".json"),
+    )
+    return d.select(
+        doc.alias("doc_id"),
+        F.when(doc % 3 == 2, F.lit("curated"))
+        .otherwise(F.lit("submissions"))
+        .alias("bucket"),
+        F.when(doc % 3 == 0, F.concat(F.lit("waze/v1/"), state_key))
+        .when(
+            doc % 3 == 1,
+            F.concat(
+                F.lit("cv/"), F.col("source"), F.lit("/bsm/part"),
+                doc.cast("string"), F.lit(".json.gz"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("waze/cur/"), state_key))
+        .alias("key"),
+        F.when(doc % 7 == 0, F.lit(166))
+        .otherwise(F.col("n_chars"))
+        .cast("long")
+        .alias("content_length"),
+        F.expr(
+            "timestamp '2023-01-01 00:00:00' "
+            "+ make_interval(0, 0, 0, 0, 0, CAST(doc_id % 1440 AS INT), 0)"
+        ).alias("last_modified"),
+        F.lit("application/json").alias("content_type"),
+        F.md5(F.concat(F.lit("part"), doc.cast("string"))).alias("etag"),
+    )
+
+
+_META_SQL = """
+  SELECT key AS Key, content_length AS ContentLength,
+         content_length / 1048576.0 AS SizeMiB,
+         strftime(last_modified, '%Y-%m-%dT%H:%M:%S') AS LastModified,
+         content_type AS ContentType, etag AS ETag,
+         split_part(key, '/', 1) AS Dataset,
+         'dev' AS Environment,
+         CASE WHEN split_part(key, '/', 1) = 'waze'
+              THEN nullif(regexp_extract(key, '/type=([^/]+)', 1), '') END
+           AS TrafficType,
+         CASE WHEN split_part(key, '/', 1) = 'waze'
+              THEN nullif(regexp_extract(key, '/table=([^/]+)', 1), '') END
+           AS TableName,
+         CASE WHEN split_part(key, '/', 1) = 'waze'
+              THEN nullif(regexp_extract(key, '/state=([^/]+)', 1), '') END
+           AS State,
+         CASE WHEN split_part(key, '/', 1) = 'cv'
+              THEN split_part(key, '/', 2) END AS DataProvider,
+         CASE WHEN split_part(key, '/', 1) = 'cv'
+              THEN split_part(key, '/', 3) END AS DataType,
+         bucket
+  FROM files
+"""
+
+
+@register(
+    "file_metadata_docs",
+    oracle=f"""
+    WITH files AS ({_FILES_SQL})
+    SELECT Key, ContentLength, SizeMiB, LastModified, ContentType, ETag,
+           Dataset, Environment, TrafficType, TableName, State,
+           DataProvider, DataType
+    FROM ({_META_SQL})
+    ORDER BY Key
+    """,
+)
+def file_metadata_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P3 + S2: the per-file metadata document
+    (bucket_event_lambda_handler.py:41-89) over the synthetic catalog."""
+    return file_metadata(_files_df(spark, sf_dir)).orderBy("Key")
+
+
+@register(
+    "file_metrics_counters",
+    oracle=f"""
+    WITH files AS ({_FILES_SQL}),
+    meta AS ({_META_SQL})
+    SELECT * FROM (
+      SELECT 'dot-sdc-waze-submissions-bucket-metric' AS namespace,
+             'Counts by state and traffic type' AS metric_name,
+             'State' AS dim1_name, State AS dim1_value,
+             'TrafficType' AS dim2_name, TrafficType AS dim2_value,
+             CAST(count(*) AS DOUBLE) AS value, 'Count' AS unit
+      FROM meta WHERE bucket = 'submissions' AND Dataset = 'waze'
+      GROUP BY State, TrafficType
+      UNION ALL
+      SELECT 'dot-sdc-waze-zero-byte-submissions-metric',
+             'Zero Byte Submissions by State and traffic type',
+             'State', State, 'TrafficType', TrafficType,
+             CAST(count(*) AS DOUBLE), 'Count'
+      FROM meta WHERE bucket = 'submissions' AND Dataset = 'waze'
+        AND ContentLength = 166
+      GROUP BY State, TrafficType
+      UNION ALL
+      SELECT 'dot-sdc-cv-submissions-bucket-metric',
+             'Counts by provider and datatype',
+             'DataProvider', DataProvider, 'DataType', DataType,
+             CAST(count(*) * 10 AS DOUBLE), 'Count'
+      FROM meta WHERE bucket = 'submissions' AND Dataset = 'cv'
+      GROUP BY DataProvider, DataType
+      UNION ALL
+      SELECT 'dot-sdc-waze-curated-bucket-metric',
+             'Counts by state and table name',
+             'State', State, 'TableName', TableName,
+             CAST(count(*) AS DOUBLE), 'Count'
+      FROM meta WHERE bucket = 'curated' AND Dataset <> 'manifest'
+      GROUP BY State, TableName
+    )
+    ORDER BY namespace, dim1_value, dim2_value
+    """,
+)
+def file_metrics_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4-A6: the four CloudWatch counter shapes as one metrics table
+    (bucket_event_lambda_handler.py:105-198), incl. the zero-byte
+    sentinel and the reference's literal value=10 for cv file counts."""
+    meta = file_metadata(_files_df(spark, sf_dir), passthrough=("bucket",))
+    return file_metrics(meta).orderBy("namespace", "dim1_value", "dim2_value")

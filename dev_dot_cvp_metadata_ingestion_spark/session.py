@@ -34,6 +34,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # the testdata's events table stores TIMESTAMP(NANOS) which the
+        # vectorized reader rejects; read as long and convert in the
+        # catalog (sources/catalog.py) — exact integer division, no
+        # double round-trip
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
