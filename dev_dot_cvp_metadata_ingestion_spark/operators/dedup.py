@@ -1,0 +1,228 @@
+"""Deduplication operators for LLM-scale corpora (beyond-reference,
+BASELINE.json north star): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All pure Column expressions / DataFrame ops — no UDFs — so each stage
+is codegen'd and shuffle-efficient:
+
+* exact: hash-groupBy on a normalized md5 fingerprint. One shuffle on
+  the fingerprint; at 100 TB this is the cheapest possible dedup.
+* MinHash+LSH: shingle → per-hash min (map-side only) → band explode →
+  self-join on (band, value) → exact-Jaccard verify on the candidates.
+  The join key is the band hash, so the shuffle moves only
+  (doc_id, band) pairs, never the text; candidate verification joins
+  shingle arrays back by doc_id. This is the standard near-dup pattern
+  that scales linearly in corpus size instead of O(n²).
+* SimHash: explode tokens → groupBy doc with 16 bit-vote sums →
+  recombine; one shuffle on doc_id (map-side combine applies).
+* n-gram Jaccard: exact pairwise within a blocking key (source) —
+  quadratic inside blocks only, the classic blocked-verify step.
+
+Hash base: the first 8 hex chars of md5 → uint32, identical in Spark
+(`conv(substring(md5(s),1,8),16,10)`) and DuckDB
+(`('0x'||substr(md5(s),1,8))::BIGINT`), keeping every derived hash
+oracle-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import content_fingerprint, tokens
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+
+
+def base_hash(s: Column) -> Column:
+    """First 8 md5 hex chars as uint32 — the cross-engine hash seed."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles (empty array when too few tokens)."""
+    t = tokens(text)
+    size = F.size(t)
+    idx = F.sequence(F.lit(0), size - n)
+    make = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + k + 1).cast("int")) for k in range(n)]
+        )
+        if n > 1
+        else F.element_at(t, (i + 1).cast("int")),
+    )
+    return F.when(size >= n, F.array_distinct(make)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_cols(sh: Column, num_hashes: int = 8) -> list[Column]:
+    """Per-hash-function minimum over the shingle set:
+    ``min((x*(2j+3) + (7919j+1)) mod (2^31-1))``. Map-side only."""
+    base = F.transform(sh, base_hash)
+
+    def perm(a: int, b: int):
+        # factory closure: a default-arg lambda would change the lambda
+        # arity pyspark infers for the higher-order function
+        return lambda x: (x * a + b) % MINHASH_P
+
+    return [
+        F.array_min(F.transform(base, perm(2 * j + 3, 7919 * j + 1))).alias(
+            f"minh_{j}"
+        )
+        for j in range(num_hashes)
+    ]
+
+
+def exact_duplicates(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on the normalized content fingerprint: one row per
+    distinct content with the keeper id (min id) and copy count."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            content_fingerprint(F.col(text_col)).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, n: int = 3
+) -> DataFrame:
+    """(doc_id, minh_0..minh_{k-1}) — the per-document signature."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *minhash_cols(shingles(F.col(text_col), n), num_hashes),
+    )
+
+
+def lsh_near_duplicates(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """MinHash-LSH candidate generation (1-row bands → recall
+    1-(1-J)^k) + exact-Jaccard verification at ``threshold``.
+
+    Returns (doc_id_a, doc_id_b, jaccard), a < b. The candidate join
+    shuffles only (band, minhash, doc_id) tuples; text/shingles rejoin
+    by doc_id for the verify step.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), n).alias("sh"),
+    )
+    sigs = sh.select(
+        "doc_id", *[c for c in minhash_cols(F.col("sh"), num_hashes)]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"), F.col(f"minh_{j}").alias("value")
+                    )
+                    for j in range(num_hashes)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.value")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cands = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.value") == F.col("r.value"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_id_a"),
+            F.col("r.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash16(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash: per-bit votes over token hashes (multiplicity
+    kept), sign → bit. (doc_id, simhash)."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).select("doc_id", base_hash(F.col("tok")).alias("x"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("x"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(16)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sim = None
+    for i in range(16):
+        bit = F.when(F.col(f"v{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 2,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Exact n-gram Jaccard for every pair inside a blocking key —
+    quadratic only within blocks. (block, doc_id_a, doc_id_b, jaccard)."""
+    sh = docs.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), n).alias("sh"),
+    )
+    a = sh.select(
+        "block", F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("block").alias("block_b"),
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(
+            b,
+            (F.col("block") == F.col("block_b"))
+            & (F.col("doc_id_a") < F.col("doc_id_b")),
+        )
+        .select(
+            "block",
+            "doc_id_a",
+            "doc_id_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

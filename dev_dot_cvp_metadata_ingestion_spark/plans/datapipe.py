@@ -1,2 +1,397 @@
-"""LLM-data-pipeline queries (dedup, similarity, text analysis,
-multimodal) — filled in as the operators land."""
+"""LLM-data-pipeline queries (beyond-reference, BASELINE.json north
+star): text analysis, dedup (exact / MinHash-LSH / SimHash / n-gram
+Jaccard), embedding similarity search, multimodal plumbing — each with
+a DuckDB oracle that re-states the computation independently.
+
+Shared determinism machinery: the cross-engine hash seed is the first
+8 md5 hex chars as uint32; all vector math is explicit left-to-right
+folds; single IEEE divisions only (no float accumulation ambiguity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    STOPWORDS,
+    content_fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    rolling_hash,
+    stopword_ratio,
+    token_count,
+)
+from ..operators.dedup import (
+    exact_duplicates,
+    lsh_near_duplicates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from ..operators.multimodal import attach_binary, decode_features
+from ..operators.similarity import brute_force_topk, lsh_topk
+from ..sources.catalog import load_table
+from .registry import register
+
+# ---------------------------------------------------------------- SQL lego
+
+_TOKS = "list_filter(string_split_regex({c}, '\\s+'), x -> x <> '')"
+_BASE_HASH = "(('0x' || substr(md5({s}), 1, 8))::BIGINT)"
+
+
+def _shingle_sql(n: int) -> str:
+    if n == 1:
+        return "list_distinct(t)"
+    join = " || ' ' || ".join(f"t[i+{k}]" for k in range(n))
+    return (
+        f"CASE WHEN len(t) >= {n} THEN "
+        f"list_distinct([{join} for i in generate_series(1, len(t)-{n - 1})]) "
+        f"ELSE [] END"
+    )
+
+
+def _stop_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(t, x -> lower(x) IN ({words})))"
+
+
+_MINHASH = [
+    f"list_min(list_transform(hs, x -> (x * {2 * j + 3} + {7919 * j + 1}) % 2147483647)) AS minh_{j}"
+    for j in range(8)
+]
+
+_FOLD_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "[{a}[i] * {b}[i] for i in generate_series(1, len({a}))]), (x, y) -> x + y)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_FOLD_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_FOLD_DOT.format(a=a, b=a)}) * sqrt({_FOLD_DOT.format(a=b, b=b)}))"
+    )
+
+
+# ------------------------------------------------------------ text analysis
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text, {_TOKS.format(c="text")} AS t,
+             {_TOKS.format(c="lower(text)")} AS tl
+      FROM documents
+    )
+    SELECT doc_id,
+      len(t) AS n_tokens,
+      CASE WHEN length(text) > 0 THEN
+        (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+          / length(text) ELSE 0.0 END AS punct_ratio,
+      CASE WHEN len(t) > 0 THEN {_stop_hits("en")}::DOUBLE / len(t)
+           ELSE 0.0 END AS stop_ratio,
+      least(len(t) / 100.0, 1.0) * 0.3
+        + (CASE WHEN len(t) > 0 THEN {_stop_hits("en")}::DOUBLE / len(t) ELSE 0.0 END) * 0.5
+        + (CASE WHEN (CASE WHEN length(text) > 0 THEN
+             (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+               / length(text) ELSE 0.0 END) < 0.1 THEN 1.0 ELSE 0.0 END) * 0.2
+        AS quality,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(t, s -> CAST(length(s) * 7 + ascii(s) AS BIGINT))),
+        (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash,
+      md5(array_to_string(tl, ' ')) AS fingerprint
+    FROM toks
+    ORDER BY doc_id
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts, punctuation/stopword ratios, composite quality,
+    rolling hash, content fingerprint — the cheap text-quality sweep."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t, "en").alias("stop_ratio"),
+        quality_score(t).alias("quality"),
+        rolling_hash(t).alias("rolling_hash"),
+        content_fingerprint(t).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_TOKS.format(c="lower(text)")} AS t FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, lang,
+             {_stop_hits("de")} AS h_de, {_stop_hits("en")} AS h_en,
+             {_stop_hits("es")} AS h_es, {_stop_hits("fr")} AS h_fr
+      FROM toks
+    )
+    SELECT doc_id, lang AS labeled_lang,
+      CASE
+        WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+        WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+        WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+        WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+        ELSE 'fr'
+      END AS predicted_lang
+    FROM hits
+    ORDER BY doc_id
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID next to the labeled lang column."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id(F.col("text")).alias("predicted_lang"),
+    ).orderBy("doc_id")
+
+
+# ----------------------------------------------------------------- dedup
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             md5(array_to_string({_TOKS.format(c="lower(text)")}, ' ')) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint, min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM f GROUP BY fingerprint
+    ORDER BY fingerprint
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized content fingerprint (hash groupBy)."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_duplicates(d, "doc_id", "text").orderBy("fingerprint")
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents),
+    sh AS (SELECT doc_id, {_shingle_sql(3)} AS sh FROM toks),
+    hs AS (SELECT doc_id,
+                  list_transform(sh, s -> {_BASE_HASH.format(s="s")}) AS hs
+           FROM sh)
+    SELECT doc_id, {", ".join(_MINHASH)}
+    FROM hs
+    ORDER BY doc_id
+    """,
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-function MinHash signature per document over 3-word shingles."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(d, "doc_id", "text", num_hashes=8, n=3).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents),
+    sh AS (SELECT doc_id, {_shingle_sql(3)} AS sh FROM toks),
+    hs AS (SELECT doc_id, sh,
+                  list_transform(sh, s -> {_BASE_HASH.format(s="s")}) AS hs
+           FROM sh),
+    sig AS (SELECT doc_id, sh, {", ".join(_MINHASH)} FROM hs),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {j} AS band, minh_{j} AS value FROM sig" for j in range(8))}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.value = r.value AND l.doc_id < r.doc_id
+    ),
+    ver AS (
+      SELECT doc_id_a, doc_id_b,
+             len(list_intersect(a.sh, b.sh)) AS i,
+             len(a.sh) AS la, len(b.sh) AS lb
+      FROM cand
+      JOIN sig a ON a.doc_id = doc_id_a
+      JOIN sig b ON b.doc_id = doc_id_b
+    )
+    SELECT doc_id_a, doc_id_b, i::DOUBLE / (la + lb - i) AS jaccard
+    FROM ver WHERE i::DOUBLE / (la + lb - i) >= 0.3
+    ORDER BY doc_id_a, doc_id_b
+    """,
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs (candidate join on minhash
+    bands, exact-Jaccard verification at 0.3)."""
+    d = load_table(spark, sf_dir, "documents")
+    return lsh_near_duplicates(
+        d, "doc_id", "text", num_hashes=8, n=3, threshold=0.3
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
+_SIMHASH_VOTES = ", ".join(
+    f"sum(CASE WHEN (x >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+    for i in range(16)
+)
+_SIMHASH_BITS = " + ".join(
+    f"CASE WHEN v{i} >= 0 THEN {1 << i} ELSE 0 END" for i in range(16)
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents),
+    tok AS (SELECT doc_id, {_BASE_HASH.format(s="tok.x")} AS x
+            FROM toks, unnest(t) AS tok(x)),
+    votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM tok GROUP BY doc_id)
+    SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash
+    FROM votes
+    ORDER BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (bit votes over token hashes)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash16(d, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "dedup_ngram_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS.format(c="text")} AS t FROM documents
+    ),
+    sh AS (SELECT doc_id, source AS block, {_shingle_sql(2)} AS sh FROM toks),
+    pairs AS (
+      SELECT a.block, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             len(list_intersect(a.sh, b.sh)) AS i,
+             len(a.sh) AS la, len(b.sh) AS lb
+      FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+    )
+    SELECT block, doc_id_a, doc_id_b, i::DOUBLE / (la + lb - i) AS jaccard
+    FROM pairs WHERE i::DOUBLE / (la + lb - i) >= 0.05
+    ORDER BY block, doc_id_a, doc_id_b
+    """,
+)
+def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-Jaccard pairs within the ``source`` blocking key."""
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", "source", n=2, threshold=0.05
+    ).orderBy("block", "doc_id_a", "doc_id_b")
+
+
+# ------------------------------------------------------------- similarity
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id, {_cos_sql("v", "qv")} AS cos
+      FROM e, q WHERE vec_id <> 0
+    ),
+    ranked AS (
+      SELECT vec_id, cos,
+             row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT vec_id, cos, rank FROM ranked WHERE rank <= 10 ORDER BY rank
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id 0 (broadcast query,
+    fold-based cosine — the ANN correctness baseline)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, query_id=0, k=10)
+
+
+def _plane_sql(j: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"[v[i] * ((({j} * 2654435761 + (i - 1) * 40503) % 97) / 48.5 - 1.0) "
+        f"for i in generate_series(1, len(v))]), (x, y) -> x + y)"
+    )
+
+
+# 4 planes → 16 buckets: dense enough on the 500-vector sf0.01 table to
+# produce a full candidate set (8 planes/256 buckets left ~2 per bucket)
+_BUCKET_SQL = " + ".join(
+    f"CASE WHEN {_plane_sql(j)} >= 0 THEN {1 << j} ELSE 0 END" for j in range(4)
+)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    bucketed AS (
+      SELECT vec_id, v, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM e
+    ),
+    q AS (SELECT v AS qv, bucket AS qbucket FROM bucketed WHERE vec_id = 0),
+    cands AS (
+      SELECT vec_id, bucket, {_cos_sql("v", "qv")} AS cos
+      FROM bucketed, q
+      WHERE bucket = qbucket AND vec_id <> 0
+    ),
+    ranked AS (
+      SELECT vec_id, bucket, cos,
+             row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
+      FROM cands
+    )
+    SELECT vec_id, bucket, cos, rank FROM ranked WHERE rank <= 10 ORDER BY rank
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-hyperplane LSH bucketed ANN: cosine only within the query's
+    bucket — at scale the bucket is a cluster/partition key, pruning
+    the scan instead of reading the corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(e, query_id=0, dim=64, k=10, n_planes=4)
+
+
+# ------------------------------------------------------------- multimodal
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> a + b)::DOUBLE / octet_length(encode(text)) AS mean_byte
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: text → binary payload + typed metadata →
+    Arrow-batched mapInPandas feature extraction (deterministic fake
+    decode; the real decoder socket raises NotImplementedError)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_binary(d, "doc_id", "text")
+    return decode_features(media, fake=True).orderBy("doc_id")

@@ -1,0 +1,109 @@
+"""End-to-end CVP pipeline (SURVEY §3.4) — the batch replacement for
+the reference's per-file Lambda: directory in → four tables out.
+
+    records  = scan (S3-S5) + provenance
+    results  = rule validation (compiled Columns) + sequential windows
+    metadata = per-file document incl. MessageCount (A1)
+    tallies  = per-file A2 aggregates
+    metrics  = CloudWatch counter shapes (A4-A6)
+
+Everything is one lineage; Catalyst prunes record fields the rules
+never touch, and the only shuffles are the per-file window (sequential)
+and the per-file/ per-dim aggregates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.metadata import file_metadata, file_metrics
+from ..operators.sequential import SequentialSpec, sequential_results
+from ..operators.validation import skip_flag_exprs, validate
+from ..sources.files import records_from_dir
+from ..sources.rules import RuleSet
+
+N_SEQ_ID = "metadata.serialId"
+
+
+@dataclass
+class PipelineResult:
+    records: DataFrame
+    validation: DataFrame  # long field results
+    sequential: DataFrame  # long sequential results
+    tallies: DataFrame  # per-file A2
+    file_counts: DataFrame  # per-file record counts (A1)
+
+
+def run_cv_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    ruleset: RuleSet,
+) -> PipelineResult:
+    """Batch pipeline over a directory of NDJSON CV files."""
+    records = records_from_dir(spark, input_dir).withColumn(
+        "record_uid", F.monotonically_increasing_id()
+    )
+    schema = records.schema
+
+    validation = validate(records, ruleset, ["file_path", "record_uid"])
+
+    ts = lambda c: F.to_timestamp(  # noqa: E731
+        F.regexp_replace(F.col(c), "Z$", "+00:00")
+    )
+    spec = SequentialSpec(
+        file=F.col("file_path"),
+        bundle_id=F.col(f"{N_SEQ_ID}.bundleId"),
+        serial_number=F.col(f"{N_SEQ_ID}.serialNumber"),
+        record_id=F.col(f"{N_SEQ_ID}.recordId"),
+        bundle_size=F.col(f"{N_SEQ_ID}.bundleSize"),
+        record_generated_at=ts("metadata.recordGeneratedAt"),
+        ode_received_at=ts("metadata.odeReceivedAt"),
+        has_log_file_name=F.col("metadata.logFileName").isNotNull(),
+        skip_flags=skip_flag_exprs(ruleset, schema),
+    )
+    sequential = (
+        sequential_results(records, spec)
+        if ruleset.sequential
+        else spark.createDataFrame(
+            [],
+            "file string, serial_number long, field_path string, "
+            "valid boolean, details string",
+        )
+    )
+
+    file_counts = records.groupBy("file_path").agg(
+        F.count(F.lit(1)).alias("MessageCount")
+    )
+
+    # A2 tallies (cvp_bucket_event_lambda_handler.py:115-153)
+    tallies = validation.groupBy("file_path").agg(
+        F.count_distinct("record_uid").alias("num_messages_total"),
+        F.count(F.lit(1)).alias("num_validations"),
+        F.sum((~F.col("valid")).cast("long")).alias("num_errors"),
+        F.count_distinct(
+            F.when(~F.col("valid"), F.col("record_uid"))
+        ).alias("num_error_messages"),
+    ).withColumn(
+        "num_valid_messages",
+        F.col("num_messages_total") - F.col("num_error_messages"),
+    )
+    return PipelineResult(
+        records=records,
+        validation=validation,
+        sequential=sequential,
+        tallies=tallies,
+        file_counts=file_counts,
+    )
+
+
+def run_file_metadata_pipeline(
+    files: DataFrame, environment: str = "dev"
+) -> tuple[DataFrame, DataFrame]:
+    """Generic (Waze/curated) path §3.2: metadata docs + metric shapes
+    from a file catalog (bucket, key, content_length, last_modified,
+    content_type, etag)."""
+    meta = file_metadata(files, environment=environment, passthrough=("bucket",))
+    return meta, file_metrics(meta)

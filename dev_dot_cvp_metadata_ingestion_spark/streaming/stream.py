@@ -1,0 +1,108 @@
+"""Structured-Streaming mode (SURVEY §2.9).
+
+The reference is event-driven: one S3 ObjectCreated → one Lambda run.
+Here the file-source stream replaces SNS discovery:
+
+* ``readStream`` on a directory finds new files; ``maxFilesPerTrigger=1``
+  reproduces the per-file batch granularity, ``Trigger.AvailableNow``
+  drains a backlog then stops (used for tests / catch-up runs).
+* All grouping in the reference is WITHIN one file, so ``foreachBatch``
+  running the batch operators per micro-batch is exactly
+  semantics-preserving (no watermark needed for parity; every batch
+  holds whole files).
+* Checkpointing gives at-least-once with an idempotent sink —
+  equivalent to the reference's retry-and-reindex behavior
+  (bucket_event_lambda_handler.py:99), with ``dropDuplicates`` on
+  (file_path, etag) available as the documented improvement.
+
+Scale: each micro-batch is an independent batch plan over a bounded
+file set; state never accumulates across files, so the stream runs
+indefinitely with O(1) state. A future stateful extension (per-bundle
+session windows with ``applyInPandasWithState``) would only be needed
+if bundles crossed file boundaries — they don't (SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from ..operators.validation import validate
+from ..sources.rules import RuleSet
+
+
+def stream_cv_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    ruleset: RuleSet,
+    schema: StructType,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream NDJSON CV files through the validation pipeline;
+    ``sink(batch_results_df, batch_id)`` receives the long-format
+    validation results of each micro-batch."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .json(input_dir)
+        .select(F.col("_metadata.file_path").alias("file_path"), "*")
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        # record_uid is assigned per micro-batch (monotonically_increasing_id
+        # is not available on streaming frames)
+        with_uid = batch_df.withColumn(
+            "record_uid", F.monotonically_increasing_id()
+        )
+        results = validate(with_uid, ruleset, ["file_path", "record_uid"])
+        sink(results, batch_id)
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_file_metadata(
+    spark: SparkSession,
+    input_dir: str,
+    schema: StructType,
+    sink_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Generic path §3.2 as a stream: per-file metadata rows appended to
+    a parquet table keyed by (file_path) — the ES-index replacement."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(input_dir)
+        .select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.file_size").alias("ContentLength"),
+            (F.col("_metadata.file_size") / F.lit(1024**2)).alias("SizeMiB"),
+            F.date_format(
+                F.col("_metadata.file_modification_time"), "yyyy-MM-dd'T'HH:mm:ss"
+            ).alias("LastModified"),
+        )
+        .dropDuplicates(["file_path"])
+    )
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,153 @@
+"""End-to-end pipeline tests: NDJSON directory → validation/sequential/
+tally tables (batch), and the streaming variant's batch-parity."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dev_dot_cvp_metadata_ingestion_spark.plans.pipeline import run_cv_pipeline
+from dev_dot_cvp_metadata_ingestion_spark.sources.files import (
+    csv_records,
+    file_lines,
+    static_prefix_filter,
+)
+from dev_dot_cvp_metadata_ingestion_spark.sources.rules import parse_rules_ini
+from dev_dot_cvp_metadata_ingestion_spark.streaming.stream import stream_cv_pipeline
+
+CONFIG = "/root/reference/odevalidator/config_2.ini"
+
+
+def _record(i: int, *, bad_lat: bool = False) -> dict:
+    return {
+        "metadata": {
+            "recordGeneratedAt": f"2019-01-01T00:00:{i:02d}.000Z",
+            "recordGeneratedBy": "OBU",
+            "recordType": "bsmTx",
+            "sanitized": "False",
+            "schemaVersion": 6,
+            "securityResultCode": "success",
+            "bsmSource": "EV",
+            "payloadType": "us.dot.its.jpo.ode.model.OdeBsmPayload",
+            "logFileName": "bsmTx_f.log",
+            "odeReceivedAt": f"2019-01-01T00:00:{i:02d}.500Z",
+            "serialId": {
+                "streamId": "s",
+                "bundleSize": 3,
+                "bundleId": i // 3,
+                "recordId": i % 3,
+                "serialNumber": i,
+            },
+            "receivedMessageDetails": {
+                "locationData": {
+                    "latitude": 95.0 if bad_lat else 40.0,
+                    "longitude": -105.0,
+                    "elevation": "1600",
+                    "speed": 10.0,
+                    "heading": 90.0,
+                },
+                "rxSource": "NA",
+            },
+        },
+        "payload": {},
+    }
+
+
+@pytest.fixture(scope="module")
+def ndjson_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cvfiles")
+    for fname, n, bad in [("a.json", 6, 2), ("b.json", 3, None)]:
+        with open(d / fname, "w") as fh:
+            for i in range(n):
+                fh.write(json.dumps(_record(i, bad_lat=(i == bad))) + "\n")
+    return str(d)
+
+
+def test_batch_pipeline(spark, ndjson_dir):
+    ruleset = parse_rules_ini(open(CONFIG).read())
+    ruleset.sequential = True
+    res = run_cv_pipeline(spark, ndjson_dir, ruleset)
+
+    counts = {r.file_path.split("/")[-1]: r.MessageCount
+              for r in res.file_counts.collect()}
+    assert counts == {"a.json": 6, "b.json": 3}
+
+    tallies = {r.file_path.split("/")[-1]: r for r in res.tallies.collect()}
+    assert tallies["a.json"].num_messages_total == 6
+    assert tallies["a.json"].num_error_messages == 1  # the bad-lat record
+    assert tallies["b.json"].num_error_messages == 0
+
+    seq = res.sequential
+    # clean serials in both files → one SequentialCheck pass row each
+    pass_rows = seq.filter(F.col("field_path") == "SequentialCheck").collect()
+    assert len(pass_rows) == 2 and all(r.valid for r in pass_rows)
+
+
+def test_streaming_matches_batch(spark, ndjson_dir, tmp_path):
+    ruleset = parse_rules_ini(open(CONFIG).read())
+    schema = spark.read.json(ndjson_dir).schema
+
+    collected = []
+
+    def sink(df, batch_id):
+        collected.extend(
+            (r.file_path.split("/")[-1], r.field_path, r.valid)
+            for r in df.collect()
+        )
+
+    q = stream_cv_pipeline(
+        spark, ndjson_dir, ruleset, schema, sink,
+        str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination(120)
+
+    batch = run_cv_pipeline(spark, ndjson_dir, ruleset)
+    expected = sorted(
+        (r.file_path.split("/")[-1], r.field_path, r.valid)
+        for r in batch.validation.collect()
+    )
+    assert sorted(collected) == expected
+
+
+def test_file_lines_and_prefix_filter(spark, ndjson_dir):
+    lines = file_lines(spark, ndjson_dir)
+    assert lines.count() == 9
+    per_file = {
+        r.file_path.split("/")[-1]: r.n for r in
+        lines.groupBy("file_path").agg(F.max("line_no").alias("n")).collect()
+    }
+    assert per_file == {"a.json": 6, "b.json": 3}
+
+    files = spark.createDataFrame(
+        [("cv/provider/bsm/deep/f.json",), ("cv/root.json",), ("waze/x/y/z.json",)],
+        "file_path string",
+    )
+    kept = static_prefix_filter(files, ["cv"]).collect()
+    assert [r.file_path for r in kept] == ["cv/provider/bsm/deep/f.json"]
+
+
+def test_csv_records(spark, tmp_path):
+    csv_dir = tmp_path / "csv"
+    csv_dir.mkdir()
+    (csv_dir / "vsl.csv").write_text(
+        "deviceid,utc,local,blank,vsl_mph\n"
+        "42,2019-01-01T00:00:00Z,2019-01-01T00:00:00,x,55.5\n"
+        "9999,2019-01-01T00:00:01Z,2019-01-01T00:00:01,y,101\n"
+    )
+    ruleset = parse_rules_ini(
+        open("/root/reference/odevalidator/csvconfig_2.ini").read()
+    )
+    df = csv_records(spark, str(csv_dir), ruleset)
+    rows = df.orderBy("deviceid").collect()
+    assert [r.deviceid for r in rows] == ["42", "9999"]
+    assert rows[0].vsl_mph == "55.5"
+
+    from dev_dot_cvp_metadata_ingestion_spark.operators.validation import validate
+
+    results = validate(df, ruleset, ["deviceid"])
+    bad = {(r.deviceid, r.field_path) for r in results.filter("NOT valid").collect()}
+    assert ("9999", "vsl_mph") in bad  # 101 > UpperLimit 100
+    assert ("42", "vsl_mph") not in bad
