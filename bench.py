@@ -46,9 +46,12 @@ def main() -> None:
     qs = entrymod.queries()
     spark = get_spark("bench")
 
-    # warm the JVM/catalog with a trivial action so the first query
-    # doesn't pay session startup
-    spark.range(1).count()
+    # warm the JVM (codegen, parquet reader, shuffle paths) with a real
+    # query at the smoke scale so the first measured query doesn't pay
+    # first-run JIT costs
+    qs["pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

