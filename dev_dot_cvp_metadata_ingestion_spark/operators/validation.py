@@ -407,26 +407,31 @@ def validate(
     factor equals the rule count, pruned columns never leave the scan.
     """
     pairs = validation_details(df, ruleset)
-    verdicts = F.array(
-        *[
-            F.struct(
-                F.lit(path).alias("field_path"),
-                details.alias("details"),
-            )
-            for path, details in pairs
-        ]
-    )
-    out = df.select(*id_cols, F.explode(verdicts).alias("v")).select(
-        *id_cols,
-        F.col("v.field_path").alias("field_path"),
-        F.col("v.details").isNull().alias("valid"),
-        F.coalesce(F.col("v.details"), F.lit("")).alias("details"),
-    )
-    long_results = out
+    long_results = None
+    if pairs:
+        verdicts = F.array(
+            *[
+                F.struct(
+                    F.lit(path).alias("field_path"),
+                    details.alias("details"),
+                )
+                for path, details in pairs
+            ]
+        )
+        long_results = df.select(*id_cols, F.explode(verdicts).alias("v")).select(
+            *id_cols,
+            F.col("v.field_path").alias("field_path"),
+            F.col("v.details").isNull().alias("valid"),
+            F.coalesce(F.col("v.details"), F.lit("")).alias("details"),
+        )
     list_results = _validate_list_rules(df, ruleset, id_cols)
-    if list_results is not None:
-        long_results = long_results.unionByName(list_results)
-    return long_results
+    if long_results is None and list_results is None:
+        raise ValueError("ruleset declares no rules")
+    if list_results is None:
+        return long_results
+    if long_results is None:
+        return list_results
+    return long_results.unionByName(list_results)
 
 
 # ------------------------------------------------------- list rules

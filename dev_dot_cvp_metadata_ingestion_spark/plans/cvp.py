@@ -518,3 +518,97 @@ def file_metrics_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinel and the reference's literal value=10 for cv file counts."""
     meta = file_metadata(_files_df(spark, sf_dir), passthrough=("bucket",))
     return file_metrics(meta).orderBy("namespace", "dim1_value", "dim2_value")
+
+
+@register(
+    "url_decoded_keys",
+    oracle=f"""
+    WITH files AS ({_FILES_SQL})
+    SELECT doc_id,
+           replace(replace(
+             'uploads%2F' || replace(key, '/', '%2F') || '+extra', '%2F', '/'),
+             '+', ' ') AS decoded_key
+    FROM files
+    ORDER BY doc_id
+    """,
+)
+def url_decoded_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: URL-unquote of object keys (unquote_plus semantics: %XX and
+    '+'→space, bucket_event_lambda_handler.py:18) via Spark's built-in
+    url_decode over a synthetically percent-encoded key."""
+    files = _files_df(spark, sf_dir)
+    encoded = F.concat(
+        F.lit("uploads%2F"),
+        F.replace(F.col("key"), F.lit("/"), F.lit("%2F")),
+        F.lit("+extra"),
+    )
+    return files.select(
+        "doc_id", F.url_decode(encoded).alias("decoded_key")
+    ).orderBy("doc_id")
+
+
+@register(
+    "events_hourly_windows",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE)
+             AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (the batch shape of a streaming
+    windowed agg, SURVEY §2.9): per-hour per-type counts and sums."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.types import DecimalType
+
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DecimalType(18, 4)))
+            .cast(DecimalType(38, 6))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "orders_status_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot surface (SURVEY §2.4 engine-side): order counts by
+    priority × status as a wide table."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_partial"),
+        )
+        .orderBy("o_orderpriority")
+    )

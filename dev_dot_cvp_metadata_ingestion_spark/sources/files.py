@@ -118,6 +118,55 @@ def csv_records(
     )
 
 
+def audit_csv_headers(
+    spark: SparkSession, path: str, ruleset: RuleSet
+) -> DataFrame:
+    """S6 header audit (validator.py:434-442): compare each file's
+    header row case-insensitively against the rule order; one warning
+    row per mismatched position.
+
+    Output: (file_path, position, header_field, config_field).
+    """
+    from pyspark.sql import Window as W
+
+    raw = (
+        spark.read.option("recursiveFileLookup", "true")
+        .text(path)
+        .select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("value").alias("line"),
+        )
+    )
+    w = W.partitionBy("file_path").orderBy(F.monotonically_increasing_id())
+    headers = (
+        raw.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("file_path", F.split(F.col("line"), ",").alias("fields"))
+    )
+    audits = []
+    for i, rule in enumerate(ruleset.rules):
+        header_field = F.trim(F.element_at("fields", i + 1))
+        audits.append(
+            F.when(
+                F.lower(header_field) != rule.path.lower(),
+                F.struct(
+                    F.lit(i).alias("position"),
+                    F.lower(header_field).alias("header_field"),
+                    F.lit(rule.path.lower()).alias("config_field"),
+                ),
+            )
+        )
+    return (
+        headers.select(
+            "file_path",
+            F.explode(
+                F.filter(F.array(*audits), lambda x: x.isNotNull())
+            ).alias("a"),
+        )
+        .select("file_path", "a.position", "a.header_field", "a.config_field")
+    )
+
+
 def static_prefix_filter(df: DataFrame, prefixes: list[str], *, path_col: str = "file_path") -> DataFrame:
     """P4: keep files under one of the static prefixes AND deeper than
     prefix-depth+1 (root files ignored), replicating

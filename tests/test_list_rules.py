@@ -1,0 +1,108 @@
+"""P13: ``.list.`` rule expansion (validator.py:304-378) — per-element
+verdicts via posexplode, with reference parity on well-formed data.
+
+The reference's recursive expander has edge-case bugs on missing data
+(duplicate/odd rule paths, SURVEY §7.5); parity here is asserted on the
+well-formed cases, and our documented semantics (one ``{0}`` missing
+verdict for absent lists) are tested standalone.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import pkg_resources  # noqa: F401
+import pytest
+
+sys.path.append("/root/reference")
+
+from dev_dot_cvp_metadata_ingestion_spark.operators.validation import validate
+from dev_dot_cvp_metadata_ingestion_spark.sources.rules import parse_rules_ini
+
+LIST_CONFIG = """
+[_settings]
+DataType = json
+Sequential = False
+
+[rsus.list.rsuTarget]
+Type = string
+
+[rsus.list.rsuRetries]
+Type = decimal
+LowerLimit = 0
+UpperLimit = 5
+"""
+
+RECORDS = [
+    {"line_no": 1, "rsus": [
+        {"rsuTarget": "10.0.0.1", "rsuRetries": 2},
+        {"rsuTarget": "10.0.0.2", "rsuRetries": 3},
+    ]},
+    {"line_no": 2, "rsus": [
+        {"rsuTarget": "10.0.0.3", "rsuRetries": 9},   # out of range
+        {"rsuRetries": 1},                             # missing target
+    ]},
+]
+
+
+@pytest.fixture(scope="module")
+def engine_results(spark, tmp_path_factory):
+    path = tmp_path_factory.mktemp("listrules") / "r.json"
+    with open(path, "w") as fh:
+        for rec in RECORDS:
+            fh.write(json.dumps(rec) + "\n")
+    df = spark.read.json(str(path))
+    ruleset = parse_rules_ini(LIST_CONFIG)
+    rows = validate(df, ruleset, ["line_no"]).collect()
+    return {(r.line_no, r.field_path): (r.valid, r.details) for r in rows}
+
+
+def test_per_element_expansion(engine_results):
+    res = engine_results
+    # record 1: both elements pass both rules
+    assert res[(1, "rsus{0}.rsuTarget")] == (True, "")
+    assert res[(1, "rsus{1}.rsuTarget")] == (True, "")
+    assert res[(1, "rsus{0}.rsuRetries")] == (True, "")
+    assert res[(1, "rsus{1}.rsuRetries")] == (True, "")
+    # record 2: element 0 retries out of range, element 1 target missing
+    valid, details = res[(2, "rsus{0}.rsuRetries")]
+    assert not valid and "greater than upper limit" in details
+    valid, details = res[(2, "rsus{1}.rsuTarget")]
+    assert not valid and details.startswith("Field missing")
+
+
+def test_reference_parity_well_formed(engine_results):
+    import queue
+
+    from odevalidator.validator import TestCase
+
+    cfgfile = "/tmp/_listcfg.ini"
+    with open(cfgfile, "w") as fh:
+        fh.write(LIST_CONFIG)
+    tc = TestCase(cfgfile)
+    q = queue.Queue()
+    for rec in RECORDS:
+        q.put(json.dumps(rec))
+    ref = {}
+    for r in tc.validate_queue(q):
+        for fv in r.field_validations:
+            ref[(r.serial_id, fv.field_path)] = fv.valid
+
+    mine = {k: v for k, (v, _) in engine_results.items()}
+    assert ref == mine, (
+        f"only-ref={sorted(set(ref) - set(mine))} "
+        f"only-mine={sorted(set(mine) - set(ref))} "
+        f"diff={[k for k in set(ref) & set(mine) if ref[k] != mine[k]]}"
+    )
+
+
+def test_missing_list_yields_missing_verdict(spark, tmp_path):
+    path = tmp_path / "r.json"
+    path.write_text(json.dumps({"line_no": 1, "other": 1}) + "\n")
+    df = spark.read.json(str(path))
+    ruleset = parse_rules_ini(LIST_CONFIG)
+    rows = validate(df, ruleset, ["line_no"]).collect()
+    by_path = {r.field_path: r for r in rows}
+    assert not by_path["rsus{0}.rsuTarget"].valid
+    assert by_path["rsus{0}.rsuTarget"].details.startswith("Field missing")
