@@ -1,0 +1,74 @@
+"""Join operators beyond the built-in surface (SURVEY §2.3 engine
+completeness): as-of join and salted skew join.
+
+As-of join (time-series point-in-time lookup) is composed from
+built-ins with the union-and-fill pattern: tag both sides, union on
+aligned schemas, sort per key by (ts, side) and carry the last
+right-side value forward with ``last(..., ignorenulls)`` — then keep
+the left rows. ONE shuffle on the key columns, no range explosion, no
+per-row loops; at 100 TB this beats a theta-join (which Spark would
+plan as broadcast-nested-loop) by orders of magnitude because the
+window never materializes candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the ``value_cols`` of the latest right
+    row with the same keys and right.ts <= left.ts (inclusive — DuckDB
+    ``ASOF JOIN ... ON l.ts >= r.ts`` semantics). Left rows with no
+    prior right row get NULLs.
+    """
+    out_names = [f"{c}{suffix}" for c in value_cols]
+    r = right.select(
+        *key_cols,
+        F.col(ts_col),
+        *[F.col(c).alias(n) for c, n in zip(value_cols, out_names)],
+    ).withColumn("_is_left", F.lit(0))
+    l = left.withColumn("_is_left", F.lit(1))
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    # right rows sort before left rows at equal timestamps → inclusive
+    w = (
+        W.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col), F.col("_is_left"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    for n in out_names:
+        unioned = unioned.withColumn(n, F.last(n, ignorenulls=True).over(w))
+    return unioned.filter(F.col("_is_left") == 1).drop("_is_left")
+
+
+def salted_join(
+    big: DataFrame,
+    skewed_small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the big side's key into
+    ``n_salts`` shards and replicate the small side per salt, so one
+    hot key spreads over ``n_salts`` reducers. AQE's skew-join handles
+    the common case automatically; this is the explicit form for when
+    the skew is known and extreme (SURVEY §4).
+    """
+    salted_big = big.withColumn(
+        "_salt", (F.crc32(F.col(key).cast("string")) % n_salts).cast("int")
+    )
+    salts = F.explode(
+        F.sequence(F.lit(0), F.lit(n_salts - 1))
+    ).alias("_salt")
+    replicated = skewed_small.select("*", salts)
+    joined = salted_big.join(replicated, [key, "_salt"], how)
+    return joined.drop("_salt")

@@ -280,16 +280,14 @@ def cv_validation_tallies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A7: per-file tallies exactly as the reference accumulates them
     (cvp_bucket_event_lambda_handler.py:115-153) — the sequential
     result counts as one extra 'message' whose validations are the
-    sequential check rows."""
-    res = cv_validation_results(spark, sf_dir)
+    sequential check rows. Computed from the WIDE verdicts
+    (validation_summary): one projection + one hash aggregate, no
+    explode, no distinct-count."""
+    from ..operators.validation import validation_summary
+
+    d = _events_with_file(spark, sf_dir)
+    f = validation_summary(d, _events_ruleset(), "file")
     seq = _seq_results(spark, sf_dir)
-    f = res.groupBy("file").agg(
-        (F.count(F.lit(1)) / N_RULES).cast("long").alias("records"),
-        F.sum((~F.col("valid")).cast("long")).alias("field_errors_rows"),
-        F.count_distinct(
-            F.when(~F.col("valid"), F.col("event_id"))
-        ).alias("error_records"),
-    )
     s = seq.groupBy("file").agg(
         F.count(F.lit(1)).alias("seq_rows"),
         F.sum((~F.col("valid")).cast("long")).alias("seq_errors"),
@@ -300,13 +298,15 @@ def cv_validation_tallies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "file",
             (F.col("records") + 1).alias("num_messages_total"),
-            (F.col("records") * N_RULES + F.col("seq_rows")).alias(
+            (F.col("num_validations") + F.col("seq_rows")).alias(
                 "num_validations"
             ),
-            (F.col("field_errors_rows") + F.col("seq_errors")).alias("num_errors"),
-            (F.col("error_records") + seq_err_msg).alias("num_error_messages"),
+            (F.col("num_errors") + F.col("seq_errors")).alias("num_errors"),
+            (F.col("num_error_messages") + seq_err_msg).alias(
+                "num_error_messages"
+            ),
             (
-                F.col("records") + 1 - (F.col("error_records") + seq_err_msg)
+                F.col("records") + 1 - (F.col("num_error_messages") + seq_err_msg)
             ).alias("num_valid_messages"),
         )
         .orderBy("file")
@@ -582,6 +582,43 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "events_asof_last_signup",
+    oracle="""
+    WITH signups AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup'
+    )
+    SELECT e.event_id, e.user_id,
+           s.event_id AS signup_event_id,
+           strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts
+    FROM events e
+    ASOF LEFT JOIN signups s
+      ON e.user_id = s.user_id AND e.ts >= s.ts
+    ORDER BY e.event_id
+    """,
+)
+def events_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (point-in-time lookup): each event matched to the
+    user's most recent signup at or before it — the union-and-fill
+    composition in operators/joins.py (one shuffle on user_id)."""
+    from ..operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = asof_join(
+        ev, signups, key_cols=["user_id"], ts_col="ts",
+        value_cols=["event_id", "ts"], suffix="_s",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_s").alias("signup_event_id"),
+        F.date_format("ts_s", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("signup_ts"),
+    ).orderBy("event_id")
 
 
 @register(

@@ -1,0 +1,73 @@
+"""Physical-plan quality gates (SURVEY §4): the 100 TB design rules are
+asserted on the actual plans, not just documented — filter pushdown
+reaches the parquet scan, column pruning narrows ReadSchema, dimension
+joins broadcast, and the sequential operator shuffles exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+from .conftest import SF_SMOKE
+
+QUERIES = entrymod.queries()
+
+
+def plan_of(name, spark) -> str:
+    df = QUERIES[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of("pricing_summary", spark)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark):
+    # pricing_summary reads 6 of lineitem's 11 columns — the scan schema
+    # must not include the untouched join keys
+    plan = plan_of("pricing_summary", spark)
+    scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in scan_line
+    assert "l_partkey" not in scan_line
+    assert "l_quantity" in scan_line
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = plan_of("revenue_by_nation", spark)
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+
+
+def test_sequential_single_shuffle(spark):
+    # one hash-partitioning exchange on file; bundle windows reuse the
+    # clustering (file is a prefix of (file, grp))
+    plan = plan_of("cv_sequential_checks", spark)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}"
+
+
+def test_validation_no_python_udf(spark):
+    # the rule compiler must stay JVM-side: no Python evaluation nodes
+    plan = plan_of("cv_validation_results", spark)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    from dev_dot_cvp_metadata_ingestion_spark.operators.joins import salted_join
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(orders, "l_orderkey").groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s")
+    ).collect()[0]
+    salted = salted_join(li, orders, "l_orderkey", n_salts=8).groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s")
+    ).collect()[0]
+    assert plain.n == salted.n
+    assert abs(plain.s - salted.s) < 1e-6 * abs(plain.s)
