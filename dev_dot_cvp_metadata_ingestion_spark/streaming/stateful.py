@@ -1,0 +1,141 @@
+"""Stateful streaming extension (SURVEY §2.9, M6): per-bundle
+sequential checks that survive micro-batch boundaries.
+
+The batch-parity path (stream.py) needs no state because the reference
+groups only within one file. This extension handles the generalized
+case — bundles arriving SPLIT ACROSS micro-batches (e.g. a producer
+that appends records for the same bundle over time): per
+(stream_key, bundle_id) group state carries the last-seen
+(serialNumber, recordId, timestamps) so W3-W5 checks fire across
+batches exactly as they would in one batch.
+
+Built on ``applyInPandasWithState``: Arrow-batched per-group pandas
+with explicit GroupState — the documented Spark pattern for custom
+stateful operators. State size is O(1) per live bundle (five scalars),
+so a 1000-executor stream holds state proportional to concurrent
+bundles, not history.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("bundle_key", StringType()),
+        StructField("serial_number", LongType()),
+        StructField("field_path", StringType()),
+        StructField("valid", BooleanType()),
+        StructField("details", StringType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("last_sn", LongType()),
+        StructField("last_rid", LongType()),
+        StructField("last_gen", LongType()),   # epoch seconds
+        StructField("last_recv", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def _check_transitions(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    bundle_key = "/".join(str(k) for k in key)
+    if state.exists:
+        last_sn, last_rid, last_gen, last_recv, n_seen = state.get
+    else:
+        last_sn = last_rid = last_gen = last_recv = None
+        n_seen = 0
+
+    out: list[dict[str, Any]] = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("sn")
+        for row in pdf.itertuples(index=False):
+            sn, rid, bs = int(row.sn), int(row.rid), int(row.bs)
+            gen, recv = int(row.gen_epoch), int(row.recv_epoch)
+            if last_sn is not None:
+                if bs > 1 and rid != last_rid + 1:
+                    out.append(
+                        dict(
+                            bundle_key=bundle_key, serial_number=sn,
+                            field_path="metadata.serialId.recordId",
+                            valid=False,
+                            details=(
+                                "Detected incorrectly incremented recordId. "
+                                f"Expected recordId '{last_rid + 1}' but got '{rid}'"
+                            ),
+                        )
+                    )
+                if sn != last_sn + 1:
+                    out.append(
+                        dict(
+                            bundle_key=bundle_key, serial_number=sn,
+                            field_path="metadata.serialId.serialNumber",
+                            valid=False,
+                            details=(
+                                "Detected incorrectly incremented serialNumber. "
+                                f"Expected serialNumber '{last_sn + 1}' but got '{sn}'"
+                            ),
+                        )
+                    )
+                if gen < last_gen:
+                    out.append(
+                        dict(
+                            bundle_key=bundle_key, serial_number=sn,
+                            field_path="metadata.recordGeneratedAt",
+                            valid=False,
+                            details="Detected non-chronological recordGeneratedAt.",
+                        )
+                    )
+                if recv < last_recv:
+                    out.append(
+                        dict(
+                            bundle_key=bundle_key, serial_number=sn,
+                            field_path="metadata.odeReceivedAt",
+                            valid=False,
+                            details="Detected non-chronological odeReceivedAt.",
+                        )
+                    )
+            last_sn, last_rid, last_gen, last_recv = sn, rid, gen, recv
+            n_seen += 1
+
+    state.update((last_sn, last_rid, last_gen, last_recv, n_seen))
+    yield pd.DataFrame(
+        out,
+        columns=[
+            "bundle_key", "serial_number", "field_path", "valid", "details",
+        ],
+    )
+
+
+def stateful_sequential_checks(records: DataFrame) -> DataFrame:
+    """Streaming per-bundle monotonicity with cross-batch state.
+
+    ``records`` must be a STREAMING DataFrame with columns:
+    stream_key (string), bid, sn, rid, bs (long), gen_epoch, recv_epoch
+    (long, epoch seconds). Returns the error stream.
+    """
+    return records.groupBy("stream_key", "bid").applyInPandasWithState(
+        _check_transitions,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
