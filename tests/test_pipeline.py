@@ -112,6 +112,22 @@ def test_streaming_matches_batch(spark, ndjson_dir, tmp_path):
     assert sorted(collected) == expected
 
 
+def test_write_tables_roundtrip(spark, ndjson_dir, tmp_path):
+    from dev_dot_cvp_metadata_ingestion_spark.plans.pipeline import write_tables
+
+    ruleset = parse_rules_ini(open(CONFIG).read())
+    ruleset.sequential = True
+    res = run_cv_pipeline(spark, ndjson_dir, ruleset)
+    paths = write_tables(res, str(tmp_path / "tables"))
+    assert set(paths) == {
+        "validation_results", "sequential_results", "file_tallies", "file_counts",
+    }
+    back = spark.read.parquet(paths["validation_results"])
+    assert back.count() == res.validation.count()
+    tallies = spark.read.parquet(paths["file_tallies"])
+    assert tallies.count() == 2
+
+
 def test_file_lines_and_prefix_filter(spark, ndjson_dir):
     lines = file_lines(spark, ndjson_dir)
     assert lines.count() == 9
