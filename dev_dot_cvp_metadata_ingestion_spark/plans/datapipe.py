@@ -370,6 +370,302 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, query_id=0, dim=64, k=10, n_planes=4)
 
 
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS.format(c="text")} AS t,
+             {_TOKS.format(c="lower(text)")} AS tl
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             md5(array_to_string(tl, ' ')) AS fingerprint,
+             least(len(t) / 100.0, 1.0) AS len_term
+      FROM toks
+    ),
+    ranked AS (
+      SELECT doc_id, fingerprint,
+             row_number() OVER (PARTITION BY fingerprint
+                                ORDER BY len_term DESC, doc_id) AS rk
+      FROM scored
+    )
+    SELECT doc_id, fingerprint, rk = 1 AS is_keeper
+    FROM ranked
+    ORDER BY doc_id
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup as a pipeline decision: within each exact-content cluster,
+    keep the highest-quality document (length saturation score,
+    doc_id tie-break) — the window-over-fingerprint pattern used to
+    materialize a deduplicated corpus."""
+    from ..functions.text import tokens as toks_fn
+
+    d = load_table(spark, sf_dir, "documents")
+    t = toks_fn(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        content_fingerprint(F.col("text")).alias("fingerprint"),
+        F.least(F.size(t) / F.lit(100.0), F.lit(1.0)).alias("len_term"),
+    )
+    w = W.partitionBy("fingerprint").orderBy(
+        F.col("len_term").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "fingerprint",
+            (F.col("rk") == 1).alias("is_keeper"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT label, unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    )
+    SELECT label, dim,
+           (CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 10000000.0) AS BIGINT))
+                 AS DOUBLE) / count(*)) / 10000000.0 AS centroid
+    FROM e
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster centroid in long (label, dim, value) form — the
+    coarse-quantizer build step for IVF. Per-dim sums are fixed-point
+    integers so the grouped aggregation is order-independent."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode("embedding").alias("dim0", "val")
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "val")
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            (
+                # tie-free fixed-point: floor-quantize each value at 1e-7
+                # (decimal rounding of binary fractions can land exactly
+                # on .5 ties, which engines break differently), sum the
+                # exact integers, then rescale
+                (
+                    F.sum(
+                        F.floor(F.col("val").cast("double") * 10000000.0).cast(
+                            "long"
+                        )
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                )
+                / 10000000.0
+            ).alias("centroid")
+        )
+        .orderBy("label", "dim")
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END
+               AS new_session
+      FROM (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_ts
+        FROM events
+      )
+    ),
+    s AS (
+      SELECT user_id, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(event_id) AS first_event, max(event_id) AS last_event
+    FROM s
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization (30-minute gap): the batch shape of
+    a streaming session window — lag + running sum, one shuffle on
+    user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = (
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 1800)
+    ).cast("int")
+    with_session = ev.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        with_session.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "events_range_join",
+    oracle="""
+    SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+           date_diff('second', a.ts, b.ts) AS gap_sec
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    ORDER BY a.user_id, click_id, purchase_id
+    """,
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: purchases within 5 minutes after a click
+    by the same user — equi-key on user_id keeps it a hash join with a
+    range residual, never a cross product."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("a_ts")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_id_b"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_id_b"))
+            & (F.col("b_ts") > F.col("a_ts"))
+            & (
+                F.col("b_ts")
+                <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES")
+            ),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            (F.unix_timestamp("b_ts") - F.unix_timestamp("a_ts")).alias(
+                "gap_sec"
+            ),
+        )
+        .orderBy("user_id", "click_id", "purchase_id")
+    )
+
+
+_CENTROID_CTE = """
+    ex AS (
+      SELECT label, unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    ),
+    cent_long AS (
+      SELECT label, dim,
+             (CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 10000000.0) AS BIGINT))
+                   AS DOUBLE) / count(*)) / 10000000.0 AS centroid
+      FROM ex GROUP BY label, dim
+    ),
+    cent AS (
+      SELECT label, list(centroid ORDER BY dim) AS cvec
+      FROM cent_long GROUP BY label
+    )
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_CENTROID_CTE},
+    e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    best AS (
+      SELECT label AS best_label
+      FROM cent, q
+      ORDER BY {_cos_sql("cvec", "qv")} DESC, label
+      LIMIT 1
+    ),
+    cands AS (
+      SELECT vec_id, e.label, {_cos_sql("v", "qv")} AS cos
+      FROM e, q, best
+      WHERE e.label = best_label AND vec_id <> 0
+    ),
+    ranked AS (
+      SELECT vec_id, label, cos,
+             row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
+      FROM cands
+    )
+    SELECT vec_id, label, cos, rank FROM ranked WHERE rank <= 10 ORDER BY rank
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer = per-cluster centroids (built
+    in-query from the label partitions); probe the nearest centroid,
+    brute-force only its inverted list. At scale the label/centroid id
+    is the partition key, so the probe prunes the scan to one list."""
+    from ..functions.vectors import cosine_similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent_long = embedding_centroids(spark, sf_dir)
+    cent = cent_long.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
+            lambda s: s.centroid,
+        ).alias("cvec")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    best = (
+        cent.crossJoin(F.broadcast(q))
+        .select(
+            "label",
+            cosine_similarity(F.col("cvec"), F.col("qvec")).alias("ccos"),
+        )
+        .orderBy(F.col("ccos").desc(), "label")
+        .limit(1)
+        .select(F.col("label").alias("best_label"))
+    )
+    cands = (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(best), F.col("label") == F.col("best_label"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            cosine_similarity(F.col("embedding"), F.col("qvec")).alias("cos"),
+        )
+    )
+    w = W.orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .orderBy("rank")
+    )
+
+
 # ------------------------------------------------------------- multimodal
 
 
