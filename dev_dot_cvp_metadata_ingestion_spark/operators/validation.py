@@ -145,7 +145,10 @@ def _type_check_details(rule: Rule, col: Column, dtype: DataType) -> Column:
             ),
         )
     if rule.type == TYPE_DECIMAL:
-        v = col.cast(_DEC)
+        # try_cast: ANSI mode (Spark 4 default) makes a plain cast THROW
+        # on malformed input; the reference treats parse failure as an
+        # invalid-field verdict (validator.py:214-215)
+        v = col.try_cast(_DEC)
         parse_fail = v.isNull()  # non-null input that won't cast
         details = F.when(
             parse_fail,
@@ -229,25 +232,40 @@ def _parse_ts(col: Column, date_format: str | None) -> Column:
     )
 
 
-_STRPTIME_MAP = [
-    ("%Y", "yyyy"),
-    ("%m", "MM"),
-    ("%d", "dd"),
-    ("%H", "HH"),
-    ("%M", "mm"),
-    ("%S", "ss"),
-    ("%f", "SSSSSS"),
-    ("%z", "XXX"),
-    ("%j", "DDD"),
-    ("%y", "yy"),
-]
+_STRPTIME_MAP = {
+    "Y": "yyyy",
+    "m": "MM",
+    "d": "dd",
+    "H": "HH",
+    "M": "mm",
+    "S": "ss",
+    "f": "SSSSSS",
+    "z": "XXX",
+    "j": "DDD",
+    "y": "yy",
+    "%": "%",
+}
 
 
 def _strptime_to_spark(fmt: str) -> str:
-    out = fmt
-    for py, jv in _STRPTIME_MAP:
-        out = out.replace(py, jv)
-    return out
+    """Python strptime directives → Spark datetime pattern, with
+    non-directive letters quoted (unquoted 'T'/'Z' would be pattern
+    letters in Spark)."""
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%" and i + 1 < len(fmt):
+            d = fmt[i + 1]
+            out.append(_STRPTIME_MAP.get(d, d))
+            i += 2
+        elif ch.isalpha():
+            out.append(f"'{ch}'")
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
 
 
 def _unconditional_details(rule: Rule, schema: DataType) -> Column:
@@ -325,7 +343,9 @@ def _then_details(then_part: dict | None, rule: Rule, schema: DataType) -> Colum
         if allowed and all(isinstance(v, (int, float)) for v in allowed):
             # numeric lists compare numerically (Python 3.0 == 3,
             # validator.py:166)
-            member = col.cast(_DEC).isin([F.lit(v).cast(_DEC) for v in allowed])
+            member = col.try_cast(_DEC).isin(
+                [F.lit(v).cast(_DEC) for v in allowed]
+            )
         else:
             member = col.cast("string").isin([str(v) for v in allowed])
         details = details.when(

@@ -584,6 +584,113 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CSV_RULES_INI = """
+[_settings]
+DataType = csv
+Sequential = False
+HasHeader = True
+
+[deviceid]
+Type = decimal
+UpperLimit = 150
+LowerLimit = 1
+
+[utc]
+Type = timestamp
+EarliestTime = 1995-06-01T00:00:00+00:00
+
+[flag]
+Type = decimal
+UpperLimit = 10
+LowerLimit = 0
+
+[vsl_mph]
+Type = decimal
+UpperLimit = 45
+LowerLimit = 0
+"""
+
+
+@register(
+    "csv_rule_validation",
+    oracle="""
+    WITH rec AS (
+      SELECT l_orderkey * 10 + l_linenumber AS rec_id,
+             CAST(l_suppkey AS VARCHAR) AS deviceid,
+             strftime(l_shipdate, '%Y-%m-%dT%H:%M:%SZ') AS utc,
+             l_returnflag AS flag,
+             CAST(l_quantity AS VARCHAR) AS vsl_mph
+      FROM lineitem
+    ),
+    res AS (
+      SELECT rec_id, 'deviceid' AS field_path,
+        CASE WHEN deviceid IS NULL THEN 'Field missing: deviceid'
+             WHEN deviceid = '' THEN 'Field empty'
+             WHEN CAST(deviceid AS DECIMAL(38,10)) > 150 THEN
+               printf('Value ''%d'' is greater than upper limit ''%d''',
+                      CAST(TRUNC(CAST(deviceid AS DECIMAL(38,10))) AS BIGINT), 150)
+             WHEN CAST(deviceid AS DECIMAL(38,10)) < 1 THEN
+               printf('Value ''%d'' is less than lower limit ''%d''',
+                      CAST(TRUNC(CAST(deviceid AS DECIMAL(38,10))) AS BIGINT), 1)
+        END AS details FROM rec
+      UNION ALL
+      SELECT rec_id, 'utc',
+        CASE WHEN utc IS NULL THEN 'Field missing: utc'
+             WHEN utc = '' THEN 'Field empty'
+             WHEN strptime(utc, '%Y-%m-%dT%H:%M:%SZ')
+                  < TIMESTAMP '1995-06-01 00:00:00' THEN
+               printf('Timestamp value ''%s'' occurs before earliest limit ''%s''',
+                      strftime(strptime(utc, '%Y-%m-%dT%H:%M:%SZ'),
+                               '%Y-%m-%d %H:%M:%S'),
+                      '1995-06-01 00:00:00+00:00')
+        END FROM rec
+      UNION ALL
+      SELECT rec_id, 'flag',
+        CASE WHEN flag IS NULL THEN 'Field missing: flag'
+             WHEN flag = '' THEN 'Field empty'
+             ELSE printf('failure to perform decimal validation on %s', flag)
+        END FROM rec
+      UNION ALL
+      SELECT rec_id, 'vsl_mph',
+        CASE WHEN vsl_mph IS NULL THEN 'Field missing: vsl_mph'
+             WHEN vsl_mph = '' THEN 'Field empty'
+             WHEN CAST(vsl_mph AS DECIMAL(38,10)) > 45 THEN
+               printf('Value ''%d'' is greater than upper limit ''%d''',
+                      CAST(TRUNC(CAST(vsl_mph AS DECIMAL(38,10))) AS BIGINT), 45)
+             WHEN CAST(vsl_mph AS DECIMAL(38,10)) < 0 THEN
+               printf('Value ''%d'' is less than lower limit ''%d''',
+                      CAST(TRUNC(CAST(vsl_mph AS DECIMAL(38,10))) AS BIGINT), 0)
+        END FROM rec
+    )
+    SELECT rec_id, field_path, details IS NULL AS valid,
+           coalesce(details, '') AS details
+    FROM res
+    ORDER BY rec_id, field_path
+    """,
+)
+def csv_rule_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6+P7/P9 string-typed validation: CSV-shaped all-string records
+    (synthesized from lineitem) through the same compiled rule engine —
+    exercises the string→decimal parse-failure branch (the 'flag'
+    column is alphabetic) and DateFormat timestamp parsing
+    (validator.py:208-229, 419-432)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rec = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rec_id"),
+        F.col("l_suppkey").cast("string").alias("deviceid"),
+        F.date_format("l_shipdate", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("utc"),
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("string").alias("vsl_mph"),
+    )
+    ruleset = parse_rules_ini(
+        CSV_RULES_INI.replace(
+            "[utc]\nType = timestamp",
+            "[utc]\nType = timestamp\nDateFormat = %Y-%m-%dT%H:%M:%SZ",
+        )
+    )
+    return validate(rec, ruleset, ["rec_id"]).orderBy("rec_id", "field_path")
+
+
 @register(
     "events_asof_last_signup",
     oracle="""

@@ -49,3 +49,23 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for the SQL API)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+) -> None:
+    """Persist as a bucketed+sorted managed table: joins and
+    aggregations on the bucket column then run shuffle-free (the classic
+    co-location strategy for repeated fact-fact joins at 100 TB — pay
+    the shuffle once at write time). Verified shuffle-free in
+    tests/test_plan_quality.py."""
+    (
+        df.write.bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )

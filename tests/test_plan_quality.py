@@ -55,6 +55,37 @@ def test_validation_no_python_udf(spark):
     assert "ArrowEvalPython" not in plan
 
 
+def test_bucketed_join_no_shuffle(spark):
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+        load_table,
+        write_bucketed,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "b_lineitem", "l_orderkey", 8)
+    write_bucketed(o, "b_orders", "o_orderkey", 8)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # buckets co-locate
+        # correctness too, not just the plan
+        assert j.count() == li.join(o, li.l_orderkey == o.o_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
 def test_salted_join_matches_plain_join(spark):
     from dev_dot_cvp_metadata_ingestion_spark.operators.joins import salted_join
     from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import load_table
