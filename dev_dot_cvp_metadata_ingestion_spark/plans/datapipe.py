@@ -75,6 +75,21 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
+def _plane_sql(j: int, v: str = "v") -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"[{v}[i] * ((({j} * 2654435761 + (i - 1) * 40503) % 97) / 48.5 - 1.0) "
+        f"for i in generate_series(1, len({v}))]), (x, y) -> x + y)"
+    )
+
+
+def _bucket_sql(n_planes: int, v: str = "v") -> str:
+    return " + ".join(
+        f"CASE WHEN {_plane_sql(j, v)} >= 0 THEN {1 << j} ELSE 0 END"
+        for j in range(n_planes)
+    )
+
+
 # ------------------------------------------------------------ text analysis
 
 
@@ -323,21 +338,6 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, query_id=0, k=10)
 
 
-def _plane_sql(j: int) -> str:
-    return (
-        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"[v[i] * ((({j} * 2654435761 + (i - 1) * 40503) % 97) / 48.5 - 1.0) "
-        f"for i in generate_series(1, len(v))]), (x, y) -> x + y)"
-    )
-
-
-# 4 planes → 16 buckets: dense enough on the 500-vector sf0.01 table to
-# produce a full candidate set (8 planes/256 buckets left ~2 per bucket)
-_BUCKET_SQL = " + ".join(
-    f"CASE WHEN {_plane_sql(j)} >= 0 THEN {1 << j} ELSE 0 END" for j in range(4)
-)
-
-
 @register(
     "ann_lsh_topk",
     oracle=f"""
@@ -346,7 +346,9 @@ _BUCKET_SQL = " + ".join(
       FROM embeddings
     ),
     bucketed AS (
-      SELECT vec_id, v, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM e
+      -- 4 planes → 16 buckets: dense enough on the 500-vector sf0.01
+      -- table to produce a full candidate set
+      SELECT vec_id, v, CAST({_bucket_sql(4)} AS BIGINT) AS bucket FROM e
     ),
     q AS (SELECT v AS qv, bucket AS qbucket FROM bucketed WHERE vec_id = 0),
     cands AS (
@@ -571,6 +573,66 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("user_id", "click_id", "purchase_id")
+    )
+
+
+@register(
+    "dedup_embedding_pairs",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    bucketed AS (
+      SELECT vec_id, v, CAST({_bucket_sql(4)} AS BIGINT) AS bucket FROM e
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+             {_cos_sql("a.v", "b.v")} AS cos
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_id_a, vec_id_b, cos FROM pairs WHERE cos >= 0.3
+    ORDER BY vec_id_a, vec_id_b
+    """,
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH sign-buckets block the
+    O(n²) comparison, exact cosine verifies within each bucket at 0.9 —
+    the semantic-dedup analog of MinHash-LSH."""
+    from ..operators.similarity import lsh_bucket
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        lsh_bucket(F.col("embedding"), 64, 4).alias("bucket"),
+    )
+    from ..functions.vectors import cosine_similarity
+
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("v").alias("va"),
+        F.col("bucket").alias("ba"),
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("v").alias("vb"),
+        F.col("bucket").alias("bb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("ba") == F.col("bb"))
+            & (F.col("vec_id_a") < F.col("vec_id_b")),
+        )
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            cosine_similarity(F.col("va"), F.col("vb")).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.3)
+        .orderBy("vec_id_a", "vec_id_b")
     )
 
 
