@@ -584,6 +584,42 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("rules_catalog")  # rows-only: INI parsing has no SQL oracle
+def rules_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: the declarative rule schema as a DataFrame — the reference's
+    downloaded config.ini (validator.py:262-292) becomes a small
+    dimension table (FIXTURES.md §F3) that the compiler consumes and
+    that can be broadcast-joined or audited like any other table."""
+    import json as _json
+
+    from ..sources.rules import load_rules_file
+
+    ruleset = load_rules_file("/root/reference/odevalidator/config_2.ini")
+    rows = [
+        (
+            r.path,
+            r.type,
+            float(r.upper_limit) if r.upper_limit is not None else None,
+            float(r.lower_limit) if r.lower_limit is not None else None,
+            r.values,
+            r.choices,
+            _json.dumps(r.conditions) if r.conditions else None,
+            str(r.earliest_time) if r.earliest_time else None,
+            r.date_format,
+            r.allow_empty,
+            r.noop,
+        )
+        for r in ruleset.rules + ruleset.list_rules
+    ]
+    return spark.createDataFrame(
+        rows,
+        "field_path string, type string, upper_limit double, "
+        "lower_limit double, values array<string>, choices array<string>, "
+        "conditions_json string, earliest_time string, date_format string, "
+        "allow_empty boolean, noop boolean",
+    ).orderBy("field_path")
+
+
 CSV_RULES_INI = """
 [_settings]
 DataType = csv
