@@ -121,12 +121,14 @@ def lsh_near_duplicates(
     """
     # materialize shingles AND base hashes as real columns: as inline
     # expressions the md5 would be recomputed once per hash function,
-    # and the lineage re-evaluated by every consumer below
-    sh = docs.select(
+    # and the lineage re-evaluated by every consumer below. The verify
+    # step intersects the HASH arrays (long compares, not string
+    # compares) — same Jaccard both engines since both intersect the
+    # same hashes.
+    hs = docs.select(
         F.col(id_col).alias("doc_id"),
-        shingles(F.col(text_col), n).alias("sh"),
+        F.transform(shingles(F.col(text_col), n), base_hash).alias("hs"),
     ).persist()
-    hs = sh.select("doc_id", F.transform("sh", base_hash).alias("hs"))
 
     sigs = hs.select(
         "doc_id",
@@ -169,8 +171,14 @@ def lsh_near_duplicates(
         )
         .distinct()
     )
-    a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    a = hs.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.array_distinct("hs").alias("sh_a"),
+    )
+    b = hs.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.array_distinct("hs").alias("sh_b"),
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (

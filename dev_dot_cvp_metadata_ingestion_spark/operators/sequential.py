@@ -72,16 +72,11 @@ def _ts_str(col: Column) -> Column:
     return F.concat(F.date_format(col, "yyyy-MM-dd HH:mm:ss"), F.lit("+00:00"))
 
 
-def sequential_results(df: DataFrame, spec: SequentialSpec) -> DataFrame:
-    """Long-format sequential validation results:
-    (file, serial_number, field_path, valid, details).
-
-    Error rows carry the triggering record's serialNumber (W3-W5) or the
-    bundle's last serialNumber (W6), mirroring which serialId the
-    reference attaches (sequential.py:43-49 vs 77/84). Files with zero
-    errors emit one synthetic (file, NULL, 'SequentialCheck', true, '')
-    row (W8).
-    """
+def _windowed_checks(df: DataFrame, spec: SequentialSpec):
+    """Shared window stage: returns (d, checks) where ``d`` carries all
+    lag/first/last/count/skip columns plus the per-file error count, and
+    ``checks`` is the list of (field_path, serial_col, emit_cond,
+    details) tuples for W3-W6."""
     d = df.select(
         spec.file.alias("file"),
         spec.bundle_id.cast("long").alias("bid"),
@@ -272,6 +267,20 @@ def sequential_results(df: DataFrame, spec: SequentialSpec) -> DataFrame:
     d = d.withColumn(
         "file_err_cnt", F.sum(err_count_row).over(w_file_all)
     )
+    return d, checks
+
+
+def sequential_results(df: DataFrame, spec: SequentialSpec) -> DataFrame:
+    """Long-format sequential validation results:
+    (file, serial_number, field_path, valid, details).
+
+    Error rows carry the triggering record's serialNumber (W3-W5) or the
+    bundle's last serialNumber (W6), mirroring which serialId the
+    reference attaches (sequential.py:43-49 vs 77/84). Files with zero
+    errors emit one synthetic (file, NULL, 'SequentialCheck', true, '')
+    row (W8).
+    """
+    d, checks = _windowed_checks(df, spec)
 
     # W8: the first row of an error-free file emits the all-pass row —
     # inline, so the whole operator is one explode with no unions/joins
@@ -304,4 +313,20 @@ def sequential_results(df: DataFrame, spec: SequentialSpec) -> DataFrame:
             F.col("v.valid").alias("valid"),
             F.col("v.details").alias("details"),
         )
+    )
+
+
+def sequential_stats(df: DataFrame, spec: SequentialSpec) -> DataFrame:
+    """Per-file (seq_rows, seq_errors) WITHOUT materializing the error
+    rows — for tally queries that only need counts. seq_rows mirrors
+    validate_queue's result-row count: the errors, or the single
+    all-pass row when there are none (sequential.py:22-25)."""
+    d, _ = _windowed_checks(df, spec)
+    agg = d.groupBy("file").agg(F.max("file_err_cnt").alias("seq_errors"))
+    return agg.select(
+        "file",
+        F.when(F.col("seq_errors") > 0, F.col("seq_errors"))
+        .otherwise(F.lit(1))
+        .alias("seq_rows"),
+        "seq_errors",
     )

@@ -75,9 +75,8 @@ def _events_with_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _seq_results(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _events_with_file(spark, sf_dir)
-    spec = SequentialSpec(
+def _events_seq_spec() -> SequentialSpec:
+    return SequentialSpec(
         file=F.col("file"),
         bundle_id=F.col("user_id"),
         serial_number=F.col("event_id"),
@@ -87,7 +86,11 @@ def _seq_results(spark: SparkSession, sf_dir: str) -> DataFrame:
         ode_received_at=F.col("ts"),
         has_log_file_name=F.col("event_type") != "error",
     )
-    return sequential_results(d, spec)
+
+
+def _seq_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _events_with_file(spark, sf_dir)
+    return sequential_results(d, _events_seq_spec())
 
 
 # --- shared oracle fragments -------------------------------------------
@@ -283,15 +286,14 @@ def cv_validation_tallies(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential check rows. Computed from the WIDE verdicts
     (validation_summary): one projection + one hash aggregate, no
     explode, no distinct-count."""
+    from ..operators.sequential import sequential_stats
     from ..operators.validation import validation_summary
 
     d = _events_with_file(spark, sf_dir)
     f = validation_summary(d, _events_ruleset(), "file")
-    seq = _seq_results(spark, sf_dir)
-    s = seq.groupBy("file").agg(
-        F.count(F.lit(1)).alias("seq_rows"),
-        F.sum((~F.col("valid")).cast("long")).alias("seq_errors"),
-    )
+    # stats-only sequential path: per-file counts from the window stage,
+    # no error-row materialization
+    s = sequential_stats(d, _events_seq_spec())
     seq_err_msg = F.when(F.col("seq_errors") > 0, F.lit(1)).otherwise(F.lit(0))
     return (
         f.join(s, "file")

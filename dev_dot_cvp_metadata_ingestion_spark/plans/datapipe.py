@@ -221,10 +221,10 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents),
     sh AS (SELECT doc_id, {_shingle_sql(3)} AS sh FROM toks),
-    hs AS (SELECT doc_id, sh,
+    hs AS (SELECT doc_id,
                   list_transform(sh, s -> {_BASE_HASH.format(s="s")}) AS hs
            FROM sh),
-    sig AS (SELECT doc_id, sh, {", ".join(_MINHASH)} FROM hs),
+    sig AS (SELECT doc_id, list_distinct(hs) AS sh, {", ".join(_MINHASH)} FROM hs),
     bands AS (
       {" UNION ALL ".join(f"SELECT doc_id, {j} AS band, minh_{j} AS value FROM sig" for j in range(8))}
     ),
