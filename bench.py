@@ -46,10 +46,14 @@ def main() -> None:
     qs = entrymod.queries()
     spark = get_spark("bench")
 
-    # warm the JVM (codegen, parquet reader, shuffle paths) with a real
-    # query at the smoke scale so the first measured query doesn't pay
-    # first-run JIT costs
+    # warm the JVM (codegen, parquet reader, shuffle paths) and the
+    # Python workers (Arrow/pandas import + fork) with real queries at
+    # the smoke scale so the first measured queries don't pay
+    # first-run costs
     qs["pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    qs["multimodal_features"](spark, "/root/testdata/sf0.001").write.format(
         "noop"
     ).mode("overwrite").save()
 
