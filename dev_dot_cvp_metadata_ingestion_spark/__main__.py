@@ -1,0 +1,84 @@
+"""CLI: run the CVP pipeline over a directory of data files.
+
+    python -m dev_dot_cvp_metadata_ingestion_spark \
+        --input /path/to/files --config /path/to/config.ini \
+        --output /path/to/tables [--streaming]
+
+The batch form replaces one reference Lambda sweep: validate every
+NDJSON file under --input against the INI rule schema, run sequential
+checks, and write validation_results / sequential_results /
+file_tallies / file_counts parquet tables under --output. --streaming
+watches --input as a file-source stream instead (availableNow drain).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="dev_dot_cvp_metadata_ingestion_spark")
+    p.add_argument("--input", required=True, help="directory of NDJSON data files")
+    p.add_argument("--config", required=True, help="INI rule schema path")
+    p.add_argument("--output", required=True, help="output directory for tables")
+    p.add_argument(
+        "--streaming",
+        action="store_true",
+        help="run as a file-source stream (availableNow) instead of batch",
+    )
+    p.add_argument("--cores", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from .plans.pipeline import run_cv_pipeline, write_tables
+    from .session import get_spark
+    from .sources.rules import load_rules_file
+
+    spark = get_spark("cvp-pipeline", cores=args.cores)
+    ruleset = load_rules_file(args.config)
+
+    if args.streaming:
+        from .streaming.stream import stream_cv_pipeline
+
+        schema = spark.read.json(args.input).schema
+
+        def sink(df, batch_id):
+            df.write.mode("append").parquet(
+                f"{args.output}/validation_results_stream"
+            )
+
+        q = stream_cv_pipeline(
+            spark,
+            args.input,
+            ruleset,
+            schema,
+            sink,
+            f"{args.output}/_checkpoint",
+            available_now=True,
+        )
+        q.awaitTermination()
+        print(
+            json.dumps(
+                {"mode": "streaming",
+                 "output": f"{args.output}/validation_results_stream"}
+            )
+        )
+    else:
+        result = run_cv_pipeline(spark, args.input, ruleset)
+        paths = write_tables(result, args.output)
+        tallies = {
+            r["file_path"]: {
+                "total": r["num_messages_total"],
+                "errors": r["num_errors"],
+            }
+            for r in result.tallies.collect()
+        }
+        print(json.dumps({"mode": "batch", "tables": paths, "files": tallies}))
+
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
