@@ -586,6 +586,41 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_props_map",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           count(*) FILTER (WHERE CAST(props->>'$.k' AS BIGINT) >= 50)
+             AS n_high_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed semi-structured access: props JSON parsed into a
+    map<string,long> column, aggregated via element_at — the
+    schema-on-read path for ragged key-value payloads (vs
+    get_json_object's per-key extraction)."""
+    from pyspark.sql.types import LongType, MapType, StringType
+
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", MapType(StringType(), LongType()))
+    k = F.element_at(m, "k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.sum((F.col("k") >= 50).cast("long")).alias("n_high_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register("rules_catalog")  # rows-only: INI parsing has no SQL oracle
 def rules_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7: the declarative rule schema as a DataFrame — the reference's
