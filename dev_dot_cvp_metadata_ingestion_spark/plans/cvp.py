@@ -591,7 +591,7 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
            count(*) FILTER (WHERE CAST(props->>'$.k' AS BIGINT) >= 50)
              AS n_high_k
     FROM events
@@ -629,17 +629,20 @@ def rules_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     that can be broadcast-joined or audited like any other table."""
     import json as _json
 
-    from ..sources.rules import load_rules_file
+    from ..sources.rules import fixture_rules_path, load_rules_file
 
-    ruleset = load_rules_file("/root/reference/odevalidator/config_2.ini")
+    ruleset = load_rules_file(fixture_rules_path("config_2.ini"))
+    # values/choices are emitted as deterministic JSON strings (not
+    # array columns) so the rows-only correctness canonicalizer can
+    # sort/hash every cell.
     rows = [
         (
             r.path,
             r.type,
             float(r.upper_limit) if r.upper_limit is not None else None,
             float(r.lower_limit) if r.lower_limit is not None else None,
-            r.values,
-            r.choices,
+            _json.dumps(r.values) if r.values is not None else None,
+            _json.dumps(r.choices) if r.choices is not None else None,
             _json.dumps(r.conditions) if r.conditions else None,
             str(r.earliest_time) if r.earliest_time else None,
             r.date_format,
@@ -651,7 +654,7 @@ def rules_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows,
         "field_path string, type string, upper_limit double, "
-        "lower_limit double, values array<string>, choices array<string>, "
+        "lower_limit double, values_json string, choices_json string, "
         "conditions_json string, earliest_time string, date_format string, "
         "allow_empty boolean, noop boolean",
     ).orderBy("field_path")

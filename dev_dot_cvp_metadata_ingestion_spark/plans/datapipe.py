@@ -478,7 +478,8 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
       SELECT user_id, event_id, ts,
              CASE WHEN prev_ts IS NULL
-                       OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                  THEN 1 ELSE 0 END
                AS new_session
       FROM (
         SELECT user_id, event_id, ts,
@@ -489,9 +490,10 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT user_id, event_id,
-             SUM(new_session) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id
       FROM g
     )
     SELECT user_id, session_id, count(*) AS n_events,
@@ -508,9 +510,12 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
+    # Microsecond precision: unix_timestamp() truncates to whole seconds,
+    # which would sessionize a 1800.4 s gap differently from the oracle's
+    # fractional epoch — compare in microseconds (gap > 1800 s exactly).
     new_session = (
         prev_ts.isNull()
-        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 1800)
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)) > 1_800_000_000)
     ).cast("int")
     with_session = ev.withColumn(
         "session_id",

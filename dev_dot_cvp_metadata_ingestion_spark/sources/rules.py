@@ -162,3 +162,16 @@ def parse_rules_ini(text: str, now: datetime | None = None) -> RuleSet:
 def load_rules_file(path: str, now: datetime | None = None) -> RuleSet:
     with open(path, encoding="utf-8") as fh:
         return parse_rules_ini(fh.read(), now=now)
+
+
+def fixture_rules_path(name: str = "config_2.ini") -> str:
+    """Path to a vendored rule-config fixture shipped as package data
+    (fixtures/ next to this package), so registered queries never depend
+    on an external checkout existing at a fixed absolute path."""
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures",
+        name,
+    )
