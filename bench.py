@@ -47,15 +47,13 @@ def main() -> None:
     spark = get_spark("bench")
 
     # warm the JVM (codegen, parquet reader, shuffle paths) and the
-    # Python workers (Arrow/pandas import + fork) with real queries at
-    # the smoke scale so the first measured queries don't pay
-    # first-run costs
-    qs["pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
-    qs["multimodal_features"](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # Python workers (Arrow/pandas import + fork) by running EVERY
+    # headline query once at the smoke scale, so no measured query pays
+    # first-run compilation/classloading costs
+    for name in HEADLINE:
+        qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -25,6 +25,8 @@ oracle-reproducible.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -118,6 +120,13 @@ def lsh_near_duplicates(
     Returns (doc_id_a, doc_id_b, jaccard), a < b. The candidate join
     shuffles only (band, minhash, doc_id) tuples; text/shingles rejoin
     by doc_id for the verify step.
+
+    The shared shingle-hash frame is persisted (it feeds the signature,
+    verify-left, and verify-right branches). The returned DataFrame
+    carries it as ``df._shared_cache`` so a long-lived session can
+    ``.unpersist()`` it after the action; ``lsh_near_duplicates_scoped``
+    wraps that lifecycle as a context manager. In a query-per-session
+    model Spark's ContextCleaner also reclaims it on GC.
     """
     # materialize shingles AND base hashes as real columns: as inline
     # expressions the md5 would be recomputed once per hash function,
@@ -181,7 +190,7 @@ def lsh_near_duplicates(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    out = (
         cands.join(a, "doc_id_a")
         .join(b, "doc_id_b")
         .select(
@@ -191,6 +200,29 @@ def lsh_near_duplicates(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    out._shared_cache = hs
+    return out
+
+
+@contextmanager
+def lsh_near_duplicates_scoped(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    n: int = 3,
+    threshold: float = 0.3,
+):
+    """Context-managed ``lsh_near_duplicates``: run your action inside
+    the block; the shared shingle-hash cache is unpersisted on exit —
+    the hygienic form for long-lived sessions."""
+    df = lsh_near_duplicates(
+        docs, id_col, text_col, num_hashes=num_hashes, n=n, threshold=threshold
+    )
+    try:
+        yield df
+    finally:
+        df._shared_cache.unpersist()
 
 
 def simhash16(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -63,8 +63,13 @@ def salted_join(
     the common case automatically; this is the explicit form for when
     the skew is known and extreme (SURVEY §4).
     """
+    # The salt must NOT be a function of the join key — crc32(key) %
+    # n_salts would give every row of a hot key the same salt, landing
+    # them all on one reducer again. Round-robin on the per-partition
+    # monotonic id spreads a hot key's rows uniformly across all salts.
     salted_big = big.withColumn(
-        "_salt", (F.crc32(F.col(key).cast("string")) % n_salts).cast("int")
+        "_salt",
+        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"),
     )
     salts = F.explode(
         F.sequence(F.lit(0), F.lit(n_salts - 1))

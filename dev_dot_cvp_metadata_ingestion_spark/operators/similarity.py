@@ -18,12 +18,44 @@ bit-reproducible against the DuckDB oracle's explicit sequential fold.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity
 
 N_PLANES = 8
+
+
+def topk_ranked(
+    scored: DataFrame, k: int, cos_col: str = "cos", id_col: str = "vec_id"
+) -> DataFrame:
+    """Scale-safe ranked top-k by (cos desc, id asc).
+
+    ``orderBy().limit(k)`` plans as TakeOrderedAndProject — each
+    partition keeps its local top-k and only k rows merge — instead of
+    ``row_number()`` over a partition-less Window, which funnels every
+    candidate row through a single task (the round-1 scale flaw).
+    The rank is then derived over just the k survivors by folding them
+    into one sorted array (constant cost, no WindowExec anywhere).
+    All input columns are preserved; a ``rank`` int column is appended.
+    """
+    cols = scored.columns
+    top = scored.orderBy(F.col(cos_col).desc(), F.col(id_col)).limit(k)
+    packed = top.select(
+        F.struct(
+            (-F.col(cos_col)).alias("_neg"),
+            F.col(id_col).alias("_tie"),
+            F.struct(*[F.col(c) for c in cols]).alias("_row"),
+        ).alias("key")
+    ).agg(F.sort_array(F.collect_list("key")).alias("xs"))
+    return (
+        packed.select(F.posexplode("xs").alias("_pos", "_x"))
+        .select(
+            *[F.col(f"_x._row.{c}").alias(c) for c in cols],
+            (F.col("_pos") + 1).alias("rank"),
+        )
+        .orderBy("rank")
+    )
 
 
 def hyperplane(j: int, dim: int) -> list[float]:
@@ -68,20 +100,24 @@ def brute_force_topk(
             cosine_similarity(F.col(vec_col), F.col("qvec")).alias("cos"),
         )
     )
-    w = W.orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("rank")
-    )
+    return topk_ranked(scored, k)
 
 
 def lsh_topk(
     emb: DataFrame, query_id: int, dim: int, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    n_planes: int = N_PLANES,
+    n_planes: int = N_PLANES, multi_probe: bool = False,
 ) -> DataFrame:
-    """Bucketed ANN: brute-force only within the query's sign-bucket."""
+    """Bucketed ANN: brute-force only within the query's sign-bucket.
+
+    ``multi_probe=True`` additionally probes every bucket at Hamming
+    distance 1 from the query's (flip each of the n_planes sign bits):
+    vectors near a hyperplane land on either side, so single-bucket
+    probing silently loses those neighbors. Probing n_planes+1 of the
+    2^n_planes buckets recovers most of that recall while still pruning
+    the scan — the probe set is still a tiny static IN-list the scan's
+    partition/cluster pruning can use.
+    """
     with_bucket = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
@@ -90,18 +126,21 @@ def lsh_topk(
     q = with_bucket.filter(F.col("vec_id") == query_id).select(
         F.col("vec").alias("qvec"), F.col("bucket").alias("qbucket")
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("qbucket"),
+            *[F.col("qbucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
+        )
+        in_probe = F.array_contains(probes, F.col("bucket"))
+    else:
+        in_probe = F.col("bucket") == F.col("qbucket")
     cands = (
         with_bucket.crossJoin(F.broadcast(q))
-        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != query_id))
+        .filter(in_probe & (F.col("vec_id") != query_id))
         .select(
             "vec_id",
             "bucket",
             cosine_similarity(F.col("vec"), F.col("qvec")).alias("cos"),
         )
     )
-    w = W.orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        cands.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("rank")
-    )
+    return topk_ranked(cands, k)

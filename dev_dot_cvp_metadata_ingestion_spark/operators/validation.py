@@ -145,6 +145,11 @@ def _type_check_details(rule: Rule, col: Column, dtype: DataType) -> Column:
             ),
         )
     if rule.type == TYPE_DECIMAL:
+        if rule.upper_limit is None and rule.lower_limit is None:
+            # the reference only attempts the Decimal parse when a
+            # limit is declared (validator.py:210-215); a limit-less
+            # decimal rule passes any present non-empty value
+            return F.lit(None)
         # try_cast: ANSI mode (Spark 4 default) makes a plain cast THROW
         # on malformed input; the reference treats parse failure as an
         # invalid-field verdict (validator.py:214-215)

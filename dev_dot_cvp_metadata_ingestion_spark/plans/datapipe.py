@@ -31,7 +31,7 @@ from ..operators.dedup import (
     simhash16,
 )
 from ..operators.multimodal import attach_binary, decode_features
-from ..operators.similarity import brute_force_topk, lsh_topk
+from ..operators.similarity import brute_force_topk, lsh_topk, topk_ranked
 from ..sources.catalog import load_table
 from .registry import register
 
@@ -370,6 +370,42 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan instead of reading the corpus."""
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(e, query_id=0, dim=64, k=10, n_planes=4)
+
+
+@register(
+    "ann_lsh_multiprobe_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    bucketed AS (
+      SELECT vec_id, v, CAST({_bucket_sql(4)} AS BIGINT) AS bucket FROM e
+    ),
+    q AS (SELECT v AS qv, bucket AS qbucket FROM bucketed WHERE vec_id = 0),
+    cands AS (
+      SELECT vec_id, bucket, {_cos_sql("v", "qv")} AS cos
+      FROM bucketed, q
+      WHERE vec_id <> 0
+        AND (bucket = qbucket OR bucket = xor(qbucket, 1)
+             OR bucket = xor(qbucket, 2) OR bucket = xor(qbucket, 4)
+             OR bucket = xor(qbucket, 8))
+    ),
+    ranked AS (
+      SELECT vec_id, bucket, cos,
+             row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
+      FROM cands
+    )
+    SELECT vec_id, bucket, cos, rank FROM ranked WHERE rank <= 10 ORDER BY rank
+    """,
+)
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: probe the query's bucket plus every bucket
+    at Hamming distance 1 (one sign bit flipped) — recall hardening for
+    near-hyperplane neighbors that single-bucket probing misses, while
+    the probe set stays a 5-bucket IN-list that prunes the scan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(e, query_id=0, dim=64, k=10, n_planes=4, multi_probe=True)
 
 
 @register(
@@ -725,12 +761,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine_similarity(F.col("embedding"), F.col("qvec")).alias("cos"),
         )
     )
-    w = W.orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        cands.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .orderBy("rank")
-    )
+    return topk_ranked(cands, 10)
 
 
 # ------------------------------------------------------------- multimodal

@@ -25,15 +25,14 @@ skip directories before any read.
 
 from __future__ import annotations
 
-from urllib.parse import unquote_plus
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 from .rules import RuleSet
 
-URL_UNQUOTE = F.udf(unquote_plus, StringType())  # S1; off the hot path (once/file)
+# matches the text reader's record delimiters (\n, \r\n, bare \r)
+_LINE_SPLIT = r"\r\n|\r|\n"
 
 
 def file_lines(
@@ -46,25 +45,100 @@ def file_lines(
     (gz transparently decompressed), with file provenance columns:
     (file_path, file_size, file_mtime, line_no, line).
 
-    line_no is the 1-based position within the file — the reference's
-    serial_id fallback (validator.py:398-400). Computed with a window
-    per file, the only shuffle in this source.
+    line_no is the 1-based position among the file's non-blank lines —
+    the reference's serial_id fallback (validator.py:398-400). Read with
+    ``wholetext`` (one row per file) + posexplode of the split lines:
+    within-file order is then structurally guaranteed, unlike numbering
+    split-file partitions with monotonically_increasing_id, where
+    bin-packing can reorder a large file's splits. No shuffle at all;
+    the memory bound is the largest single file — the same bound the
+    sequential validator (and the reference's per-object Lambda model)
+    already assumes.
     """
-    from pyspark.sql import Window as W
-
-    raw = (
+    # NOTE: wholetext must be passed as the .text() kwarg — in pyspark 4
+    # a prior .option("wholetext", ...) is not picked up by .text()
+    return (
         spark.read.option("recursiveFileLookup", str(recursive).lower())
-        .text(path)
+        .text(path, wholetext=True)
         .select(
             F.col("_metadata.file_path").alias("file_path"),
             F.col("_metadata.file_size").alias("file_size"),
             F.col("_metadata.file_modification_time").alias("file_mtime"),
-            F.col("value").alias("line"),
+            F.posexplode(
+                F.filter(
+                    F.split(F.col("value"), _LINE_SPLIT),
+                    lambda x: F.trim(x) != "",
+                )
+            ).alias("pos", "line"),
         )
-        .filter(F.trim("line") != "")
+        .select(
+            "file_path",
+            "file_size",
+            "file_mtime",
+            (F.col("pos") + 1).alias("line_no"),
+            "line",
+        )
     )
-    w = W.partitionBy("file_path").orderBy(F.monotonically_increasing_id())
-    return raw.withColumn("line_no", F.row_number().over(w))
+
+
+def file_lines_sniffed(
+    spark: SparkSession,
+    path: str,
+    *,
+    recursive: bool = True,
+) -> DataFrame:
+    """S3 magic-byte fallback (cvp_bucket_event_lambda_handler.py:28-30):
+    the reference sniffs ``1f 8b`` and gunzips regardless of the object
+    name, because Lambda streams have no extension. Spark's text reader
+    only decompresses by ``.gz`` extension, so extensionless gzip
+    objects need this path: binaryFile scan → per-file magic-byte sniff
+    → gunzip → line split, Arrow-batched through mapInPandas (the
+    decompress is genuinely imperative; everything before/after stays
+    declarative). Same output schema as :func:`file_lines`.
+
+    Scale: binaryFile ships one whole object per row — the same
+    largest-single-file memory bound as ``wholetext``; batches stream
+    through Arrow, never a driver collect.
+    """
+    bin_df = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(path)
+        .select("path", "length", "modificationTime", "content")
+    )
+
+    out_schema = (
+        "file_path string, file_size long, file_mtime timestamp, "
+        "line_no integer, line string"
+    )
+
+    def _gunzip_lines(batches):
+        import gzip
+        import re
+
+        import pandas as pd
+
+        splitter = re.compile(_LINE_SPLIT)
+        for pdf in batches:
+            rows: list[tuple] = []
+            for fp, size, mtime, content in zip(
+                pdf["path"], pdf["length"], pdf["modificationTime"], pdf["content"]
+            ):
+                data = bytes(content)
+                if data[:2] == b"\x1f\x8b":  # gzip magic, any filename
+                    data = gzip.decompress(data)
+                text = data.decode("utf-8", errors="replace")
+                n = 0
+                for ln in splitter.split(text):
+                    if ln.strip():
+                        n += 1
+                        rows.append((fp, size, mtime, n, ln))
+            yield pd.DataFrame(
+                rows,
+                columns=["file_path", "file_size", "file_mtime", "line_no", "line"],
+            )
+
+    return bin_df.mapInPandas(_gunzip_lines, out_schema)
 
 
 def parse_ndjson(lines: DataFrame, schema: StructType | None = None) -> DataFrame:
@@ -127,21 +201,17 @@ def audit_csv_headers(
 
     Output: (file_path, position, header_field, config_field).
     """
-    from pyspark.sql import Window as W
-
-    raw = (
+    # wholetext + take the first line: per-file, shuffle-free (the old
+    # window-on-monotonic-id form both shuffled and assumed split order)
+    headers = (
         spark.read.option("recursiveFileLookup", "true")
-        .text(path)
+        .text(path, wholetext=True)
         .select(
             F.col("_metadata.file_path").alias("file_path"),
-            F.col("value").alias("line"),
+            F.split(
+                F.element_at(F.split(F.col("value"), _LINE_SPLIT), 1), ","
+            ).alias("fields"),
         )
-    )
-    w = W.partitionBy("file_path").orderBy(F.monotonically_increasing_id())
-    headers = (
-        raw.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("file_path", F.split(F.col("line"), ",").alias("fields"))
     )
     audits = []
     for i, rule in enumerate(ruleset.rules):

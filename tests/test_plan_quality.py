@@ -55,6 +55,35 @@ def test_validation_no_python_udf(spark):
     assert "ArrowEvalPython" not in plan
 
 
+def test_no_global_window_anywhere(spark):
+    # No registered query may plan a partition-less Window — that moves
+    # every row to a single task ("WindowExec: No Partition Defined").
+    # Top-k is TakeOrderedAndProject instead (per-partition top-k).
+    for name in sorted(QUERIES):
+        plan = plan_of(name, spark)
+        for line in plan.splitlines():
+            if "Window [" not in line:
+                continue
+            # partitioned+ordered: "Window [exprs], [partCols], [order]";
+            # partitioned, no order: "Window [exprs], [partCols]";
+            # global (the scale flaw): "Window [exprs], [orderSpec]" —
+            # 2 groups where the last one is a sort spec
+            groups = line.split("], [")
+            is_global = len(groups) == 2 and (
+                " ASC" in groups[-1] or " DESC" in groups[-1]
+            )
+            assert not is_global, (
+                f"{name}: partition-less Window: {line.strip()[:160]}"
+            )
+
+
+def test_ann_topk_is_take_ordered(spark):
+    for name in ("ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk"):
+        plan = plan_of(name, spark)
+        assert "TakeOrderedAndProject" in plan, f"{name}: no TakeOrderedAndProject"
+        assert "Window" not in plan, f"{name}: unexpected Window node"
+
+
 def test_bucketed_join_no_shuffle(spark):
     from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
         load_table,
