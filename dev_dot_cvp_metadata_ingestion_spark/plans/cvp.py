@@ -621,7 +621,24 @@ def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("rules_catalog")  # rows-only: INI parsing has no SQL oracle
+def _rules_catalog_oracle() -> str:
+    """The 43 expected rules_catalog rows as a static VALUES literal,
+    generated from fixtures/config_2.ini by tools/gen_rules_oracle.py
+    (stdlib configparser only — independent of sources/rules.py). The
+    driver hash-checks the INI → RuleSet → DataFrame pipeline against
+    this reviewable snapshot."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures",
+        "rules_catalog_oracle.sql",
+    )
+    with open(path, encoding="utf-8") as fh:
+        return fh.read()
+
+
+@register("rules_catalog", oracle=_rules_catalog_oracle())
 def rules_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7: the declarative rule schema as a DataFrame — the reference's
     downloaded config.ini (validator.py:262-292) becomes a small
