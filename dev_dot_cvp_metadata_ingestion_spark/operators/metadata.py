@@ -166,3 +166,67 @@ def file_metrics(
         )
     )
     return m1.unionByName(m2).unionByName(m3).unionByName(m4)
+
+
+CV_SUBMISSIONS_NAMESPACE = "dot-sdc-cv-submissions-bucket-metric"
+
+MESSAGE_METRIC_SHAPES = (
+    ("Counts by provider and datatype", "files"),
+    ("Valid counts by provider and datatype", "valid"),
+    ("Invalid counts by provider and datatype", "invalid"),
+    ("Data file count by provider and datatype", "files"),
+)
+
+
+def message_metrics(
+    tallies: DataFrame,
+    *,
+    provider: str = "DataProvider",
+    data_type: str = "DataType",
+    valid_messages: str = "num_valid_messages",
+    error_messages: str = "num_error_messages",
+) -> DataFrame:
+    """A5: record-level valid/invalid message counters by
+    (DataProvider, DataType) — the reference's production canary
+    (cvp_bucket_event_lambda_handler.py:177-221). Per file it publishes
+    four put_metric_data shapes with Value = 1, num_valid_messages,
+    num_error_messages, 1; grouped here the per-file Value=1 puts fold
+    into file counts and the message counts sum.
+
+    Input: one row per file carrying the dims and the per-file tallies
+    (the return shape of the A2 tally aggregate joined to P1 path
+    tokens).
+
+    Scale: ONE map-side-combinable groupBy on low-cardinality dims,
+    then a stack() unpivot into the four metric shapes — no union of
+    re-scanned branches, no second shuffle.
+    """
+    g = tallies.groupBy(provider, data_type).agg(
+        F.count(F.lit(1)).alias("files"),
+        F.sum(valid_messages).alias("valid"),
+        F.sum(error_messages).alias("invalid"),
+    )
+    stack_args = ", ".join(
+        f"'{name}', CAST({col} AS DOUBLE)" for name, col in MESSAGE_METRIC_SHAPES
+    )
+    return g.select(
+        F.lit(CV_SUBMISSIONS_NAMESPACE).alias("namespace"),
+        F.expr(
+            f"stack({len(MESSAGE_METRIC_SHAPES)}, {stack_args})"
+            " AS (metric_name, value)"
+        ),
+        F.lit("DataProvider").alias("dim1_name"),
+        F.col(provider).cast("string").alias("dim1_value"),
+        F.lit("DataType").alias("dim2_name"),
+        F.col(data_type).cast("string").alias("dim2_value"),
+        F.lit("Count").alias("unit"),
+    ).select(
+        "namespace",
+        "metric_name",
+        "dim1_name",
+        "dim1_value",
+        "dim2_name",
+        "dim2_value",
+        "value",
+        "unit",
+    )

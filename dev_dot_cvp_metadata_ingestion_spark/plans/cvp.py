@@ -286,6 +286,11 @@ def cv_validation_tallies(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential check rows. Computed from the WIDE verdicts
     (validation_summary): one projection + one hash aggregate, no
     explode, no distinct-count."""
+    return _tallies_df(spark, sf_dir).orderBy("file")
+
+
+def _tallies_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file tally frame shared by the A2 query and the A5 counters."""
     from ..operators.sequential import sequential_stats
     from ..operators.validation import validation_summary
 
@@ -295,23 +300,97 @@ def cv_validation_tallies(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no error-row materialization
     s = sequential_stats(d, _events_seq_spec())
     seq_err_msg = F.when(F.col("seq_errors") > 0, F.lit(1)).otherwise(F.lit(0))
-    return (
-        f.join(s, "file")
-        .select(
-            "file",
-            (F.col("records") + 1).alias("num_messages_total"),
-            (F.col("num_validations") + F.col("seq_rows")).alias(
-                "num_validations"
-            ),
-            (F.col("num_errors") + F.col("seq_errors")).alias("num_errors"),
-            (F.col("num_error_messages") + seq_err_msg).alias(
-                "num_error_messages"
-            ),
-            (
-                F.col("records") + 1 - (F.col("num_error_messages") + seq_err_msg)
-            ).alias("num_valid_messages"),
-        )
-        .orderBy("file")
+    return f.join(s, "file").select(
+        "file",
+        (F.col("records") + 1).alias("num_messages_total"),
+        (F.col("num_validations") + F.col("seq_rows")).alias("num_validations"),
+        (F.col("num_errors") + F.col("seq_errors")).alias("num_errors"),
+        (F.col("num_error_messages") + seq_err_msg).alias("num_error_messages"),
+        (
+            F.col("records") + 1 - (F.col("num_error_messages") + seq_err_msg)
+        ).alias("num_valid_messages"),
+    )
+
+
+_MSG_DIMS_SQL = """
+  SELECT *,
+         'provider' || CAST(CAST(substr(file, 2) AS BIGINT) % 3 AS VARCHAR)
+           AS DataProvider,
+         CASE WHEN CAST(substr(file, 2) AS BIGINT) % 2 = 0
+              THEN 'bsm' ELSE 'tim' END AS DataType
+  FROM t
+"""
+
+
+@register(
+    "cv_message_metrics",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    res AS ({_RES_SQL}),
+    seq AS ({_SEQ_SQL}),
+    f AS (
+      SELECT file, count(*) AS records,
+             count(DISTINCT event_id) FILTER (WHERE NOT valid) AS error_records
+      FROM res GROUP BY file
+    ),
+    s AS (
+      SELECT file, count(*) FILTER (WHERE NOT valid) AS seq_errors
+      FROM seq GROUP BY file
+    ),
+    t AS (
+      SELECT f.file,
+             records // {N_RULES} + 1
+               - (error_records + CASE WHEN seq_errors > 0 THEN 1 ELSE 0 END)
+               AS num_valid_messages,
+             error_records + CASE WHEN seq_errors > 0 THEN 1 ELSE 0 END
+               AS num_error_messages
+      FROM f JOIN s USING (file)
+    ),
+    d AS ({_MSG_DIMS_SQL}),
+    g AS (
+      SELECT DataProvider, DataType, count(*) AS files,
+             sum(num_valid_messages) AS valid,
+             sum(num_error_messages) AS invalid
+      FROM d GROUP BY DataProvider, DataType
+    )
+    SELECT 'dot-sdc-cv-submissions-bucket-metric' AS namespace,
+           m.metric_name,
+           'DataProvider' AS dim1_name, DataProvider AS dim1_value,
+           'DataType' AS dim2_name, DataType AS dim2_value,
+           CAST(m.value AS DOUBLE) AS value, 'Count' AS unit
+    FROM g, LATERAL (VALUES
+      ('Counts by provider and datatype', files),
+      ('Valid counts by provider and datatype', valid),
+      ('Invalid counts by provider and datatype', invalid),
+      ('Data file count by provider and datatype', files)
+    ) AS m(metric_name, value)
+    ORDER BY metric_name, dim1_value, dim2_value
+    """,
+)
+def cv_message_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: record-level valid/invalid message counters by
+    (DataProvider, DataType) — the reference's production canary
+    (cvp_bucket_event_lambda_handler.py:177-221). Per-file tallies
+    (A2) pick up path-token dims (P1: DataProvider/DataType are the
+    2nd/3rd key segments, synthesized here from the file number), then
+    one groupBy + stack() unpivot emits the four CloudWatch shapes."""
+    from ..operators.metadata import message_metrics
+
+    t = _tallies_df(spark, sf_dir)
+    fnum = F.regexp_extract("file", r"^f(\d+)$", 1).cast("long")
+    dims = t.select(
+        "file",
+        "num_valid_messages",
+        "num_error_messages",
+        F.concat(F.lit("provider"), (fnum % 3).cast("string")).alias(
+            "DataProvider"
+        ),
+        F.when(fnum % 2 == 0, F.lit("bsm")).otherwise(F.lit("tim")).alias(
+            "DataType"
+        ),
+    )
+    return message_metrics(dims).orderBy(
+        "metric_name", "dim1_value", "dim2_value"
     )
 
 

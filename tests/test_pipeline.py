@@ -167,3 +167,35 @@ def test_csv_records(spark, tmp_path):
     bad = {(r.deviceid, r.field_path) for r in results.filter("NOT valid").collect()}
     assert ("9999", "vsl_mph") in bad  # 101 > UpperLimit 100
     assert ("42", "vsl_mph") not in bad
+
+
+def test_message_metrics_shapes(spark):
+    """A5: the four CloudWatch counter shapes fold per-file puts into
+    grouped sums (cvp_bucket_event_lambda_handler.py:177-221)."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.metadata import (
+        message_metrics,
+    )
+
+    tallies = spark.createDataFrame(
+        [
+            ("f0", "p0", "bsm", 8, 2),
+            ("f1", "p0", "bsm", 10, 0),
+            ("f2", "p1", "tim", 3, 4),
+        ],
+        "file string, DataProvider string, DataType string, "
+        "num_valid_messages long, num_error_messages long",
+    )
+    out = message_metrics(tallies)
+    rows = {
+        (r.metric_name, r.dim1_value, r.dim2_value): r.value
+        for r in out.collect()
+    }
+    assert rows[("Counts by provider and datatype", "p0", "bsm")] == 2.0
+    assert rows[("Valid counts by provider and datatype", "p0", "bsm")] == 18.0
+    assert rows[("Invalid counts by provider and datatype", "p0", "bsm")] == 2.0
+    assert rows[("Data file count by provider and datatype", "p1", "tim")] == 1.0
+    assert rows[("Invalid counts by provider and datatype", "p1", "tim")] == 4.0
+    first = out.first()
+    assert first.namespace == "dot-sdc-cv-submissions-bucket-metric"
+    assert first.unit == "Count"
+    assert len(rows) == 8
