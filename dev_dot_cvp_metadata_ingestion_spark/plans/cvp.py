@@ -157,7 +157,14 @@ _RES_SQL = f"""
 
 _TSSTR = "strftime({c}, '%Y-%m-%d %H:%M:%S') || '+00:00'"
 
-_SEQ_SQL = f"""
+def _seq_sql(
+    skip_rid: str = "FALSE", skip_sn: str = "FALSE", skip_bs: str = "FALSE"
+) -> str:
+    """W1-W8 oracle SQL. The ``skip_*`` params are per-file boolean SQL
+    aggregate expressions over ``d`` (W7 gating: any record meeting a
+    skipSequentialValidation condition disables that check for the whole
+    file, validator.py:110-112); the default is ungated."""
+    return f"""
   WITH d AS (
     SELECT file, user_id AS bid, event_id AS sn,
            CAST(props->>'$.k' AS BIGINT) AS rid,
@@ -183,34 +190,42 @@ _SEQ_SQL = f"""
            wbf AS (PARTITION BY file, grp ORDER BY sn
                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
   ),
+  fs AS (
+    SELECT file, {skip_rid} AS skip_rid, {skip_sn} AS skip_sn,
+           {skip_bs} AS skip_bs
+    FROM d GROUP BY file
+  ),
+  bb AS (SELECT b.*, skip_rid, skip_sn, skip_bs FROM b JOIN fs USING (file)),
   mono AS (
     SELECT file, sn, 'metadata.serialId.recordId' AS field_path,
            printf('Detected incorrectly incremented recordId. Expected recordId ''%d'' but got ''%d''',
                   prev_rid + 1, rid) AS details
-    FROM b WHERE prev_sn IS NOT NULL AND bs > 1 AND rid <> prev_rid + 1
+    FROM bb WHERE prev_sn IS NOT NULL AND NOT skip_rid
+      AND bs > 1 AND rid <> prev_rid + 1
     UNION ALL
     SELECT file, sn, 'metadata.serialId.serialNumber',
            printf('Detected incorrectly incremented serialNumber. Expected serialNumber ''%d'' but got ''%d''',
                   prev_sn + 1, sn)
-    FROM b WHERE prev_sn IS NOT NULL AND sn <> prev_sn + 1
+    FROM bb WHERE prev_sn IS NOT NULL AND NOT skip_sn AND sn <> prev_sn + 1
     UNION ALL
     SELECT file, sn, 'metadata.recordGeneratedAt',
            printf('Detected non-chronological recordGeneratedAt. Previous timestamp was ''%s'' but current timestamp is ''%s''',
                   {_TSSTR.format(c='prev_gen')}, {_TSSTR.format(c='gen')})
-    FROM b WHERE prev_sn IS NOT NULL AND gen < prev_gen
+    FROM bb WHERE prev_sn IS NOT NULL AND gen < prev_gen
     UNION ALL
     SELECT file, sn, 'metadata.odeReceivedAt',
            printf('Detected non-chronological odeReceivedAt. Previous timestamp was ''%s'' but current timestamp is ''%s''',
                   {_TSSTR.format(c='prev_recv')}, {_TSSTR.format(c='recv')})
-    FROM b WHERE prev_sn IS NOT NULL AND recv < prev_recv
+    FROM bb WHERE prev_sn IS NOT NULL AND recv < prev_recv
   ),
   fullq AS (
     SELECT *, lag(bs) OVER (PARTITION BY file, grp ORDER BY sn) AS prev_bs_q
-    FROM b WHERE first_rid = 0 AND last_rid = first_bs - 1 AND has_logf AND cnt <> bs
+    FROM bb WHERE first_rid = 0 AND last_rid = first_bs - 1
+      AND has_logf AND cnt <> bs AND NOT skip_bs
   ),
   tailq AS (
     SELECT *, lag(bs) OVER (PARTITION BY file, grp ORDER BY sn) AS prev_bs_q
-    FROM b WHERE first_rid <> 0 AND last_rid <> bs - 1
+    FROM bb WHERE first_rid <> 0 AND last_rid <> bs - 1 AND NOT skip_bs
   ),
   size_err AS (
     SELECT file, last_sn AS sn, 'metadata.serialId.bundleSize' AS field_path,
@@ -232,6 +247,9 @@ _SEQ_SQL = f"""
 """
 
 
+_SEQ_SQL = _seq_sql()
+
+
 @register(
     "cv_validation_results",
     oracle=f"""
@@ -246,6 +264,184 @@ def cv_validation_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _events_with_file(spark, sf_dir)
     return validate(d, _events_ruleset(), ["file", "event_id"]).orderBy(
         "file", "event_id", "field_path"
+    )
+
+
+# P10-P13: the reference's hardest rule machinery — conditional if/then
+# chains (first-met wins), existence-style ifParts, startsWithField and
+# matchAgainst thenParts, choice rules, and .list. element expansion —
+# declared in the reference INI dialect over columns synthesized from
+# events (validator.py:96-170, 230-243, 304-378).
+CONDITIONAL_RULES_INI = """
+[_settings]
+DataType = json
+Sequential = False
+
+[category]
+Type = enum
+Values = ["gold", "silver", "bronze"]
+EqualsValue = {"conditions":[
+    {"ifPart":{"fieldName":"event_type","fieldValues":["purchase"]},"thenPart":{"matchAgainst":["gold","silver"]}},
+    {"ifPart":{"fieldName":"event_type","fieldValues":["click","view"]}}]}
+
+[ref_code]
+Type = string
+EqualsValue = {"conditions":[
+    {"ifPart":{"fieldName":"ref_code"}},
+    {"ifPart":{"fieldName":"event_type","fieldValues":["signup"]},"thenPart":{"matchAgainst":["A","B"]}}]}
+
+[label]
+Type = string
+EqualsValue = {"conditions":[{"ifPart":{"fieldName":"event_type","fieldValues":["purchase","signup"]},"thenPart":{"startsWithField":"event_type"}}]}
+
+[payload]
+Type = choice
+Choices = ["bsm", "tim"]
+
+[readings.list.v]
+Type = decimal
+UpperLimit = 600
+LowerLimit = 0
+"""
+
+
+def _dec_check_sql(x: str) -> str:
+    """Decimal-rule oracle fragment for the readings.list.v element."""
+    dec = f"CAST({x} AS DECIMAL(38,10))"
+    return f"""
+      CASE WHEN {x} IS NULL THEN 'Field missing: elem.v'
+           WHEN {dec} > 600 THEN
+             printf('Value ''%d'' is greater than upper limit ''%d''',
+                    CAST(TRUNC({dec}) AS BIGINT), 600)
+           WHEN {dec} < 0 THEN
+             printf('Value ''%d'' is less than lower limit ''%d''',
+                    CAST(TRUNC({dec}) AS BIGINT), 0)
+      END"""
+
+
+@register(
+    "cv_conditional_validation",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    r AS (
+      SELECT event_id, event_type,
+             CASE ((user_id % 4) + 4) % 4
+               WHEN 0 THEN 'gold' WHEN 1 THEN 'silver'
+               WHEN 2 THEN 'bronze' WHEN 3 THEN 'vip' END AS category,
+             CASE event_id % 5 WHEN 1 THEN '' WHEN 2 THEN 'A'
+               WHEN 3 THEN 'B' WHEN 4 THEN 'C' END AS ref_code,
+             CASE event_id % 3 WHEN 0 THEN event_type || '_x'
+               WHEN 1 THEN 'zzz' END AS label,
+             CAST(event_id % 4 IN (0, 2) AS INT)
+               + CAST(event_id % 4 IN (1, 2) AS INT) AS n_choices,
+             coalesce(value, -1) AS v0,
+             coalesce(value * 2, -1) AS v1
+      FROM ev
+    ),
+    res AS (
+      SELECT event_id, 'category' AS field_path,
+        CASE WHEN event_type = 'purchase' THEN
+               CASE WHEN category IS NULL THEN 'Required Field is missing.'
+                    WHEN category NOT IN ('gold', 'silver') THEN
+                      printf('Value of Field (''%s'') is not one of the expected values (%s)',
+                             category, '[''gold'', ''silver'']')
+               END
+             WHEN event_type IN ('click', 'view') THEN NULL
+             ELSE
+               CASE WHEN category IS NULL THEN 'Field missing: category'
+                    WHEN category = '' THEN 'Field empty'
+                    WHEN lower(category) NOT IN ('gold', 'silver', 'bronze') THEN
+                      printf('Value ''%s'' not in list of known values: [%s]',
+                             category, 'gold, silver, bronze')
+               END
+        END AS details
+      FROM r
+      UNION ALL
+      SELECT event_id, 'ref_code',
+        CASE WHEN ref_code IS NULL OR ref_code = '' THEN NULL
+             WHEN event_type = 'signup' THEN
+               CASE WHEN ref_code NOT IN ('A', 'B') THEN
+                 printf('Value of Field (''%s'') is not one of the expected values (%s)',
+                        ref_code, '[''A'', ''B'']')
+               END
+             ELSE CASE WHEN ref_code IS NULL THEN 'Field missing: ref_code'
+                       WHEN ref_code = '' THEN 'Field empty' END
+        END
+      FROM r
+      UNION ALL
+      SELECT event_id, 'label',
+        CASE WHEN event_type IN ('purchase', 'signup') THEN
+               CASE WHEN label IS NULL THEN 'Required Field is missing.'
+                    WHEN NOT (event_type IS NULL OR event_type = '')
+                         AND NOT starts_with(label, event_type) THEN
+                      printf('Value of Field (''%s'') does not start with %s',
+                             label, event_type)
+               END
+             ELSE CASE WHEN label IS NULL THEN 'Field missing: label'
+                       WHEN label = '' THEN 'Field empty' END
+        END
+      FROM r
+      UNION ALL
+      SELECT event_id, 'payload',
+        CASE WHEN n_choices = 0 THEN printf('No choices found in ''%s''', 'payload')
+             WHEN n_choices > 1 THEN
+               printf('Found ''%s'' choices in ''%s''',
+                      CAST(n_choices AS VARCHAR), 'payload')
+        END
+      FROM r
+      UNION ALL
+      SELECT event_id, 'readings{{0}}.v', {_dec_check_sql('v0')} FROM r
+      UNION ALL
+      SELECT event_id, 'readings{{1}}.v', {_dec_check_sql('v1')} FROM r
+    )
+    SELECT event_id, field_path,
+           details IS NULL AS valid, coalesce(details, '') AS details
+    FROM res
+    ORDER BY event_id, field_path
+    """,
+)
+def cv_conditional_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10-P13: conditional/choice/list rules compiled to Column trees
+    over columns synthesized from events — first-met-wins condition
+    chains (validator.py:96-129), existence-style ifParts (131-148),
+    matchAgainst + startsWithField thenParts (150-170), choice rules
+    (230-243), and per-element .list. expansion (304-378)."""
+    ev = load_table(spark, sf_dir, "events")
+    m4u = F.pmod(F.col("user_id"), F.lit(4))
+    category = (
+        F.when(m4u == 0, "gold")
+        .when(m4u == 1, "silver")
+        .when(m4u == 2, "bronze")
+        .when(m4u == 3, "vip")
+    )
+    m5 = F.col("event_id") % 5
+    ref_code = (
+        F.when(m5 == 1, "").when(m5 == 2, "A").when(m5 == 3, "B").when(m5 == 4, "C")
+    )
+    m3 = F.col("event_id") % 3
+    label = F.when(m3 == 0, F.concat(F.col("event_type"), F.lit("_x"))).when(
+        m3 == 1, F.lit("zzz")
+    )
+    m4 = F.col("event_id") % 4
+    payload = F.struct(
+        F.when(m4.isin(0, 2), F.lit("b")).alias("bsm"),
+        F.when(m4.isin(1, 2), F.lit("t")).alias("tim"),
+    )
+    readings = F.array(
+        F.struct(F.coalesce(F.col("value"), F.lit(-1.0)).alias("v")),
+        F.struct(F.coalesce(F.col("value") * 2, F.lit(-1.0)).alias("v")),
+    )
+    d = ev.select(
+        "event_id",
+        "event_type",
+        category.alias("category"),
+        ref_code.alias("ref_code"),
+        label.alias("label"),
+        payload.alias("payload"),
+        readings.alias("readings"),
+    )
+    return validate(d, parse_rules_ini(CONDITIONAL_RULES_INI), ["event_id"]).orderBy(
+        "event_id", "field_path"
     )
 
 
@@ -443,6 +639,55 @@ def cv_sequential_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     serials/recordIds, chronological timestamps, bundle-size checks,
     per-file all-pass synthesis (odevalidator/sequential.py:14-110)."""
     return _seq_results(spark, sf_dir)
+
+
+# W7: skipSequentialValidation conditions in the reference INI dialect
+# (config_2.ini:74-98 declares them on rxMsg/sanitized records; here the
+# ifPart keys off specific event_ids so each file gets a different gate).
+GATED_SKIP_INI = """
+[_settings]
+DataType = json
+Sequential = True
+
+[metadata.serialId.recordId]
+Type = serial
+EqualsValue = {"conditions":[{"ifPart":{"fieldName":"event_id","fieldValues":["100","4100"]},"thenPart":{"skipSequentialValidation":"true"}}]}
+
+[metadata.serialId.serialNumber]
+Type = serial
+EqualsValue = {"conditions":[{"ifPart":{"fieldName":"event_id","fieldValues":["2100"]},"thenPart":{"skipSequentialValidation":"true"}}]}
+
+[metadata.serialId.bundleSize]
+Type = serial
+EqualsValue = {"conditions":[{"ifPart":{"fieldName":"event_id","fieldValues":["6100"]},"thenPart":{"skipSequentialValidation":"true"}}]}
+"""
+
+
+@register(
+    "cv_sequential_checks_gated",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    seq AS ({_seq_sql(
+        skip_rid="bool_or(sn IN (100, 4100))",
+        skip_sn="bool_or(sn = 2100)",
+        skip_bs="bool_or(sn = 6100)",
+    )})
+    SELECT * FROM seq
+    """,
+)
+def cv_sequential_checks_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: skip-set gating — a record meeting a skipSequentialValidation
+    condition (validator.py:110-112, 150-157) disables that check for
+    its whole file. Same W1-W8 plan as cv_sequential_checks; the
+    per-record skip flags come from the rule compiler and are OR-ed
+    per file inside the one-shuffle window stage."""
+    from ..operators.validation import skip_flag_exprs
+
+    d = _events_with_file(spark, sf_dir)
+    ruleset = parse_rules_ini(GATED_SKIP_INI)
+    spec = _events_seq_spec()
+    spec.skip_flags = skip_flag_exprs(ruleset, d.schema)
+    return sequential_results(d, spec)
 
 
 # ------------------------------------------------------------- files
