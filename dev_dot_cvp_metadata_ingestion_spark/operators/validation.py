@@ -273,13 +273,25 @@ def _strptime_to_spark(fmt: str) -> str:
     return "".join(out)
 
 
-def _unconditional_details(rule: Rule, schema: DataType) -> Column:
-    """Full _check_unconditional chain (validator.py:196-243); NULL = valid."""
+def _unconditional_details(
+    rule: Rule, schema: DataType, path_label: Column | None = None
+) -> Column:
+    """Full _check_unconditional chain (validator.py:196-243); NULL = valid.
+
+    ``path_label`` overrides the path rendered into the missing-field
+    message — list rules pass the per-row expanded ``a{i}.b`` path the
+    reference's Field carries (validator.py:314, 197-198)."""
     col = field_col(schema, rule.path)
     dtype = schema_type(schema, rule.path)
 
     missing = col.isNull()
-    details = F.when(missing, F.format_string("Field missing: %s", F.lit(rule.path)))
+    details = F.when(
+        missing,
+        F.format_string(
+            "Field missing: %s",
+            F.lit(rule.path) if path_label is None else path_label,
+        ),
+    )
 
     if isinstance(dtype, StringType):
         if rule.allow_empty:
@@ -369,12 +381,14 @@ def _is_skip_condition(cond: dict) -> bool:
     return bool(tp and tp.get("skipSequentialValidation"))
 
 
-def rule_details(rule: Rule, schema: DataType) -> Column:
+def rule_details(
+    rule: Rule, schema: DataType, path_label: Column | None = None
+) -> Column:
     """Compile one rule to its details Column (NULL = valid) — the
     Spark-native replacement for Field.validate (validator.py:83-94)."""
     if rule.noop:
         return F.lit(None).cast("string")
-    uncond = _unconditional_details(rule, schema)
+    uncond = _unconditional_details(rule, schema, path_label)
     if not rule.conditions:
         return uncond
     chain: Column | None = None
@@ -492,22 +506,54 @@ def validation_summary(
 def _validate_list_rules(
     df: DataFrame, ruleset: RuleSet, id_cols: list[str]
 ) -> DataFrame | None:
-    """P13: ``a.list.b`` rules expand per actual array element via
-    posexplode (validator.py:304-378 re-expressed as a generator).
-    Missing/non-list data still yields one ``a{0}.b`` verdict so absence
-    can invalidate. Single-level ``.list.`` supported; deeper nesting
-    composes the same generator."""
+    """P13: ``a.list.b`` rules expand per actual array element, one
+    posexplode per ``.list`` level — the Spark generator form of the
+    reference's recursive expander (validator.py:304-378), supporting
+    arbitrary nesting depth (``a.list.b.list.c`` → ``a{i}.b{j}.c``).
+
+    Missing/non-list data yields one verdict with ``{0}`` at that level
+    (statically when the schema lacks the array, dynamically via
+    posexplode_outer's NULL row when a record's array is NULL) so
+    absence can invalidate — the reference's "add 1 entry to allow
+    invalidation later" branch (validator.py:327-332)."""
     if not ruleset.list_rules:
         return None
-    schema = df.schema
     outs = []
     for rule in ruleset.list_rules:
-        head, _, tail = rule.path.partition(".list")
-        tail = tail.lstrip(".")
-        arr_type = schema_type(schema, head)
-        if not isinstance(arr_type, ArrayType):
-            # non-list / missing → one "Field missing" verdict at {0}
-            path0 = f"{head}{{0}}" + (f".{tail}" if tail else "")
+        # "a.list.b.list.c" → ["a", ".b", ".c"]: level paths between
+        # .list markers; the last section is the scalar tail
+        secs = rule.path.split(".list")
+        levels = [secs[0]] + [s.lstrip(".") for s in secs[1:-1]]
+        tail = secs[-1].lstrip(".")
+        if not tail:
+            # list at end of config field: the reference warns and emits
+            # nothing (validator.py:340-342)
+            continue
+
+        # walk the levels, posexploding each array; stop early if the
+        # schema lacks an array at some level (static missing)
+        cur = df
+        parent: str | None = None
+        pos_cols: list[str] = []
+        static_missing_at: int | None = None
+        for i, lvl in enumerate(levels):
+            base = lvl if parent is None else f"{parent}.{lvl}"
+            if not isinstance(schema_type(cur.schema, base), ArrayType):
+                static_missing_at = i
+                break
+            arr = field_col(cur.schema, base)
+            cur = cur.select(
+                *id_cols,
+                *pos_cols,
+                F.posexplode_outer(arr).alias(f"pos{i}", f"elem{i}"),
+            )
+            parent = f"elem{i}"
+            pos_cols.append(f"pos{i}")
+
+        if static_missing_at is not None:
+            # non-list / missing in schema → one "Field missing" verdict
+            # with {0} at every remaining list level
+            path0 = secs[0] + "".join("{0}" + s for s in secs[1:])
             outs.append(
                 df.select(
                     *id_cols,
@@ -517,12 +563,18 @@ def _validate_list_rules(
                 )
             )
             continue
-        arr = field_col(schema, head)
-        exploded = df.select(
-            *id_cols, F.posexplode_outer(arr).alias("pos", "elem")
+
+        # per-row expanded path: "a{i}.b{j}.c" (validator.py:314)
+        fmt = secs[0] + "".join("{%s}" + s for s in secs[1:])
+        path_expr = F.format_string(
+            fmt,
+            *[
+                F.coalesce(F.col(p), F.lit(0)).cast("string")
+                for p in pos_cols
+            ],
         )
         elem_rule = Rule(
-            path=f"elem.{tail}" if tail else "elem",
+            path=f"{parent}.{tail}",
             type=rule.type,
             upper_limit=rule.upper_limit,
             lower_limit=rule.lower_limit,
@@ -534,19 +586,17 @@ def _validate_list_rules(
             date_format=rule.date_format,
             allow_empty=rule.allow_empty,
         )
-        details = rule_details(elem_rule, exploded.schema)
-        path_expr = F.format_string(
-            f"{head}{{%s}}" + (f".{tail}" if tail else ""),
-            F.coalesce(F.col("pos"), F.lit(0)).cast("string"),
-        )
+        details = rule_details(elem_rule, cur.schema, path_label=path_expr)
         outs.append(
-            exploded.select(
+            cur.select(
                 *id_cols,
                 path_expr.alias("field_path"),
                 details.isNull().alias("valid"),
                 F.coalesce(details, F.lit("")).alias("details"),
             )
         )
+    if not outs:
+        return None
     res = outs[0]
     for o in outs[1:]:
         res = res.unionByName(o)

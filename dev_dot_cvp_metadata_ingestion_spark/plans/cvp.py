@@ -305,11 +305,11 @@ LowerLimit = 0
 """
 
 
-def _dec_check_sql(x: str) -> str:
+def _dec_check_sql(x: str, path: str) -> str:
     """Decimal-rule oracle fragment for the readings.list.v element."""
     dec = f"CAST({x} AS DECIMAL(38,10))"
     return f"""
-      CASE WHEN {x} IS NULL THEN 'Field missing: elem.v'
+      CASE WHEN {x} IS NULL THEN 'Field missing: {path}'
            WHEN {dec} > 600 THEN
              printf('Value ''%d'' is greater than upper limit ''%d''',
                     CAST(TRUNC({dec}) AS BIGINT), 600)
@@ -390,9 +390,11 @@ def _dec_check_sql(x: str) -> str:
         END
       FROM r
       UNION ALL
-      SELECT event_id, 'readings{{0}}.v', {_dec_check_sql('v0')} FROM r
+      SELECT event_id, 'readings{{0}}.v',
+             {_dec_check_sql('v0', 'readings{0}.v')} FROM r
       UNION ALL
-      SELECT event_id, 'readings{{1}}.v', {_dec_check_sql('v1')} FROM r
+      SELECT event_id, 'readings{{1}}.v',
+             {_dec_check_sql('v1', 'readings{1}.v')} FROM r
     )
     SELECT event_id, field_path,
            details IS NULL AS valid, coalesce(details, '') AS details

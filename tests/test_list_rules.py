@@ -97,6 +97,81 @@ def test_reference_parity_well_formed(engine_results):
     )
 
 
+NESTED_CONFIG = """
+[_settings]
+DataType = json
+Sequential = False
+
+[zones.list.sensors.list.reading]
+Type = decimal
+LowerLimit = 0
+UpperLimit = 10
+"""
+
+NESTED_RECORDS = [
+    {"line_no": 1, "zones": [
+        {"sensors": [{"reading": 5}, {"reading": 11}]},   # 11 out of range
+        {"sensors": [{"reading": 2}]},
+    ]},
+    {"line_no": 2, "zones": [
+        {"sensors": [{"reading": -3}, {"other": 1}]},     # -3 low, missing
+    ]},
+]
+
+
+@pytest.fixture(scope="module")
+def nested_results(spark, tmp_path_factory):
+    path = tmp_path_factory.mktemp("nestedlist") / "r.json"
+    with open(path, "w") as fh:
+        for rec in NESTED_RECORDS:
+            fh.write(json.dumps(rec) + "\n")
+    df = spark.read.json(str(path))
+    ruleset = parse_rules_ini(NESTED_CONFIG)
+    rows = validate(df, ruleset, ["line_no"]).collect()
+    return {(r.line_no, r.field_path): (r.valid, r.details) for r in rows}
+
+
+def test_depth2_expansion(nested_results):
+    res = nested_results
+    assert res[(1, "zones{0}.sensors{0}.reading")] == (True, "")
+    valid, details = res[(1, "zones{0}.sensors{1}.reading")]
+    assert not valid and "greater than upper limit" in details
+    assert res[(1, "zones{1}.sensors{0}.reading")] == (True, "")
+    valid, details = res[(2, "zones{0}.sensors{0}.reading")]
+    assert not valid and "less than lower limit" in details
+    valid, details = res[(2, "zones{0}.sensors{1}.reading")]
+    assert not valid
+    assert details == "Field missing: zones{0}.sensors{1}.reading"
+    assert len(res) == 5
+
+
+def test_depth2_reference_parity(nested_results):
+    """Depth-2 fixture matches the reference validator field-for-field
+    (validator.py:304-378 recurses to any depth)."""
+    import queue
+
+    from odevalidator.validator import TestCase
+
+    cfgfile = "/tmp/_nestedcfg.ini"
+    with open(cfgfile, "w") as fh:
+        fh.write(NESTED_CONFIG)
+    tc = TestCase(cfgfile)
+    q = queue.Queue()
+    for rec in NESTED_RECORDS:
+        q.put(json.dumps(rec))
+    ref = {}
+    for r in tc.validate_queue(q):
+        for fv in r.field_validations:
+            ref[(r.serial_id, fv.field_path)] = fv.valid
+
+    mine = {k: v for k, (v, _) in nested_results.items()}
+    assert ref == mine, (
+        f"only-ref={sorted(set(ref) - set(mine))} "
+        f"only-mine={sorted(set(mine) - set(ref))} "
+        f"diff={[k for k in set(ref) & set(mine) if ref[k] != mine[k]]}"
+    )
+
+
 def test_missing_list_yields_missing_verdict(spark, tmp_path):
     path = tmp_path / "r.json"
     path.write_text(json.dumps({"line_no": 1, "other": 1}) + "\n")
