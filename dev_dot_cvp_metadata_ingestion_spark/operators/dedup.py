@@ -106,6 +106,18 @@ def minhash_signatures(
     )
 
 
+def _shingle_hashes(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc_id, hs): shingle hashes as a real column — as inline
+    expressions the md5 would be recomputed once per hash function. The
+    verify step intersects the HASH arrays (long compares, not string
+    compares) — same Jaccard both engines since both intersect the same
+    hashes."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(shingles(F.col(text_col), n), base_hash).alias("hs"),
+    )
+
+
 def lsh_near_duplicates(
     docs: DataFrame,
     id_col: str,
@@ -121,24 +133,20 @@ def lsh_near_duplicates(
     shuffles only (band, minhash, doc_id) tuples; text/shingles rejoin
     by doc_id for the verify step.
 
-    The shared shingle-hash frame is persisted (it feeds the signature,
-    verify-left, and verify-right branches). The returned DataFrame
-    carries it as ``df._shared_cache`` so a long-lived session can
-    ``.unpersist()`` it after the action; ``lsh_near_duplicates_scoped``
-    wraps that lifecycle as a context manager. In a query-per-session
-    model Spark's ContextCleaner also reclaims it on GC.
+    This form is PURE — no persist, no hidden cache handles: the
+    shingle-hash lineage is re-evaluated by the signature and the two
+    verify branches. For repeated/iterative use, prefer
+    ``lsh_near_duplicates_scoped``, which persists the shared
+    shingle-hash frame for the block and unpersists it on exit.
     """
-    # materialize shingles AND base hashes as real columns: as inline
-    # expressions the md5 would be recomputed once per hash function,
-    # and the lineage re-evaluated by every consumer below. The verify
-    # step intersects the HASH arrays (long compares, not string
-    # compares) — same Jaccard both engines since both intersect the
-    # same hashes.
-    hs = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(shingles(F.col(text_col), n), base_hash).alias("hs"),
-    ).persist()
+    return _lsh_pairs_plan(
+        _shingle_hashes(docs, id_col, text_col, n), num_hashes, threshold
+    )
 
+
+def _lsh_pairs_plan(
+    hs: DataFrame, num_hashes: int, threshold: float
+) -> DataFrame:
     sigs = hs.select(
         "doc_id",
         *[
@@ -200,7 +208,6 @@ def lsh_near_duplicates(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    out._shared_cache = hs
     return out
 
 
@@ -213,16 +220,16 @@ def lsh_near_duplicates_scoped(
     n: int = 3,
     threshold: float = 0.3,
 ):
-    """Context-managed ``lsh_near_duplicates``: run your action inside
-    the block; the shared shingle-hash cache is unpersisted on exit —
-    the hygienic form for long-lived sessions."""
-    df = lsh_near_duplicates(
-        docs, id_col, text_col, num_hashes=num_hashes, n=n, threshold=threshold
-    )
+    """Caching ``lsh_near_duplicates``: the shared shingle-hash frame
+    (consumed by the signature and both verify branches) is persisted
+    for the block and unpersisted on exit — the explicit cache
+    lifecycle, with no handle smuggled on the returned DataFrame. Run
+    your actions inside the block."""
+    hs = _shingle_hashes(docs, id_col, text_col, n).persist()
     try:
-        yield df
+        yield _lsh_pairs_plan(hs, num_hashes, threshold)
     finally:
-        df._shared_cache.unpersist()
+        hs.unpersist()
 
 
 def simhash16(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -63,13 +63,19 @@ def salted_join(
     the common case automatically; this is the explicit form for when
     the skew is known and extreme (SURVEY §4).
     """
-    # The salt must NOT be a function of the join key — crc32(key) %
-    # n_salts would give every row of a hot key the same salt, landing
-    # them all on one reducer again. Round-robin on the per-partition
-    # monotonic id spreads a hot key's rows uniformly across all salts.
+    # The salt must NOT be a function of the join key alone — crc32(key)
+    # % n_salts would give every row of a hot key the same salt, landing
+    # them all on one reducer again. It must also be DETERMINISTIC per
+    # row: monotonically_increasing_id changes across task retries, so a
+    # recomputed shuffle-map stage could re-salt rows differently and
+    # drop/duplicate join rows (SPARK-23207). Hashing ALL columns spreads
+    # a hot key's rows (which differ in their non-key columns) across
+    # salts and replays identically on retry.
     salted_big = big.withColumn(
         "_salt",
-        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"),
+        F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts)).cast(
+            "int"
+        ),
     )
     salts = F.explode(
         F.sequence(F.lit(0), F.lit(n_salts - 1))

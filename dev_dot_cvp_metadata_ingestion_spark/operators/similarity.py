@@ -36,14 +36,26 @@ def topk_ranked(
     ``row_number()`` over a partition-less Window, which funnels every
     candidate row through a single task (the round-1 scale flaw).
     The rank is then derived over just the k survivors by folding them
-    into one sorted array (constant cost, no WindowExec anywhere).
-    All input columns are preserved; a ``rank`` int column is appended.
+    into one sorted array — constant cost for small k (the collect_list
+    funnels exactly k rows into one task; guarded below), no WindowExec
+    anywhere. All input columns are preserved; a ``rank`` int column is
+    appended.
+
+    NaN (zero-vector cosine) and NULL scores are both normalized to
+    -inf so the limit's ordering and the rank derivation use the SAME
+    comparator (Spark's desc sort and sort_array disagree on NaN/NULL
+    placement otherwise): such rows rank last, never above a real
+    score.
     """
+    assert k <= 10_000, "topk_ranked folds k rows into one task; k must be small"
     cols = scored.columns
-    top = scored.orderBy(F.col(cos_col).desc(), F.col(id_col)).limit(k)
+    ord_col = F.coalesce(
+        F.nanvl(F.col(cos_col), F.lit(float("-inf"))), F.lit(float("-inf"))
+    )
+    top = scored.orderBy(ord_col.desc(), F.col(id_col)).limit(k)
     packed = top.select(
         F.struct(
-            (-F.col(cos_col)).alias("_neg"),
+            (-ord_col).alias("_neg"),
             F.col(id_col).alias("_tie"),
             F.struct(*[F.col(c) for c in cols]).alias("_row"),
         ).alias("key")
