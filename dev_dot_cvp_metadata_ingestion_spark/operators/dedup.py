@@ -133,15 +133,20 @@ def lsh_near_duplicates(
     shuffles only (band, minhash, doc_id) tuples; text/shingles rejoin
     by doc_id for the verify step.
 
-    This form is PURE — no persist, no hidden cache handles: the
-    shingle-hash lineage is re-evaluated by the signature and the two
-    verify branches. For repeated/iterative use, prefer
-    ``lsh_near_duplicates_scoped``, which persists the shared
-    shingle-hash frame for the block and unpersists it on exit.
+    This form is PURE — no persist, no hidden cache handles. The
+    shingle-hash frame (tokenize → shingle → md5, the most expensive
+    projection here) is consumed by three branches (signature + both
+    verify sides); pinning it behind a repartition-by-doc_id exchange
+    makes all three branches identical exchange subtrees, so Spark's
+    ReuseExchange computes the lineage ONCE and the other consumers
+    read the shuffle files. Costs one shuffle of (doc_id, hash-array)
+    — far cheaper than re-evaluating the md5 lineage 3×, and the
+    verify joins reuse the doc_id partitioning. For iterative use
+    across several calls, ``lsh_near_duplicates_scoped`` persists the
+    frame instead.
     """
-    return _lsh_pairs_plan(
-        _shingle_hashes(docs, id_col, text_col, n), num_hashes, threshold
-    )
+    hs = _shingle_hashes(docs, id_col, text_col, n).repartition(F.col("doc_id"))
+    return _lsh_pairs_plan(hs, num_hashes, threshold)
 
 
 def _lsh_pairs_plan(
