@@ -15,6 +15,19 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DataType, MapType, StructType
+
+
+def _hash_safe(dt: DataType) -> bool:
+    """True when ``F.hash`` accepts the type — MapType (at any nesting
+    depth) is the one unhashable family."""
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _hash_safe(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_hash_safe(f.dataType) for f in dt.fields)
+    return True
 
 
 def asof_join(
@@ -68,14 +81,26 @@ def salted_join(
     # them all on one reducer again. It must also be DETERMINISTIC per
     # row: monotonically_increasing_id changes across task retries, so a
     # recomputed shuffle-map stage could re-salt rows differently and
-    # drop/duplicate join rows (SPARK-23207). Hashing ALL columns spreads
-    # a hot key's rows (which differ in their non-key columns) across
-    # salts and replays identically on retry.
+    # drop/duplicate join rows (SPARK-23207). Hashing the hashable
+    # columns spreads a hot key's rows (which differ in their non-key
+    # columns) across salts and replays identically on retry. MapType
+    # columns are excluded (F.hash rejects maps — analysis error).
+    # Limitation: rows that are fully duplicate across the hashed
+    # columns share a salt, so a hot key made of identical rows still
+    # lands on one reducer; there is no deterministic per-row
+    # discriminator that survives retry for such rows.
+    hashable = [
+        F.col(c)
+        for c, f in zip(big.columns, big.schema.fields)
+        if _hash_safe(f.dataType)
+    ]
+    if not hashable:
+        raise ValueError(
+            f"salted_join: no hashable columns in big side {big.columns}"
+        )
     salted_big = big.withColumn(
         "_salt",
-        F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts)).cast(
-            "int"
-        ),
+        F.pmod(F.hash(*hashable), F.lit(n_salts)).cast("int"),
     )
     salts = F.explode(
         F.sequence(F.lit(0), F.lit(n_salts - 1))

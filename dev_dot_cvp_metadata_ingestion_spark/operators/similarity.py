@@ -47,7 +47,12 @@ def topk_ranked(
     placement otherwise): such rows rank last, never above a real
     score.
     """
-    assert k <= 10_000, "topk_ranked folds k rows into one task; k must be small"
+    if k > 10_000:
+        # a bare assert would vanish under ``python -O``, silently
+        # removing the single-task funnel protection
+        raise ValueError(
+            "topk_ranked folds k rows into one task; k must be <= 10000"
+        )
     cols = scored.columns
     ord_col = F.coalesce(
         F.nanvl(F.col(cos_col), F.lit(float("-inf"))), F.lit(float("-inf"))

@@ -503,76 +503,139 @@ def validation_summary(
 # ------------------------------------------------------- list rules
 
 
+def _split_list_path(path: str) -> tuple[list[str], str]:
+    """``a.list.b.list.c`` → (["a", "b"], "c"): dotted level paths
+    between exact ``list`` segments, plus the scalar tail. ONLY a whole
+    segment equal to ``list`` is a marker (validator.py:320
+    ``keys[0] == 'list'``) — ``a.list2.b`` has none and is navigated as
+    an ordinary path, even though the classifier (substring
+    ``.list``, validator.py:290) routed it here."""
+    parts: list[list[str]] = [[]]
+    for seg in path.split("."):
+        if seg == "list":
+            parts.append([])
+        else:
+            parts[-1].append(seg)
+    return [".".join(p) for p in parts[:-1]], ".".join(parts[-1])
+
+
+def _expanded_path_fmt(levels: list[str], tail: str, markers: list[str]) -> str:
+    """Render the expanded-path template: levels ["a","b"], tail "c",
+    markers ["%s","0"] → ``a{%s}.b{0}.c``. Empty level paths (directly
+    nested arrays, ``a.list.list.c``) contribute just their marker."""
+    out = [levels[0]]
+    rest = levels[1:] + [tail]
+    for marker, seg in zip(markers, rest):
+        out.append("{" + marker + "}")
+        if seg:
+            out.append("." + seg)
+    return "".join(out)
+
+
 def _validate_list_rules(
     df: DataFrame, ruleset: RuleSet, id_cols: list[str]
 ) -> DataFrame | None:
     """P13: ``a.list.b`` rules expand per actual array element, one
-    posexplode per ``.list`` level — the Spark generator form of the
-    reference's recursive expander (validator.py:304-378), supporting
-    arbitrary nesting depth (``a.list.b.list.c`` → ``a{i}.b{j}.c``).
+    posexplode per exact ``list`` segment — the Spark generator form of
+    the reference's recursive expander (validator.py:304-378),
+    supporting arbitrary nesting depth (``a.list.b.list.c`` →
+    ``a{i}.b{j}.c``).
 
-    Missing/non-list data yields one verdict with ``{0}`` at that level
-    (statically when the schema lacks the array, dynamically via
-    posexplode_outer's NULL row when a record's array is NULL) so
-    absence can invalidate — the reference's "add 1 entry to allow
-    invalidation later" branch (validator.py:327-332)."""
+    The expanded element rule carries the FULL config section —
+    conditions included — exactly as the reference's
+    ``Field(path, self.config[path_init], self)`` does
+    (validator.py:316); condition references (ifPart fieldName,
+    startsWithField) resolve from the record ROOT, so all original
+    columns ride through the explodes.
+
+    Missing/non-list data yields a "Field missing" verdict per element
+    that DOES exist (real indices for exploded levels, ``{0}`` for the
+    levels absent from the schema; dynamically via posexplode_outer's
+    NULL row when a record's array is NULL) so absence can invalidate —
+    the reference's "add 1 entry to allow invalidation later" branch
+    (validator.py:327-332)."""
     if not ruleset.list_rules:
         return None
     outs = []
     for rule in ruleset.list_rules:
-        # "a.list.b.list.c" → ["a", ".b", ".c"]: level paths between
-        # .list markers; the last section is the scalar tail
-        secs = rule.path.split(".list")
-        levels = [secs[0]] + [s.lstrip(".") for s in secs[1:-1]]
-        tail = secs[-1].lstrip(".")
+        levels, tail = _split_list_path(rule.path)
+        if not levels:
+            # no exact 'list' segment: an ordinary scalar rule that the
+            # substring classifier mis-binned; validate at the literal
+            # path like the reference's no-marker walk (field_list_temp
+            # ends up with the unexpanded path)
+            details = rule_details(rule, df.schema)
+            outs.append(
+                df.select(
+                    *id_cols,
+                    F.lit(rule.path).alias("field_path"),
+                    details.isNull().alias("valid"),
+                    F.coalesce(details, F.lit("")).alias("details"),
+                )
+            )
+            continue
         if not tail:
             # list at end of config field: the reference warns and emits
             # nothing (validator.py:340-342)
             continue
+        if not levels[0]:
+            # 'list.x' would make the record root an array — not
+            # expressible for struct records; nothing to emit
+            continue
 
         # walk the levels, posexploding each array; stop early if the
-        # schema lacks an array at some level (static missing)
+        # schema lacks an array at some level (static missing). All
+        # source columns are kept so condition references still resolve.
         cur = df
         parent: str | None = None
         pos_cols: list[str] = []
         static_missing_at: int | None = None
         for i, lvl in enumerate(levels):
-            base = lvl if parent is None else f"{parent}.{lvl}"
+            if parent is None:
+                base = lvl
+            else:
+                base = f"{parent}.{lvl}" if lvl else parent
             if not isinstance(schema_type(cur.schema, base), ArrayType):
                 static_missing_at = i
                 break
             arr = field_col(cur.schema, base)
             cur = cur.select(
-                *id_cols,
-                *pos_cols,
-                F.posexplode_outer(arr).alias(f"pos{i}", f"elem{i}"),
+                "*",
+                F.posexplode_outer(arr).alias(f"__pos{i}", f"__elem{i}"),
             )
-            parent = f"elem{i}"
-            pos_cols.append(f"pos{i}")
+            parent = f"__elem{i}"
+            pos_cols.append(f"__pos{i}")
+
+        pos_exprs = [
+            F.coalesce(F.col(p), F.lit(0)).cast("string") for p in pos_cols
+        ]
 
         if static_missing_at is not None:
-            # non-list / missing in schema → one "Field missing" verdict
-            # with {0} at every remaining list level
-            path0 = secs[0] + "".join("{0}" + s for s in secs[1:])
+            # schema lacks the array at level i → "Field missing" per
+            # element of the levels that DO exist, with their real
+            # indices; {0} only for the truly absent levels
+            markers = ["%s"] * len(pos_cols) + ["0"] * (
+                len(levels) - len(pos_cols)
+            )
+            fmt = _expanded_path_fmt(levels, tail, markers)
+            path_expr = (
+                F.format_string(fmt, *pos_exprs) if pos_cols else F.lit(fmt)
+            )
             outs.append(
-                df.select(
+                cur.select(
                     *id_cols,
-                    F.lit(path0).alias("field_path"),
+                    path_expr.alias("field_path"),
                     F.lit(False).alias("valid"),
-                    F.lit(f"Field missing: {path0}").alias("details"),
+                    F.concat(F.lit("Field missing: "), path_expr).alias(
+                        "details"
+                    ),
                 )
             )
             continue
 
         # per-row expanded path: "a{i}.b{j}.c" (validator.py:314)
-        fmt = secs[0] + "".join("{%s}" + s for s in secs[1:])
-        path_expr = F.format_string(
-            fmt,
-            *[
-                F.coalesce(F.col(p), F.lit(0)).cast("string")
-                for p in pos_cols
-            ],
-        )
+        fmt = _expanded_path_fmt(levels, tail, ["%s"] * len(levels))
+        path_expr = F.format_string(fmt, *pos_exprs)
         elem_rule = Rule(
             path=f"{parent}.{tail}",
             type=rule.type,
@@ -580,11 +643,14 @@ def _validate_list_rules(
             lower_limit=rule.lower_limit,
             values=rule.values,
             choices=rule.choices,
-            conditions=None,  # conditional list rules unsupported upstream
+            # the reference hands the expanded Field the whole config
+            # section, conditions included (validator.py:316)
+            conditions=rule.conditions,
             earliest_time=rule.earliest_time,
             latest_time=rule.latest_time,
             date_format=rule.date_format,
             allow_empty=rule.allow_empty,
+            noop=rule.noop,
         )
         details = rule_details(elem_rule, cur.schema, path_label=path_expr)
         outs.append(

@@ -19,10 +19,12 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import StructType
+
 from ..operators.metadata import file_metadata, file_metrics
 from ..operators.sequential import SequentialSpec, sequential_results
 from ..operators.validation import skip_flag_exprs, validate
-from ..sources.files import records_from_dir
+from ..sources.files import file_lines
 from ..sources.rules import RuleSet
 
 N_SEQ_ID = "metadata.serialId"
@@ -41,10 +43,38 @@ def run_cv_pipeline(
     spark: SparkSession,
     input_dir: str,
     ruleset: RuleSet,
+    schema: StructType | None = None,
 ) -> PipelineResult:
-    """Batch pipeline over a directory of NDJSON CV files."""
-    records = records_from_dir(spark, input_dir).withColumn(
-        "record_uid", F.monotonically_increasing_id()
+    """Batch pipeline over a directory of NDJSON CV files.
+
+    ``record_uid`` is the file's 1-based non-blank line number — the
+    reference's own serial fallback (validator.py:398-400). It is
+    DETERMINISTIC under stage retry (derived structurally from the
+    line position, never from monotonically_increasing_id, whose
+    values change when a shuffle-map stage is recomputed —
+    SPARK-23207 class), and unique within a file; every aggregate
+    over it also groups by ``file_path``.
+
+    ``schema`` is the record schema; when omitted it is inferred with
+    one ``spark.read.json`` pass (same cost the previous inferred-read
+    paid).
+    """
+    if schema is None:
+        schema = (
+            spark.read.option("recursiveFileLookup", "true")
+            .json(input_dir)
+            .schema
+        )
+    records = (
+        file_lines(spark, input_dir)
+        .select(
+            "file_path",
+            "file_size",
+            "file_mtime",
+            F.col("line_no").alias("record_uid"),
+            F.from_json("line", schema, {"mode": "PERMISSIVE"}).alias("_rec"),
+        )
+        .select("file_path", "file_size", "file_mtime", "record_uid", "_rec.*")
     )
     schema = records.schema
 

@@ -58,9 +58,12 @@ class Rule:
 
     @property
     def is_list(self) -> bool:
-        return ".list" in self.path.split("}")[0] or any(
-            seg == "list" for seg in self.path.split(".")
-        )
+        # substring classification, matching the reference's
+        # ``key.count('.list')`` routing (validator.py:290, 307); the
+        # EXPANDER then only treats whole segments equal to ``list`` as
+        # markers, so a mis-binned ``a.list2.b`` still validates as an
+        # ordinary path
+        return ".list" in self.path
 
 
 @dataclass

@@ -32,6 +32,7 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
 from ..operators.validation import validate
+from ..sources.files import _LINE_SPLIT
 from ..sources.rules import RuleSet
 
 
@@ -48,22 +49,36 @@ def stream_cv_pipeline(
 ) -> StreamingQuery:
     """Stream NDJSON CV files through the validation pipeline;
     ``sink(batch_results_df, batch_id)`` receives the long-format
-    validation results of each micro-batch."""
+    validation results of each micro-batch.
+
+    ``record_uid`` is the 1-based non-blank line number within the
+    file — same as the batch pipeline (and the reference's serial
+    fallback, validator.py:398-400): derived structurally from a
+    wholetext read + posexplode, so a replayed micro-batch reproduces
+    identical uids (monotonically_increasing_id would not —
+    SPARK-23207 class)."""
     stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("recursiveFileLookup", "true")
-        .json(input_dir)
-        .select(F.col("_metadata.file_path").alias("file_path"), "*")
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(input_dir, wholetext=True, recursiveFileLookup=True)
+        .select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.posexplode(
+                F.filter(
+                    F.split(F.col("value"), _LINE_SPLIT),
+                    lambda x: F.trim(x) != "",
+                )
+            ).alias("pos", "line"),
+        )
+        .select(
+            "file_path",
+            (F.col("pos") + 1).alias("record_uid"),
+            F.from_json("line", schema, {"mode": "PERMISSIVE"}).alias("_rec"),
+        )
+        .select("file_path", "record_uid", "_rec.*")
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        # record_uid is assigned per micro-batch (monotonically_increasing_id
-        # is not available on streaming frames)
-        with_uid = batch_df.withColumn(
-            "record_uid", F.monotonically_increasing_id()
-        )
-        results = validate(with_uid, ruleset, ["file_path", "record_uid"])
+        results = validate(batch_df, ruleset, ["file_path", "record_uid"])
         sink(results, batch_id)
 
     writer = (

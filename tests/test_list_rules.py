@@ -181,3 +181,135 @@ def test_missing_list_yields_missing_verdict(spark, tmp_path):
     by_path = {r.field_path: r for r in rows}
     assert not by_path["rsus{0}.rsuTarget"].valid
     assert by_path["rsus{0}.rsuTarget"].details.startswith("Field missing")
+
+
+CONDITIONAL_LIST_CONFIG = """
+[_settings]
+DataType = json
+Sequential = False
+
+[rsus.list.rsuTarget]
+Type = string
+EqualsValue = {"conditions": [{"ifPart": {"fieldName": "source", "fieldValues": ["EV"]}, "thenPart": {"matchAgainst": ["10.0.0.1", "10.0.0.2"]}}]}
+"""
+
+CONDITIONAL_RECORDS = [
+    # condition met, both targets allowed
+    {"line_no": 1, "source": "EV", "rsus": [
+        {"rsuTarget": "10.0.0.1"}, {"rsuTarget": "10.0.0.2"},
+    ]},
+    # condition met, second target NOT in matchAgainst
+    {"line_no": 2, "source": "EV", "rsus": [
+        {"rsuTarget": "10.0.0.1"}, {"rsuTarget": "10.9.9.9"},
+    ]},
+    # condition not met → unconditional check (presence) only
+    {"line_no": 3, "source": "RSU", "rsus": [
+        {"rsuTarget": "10.9.9.9"},
+    ]},
+]
+
+
+@pytest.fixture(scope="module")
+def conditional_results(spark, tmp_path_factory):
+    path = tmp_path_factory.mktemp("condlist") / "r.json"
+    with open(path, "w") as fh:
+        for rec in CONDITIONAL_RECORDS:
+            fh.write(json.dumps(rec) + "\n")
+    df = spark.read.json(str(path))
+    ruleset = parse_rules_ini(CONDITIONAL_LIST_CONFIG)
+    rows = validate(df, ruleset, ["line_no"]).collect()
+    return {(r.line_no, r.field_path): (r.valid, r.details) for r in rows}
+
+
+def test_conditional_list_rule(conditional_results):
+    """Expanded list Fields carry the full config section — conditions
+    included (validator.py:316) — so EqualsValue applies per element."""
+    res = conditional_results
+    assert res[(1, "rsus{0}.rsuTarget")] == (True, "")
+    assert res[(1, "rsus{1}.rsuTarget")] == (True, "")
+    assert res[(2, "rsus{0}.rsuTarget")] == (True, "")
+    valid, details = res[(2, "rsus{1}.rsuTarget")]
+    assert not valid and "not one of the expected values" in details
+    # condition not met → falls back to unconditional presence check
+    assert res[(3, "rsus{0}.rsuTarget")] == (True, "")
+
+
+def test_conditional_list_reference_parity(conditional_results):
+    import queue
+
+    from odevalidator.validator import TestCase
+
+    cfgfile = "/tmp/_condlistcfg.ini"
+    with open(cfgfile, "w") as fh:
+        fh.write(CONDITIONAL_LIST_CONFIG)
+    tc = TestCase(cfgfile)
+    q = queue.Queue()
+    for rec in CONDITIONAL_RECORDS:
+        q.put(json.dumps(rec))
+    ref = {}
+    for r in tc.validate_queue(q):
+        for fv in r.field_validations:
+            ref[(r.serial_id, fv.field_path)] = fv.valid
+
+    mine = {k: v for k, (v, _) in conditional_results.items()}
+    assert ref == mine, (
+        f"only-ref={sorted(set(ref) - set(mine))} "
+        f"only-mine={sorted(set(mine) - set(ref))} "
+        f"diff={[k for k in set(ref) & set(mine) if ref[k] != mine[k]]}"
+    )
+
+
+def test_list2_segment_is_not_a_marker(spark, tmp_path):
+    """'a.list2.b' is CLASSIFIED as a list rule (substring '.list',
+    validator.py:290) but contains no exact 'list' segment — the
+    reference navigates 'list2' as an ordinary key, so the rule
+    validates the literal path."""
+    cfg = """
+[_settings]
+DataType = json
+Sequential = False
+
+[data.list2.code]
+Type = decimal
+LowerLimit = 0
+UpperLimit = 5
+"""
+    path = tmp_path / "r.json"
+    with open(path, "w") as fh:
+        fh.write(json.dumps({"line_no": 1, "data": {"list2": {"code": 3}}}) + "\n")
+        fh.write(json.dumps({"line_no": 2, "data": {"list2": {"code": 9}}}) + "\n")
+        fh.write(json.dumps({"line_no": 3, "data": {}}) + "\n")
+    df = spark.read.json(str(path))
+    ruleset = parse_rules_ini(cfg)
+    assert len(ruleset.list_rules) == 1  # classifier parity: mis-binned
+    rows = validate(df, ruleset, ["line_no"]).collect()
+    res = {(r.line_no, r.field_path): (r.valid, r.details) for r in rows}
+    assert res[(1, "data.list2.code")] == (True, "")
+    valid, details = res[(2, "data.list2.code")]
+    assert not valid and "greater than upper limit" in details
+    valid, details = res[(3, "data.list2.code")]
+    assert not valid and details == "Field missing: data.list2.code"
+
+
+def test_static_missing_inner_emits_per_outer_element(spark, tmp_path):
+    """When the outer array exists in the schema but the inner one
+    doesn't, the missing verdict is emitted once per actual outer
+    element with real indices (the reference iterates the data,
+    validator.py:337-346) — not a single all-{0} row."""
+    path = tmp_path / "r.json"
+    with open(path, "w") as fh:
+        fh.write(json.dumps({"line_no": 1, "zones": [{"a": 1}, {"a": 2}, {"a": 3}]}) + "\n")
+        fh.write(json.dumps({"line_no": 2, "zones": [{"a": 1}]}) + "\n")
+    df = spark.read.json(str(path))
+    ruleset = parse_rules_ini(NESTED_CONFIG)  # zones.list.sensors.list.reading
+    rows = validate(df, ruleset, ["line_no"]).collect()
+    res = {(r.line_no, r.field_path): r.details for r in rows}
+    assert set(res) == {
+        (1, "zones{0}.sensors{0}.reading"),
+        (1, "zones{1}.sensors{0}.reading"),
+        (1, "zones{2}.sensors{0}.reading"),
+        (2, "zones{0}.sensors{0}.reading"),
+    }
+    assert res[(1, "zones{1}.sensors{0}.reading")] == (
+        "Field missing: zones{1}.sensors{0}.reading"
+    )
