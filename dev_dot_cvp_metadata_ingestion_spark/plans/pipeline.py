@@ -24,7 +24,7 @@ from pyspark.sql.types import StructType
 from ..operators.metadata import file_metadata, file_metrics
 from ..operators.sequential import SequentialSpec, sequential_results
 from ..operators.validation import skip_flag_exprs, validate
-from ..sources.files import file_lines
+from ..sources.files import file_lines, file_lines_chunked
 from ..sources.rules import RuleSet
 
 N_SEQ_ID = "metadata.serialId"
@@ -44,6 +44,8 @@ def run_cv_pipeline(
     input_dir: str,
     ruleset: RuleSet,
     schema: StructType | None = None,
+    *,
+    chunked: bool = False,
 ) -> PipelineResult:
     """Batch pipeline over a directory of NDJSON CV files.
 
@@ -58,6 +60,11 @@ def run_cv_pipeline(
     ``schema`` is the record schema; when omitted it is inferred with
     one ``spark.read.json`` pass (same cost the previous inferred-read
     paid).
+
+    ``chunked=True`` reads via :func:`file_lines_chunked`, bounding
+    executor memory by the block-split size instead of the largest
+    single object — the setting for corpora with multi-GB objects;
+    output is identical.
     """
     if schema is None:
         schema = (
@@ -65,8 +72,9 @@ def run_cv_pipeline(
             .json(input_dir)
             .schema
         )
+    reader = file_lines_chunked if chunked else file_lines
     records = (
-        file_lines(spark, input_dir)
+        reader(spark, input_dir)
         .select(
             "file_path",
             "file_size",

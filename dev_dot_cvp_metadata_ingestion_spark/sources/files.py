@@ -52,8 +52,9 @@ def file_lines(
     split-file partitions with monotonically_increasing_id, where
     bin-packing can reorder a large file's splits. No shuffle at all;
     the memory bound is the largest single file — the same bound the
-    sequential validator (and the reference's per-object Lambda model)
-    already assumes.
+    reference's per-object Lambda model assumes. For unbounded object
+    sizes use :func:`file_lines_chunked`, which reads split blocks in
+    parallel and bounds memory by the block size instead.
     """
     # NOTE: wholetext must be passed as the .text() kwarg — in pyspark 4
     # a prior .option("wholetext", ...) is not picked up by .text()
@@ -76,6 +77,109 @@ def file_lines(
             "file_size",
             "file_mtime",
             (F.col("pos") + 1).alias("line_no"),
+            "line",
+        )
+    )
+
+
+def file_lines_chunked(
+    spark: SparkSession,
+    path: str,
+    *,
+    recursive: bool = True,
+) -> DataFrame:
+    """Chunk-safe S3+S4: same output as :func:`file_lines` — one row
+    per non-blank line with 1-based per-file ``line_no`` — WITHOUT
+    ``wholetext``. Files larger than ``spark.sql.files.
+    maxPartitionBytes`` read as multiple parallel block splits, so
+    executor memory is bounded by the BLOCK size, not the largest
+    object; this is the path that survives unbounded object sizes at
+    100 TB (the wholetext form's bound is the largest single file).
+
+    Per-file line numbers are recovered from the block structure with
+    no shuffle of the text itself:
+
+    1. a JVM-only scan counts non-blank lines per (file, block) — a
+       map-side-combined aggregate whose output is one tiny row per
+       ~128 MB block (~1 row per block: 100 TB ≈ 800k rows);
+    2. a window over those counts (partitioned by file, ordered by
+       ``_metadata.file_block_start``) gives each block its cumulative
+       line offset;
+    3. an Arrow-batched ``mapInPandas`` pass assigns within-block
+       positions with a running counter — genuinely imperative (row
+       order within a split is not expressible as a Column), and the
+       ONLY Python in the path;
+    4. the offsets broadcast-join back on (file, block) and
+       ``line_no = offset + within_block_pos``.
+
+    Blocks are well-defined split units: Hadoop's line reader skips
+    the first partial line of a non-initial block and reads past the
+    block end to finish its last line, so every line belongs to
+    exactly one block and both scans see identical assignment. Gzip
+    objects are unsplittable (one block) but stream-decompress line
+    by line — still never a whole-object row.
+    """
+    from pyspark.sql.functions import broadcast
+
+    raw = (
+        spark.read.option("recursiveFileLookup", str(recursive).lower())
+        .text(path)
+        .select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.file_size").alias("file_size"),
+            F.col("_metadata.file_modification_time").alias("file_mtime"),
+            F.col("_metadata.file_block_start").alias("block_start"),
+            F.col("value").alias("line"),
+        )
+        .filter(F.trim(F.col("line")) != "")
+    )
+
+    counts = raw.groupBy("file_path", "block_start").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    from pyspark.sql import Window as W
+
+    prior = (
+        W.partitionBy("file_path")
+        .orderBy("block_start")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "file_path",
+        "block_start",
+        F.coalesce(F.sum("n_lines").over(prior), F.lit(0)).alias("base"),
+    )
+
+    pos_schema = (
+        "file_path string, file_size long, file_mtime timestamp, "
+        "block_start long, pos long, line string"
+    )
+
+    def _with_positions(batches):
+        # running non-blank-line counter per (file, block); a block is
+        # read by exactly one task and batches arrive in read order, so
+        # per-generator state is correct and retry-deterministic
+        counters: dict[tuple, int] = {}
+        for pdf in batches:
+            pos = []
+            for fp, bs in zip(pdf["file_path"], pdf["block_start"]):
+                key = (fp, bs)
+                counters[key] = counters.get(key, 0) + 1
+                pos.append(counters[key])
+            pdf = pdf.assign(pos=pos)
+            yield pdf[
+                ["file_path", "file_size", "file_mtime", "block_start",
+                 "pos", "line"]
+            ]
+
+    with_pos = raw.mapInPandas(_with_positions, pos_schema)
+    return (
+        with_pos.join(broadcast(offsets), ["file_path", "block_start"])
+        .select(
+            "file_path",
+            "file_size",
+            "file_mtime",
+            (F.col("base") + F.col("pos")).alias("line_no"),
             "line",
         )
     )

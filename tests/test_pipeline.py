@@ -199,3 +199,19 @@ def test_message_metrics_shapes(spark):
     assert first.namespace == "dot-sdc-cv-submissions-bucket-metric"
     assert first.unit == "Count"
     assert len(rows) == 8
+
+
+def test_batch_pipeline_chunked_matches(spark, ndjson_dir):
+    """chunked=True (block-split reader) produces identical validation
+    results and tallies to the wholetext default."""
+    ruleset = parse_rules_ini(open(CONFIG).read())
+    base = run_cv_pipeline(spark, ndjson_dir, ruleset)
+    chunk = run_cv_pipeline(spark, ndjson_dir, ruleset, chunked=True)
+    key = lambda r: (r.file_path, r.record_uid, r.field_path)  # noqa: E731
+    assert sorted(map(key, base.validation.collect())) == sorted(
+        map(key, chunk.validation.collect())
+    )
+    t = lambda rows: {  # noqa: E731
+        r.file_path: (r.num_messages_total, r.num_errors) for r in rows
+    }
+    assert t(base.tallies.collect()) == t(chunk.tallies.collect())

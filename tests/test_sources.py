@@ -105,3 +105,48 @@ def test_header_audit(spark, tmp_path):
     assert rows[("bad.csv", 0)] == ("device", "deviceid")
     assert rows[("bad.csv", 2)] == ("wrong", "local")
     assert len(rows) == 2
+
+
+def test_file_lines_chunked_matches_wholetext(spark, tmp_path):
+    """A file larger than maxPartitionBytes splits into multiple block
+    partitions; the chunked reader must still produce exactly the
+    wholetext reader's (line_no, line) pairs."""
+    from dev_dot_cvp_metadata_ingestion_spark.sources.files import (
+        file_lines_chunked,
+    )
+
+    d = tmp_path / "big"
+    d.mkdir()
+    with open(d / "big.ndjson", "w") as fh:
+        for i in range(50_000):
+            fh.write(json.dumps({"i": i, "pad": "x" * 40}) + "\n")
+            if i % 977 == 0:
+                fh.write("\n")  # blank lines must not consume numbers
+    with open(d / "small.ndjson", "w") as fh:
+        for i in range(5):
+            fh.write(json.dumps({"i": i}) + "\n")
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 * 1024))
+    try:
+        chunked = file_lines_chunked(spark, str(d))
+        # precondition: the big file really is read as >1 block
+        n_blocks = (
+            chunked.sparkSession.read.text(str(d))
+            .select(F.col("_metadata.file_block_start").alias("bs"),
+                    F.col("_metadata.file_path").alias("fp"))
+            .where(F.col("fp").endswith("big.ndjson"))
+            .select("bs").distinct().count()
+        )
+        assert n_blocks > 1
+        got = {
+            (r.file_path.rsplit("/", 1)[-1], r.line_no): r.line
+            for r in chunked.collect()
+        }
+        want = {
+            (r.file_path.rsplit("/", 1)[-1], r.line_no): r.line
+            for r in file_lines(spark, str(d)).collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
