@@ -50,17 +50,24 @@ def main() -> None:
     # Python workers (Arrow/pandas import + fork) by running EVERY
     # headline query once at the smoke scale, so no measured query pays
     # first-run compilation/classloading costs
+    t_warm = time.perf_counter()
     for name in HEADLINE:
         qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
+    warmup_sec = round(time.perf_counter() - t_warm, 3)
 
+    # two timed runs per query, min reported: single runs at sf0.1 vary
+    # ±30% with JIT/GC state, which drowns real round-over-round deltas
+    N_RUNS = 2
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(N_RUNS):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -71,6 +78,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # methodology marker: all headline queries pre-run once
+                # at sf0.001 before timing, so round-over-round deltas
+                # stay apples-to-apples; warmup_sec is the cold-start
+                # cost that the measured numbers exclude
+                "warmup": "full",
+                "warmup_sec": warmup_sec,
+                "runs": N_RUNS,
+                "agg": "min",
             }
         )
     )

@@ -267,6 +267,56 @@ def cv_validation_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The NOW token: ``LatestTime = NOW`` freezes the wall clock ONCE at
+# rule-parse time — un-truncated, unlike explicit timestamps
+# (validator.py:69-70 vs 64,73) — not per record and not per file. The
+# pinned ``now`` makes the frozen instant explicit and the +1-minute
+# slack (validator.py:226) lands on NOW's microseconds.
+NOW_RULES_INI = """
+[_settings]
+DataType = json
+Sequential = False
+
+[ts]
+Type = timestamp
+EarliestTime = 2024-01-03T00:00:00+00:00
+LatestTime = NOW
+"""
+
+
+@register(
+    "cv_now_token_validation",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL})
+    SELECT file, event_id, 'ts' AS field_path,
+           details IS NULL AS valid, coalesce(details, '') AS details
+    FROM (
+      SELECT file, event_id,
+        CASE WHEN ts IS NULL THEN 'Field missing: ts'
+             WHEN ts < TIMESTAMP '2024-01-03 00:00:00' THEN
+               printf('Timestamp value ''%s'' occurs before earliest limit ''%s''',
+                      {_PYTS.format(c='ts')}, '2024-01-03 00:00:00+00:00')
+             WHEN ts > TIMESTAMP '2024-01-15 12:01:00.500000' THEN
+               printf('Timestamp value ''%s'' occurs after latest limit ''%s''',
+                      {_PYTS.format(c='ts')}, '2024-01-15 12:00:00.500000+00:00')
+        END AS details FROM ev)
+    ORDER BY file, event_id
+    """,
+)
+def cv_now_token_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp rule with ``LatestTime = NOW`` frozen at parse: events
+    after the frozen instant (+1 min slack) fail with the un-truncated
+    NOW rendered in the message."""
+    from datetime import datetime, timezone
+
+    d = _events_with_file(spark, sf_dir)
+    frozen = datetime(2024, 1, 15, 12, 0, 0, 500000, tzinfo=timezone.utc)
+    ruleset = parse_rules_ini(NOW_RULES_INI, now=frozen)
+    return validate(d, ruleset, ["file", "event_id"]).orderBy(
+        "file", "event_id"
+    )
+
+
 # P10-P13: the reference's hardest rule machinery — conditional if/then
 # chains (first-met wins), existence-style ifParts, startsWithField and
 # matchAgainst thenParts, choice rules, and .list. element expansion —

@@ -55,26 +55,39 @@ def test_validation_no_python_udf(spark):
     assert "ArrowEvalPython" not in plan
 
 
+def _global_windows(df) -> list[str]:
+    """Window nodes with an EMPTY partitionSpec in the optimized
+    logical plan — inspected on the tree itself, not a formatted
+    string (plan-format changes can't silently disable this)."""
+    found: list[str] = []
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            found.append(node.simpleString(160))
+        children = node.children().iterator()
+        while children.hasNext():
+            stack.append(children.next())
+    return found
+
+
 def test_no_global_window_anywhere(spark):
     # No registered query may plan a partition-less Window — that moves
     # every row to a single task ("WindowExec: No Partition Defined").
     # Top-k is TakeOrderedAndProject instead (per-partition top-k).
+    from pyspark.sql import Window
+
+    # positive control: the walker must flag a deliberately planted
+    # global window, or the loop below proves nothing
+    planted = spark.range(10).withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    assert _global_windows(planted), "walker failed to flag a global window"
+
     for name in sorted(QUERIES):
-        plan = plan_of(name, spark)
-        for line in plan.splitlines():
-            if "Window [" not in line:
-                continue
-            # partitioned+ordered: "Window [exprs], [partCols], [order]";
-            # partitioned, no order: "Window [exprs], [partCols]";
-            # global (the scale flaw): "Window [exprs], [orderSpec]" —
-            # 2 groups where the last one is a sort spec
-            groups = line.split("], [")
-            is_global = len(groups) == 2 and (
-                " ASC" in groups[-1] or " DESC" in groups[-1]
-            )
-            assert not is_global, (
-                f"{name}: partition-less Window: {line.strip()[:160]}"
-            )
+        df = QUERIES[name](spark, SF_SMOKE)
+        bad = _global_windows(df)
+        assert not bad, f"{name}: partition-less Window: {bad}"
 
 
 def test_ann_topk_is_take_ordered(spark):
