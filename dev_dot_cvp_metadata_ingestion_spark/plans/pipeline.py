@@ -137,6 +137,58 @@ def run_cv_pipeline(
     )
 
 
+def observe_pipeline(
+    result: PipelineResult,
+) -> tuple[PipelineResult, dict[str, "Observation"]]:
+    """S10 log sink, Spark-first: the reference logs per-file progress
+    and error counts to CloudWatch Logs as it iterates records
+    (common/logger_utility.py:6-43, validator.py:392-393). The Spark
+    replacement is the ``Observation`` API — named aggregate metrics
+    that ride the EXISTING actions (writes), costing zero extra jobs,
+    instead of separate ``count()`` jobs or driver-side loops.
+
+    Returns a result whose ``validation`` / ``records`` frames are
+    observed plus the Observation handles; after any action on those
+    frames, ``obs.get`` yields the counters. Use :func:`log_progress`
+    to render them as the reference's log lines.
+    """
+    from pyspark.sql import Observation
+
+    obs_records = Observation("cv_records")
+    obs_validation = Observation("cv_validation")
+    records = result.records.observe(
+        obs_records,
+        F.count(F.lit(1)).alias("n_records"),
+        F.approx_count_distinct("file_path").alias("n_files"),
+    )
+    validation = result.validation.observe(
+        obs_validation,
+        F.count(F.lit(1)).alias("n_validations"),
+        F.sum((~F.col("valid")).cast("long")).alias("n_errors"),
+    )
+    observed = PipelineResult(
+        records=records,
+        validation=validation,
+        sequential=result.sequential,
+        tallies=result.tallies,
+        file_counts=result.file_counts,
+    )
+    return observed, {"records": obs_records, "validation": obs_validation}
+
+
+def log_progress(observations: dict, logger=None) -> dict[str, dict]:
+    """Render observed pipeline counters as the reference's progress
+    log lines (logger_utility.py:24-43). Call AFTER an action has run
+    on the observed frames; blocks until the metrics are available."""
+    import logging
+
+    log = logger or logging.getLogger("cv_pipeline")
+    metrics = {name: dict(obs.get) for name, obs in observations.items()}
+    for name, vals in metrics.items():
+        log.info("pipeline progress %s: %s", name, vals)
+    return metrics
+
+
 def run_file_metadata_pipeline(
     files: DataFrame, environment: str = "dev"
 ) -> tuple[DataFrame, DataFrame]:

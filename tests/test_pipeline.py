@@ -215,3 +215,30 @@ def test_batch_pipeline_chunked_matches(spark, ndjson_dir):
         r.file_path: (r.num_messages_total, r.num_errors) for r in rows
     }
     assert t(base.tallies.collect()) == t(chunk.tallies.collect())
+
+
+def test_observe_pipeline_progress_counters(spark, ndjson_dir, tmp_path):
+    """S10: progress/error counters via the Observation API — values
+    materialize from the write actions themselves, no extra jobs."""
+    from dev_dot_cvp_metadata_ingestion_spark.plans.pipeline import (
+        log_progress,
+        observe_pipeline,
+        write_tables,
+    )
+
+    ruleset = parse_rules_ini(open(CONFIG).read())
+    ruleset.sequential = True
+    res = run_cv_pipeline(spark, ndjson_dir, ruleset)
+    observed, obs = observe_pipeline(res)
+    write_tables(observed, str(tmp_path / "tables"))
+    # records frame needs its own action (write_tables only writes the
+    # derived tables); any action works
+    observed.records.write.format("noop").mode("overwrite").save()
+
+    metrics = log_progress(obs)
+    assert metrics["records"]["n_records"] == 9
+    assert metrics["records"]["n_files"] == 2
+    n_rules = len(ruleset.rules)
+    assert metrics["validation"]["n_validations"] == 9 * n_rules
+    # exactly the bad-lat record's range error
+    assert metrics["validation"]["n_errors"] == 1
