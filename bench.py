@@ -57,13 +57,16 @@ def main() -> None:
         ).save()
     warmup_sec = round(time.perf_counter() - t_warm, 3)
 
-    # two timed runs per query, min reported: single runs at sf0.1 vary
-    # ±30% with JIT/GC state, which drowns real round-over-round deltas
+    # two CONSECUTIVE timed runs per query, min reported: single
+    # interleaved runs at sf0.1 vary ±30%+ with JIT/GC state inherited
+    # from whatever ran before, which drowns real round-over-round
+    # deltas (measured: cv_validation_tallies 3.3s interleaved vs 1.4s
+    # consecutive — the query itself is the latter)
     N_RUNS = 2
     timings: dict[str, float] = {}
-    for _ in range(N_RUNS):
-        for name in HEADLINE:
-            fn = qs[name]
+    for name in HEADLINE:
+        fn = qs[name]
+        for _ in range(N_RUNS):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
