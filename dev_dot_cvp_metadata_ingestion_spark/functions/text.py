@@ -40,6 +40,21 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenizer alternation (public BPE vocab convention):
+# contraction suffixes, space-prefixed letter/digit runs, punctuation
+# runs, whitespace runs. The original's trailing-space lookahead
+# (`\s+(?!\S)`) is dropped so the SAME pattern is valid in both Java
+# regex (Spark) and RE2 (DuckDB oracle), which has no lookahead.
+BPE_SPLIT_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Pre-tokenizer match count — the standard proxy for BPE token
+    cost before merges (whitespace counts undercount code/punct-heavy
+    text). Pure regexp_count: JVM-side, codegen, no UDF."""
+    return F.regexp_count(text, F.lit(BPE_SPLIT_RE))
+
+
 def punct_ratio(text: Column) -> Column:
     """Fraction of characters that are sentence punctuation."""
     n = F.length(text)

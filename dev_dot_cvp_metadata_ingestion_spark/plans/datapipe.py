@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     STOPWORDS,
+    bpe_token_count,
     content_fingerprint,
     lang_id,
     punct_ratio,
@@ -136,6 +137,42 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score(t).alias("quality"),
         rolling_hash(t).alias("rolling_hash"),
         content_fingerprint(t).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+      len({_TOKS.format(c="text")}) AS ws_tokens,
+      len(regexp_extract_all(text,
+        '''(?:[sdmt]|ll|ve|re)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'))
+        AS bpe_tokens,
+      CASE WHEN len({_TOKS.format(c="text")}) > 0 THEN
+        len(regexp_extract_all(text,
+          '''(?:[sdmt]|ll|ve|re)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'))::DOUBLE
+          / len({_TOKS.format(c="text")})
+      ELSE 0.0 END AS fertility
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and the GPT-2-style
+    pre-tokenizer match count (the BPE-cost proxy), plus their ratio
+    (fertility) — the standard signal for code/punct-heavy documents
+    that whitespace counting underestimates."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    ws = token_count(t)
+    bpe = bpe_token_count(t)
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+        F.when(ws > 0, bpe.cast("double") / ws)
+        .otherwise(F.lit(0.0))
+        .alias("fertility"),
     ).orderBy("doc_id")
 
 
