@@ -28,10 +28,21 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="run as a file-source stream (availableNow) instead of batch",
     )
+    p.add_argument(
+        "--chunked",
+        action="store_true",
+        help="block-split reads: bound executor memory by maxPartitionBytes "
+        "instead of the largest single object (multi-GB-object corpora)",
+    )
     p.add_argument("--cores", type=int, default=None)
     args = p.parse_args(argv)
 
-    from .plans.pipeline import run_cv_pipeline, write_tables
+    from .plans.pipeline import (
+        log_progress,
+        observe_pipeline,
+        run_cv_pipeline,
+        write_tables,
+    )
     from .session import get_spark
     from .sources.rules import load_rules_file
 
@@ -65,8 +76,12 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
     else:
-        result = run_cv_pipeline(spark, args.input, ruleset)
+        result = run_cv_pipeline(
+            spark, args.input, ruleset, chunked=args.chunked
+        )
+        result, observations = observe_pipeline(result)
         paths = write_tables(result, args.output)
+        progress = log_progress(observations)
         tallies = {
             r["file_path"]: {
                 "total": r["num_messages_total"],
@@ -74,7 +89,16 @@ def main(argv: list[str] | None = None) -> int:
             }
             for r in result.tallies.collect()
         }
-        print(json.dumps({"mode": "batch", "tables": paths, "files": tallies}))
+        print(
+            json.dumps(
+                {
+                    "mode": "batch",
+                    "tables": paths,
+                    "files": tallies,
+                    "progress": progress["validation"],
+                }
+            )
+        )
 
     spark.stop()
     return 0

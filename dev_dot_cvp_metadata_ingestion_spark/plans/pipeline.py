@@ -148,9 +148,11 @@ def observe_pipeline(
     instead of separate ``count()`` jobs or driver-side loops.
 
     Returns a result whose ``validation`` / ``records`` frames are
-    observed plus the Observation handles; after any action on those
-    frames, ``obs.get`` yields the counters. Use :func:`log_progress`
-    to render them as the reference's log lines.
+    observed plus the Observation handles. An Observation only fires
+    when its OWN node executes, so ``file_counts`` is rebuilt from the
+    observed records frame — ``write_tables`` on the returned result
+    then triggers both observations with no extra action. Use
+    :func:`log_progress` to render them as the reference's log lines.
     """
     from pyspark.sql import Observation
 
@@ -166,12 +168,15 @@ def observe_pipeline(
         F.count(F.lit(1)).alias("n_validations"),
         F.sum((~F.col("valid")).cast("long")).alias("n_errors"),
     )
+    file_counts = records.groupBy("file_path").agg(
+        F.count(F.lit(1)).alias("MessageCount")
+    )
     observed = PipelineResult(
         records=records,
         validation=validation,
         sequential=result.sequential,
         tallies=result.tallies,
-        file_counts=result.file_counts,
+        file_counts=file_counts,
     )
     return observed, {"records": obs_records, "validation": obs_validation}
 

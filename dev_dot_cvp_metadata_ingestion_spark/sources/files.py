@@ -190,6 +190,7 @@ def file_lines_sniffed(
     path: str,
     *,
     recursive: bool = True,
+    max_object_bytes: int | None = 1 << 31,
 ) -> DataFrame:
     """S3 magic-byte fallback (cvp_bucket_event_lambda_handler.py:28-30):
     the reference sniffs ``1f 8b`` and gunzips regardless of the object
@@ -200,9 +201,13 @@ def file_lines_sniffed(
     decompress is genuinely imperative; everything before/after stays
     declarative). Same output schema as :func:`file_lines`.
 
-    Scale: binaryFile ships one whole object per row — the same
-    largest-single-file memory bound as ``wholetext``; batches stream
-    through Arrow, never a driver collect.
+    Scale: binaryFile ships one whole object per row — an inherent
+    whole-object memory bound (this path exists precisely because the
+    object must be sniffed and gunzipped as a unit). ``max_object_bytes``
+    (default 2 GiB, binaryFile's own hard cap) fails FAST with the
+    offending paths instead of letting one huge object OOM an executor
+    mid-job; named-``.gz``/plain objects of any size belong on
+    :func:`file_lines` / :func:`file_lines_chunked`, which stream.
     """
     bin_df = (
         spark.read.format("binaryFile")
@@ -210,6 +215,22 @@ def file_lines_sniffed(
         .load(path)
         .select("path", "length", "modificationTime", "content")
     )
+    if max_object_bytes is not None:
+        # metadata-only pre-check: column pruning drops `content`, so
+        # this scans the listing, not the bytes
+        too_big = (
+            bin_df.select("path", "length")
+            .filter(F.col("length") > max_object_bytes)
+            .limit(5)
+            .collect()
+        )
+        if too_big:
+            names = ", ".join(f"{r.path} ({r.length}B)" for r in too_big)
+            raise ValueError(
+                f"file_lines_sniffed: objects exceed max_object_bytes="
+                f"{max_object_bytes}: {names}. Use file_lines_chunked "
+                "for large named objects, or raise the limit."
+            )
 
     out_schema = (
         "file_path string, file_size long, file_mtime timestamp, "

@@ -230,10 +230,9 @@ def test_observe_pipeline_progress_counters(spark, ndjson_dir, tmp_path):
     ruleset.sequential = True
     res = run_cv_pipeline(spark, ndjson_dir, ruleset)
     observed, obs = observe_pipeline(res)
+    # write_tables alone must fire BOTH observations (file_counts is
+    # rebuilt over the observed records frame) — no extra jobs
     write_tables(observed, str(tmp_path / "tables"))
-    # records frame needs its own action (write_tables only writes the
-    # derived tables); any action works
-    observed.records.write.format("noop").mode("overwrite").save()
 
     metrics = log_progress(obs)
     assert metrics["records"]["n_records"] == 9
