@@ -407,7 +407,13 @@ def skip_flag_exprs(ruleset: RuleSet, schema: DataType) -> dict[str, Column]:
     """Per-record boolean columns: rule path → 'this record meets a
     skipSequentialValidation condition for that path'
     (validator.py:110-112). The sequential operator ORs them per file —
-    the reference's skip set is per-file state."""
+    the reference's skip set is per-file state.
+
+    List rules are deliberately excluded: the reference would add the
+    EXPANDED path (``a{0}.b``) to its skip set, but the sequential
+    checker only ever tests the five fixed ``metadata.serialId.*`` /
+    timestamp paths against that set (sequential.py:42-56), so a
+    list-rule skip condition can never gate anything."""
     out: dict[str, Column] = {}
     for rule in ruleset.rules:
         if not rule.conditions:
