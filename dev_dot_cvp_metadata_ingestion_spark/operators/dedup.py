@@ -237,6 +237,86 @@ def lsh_near_duplicates_scoped(
         hs.unpersist()
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Duplicate CLUSTERS from pairwise candidates: connected
+    components of the (a, b) pair graph over ``nodes``, labelled by
+    the component's minimum id. (doc_id, cluster_id); singletons label
+    themselves.
+
+    Iterative min-label propagation with pointer jumping
+    (label := min over neighbours' labels AND label[label], the
+    path-halving step), so convergence is O(log D) rounds in the
+    component diameter D — near-dup clusters are shallow, so 2-4
+    rounds in practice. Each round is one join+aggregate shuffle on
+    ids; ``localCheckpoint`` truncates the growing lineage so round k
+    doesn't replan rounds 1..k-1. The loop is driver-side but each
+    step is fully distributed — the driver only compares a per-round
+    change count.
+    """
+    # edges join every round: materialize once so the (potentially
+    # expensive) pair lineage isn't re-executed per iteration
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+
+    for _ in range(max_iters):
+        # min label among neighbours
+        nbr = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        # pointer jumping: my label's label
+        parent = labels.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        jumped = labels.join(
+            parent, labels.label == F.col("p_node"), "left"
+        ).select("node", "label", F.col("p_label").alias("jump_min"))
+        new_labels = (
+            jumped.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_min"), F.col("label")),
+                    F.coalesce(F.col("jump_min"), F.col("label")),
+                ).alias("new_label"),
+                "label",
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(
+            F.col("new_label") != F.col("label")
+        ).count()
+        labels = new_labels.select(
+            "node", F.col("new_label").alias("label")
+        )
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint in {max_iters} rounds"
+        )
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash16(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash: per-bit votes over token hashes (multiplicity
     kept), sign → bit. (doc_id, simhash)."""

@@ -25,6 +25,7 @@ from ..functions.text import (
     token_count,
 )
 from ..operators.dedup import (
+    connected_components,
     exact_duplicates,
     lsh_near_duplicates,
     minhash_signatures,
@@ -253,10 +254,10 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_pairs",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents),
+# shared CTE chain: documents → LSH candidate pairs at Jaccard >= 0.3
+# (consumed by dedup_minhash_pairs and the dedup_clusters components)
+_LSH_PAIR_CTES = f"""
+    toks AS (SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents),
     sh AS (SELECT doc_id, {_shingle_sql(3)} AS sh FROM toks),
     hs AS (SELECT doc_id,
                   list_transform(sh, s -> {_BASE_HASH.format(s="s")}) AS hs
@@ -277,9 +278,19 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cand
       JOIN sig a ON a.doc_id = doc_id_a
       JOIN sig b ON b.doc_id = doc_id_b
+    ),
+    lsh_pairs AS (
+      SELECT doc_id_a, doc_id_b, i::DOUBLE / (la + lb - i) AS jaccard
+      FROM ver WHERE i::DOUBLE / (la + lb - i) >= 0.3
     )
-    SELECT doc_id_a, doc_id_b, i::DOUBLE / (la + lb - i) AS jaccard
-    FROM ver WHERE i::DOUBLE / (la + lb - i) >= 0.3
+"""
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle=f"""
+    WITH {_LSH_PAIR_CTES}
+    SELECT doc_id_a, doc_id_b, jaccard FROM lsh_pairs
     ORDER BY doc_id_a, doc_id_b
     """,
 )
@@ -290,6 +301,38 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_duplicates(
         d, "doc_id", "text", num_hashes=8, n=3, threshold=0.3
     ).orderBy("doc_id_a", "doc_id_b")
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_PAIR_CTES},
+    edges AS (
+      SELECT doc_id_a AS src, doc_id_b AS dst FROM lsh_pairs
+      UNION
+      SELECT doc_id_b, doc_id_a FROM lsh_pairs
+    ),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM reach GROUP BY node
+    ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components of the LSH pair
+    graph, labelled by the component's min doc_id — the step that turns
+    pairwise candidates into dedup groups. Iterative pointer-jumping
+    label propagation (operators/dedup.py connected_components); the
+    DuckDB oracle computes the same components with a recursive CTE."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = lsh_near_duplicates(
+        d, "doc_id", "text", num_hashes=8, n=3, threshold=0.3
+    )
+    return connected_components(pairs, d.select("doc_id")).orderBy("doc_id")
 
 
 _SIMHASH_VOTES = ", ".join(
