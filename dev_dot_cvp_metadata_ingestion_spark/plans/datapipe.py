@@ -211,6 +211,93 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "documents_split",
+    oracle=f"""
+    SELECT doc_id,
+           {_BASE_HASH.format(s="CAST(doc_id AS VARCHAR) || ':42'")} % 100
+             AS bucket,
+           CASE WHEN {_BASE_HASH.format(s="CAST(doc_id AS VARCHAR) || ':42'")} % 100 < 80
+                  THEN 'train'
+                WHEN {_BASE_HASH.format(s="CAST(doc_id AS VARCHAR) || ':42'")} % 100 < 90
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def documents_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10): the bucket
+    is a salted content hash of the id, so membership is stable across
+    runs, clusters, and engine versions — never rand()/sample(), whose
+    draws differ per run and per partitioning. Changing the salt
+    re-splits; the same md5-seed hash is reproduced by the DuckDB
+    oracle. At 100 TB this is a pure map-side projection."""
+    from ..operators.dedup import base_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = base_hash(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":42"))
+    ) % 100
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "corpus_profile",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             len({_TOKS.format(c="text")}) AS n_tokens,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           CAST(sum(n_tokens) AS DOUBLE) / count(*) AS mean_tokens,
+           quantile_cont(n_tokens, 0.5) AS p50_tokens,
+           quantile_cont(n_tokens, 0.95) AS p95_tokens,
+           max(n_chars) AS max_chars
+    FROM t GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile: doc counts, token totals, exact
+    interpolated p50/p95 token counts (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``), longest document — the pre-training
+    sanity sweep. One hash aggregate on a low-cardinality key; the
+    percentile state is per-group sorted counts, bounded by group
+    cardinality, not corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (
+                F.sum("n_tokens").cast("double") / F.count(F.lit(1))
+            ).alias("mean_tokens"),
+            F.percentile("n_tokens", F.lit(0.5)).alias("p50_tokens"),
+            F.percentile("n_tokens", F.lit(0.95)).alias("p95_tokens"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ----------------------------------------------------------------- dedup
 
 
