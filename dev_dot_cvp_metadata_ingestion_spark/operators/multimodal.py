@@ -74,3 +74,100 @@ def decode_features(media: DataFrame, *, fake: bool = True) -> DataFrame:
             )
 
     return media.select("doc_id", "payload").mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx long, ts_ms long, frame_chars long, "
+    "frame_md5 string"
+)
+
+
+def sample_frames(
+    media: DataFrame, *, max_frames: int = 4, fake: bool = True
+) -> DataFrame:
+    """Frame sampling: one media row → N evenly-spaced frame rows —
+    the generator-shaped multimodal op (mapInPandas emitting more rows
+    than it receives; Arrow batches both ways).
+
+    fake=True treats the payload as its utf-8 text and emits
+    deterministic per-frame slices (count scales with length, capped
+    at ``max_frames``; timestamps stride the fake duration =
+    10 ms/char) so the full plumbing is oracle-checkable. fake=False
+    is the real ffmpeg socket.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real frame sampling requires ffmpeg bindings not present in "
+            "this environment; plug the demuxer in here"
+        )
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                text = bytes(payload).decode("utf-8", errors="replace")
+                n_chars = len(text)
+                n_frames = max(1, min(max_frames, n_chars // 100))
+                duration_ms = n_chars * 10
+                flen = n_chars // n_frames
+                for i in range(n_frames):
+                    start = (i * n_chars) // n_frames
+                    sl = text[start:start + flen]
+                    rows.append(
+                        (
+                            doc_id,
+                            i,
+                            (i * duration_ms) // n_frames,
+                            len(sl),
+                            hashlib.md5(sl.encode("utf-8")).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "ts_ms", "frame_chars", "frame_md5",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(_frames, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, orig_chars long, resized_chars long, resized_md5 string"
+
+
+def resize_media(
+    media: DataFrame, *, target_chars: int = 256, fake: bool = True
+) -> DataFrame:
+    """Resize/downsample: bound each payload to a target size. fake=True
+    truncates the utf-8 text to ``target_chars`` (deterministic,
+    oracle-expressible); fake=False is the real resampler socket."""
+    if not fake:
+        raise NotImplementedError(
+            "real resize requires image codecs (PIL) not present in this "
+            "environment; plug the resampler in here"
+        )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            texts = [
+                bytes(p).decode("utf-8", errors="replace")
+                for p in pdf["payload"]
+            ]
+            resized = [t[:target_chars] for t in texts]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_chars": [len(t) for t in texts],
+                    "resized_chars": [len(r) for r in resized],
+                    "resized_md5": [
+                        hashlib.md5(r.encode("utf-8")).hexdigest()
+                        for r in resized
+                    ],
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(_resize, RESIZE_SCHEMA)

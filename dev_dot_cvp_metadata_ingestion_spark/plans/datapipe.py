@@ -32,7 +32,12 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash16,
 )
-from ..operators.multimodal import attach_binary, decode_features
+from ..operators.multimodal import (
+    attach_binary,
+    decode_features,
+    resize_media,
+    sample_frames,
+)
 from ..operators.similarity import brute_force_topk, lsh_topk, topk_ranked
 from ..sources.catalog import load_table
 from .registry import register
@@ -956,3 +961,54 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = attach_binary(d, "doc_id", "text")
     return decode_features(media, fake=True).orderBy("doc_id")
+
+
+@register(
+    "multimodal_frames",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, text, length(text) AS n_chars,
+             greatest(1, least(4, length(text) // 100)) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id,
+           i AS frame_idx,
+           (i * (n_chars * 10)) // n_frames AS ts_ms,
+           CAST(length(substring(text, (i * n_chars) // n_frames + 1,
+                                 n_chars // n_frames)) AS BIGINT)
+             AS frame_chars,
+           md5(substring(text, (i * n_chars) // n_frames + 1,
+                         n_chars // n_frames)) AS frame_md5
+    FROM m, UNNEST(range(n_frames)) AS t(i)
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling, the generator-shaped multimodal op: one media
+    row fans out to N evenly-spaced frame rows through mapInPandas
+    (deterministic char-slice fake; the real ffmpeg socket raises
+    NotImplementedError). Frame count scales with payload size, capped
+    at 4; timestamps stride the fake 10 ms/char duration."""
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_binary(d, "doc_id", "text")
+    return sample_frames(media, fake=True).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "multimodal_resized",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS orig_chars,
+           CAST(length(substring(text, 1, 256)) AS BIGINT) AS resized_chars,
+           md5(substring(text, 1, 256)) AS resized_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample plumbing: bound every payload to a target
+    size through the Arrow-batched resampler (deterministic truncation
+    fake; the real PIL socket raises NotImplementedError)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_binary(d, "doc_id", "text")
+    return resize_media(media, target_chars=256, fake=True).orderBy("doc_id")
