@@ -90,6 +90,28 @@ def stream_cv_pipeline(
     return writer.start()
 
 
+def idempotent_parquet_sink(out_dir: str):
+    """foreachBatch sink with exactly-once-for-readers semantics over
+    the checkpoint's at-least-once delivery: each micro-batch writes to
+    its own ``batch_id=N`` partition with DYNAMIC partition overwrite,
+    so a replayed batch (failure between sink and checkpoint commit)
+    rewrites its partition instead of appending duplicates — the
+    reference's retry-and-reindex made idempotent
+    (bucket_event_lambda_handler.py:99, where re-delivery re-indexes
+    the same ES doc id)."""
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        (
+            df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return sink
+
+
 def stream_file_metadata(
     spark: SparkSession,
     input_dir: str,
