@@ -1,0 +1,115 @@
+"""Property-based semantics pins (hypothesis): the core column
+functions must agree with straightforward pure-Python models on
+arbitrary unicode input — the invariants the oracle queries rely on,
+checked well beyond the fixture corpus."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from dev_dot_cvp_metadata_ingestion_spark.functions.text import (
+    bpe_token_count,  # noqa: F401  (regex parity is oracle-checked)
+    content_fingerprint,
+    rolling_hash,
+    token_count,
+    tokens,
+)
+from dev_dot_cvp_metadata_ingestion_spark.operators.dedup import (
+    base_hash,
+    shingles,
+)
+
+MOD = 1_000_000_007
+
+# printable-ish unicode without surrogates; \s-class whitespace mixed in
+_text = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs", "Cc"), max_codepoint=0x2FFF
+    ),
+    max_size=60,
+)
+
+
+def _py_tokens(s: str) -> list[str]:
+    # Java regex \s (what Spark's split uses) is ASCII-only:
+    # [ \t\n\x0B\f\r]. Unicode spaces ( …) are TOKEN characters —
+    # and DuckDB's RE2 \s agrees, which is why the oracles hash-match;
+    # a unicode-aware Python \s would not.
+    return [t for t in re.split(r"[ \t\n\x0b\f\r]+", s) if t != ""]
+
+
+def _py_shingles(s: str, n: int) -> list[str]:
+    t = _py_tokens(s)
+    if len(t) < n:
+        return []
+    out, seen = [], set()
+    for i in range(len(t) - n + 1):
+        sh = " ".join(t[i:i + n])
+        if sh not in seen:
+            seen.add(sh)
+            out.append(sh)
+    return out
+
+
+def _py_base_hash(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+
+def _py_rolling(s: str) -> int:
+    h = 0
+    for t in _py_tokens(s):
+        h = (h * 31 + (7 * len(t) + ord(t[0]))) % MOD
+    return h
+
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@given(st.lists(_text, min_size=1, max_size=24))
+@_settings
+def test_token_and_shingle_models(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    rows = df.select(
+        "id",
+        tokens(F.col("text")).alias("toks"),
+        token_count(F.col("text")).alias("n"),
+        shingles(F.col("text"), 2).alias("sh2"),
+        shingles(F.col("text"), 3).alias("sh3"),
+    ).collect()
+    for r in rows:
+        s = texts[r.id]
+        assert list(r.toks) == _py_tokens(s), repr(s)
+        assert r.n == len(_py_tokens(s)), repr(s)
+        assert list(r.sh2) == _py_shingles(s, 2), repr(s)
+        assert list(r.sh3) == _py_shingles(s, 3), repr(s)
+
+
+@given(st.lists(_text, min_size=1, max_size=24))
+@_settings
+def test_hash_and_fingerprint_models(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    rows = df.select(
+        "id",
+        base_hash(F.col("text")).alias("bh"),
+        rolling_hash(F.col("text")).alias("rh"),
+        content_fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    for r in rows:
+        s = texts[r.id]
+        assert r.bh == _py_base_hash(s), repr(s)
+        assert r.rh == _py_rolling(s), repr(s)
+        norm = " ".join(_py_tokens(s.lower()))
+        assert r.fp == hashlib.md5(norm.encode("utf-8")).hexdigest(), repr(s)
