@@ -303,6 +303,57 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "documents_quality_filter",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, lang,
+        least(len(t) / 100.0, 1.0) * 0.3
+        + (CASE WHEN len(t) > 0 THEN {_stop_hits("en")}::DOUBLE / len(t)
+           ELSE 0.0 END) * 0.5
+        + (CASE WHEN (CASE WHEN length(text) > 0 THEN
+             (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+               / length(text) ELSE 0.0 END) < 0.1 THEN 1.0 ELSE 0.0 END) * 0.2
+          AS quality
+      FROM (SELECT doc_id, lang, text,
+                   {_TOKS.format(c="text")} AS t FROM documents)
+    ),
+    thresholds AS (
+      SELECT lang, quantile_cont(quality, 0.25) AS q25
+      FROM q GROUP BY lang
+    )
+    SELECT q.doc_id, q.lang, q.quality, t.q25
+    FROM q JOIN thresholds t USING (lang)
+    WHERE q.quality >= t.q25
+    ORDER BY doc_id
+    """,
+)
+def documents_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality gate: drop the bottom quartile of each
+    language's quality-score distribution — the standard corpus
+    cleaning step. The per-group threshold is a tiny aggregate
+    broadcast-joined back (one shuffle of per-lang rows, never a
+    corpus-wide window), so the filter is map-side after the join at
+    any scale."""
+    from pyspark.sql.functions import broadcast
+
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        "lang",
+        quality_score(F.col("text")).alias("quality"),
+    )
+    thresholds = q.groupBy("lang").agg(
+        F.percentile("quality", F.lit(0.25)).alias("q25")
+    )
+    return (
+        q.join(broadcast(thresholds), "lang")
+        .filter(F.col("quality") >= F.col("q25"))
+        .select("doc_id", "lang", "quality", "q25")
+        .orderBy("doc_id")
+    )
+
+
 # ----------------------------------------------------------------- dedup
 
 

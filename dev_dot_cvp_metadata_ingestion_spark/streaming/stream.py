@@ -90,6 +90,24 @@ def stream_cv_pipeline(
     return writer.start()
 
 
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """Streaming dedup with bounded state: drop re-deliveries of the
+    same key (e.g. S3 duplicate ObjectCreated events — the improvement
+    over the reference's blind re-index on retry,
+    bucket_event_lambda_handler.py:99). State per key is retained only
+    within the watermark horizon, so memory is bounded by arrival-time
+    spread, not stream history — ``dropDuplicates`` without a
+    watermark would grow state forever."""
+    return stream.withWatermark(ts_col, lateness).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def idempotent_parquet_sink(out_dir: str):
     """foreachBatch sink with exactly-once-for-readers semantics over
     the checkpoint's at-least-once delivery: each micro-batch writes to

@@ -144,3 +144,18 @@ def test_salted_join_matches_plain_join(spark):
     ).collect()[0]
     assert plain.n == salted.n
     assert abs(plain.s - salted.s) < 1e-6 * abs(plain.s)
+
+
+def test_documents_split_is_map_side(spark):
+    # the split assignment must be a pure projection over the scan —
+    # the only exchange allowed is the final presentation sort
+    plan = plan_of("documents_split", spark)
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Exchange rangepartitioning") <= 1
+
+
+def test_corpus_profile_single_aggregate_shuffle(spark):
+    # one hash aggregate on the low-cardinality lang key; percentile
+    # state must not force extra exchanges
+    plan = plan_of("corpus_profile", spark)
+    assert plan.count("Exchange hashpartitioning") == 1
