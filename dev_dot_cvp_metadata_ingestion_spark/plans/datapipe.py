@@ -23,6 +23,7 @@ from ..functions.text import (
     rolling_hash,
     stopword_ratio,
     token_count,
+    tokens,
 )
 from ..operators.dedup import (
     connected_components,
@@ -350,6 +351,179 @@ def documents_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.join(broadcast(thresholds), "lang")
         .filter(F.col("quality") >= F.col("q25"))
         .select("doc_id", "lang", "quality", "q25")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "documents_repetition_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN
+               [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)]
+             ELSE [] END) AS gram
+      FROM toks
+    ),
+    c AS (SELECT doc_id, gram, count(*) AS n FROM bi GROUP BY doc_id, gram),
+    top AS (SELECT doc_id, max(n) AS top_n, sum(n) AS total FROM c GROUP BY doc_id),
+    stats AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             CASE WHEN len(t) > 0 THEN
+               (len(t) - len(list_distinct(t)))::DOUBLE / len(t)
+             ELSE 0.0 END AS dup_token_frac
+      FROM toks
+    )
+    SELECT s.doc_id, s.n_tokens, s.dup_token_frac,
+           coalesce(top.top_n, 0) AS top_bigram_count,
+           coalesce(top.top_n::DOUBLE / top.total, 0.0) AS top_bigram_frac,
+           (s.dup_token_frac <= 0.625
+            AND coalesce(top.top_n::DOUBLE / top.total, 0.0) <= 0.06) AS keep
+    FROM stats s LEFT JOIN top USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def documents_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-token fraction and
+    the fraction of bigrams taken by the single most frequent bigram,
+    plus a keep flag at thresholds tuned to this corpus. Token stats
+    are map-side HOFs; the top-bigram count is explode → two chained
+    hash aggregates ((doc_id, gram) then doc_id) with map-side
+    combine — linear shuffles keyed by doc, never a corpus-wide window,
+    so the shape survives 100 TB (the per-doc state is one row per
+    distinct bigram, bounded by document length)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    stats = toks.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.when(n > 0, (n - F.size(F.array_distinct("t"))).cast("double") / n)
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_frac"),
+    )
+    bigrams = (
+        "CASE WHEN size(t) >= 2 THEN "
+        "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1), "
+        "(a, b) -> concat(a, ' ', b)) ELSE array() END"
+    )
+    top = (
+        toks.select("doc_id", F.explode(F.expr(bigrams)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_n"), F.sum("n").alias("total"))
+    )
+    return (
+        stats.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_token_frac",
+            F.coalesce(F.col("top_n"), F.lit(0).cast("long")).alias(
+                "top_bigram_count"
+            ),
+            F.coalesce(
+                F.col("top_n").cast("double") / F.col("total"), F.lit(0.0)
+            ).alias("top_bigram_frac"),
+        )
+        .select(
+            "*",
+            (
+                (F.col("dup_token_frac") <= 0.625)
+                & (F.col("top_bigram_frac") <= 0.06)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "documents_contamination",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             {_BASE_HASH.format(s="CAST(doc_id AS VARCHAR) || ':42'")} % 100 < 80
+               AS is_train,
+             {_TOKS.format(c="text")} AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, is_train,
+             CASE WHEN len(t) >= 4 THEN
+               list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                              for i in generate_series(1, len(t)-3)])
+             ELSE [] END AS grams
+      FROM s
+    ),
+    tr AS (SELECT DISTINCT gram FROM
+             (SELECT unnest(grams) AS gram FROM g WHERE is_train)),
+    ev AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE NOT is_train),
+    hits AS (SELECT ev.doc_id, count(*) AS n_contaminated
+             FROM ev JOIN tr USING (gram) GROUP BY ev.doc_id),
+    base AS (SELECT doc_id, len(grams) AS n_grams FROM g WHERE NOT is_train)
+    SELECT b.doc_id, b.n_grams,
+           coalesce(h.n_contaminated, 0) AS n_contaminated,
+           CASE WHEN b.n_grams > 0 THEN
+             coalesce(h.n_contaminated, 0)::DOUBLE / b.n_grams
+           ELSE 0.0 END AS contamination_frac
+    FROM base b LEFT JOIN hits h USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def documents_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination sweep: for every eval-split document
+    (val/test under the same salted-hash split as ``documents_split``),
+    the fraction of its distinct token 4-grams that also occur anywhere
+    in the train split. The train gram set is a distinct projection
+    joined on the gram key — the standard shuffle-on-gram
+    decontamination shape (at 100 TB you'd put a bloom filter on the
+    train side first; the join itself stays linear in gram count).
+    Per-doc distinct grams keep the join fan-out bounded by document
+    length."""
+    from ..operators.dedup import base_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    is_train = (
+        base_hash(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))) % 100
+        < 80
+    )
+    grams = (
+        "CASE WHEN size(t) >= 4 THEN "
+        "array_distinct(transform(sequence(0, size(t)-4), "
+        "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2], ' ', t[i+3]))) "
+        "ELSE array() END"
+    )
+    g = d.select(
+        "doc_id", is_train.alias("is_train"), tokens(F.col("text")).alias("t")
+    ).select("doc_id", "is_train", F.expr(grams).alias("grams"))
+    train = g.filter("is_train").select(F.explode("grams").alias("gram")).distinct()
+    ev = g.filter(~F.col("is_train"))
+    hits = (
+        ev.select("doc_id", F.explode("grams").alias("gram"))
+        .join(train, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        ev.select("doc_id", F.size("grams").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long")).alias(
+                "n_contaminated"
+            ),
+            F.when(
+                F.col("n_grams") > 0,
+                F.coalesce(F.col("n_contaminated").cast("double"), F.lit(0.0))
+                / F.col("n_grams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("contamination_frac"),
+        )
         .orderBy("doc_id")
     )
 

@@ -1,0 +1,82 @@
+"""Edge-case semantics for the corpus-cleaning operators
+(repetition filter, contamination sweep, quality gate) on crafted
+documents — empty text, single-token docs, fully-repeated docs —
+which the sf testdata never exercises."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+DOCS = [
+    (0, "", "en", "s0", 0),
+    (1, "solo", "en", "s0", 4),
+    (2, "alpha beta", "en", "s0", 10),
+    (3, "x x x x x x", "en", "s0", 11),
+    (4, "the quick brown fox jumps over the lazy dog again", "en", "s0", 50),
+]
+
+
+@pytest.fixture(scope="module")
+def doc_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("docs")
+    spark.createDataFrame(
+        DOCS, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_repetition_edge_cases(spark, doc_dir):
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["documents_repetition_filter"](spark, doc_dir).collect()
+    }
+    assert len(rows) == len(DOCS)
+
+    empty = rows[0]  # no tokens: every signal must be the 0-identity
+    assert empty.n_tokens == 0
+    assert empty.dup_token_frac == 0.0
+    assert empty.top_bigram_count == 0
+    assert empty.top_bigram_frac == 0.0
+    assert empty.keep
+
+    assert rows[1].top_bigram_count == 0  # one token -> no bigrams
+
+    two = rows[2]  # exactly one bigram, occurring once
+    assert two.top_bigram_count == 1
+    assert two.top_bigram_frac == 1.0
+    assert not two.keep  # one dominant bigram is maximal repetition
+
+    rep = rows[3]  # "x x x x x x": 6 tokens, 1 distinct, 5 equal bigrams
+    assert rep.n_tokens == 6
+    assert rep.dup_token_frac == pytest.approx(5 / 6)
+    assert rep.top_bigram_count == 5
+    assert rep.top_bigram_frac == 1.0
+    assert not rep.keep
+
+    nat = rows[4]  # natural sentence: 10 tokens, one repeated ("the")
+    assert nat.dup_token_frac == pytest.approx(1 / 10)
+    assert nat.top_bigram_count == 1
+
+
+def test_contamination_zero_gram_docs_are_clean(spark, doc_dir):
+    # eval docs shorter than the gram width must appear with
+    # n_grams = 0 and frac 0.0, not vanish from the report
+    splits = {
+        r.doc_id: r.split
+        for r in QUERIES["documents_split"](spark, doc_dir).collect()
+    }
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["documents_contamination"](spark, doc_dir).collect()
+    }
+    eval_ids = {i for i, s in splits.items() if s != "train"}
+    assert set(rows) == eval_ids
+    for i, r in rows.items():
+        if r.n_grams == 0:
+            assert r.n_contaminated == 0
+            assert r.contamination_frac == 0.0
+        assert 0.0 <= r.contamination_frac <= 1.0

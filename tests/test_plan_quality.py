@@ -159,3 +159,22 @@ def test_corpus_profile_single_aggregate_shuffle(spark):
     # state must not force extra exchanges
     plan = plan_of("corpus_profile", spark)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_quality_filter_broadcasts_thresholds(spark):
+    # the per-lang q25 aggregate is tiny and explicitly broadcast; the
+    # corpus side must not shuffle for the join (one exchange total,
+    # for the threshold aggregate itself)
+    plan = plan_of("documents_quality_filter", spark)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_repetition_and_contamination_plans_stay_linear(spark):
+    # chained hash aggregates / gram joins only — never a corpus-wide
+    # window or a cartesian candidate explosion
+    for name in ("documents_repetition_filter", "documents_contamination"):
+        plan = plan_of(name, spark)
+        assert "Window" not in plan, name
+        assert "Cartesian" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
