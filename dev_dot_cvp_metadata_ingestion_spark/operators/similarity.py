@@ -75,6 +75,60 @@ def topk_ranked(
     )
 
 
+def knn_join(
+    emb: DataFrame, queries: DataFrame, k: int = 5, id_col: str = "vec_id",
+    vec_col: str = "embedding", n_salts: int = 32,
+) -> DataFrame:
+    """Batch k-NN join: for every row of a SMALL query relation, the k
+    nearest corpus vectors by cosine (self-matches excluded).
+    Returns (q_id, vec_id, cos, rank).
+
+    The query side is broadcast, so scoring is one map-side pass over
+    the corpus — no shuffle of the embeddings. The per-query top-k is
+    two-phase: phase 1 ranks within (q_id, salt) partitions — the salt
+    is a content hash of the candidate id, so ~corpus/n_salts rows per
+    task and deterministic under retry — and keeps k per salt; phase 2
+    ranks the surviving n_salts*k rows per query. A single
+    ``row_number() OVER (PARTITION BY q_id)`` would funnel the whole
+    corpus through one task per query; the salted pre-pass bounds every
+    window partition. Ties at the boundary break by vec_id, so the
+    two-phase result is identical to the single-pass rank.
+
+    NaN/NULL cosines are ordered as -inf (same comparator as
+    ``topk_ranked``) so degenerate vectors rank last in both phases.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qvec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col(id_col).alias("vec_id"),
+            cosine_similarity(F.col(vec_col), F.col("qvec")).alias("cos"),
+        )
+    )
+    ord_col = F.coalesce(
+        F.nanvl(F.col("cos"), F.lit(float("-inf"))), F.lit(float("-inf"))
+    )
+    salt = F.pmod(F.xxhash64("vec_id"), F.lit(n_salts))
+    w_local = Window.partitionBy("q_id", salt).orderBy(
+        ord_col.desc(), F.col("vec_id")
+    )
+    w_final = Window.partitionBy("q_id").orderBy(ord_col.desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w_local))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .orderBy("q_id", "rank")
+    )
+
+
 def hyperplane(j: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane j (identical formula in
     the oracle SQL): r[i] = ((j*2654435761 + i*40503) % 97)/48.5 - 1."""

@@ -39,7 +39,12 @@ from ..operators.multimodal import (
     resize_media,
     sample_frames,
 )
-from ..operators.similarity import brute_force_topk, lsh_topk, topk_ranked
+from ..operators.similarity import (
+    brute_force_topk,
+    knn_join,
+    lsh_topk,
+    topk_ranked,
+)
 from ..sources.catalog import load_table
 from .registry import register
 
@@ -733,6 +738,37 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold-based cosine — the ANN correctness baseline)."""
     e = load_table(spark, sf_dir, "embeddings")
     return brute_force_topk(e, query_id=0, k=10)
+
+
+@register(
+    "ann_knn_join",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q_id, e.vec_id, {_cos_sql("v", "qv")} AS cos
+      FROM e, q WHERE e.vec_id <> q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 5
+    ORDER BY q_id, rank
+    """,
+)
+def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join: cosine top-5 for each of 5 broadcast query
+    vectors in one corpus pass — the retrieval-dataset-building shape
+    (single-query top-k is ``ann_bruteforce_topk``). Salted two-phase
+    ranking keeps every window partition bounded."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_join(e, e.filter(F.col("vec_id") < 5), k=5)
 
 
 @register(
