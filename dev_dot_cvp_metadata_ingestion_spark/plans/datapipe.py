@@ -361,6 +361,59 @@ def documents_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "documents_mixture_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_TOKS.format(c="text")}) AS n_tokens
+      FROM documents
+    ),
+    totals AS (SELECT source, sum(n_tokens) AS tok FROM t GROUP BY source),
+    m AS (SELECT min(tok) AS mn FROM totals),
+    rates AS (
+      SELECT source, CAST(floor(mn::DOUBLE / tok * 10000) AS BIGINT) AS threshold
+      FROM totals, m
+    )
+    SELECT t.doc_id, t.source, t.n_tokens, r.threshold
+    FROM t JOIN rates r USING (source)
+    WHERE {_BASE_HASH.format(s="CAST(doc_id AS VARCHAR) || ':mix'")} % 10000
+            < r.threshold
+    ORDER BY doc_id
+    """,
+)
+def documents_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture rebalancing: downsample every source to the
+    token budget of the smallest source (equal-share mixing weights),
+    selecting docs by a salted content hash so membership is stable
+    across runs and retries — never rand()-based sampling. The
+    per-source rate table is a tiny aggregate broadcast back; the
+    sample decision is then a map-side filter over the scan at any
+    scale."""
+    from ..operators.dedup import base_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    totals = t.groupBy("source").agg(F.sum("n_tokens").alias("tok"))
+    m = totals.agg(F.min("tok").alias("mn"))
+    rates = totals.crossJoin(F.broadcast(m)).select(
+        "source",
+        F.floor(F.col("mn").cast("double") / F.col("tok") * 10000).alias(
+            "threshold"
+        ),
+    )
+    bucket = base_hash(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))
+    ) % 10000
+    return (
+        t.join(F.broadcast(rates), "source")
+        .filter(bucket < F.col("threshold"))
+        .select("doc_id", "source", "n_tokens", "threshold")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "documents_repetition_filter",
     oracle=f"""
     WITH toks AS (
@@ -891,6 +944,76 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rk") == 1).alias("is_keeper"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "embedding_quantize",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, v,
+             sqrt({_FOLD_DOT.format(a="v", b="v")}) AS norm,
+             list_max(list_transform(v, x -> abs(x))) AS maxabs
+      FROM e
+    )
+    SELECT vec_id, norm,
+           CASE WHEN norm > 0 THEN list_transform(v, x -> x / norm)
+                ELSE v END AS unit,
+           maxabs AS scale_max,
+           CASE WHEN maxabs > 0 THEN
+             list_transform(v, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT))
+           ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q127
+    FROM m
+    ORDER BY vec_id
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization + symmetric int8 quantization per vector — the
+    standard pre-ANN / storage-compression pass. Everything is
+    map-side array HOFs (fold-based norm, per-vector max-abs scale,
+    explicit floor(x+0.5) rounding so both engines round identically —
+    round() itself differs in half-even vs half-up across engines).
+    Zero vectors pass through unscaled rather than dividing by 0."""
+    from ..functions.vectors import l2_norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = l2_norm(F.col("embedding"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    return (
+        e.select(
+            "vec_id",
+            v.alias("v"),
+            norm.alias("norm"),
+            maxabs.alias("scale_max"),
+        )
+        .select(
+            "vec_id",
+            "norm",
+            F.when(
+                F.col("norm") > 0,
+                F.transform(F.col("v"), lambda x: x / F.col("norm")),
+            )
+            .otherwise(F.col("v"))
+            .alias("unit"),
+            "scale_max",
+            F.when(
+                F.col("scale_max") > 0,
+                F.transform(
+                    F.col("v"),
+                    lambda x: F.floor(x * 127.0 / F.col("scale_max") + 0.5),
+                ),
+            )
+            .otherwise(
+                F.transform(F.col("v"), lambda x: F.lit(0).cast("long"))
+            )
+            .alias("q127"),
+        )
+        .orderBy("vec_id")
     )
 
 

@@ -170,6 +170,20 @@ def test_quality_filter_broadcasts_thresholds(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_quantize_is_pure_projection(spark):
+    # normalization/quantization must be one map-side pass: no shuffle
+    # except the presentation sort
+    plan = plan_of("embedding_quantize", spark)
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_mixture_sample_broadcasts_rates(spark):
+    # the per-source rate table rides a broadcast; the corpus side only
+    # shuffles for the rate aggregate input, never for the join
+    plan = plan_of("documents_mixture_sample", spark)
+    assert "BroadcastHashJoin" in plan
+
+
 def test_repetition_and_contamination_plans_stay_linear(spark):
     # chained hash aggregates / gram joins only — never a corpus-wide
     # window or a cartesian candidate explosion
