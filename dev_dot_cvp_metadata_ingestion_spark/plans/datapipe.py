@@ -284,9 +284,11 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus profile: doc counts, token totals, exact
     interpolated p50/p95 token counts (Spark ``percentile`` ==
     DuckDB ``quantile_cont``), longest document — the pre-training
-    sanity sweep. One hash aggregate on a low-cardinality key; the
-    percentile state is per-group sorted counts, bounded by group
-    cardinality, not corpus size."""
+    sanity sweep. One hash aggregate on a low-cardinality key — but
+    exact ``percentile`` buffers every group's values on its reducer,
+    so per-group state grows with the corpus: this form is the
+    oracle-checkable baseline; ``corpus_profile_approx`` is the same
+    profile with bounded-state sketches — the form to run at 100 TB."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
         "lang",
@@ -303,6 +305,41 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_tokens"),
             F.percentile("n_tokens", F.lit(0.5)).alias("p50_tokens"),
             F.percentile("n_tokens", F.lit(0.95)).alias("p95_tokens"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register("corpus_profile_approx")
+def corpus_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``corpus_profile`` with bounded aggregation state — the 100 TB
+    form. ``approx_percentile`` keeps a fixed-size KLL-style sketch per
+    group instead of buffering every value (accuracy 1/10000 here:
+    exact to ±0.01% rank), so reducer memory is O(groups · sketch), not
+    O(corpus). Approximate answers can't hash-match a DuckDB oracle —
+    the driver records rows-only; the tolerance against the exact
+    profile is pinned in tests/test_corpus_filters.py."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (
+                F.sum("n_tokens").cast("double") / F.count(F.lit(1))
+            ).alias("mean_tokens"),
+            F.approx_percentile(
+                "n_tokens", F.lit(0.5), F.lit(10000)
+            ).alias("p50_tokens"),
+            F.approx_percentile(
+                "n_tokens", F.lit(0.95), F.lit(10000)
+            ).alias("p95_tokens"),
             F.max("n_chars").alias("max_chars"),
         )
         .orderBy("lang")

@@ -62,6 +62,28 @@ def test_repetition_edge_cases(spark, doc_dir):
     assert nat.top_bigram_count == 1
 
 
+def test_approx_profile_tracks_exact(spark):
+    # the bounded-state (100 TB) profile must agree with the exact one:
+    # counts/sums/max exactly, percentiles within the local order-stat
+    # gap (approx returns a data value, exact interpolates)
+    from .conftest import SF_SMOKE
+
+    exact = {r.lang: r for r in QUERIES["corpus_profile"](spark, SF_SMOKE).collect()}
+    approx = {
+        r.lang: r
+        for r in QUERIES["corpus_profile_approx"](spark, SF_SMOKE).collect()
+    }
+    assert set(exact) == set(approx)
+    for lang, e in exact.items():
+        a = approx[lang]
+        assert a.n_docs == e.n_docs
+        assert a.total_tokens == e.total_tokens
+        assert a.mean_tokens == e.mean_tokens
+        assert a.max_chars == e.max_chars
+        assert abs(a.p50_tokens - e.p50_tokens) <= 2
+        assert abs(a.p95_tokens - e.p95_tokens) <= 2
+
+
 def test_contamination_zero_gram_docs_are_clean(spark, doc_dir):
     # eval docs shorter than the gram width must appear with
     # n_grams = 0 and frac 0.0, not vanish from the report
