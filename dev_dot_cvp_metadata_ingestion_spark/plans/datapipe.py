@@ -398,6 +398,106 @@ def documents_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "documents_chunked",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, t,
+             unnest(CASE WHEN len(t) > 0 THEN
+               generate_series(0, len(t) - 1, 24) ELSE [] END) AS start_pos
+      FROM toks
+    )
+    SELECT doc_id, start_pos // 24 AS chunk_id, start_pos,
+           len(list_slice(t, start_pos + 1, start_pos + 32)) AS n_chunk_tokens,
+           array_to_string(list_slice(t, start_pos + 1, start_pos + 32), ' ')
+             AS chunk_text
+    FROM starts
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def documents_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking for training: 32-token chunks with
+    8-token overlap (stride 24) — the standard long-document split
+    before tokenization/packing. Pure map-side generator: the chunk
+    starts come from ``sequence`` + ``posexplode`` over the scan, so
+    output scales with token count (no shuffle, no window); zero-token
+    docs emit zero chunks."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.when(
+                F.size("t") > 0,
+                F.sequence(F.lit(0), F.size("t") - 1, F.lit(24)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("start_pos"),
+    )
+    chunk = F.slice("t", F.col("start_pos") + 1, 32)
+    return (
+        starts.select(
+            "doc_id",
+            (F.col("start_pos").cast("long") / 24).cast("long").alias("chunk_id"),
+            F.col("start_pos").cast("long").alias("start_pos"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@register(
+    "documents_packed",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           coalesce(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset,
+           CAST(floor(coalesce(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 64.0)
+             AS BIGINT) AS seq_id
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def documents_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing accounting: docs are laid head-to-tail per
+    source shard (ordered by doc_id — deterministic), each doc gets its
+    running token offset and the 64-token training sequence its first
+    token lands in. The cumulative sum is a window PARTITIONED BY
+    source — state bounded by the largest shard, never a global window;
+    at 100 TB the shard key is whatever unit downstream packing runs
+    over (file, shard, source)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        offset.alias("offset"),
+        F.floor(offset / 64.0).cast("long").alias("seq_id"),
+    ).orderBy("doc_id")
+
+
+@register(
     "documents_mixture_sample",
     oracle=f"""
     WITH t AS (

@@ -17,6 +17,7 @@ DOCS = [
     (2, "alpha beta", "en", "s0", 10),
     (3, "x x x x x x", "en", "s0", 11),
     (4, "the quick brown fox jumps over the lazy dog again", "en", "s0", 50),
+    (5, " ".join(f"w{i}" for i in range(40)), "en", "s0", 0),
 ]
 
 
@@ -60,6 +61,38 @@ def test_repetition_edge_cases(spark, doc_dir):
     nat = rows[4]  # natural sentence: 10 tokens, one repeated ("the")
     assert nat.dup_token_frac == pytest.approx(1 / 10)
     assert nat.top_bigram_count == 1
+
+
+def test_chunking_stride_and_overlap(spark, doc_dir):
+    rows = QUERIES["documents_chunked"](spark, doc_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    assert 0 not in by_doc  # zero-token doc emits zero chunks
+
+    assert len(by_doc[1]) == 1
+    assert by_doc[1][0].chunk_text == "solo"
+    assert by_doc[1][0].n_chunk_tokens == 1
+
+    # 40 tokens, chunk 32, stride 24 -> two chunks: [0..31], [24..39]
+    c = sorted(by_doc[5], key=lambda r: r.chunk_id)
+    assert [(r.chunk_id, r.start_pos, r.n_chunk_tokens) for r in c] == [
+        (0, 0, 32),
+        (1, 24, 16),
+    ]
+    # the 8-token overlap is the same text in both chunks
+    assert c[0].chunk_text.split()[24:] == c[1].chunk_text.split()[:8]
+    assert c[1].chunk_text.split()[-1] == "w39"
+
+
+def test_packing_offsets_are_exclusive_cumsum(spark, doc_dir):
+    rows = {
+        r.doc_id: r for r in QUERIES["documents_packed"](spark, doc_dir).collect()
+    }
+    # all docs share source s0; doc_id order; token counts 0,1,2,6,10,40
+    assert [rows[i].offset for i in range(6)] == [0, 0, 1, 3, 9, 19]
+    assert rows[5].seq_id == 0  # offset 19 -> first 64-token sequence
 
 
 def test_approx_profile_tracks_exact(spark):

@@ -192,3 +192,11 @@ def test_repetition_and_contamination_plans_stay_linear(spark):
         assert "Window" not in plan, name
         assert "Cartesian" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_chunking_is_map_side_generate(spark):
+    # sliding-window chunking must be explode-over-scan: no shuffle
+    # except the presentation sort
+    plan = plan_of("documents_chunked", spark)
+    assert "Generate explode" in plan
+    assert "Exchange hashpartitioning" not in plan
