@@ -498,6 +498,73 @@ def documents_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, t, len(t) AS dl
+      FROM (SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents)
+    ),
+    tok AS (SELECT doc_id, dl, unnest(t) AS token FROM toks),
+    tf AS (SELECT doc_id, dl, token, count(*) AS tc
+           FROM tok GROUP BY doc_id, dl, token),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, token,
+             (tc::DOUBLE / dl) * (n.n::DOUBLE / df.df) AS tfidf
+      FROM tf JOIN df USING (token), n
+    ),
+    ranked AS (
+      SELECT doc_id, token, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token) AS rank
+      FROM scored
+    )
+    SELECT doc_id, token, tfidf, rank FROM ranked WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per document. The idf is the plain inverse
+    ratio N/df, NOT ln(N/df): libm log is not guaranteed identically
+    rounded across engines, while the ratio is a single IEEE division —
+    and the ranking is monotone-identical either way. Doc length rides
+    the (doc_id, token) aggregate key (it's functionally dependent on
+    doc_id), so the only joins are the token-keyed df join and a
+    broadcast 1-row corpus count; the final window partitions by
+    doc_id — state bounded by per-doc vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("dl"),
+        F.explode(tokens(F.col("text"))).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "dl", "token").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (
+                (F.col("tc").cast("double") / F.col("dl"))
+                * (F.col("n").cast("double") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .orderBy("doc_id", "rank")
+    )
+
+
+@register(
     "documents_mixture_sample",
     oracle=f"""
     WITH t AS (
