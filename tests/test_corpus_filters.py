@@ -1,11 +1,17 @@
 """Edge-case semantics for the corpus-cleaning operators
-(repetition filter, contamination sweep, quality gate) on crafted
-documents — empty text, single-token docs, fully-repeated docs —
-which the sf testdata never exercises."""
+(repetition filter, contamination sweep, quality gate, chunking,
+packing) on crafted documents — empty text, single-token docs,
+fully-repeated docs — which the sf testdata never exercises, plus
+property-based pins against pure-Python models."""
 
 from __future__ import annotations
 
+import shutil
+import tempfile
+from collections import Counter
+
 import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
 
 import __spark_entry__ as entrymod
 
@@ -93,6 +99,70 @@ def test_packing_offsets_are_exclusive_cumsum(spark, doc_dir):
     # all docs share source s0; doc_id order; token counts 0,1,2,6,10,40
     assert [rows[i].offset for i in range(6)] == [0, 0, 1, 3, 9, 19]
     assert rows[5].seq_id == 0  # offset 19 -> first 64-token sequence
+
+
+# word-list texts: small alphabet so bigram repetition actually occurs
+_wordy = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "é", "x"]), max_size=80
+).map(" ".join)
+
+
+@given(st.lists(_wordy, min_size=1, max_size=12))
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+def test_chunk_pack_repetition_models(spark, texts):
+    docs = [(i, t, "en", f"s{i % 2}", len(t)) for i, t in enumerate(texts)]
+    d = tempfile.mkdtemp(prefix="corpus_prop_")
+    try:
+        spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+        toks = {i: t.split() for i, t, *_ in docs}
+        toks = {i: [w for w in ws if w] for i, ws in toks.items()}
+
+        # chunking: every chunk is exactly tokens[start:start+32] and the
+        # start set is range(0, n, 24)
+        chunks = QUERIES["documents_chunked"](spark, d).collect()
+        starts = {}
+        for r in chunks:
+            t = toks[r.doc_id]
+            assert r.start_pos == 24 * r.chunk_id
+            assert r.chunk_text.split() == t[r.start_pos : r.start_pos + 32]
+            assert r.n_chunk_tokens == len(t[r.start_pos : r.start_pos + 32])
+            starts.setdefault(r.doc_id, set()).add(r.start_pos)
+        for i, t in toks.items():
+            expect = set(range(0, len(t), 24))
+            assert starts.get(i, set()) == expect, i
+
+        # packing: exclusive per-source cumsum in doc_id order
+        packed = {r.doc_id: r for r in QUERIES["documents_packed"](spark, d).collect()}
+        run = {}
+        for i in sorted(toks):
+            src = f"s{i % 2}"
+            assert packed[i].offset == run.get(src, 0)
+            assert packed[i].seq_id == run.get(src, 0) // 64
+            run[src] = run.get(src, 0) + len(toks[i])
+
+        # repetition signals against Counter models
+        rep = {
+            r.doc_id: r
+            for r in QUERIES["documents_repetition_filter"](spark, d).collect()
+        }
+        for i, t in toks.items():
+            r = rep[i]
+            assert r.n_tokens == len(t)
+            if t:
+                assert r.dup_token_frac == pytest.approx(
+                    (len(t) - len(set(t))) / len(t)
+                )
+            grams = Counter(zip(t, t[1:]))
+            assert r.top_bigram_count == (max(grams.values()) if grams else 0)
+            assert 0.0 <= r.top_bigram_frac <= 1.0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def test_approx_profile_tracks_exact(spark):
