@@ -1126,8 +1126,14 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup as a pipeline decision: within each exact-content cluster,
     keep the highest-quality document (length saturation score,
-    doc_id tie-break) — the window-over-fingerprint pattern used to
-    materialize a deduplicated corpus."""
+    doc_id tie-break). Deliberately NOT a window over fingerprint: a
+    boilerplate document duplicated millions of times is a hot key,
+    and a window funnels every copy through one task with no remedy —
+    whereas the argmin aggregate below collapses hot keys map-side
+    (partial min_by per partition) and the mark-keeper join is
+    AQE-skew-splittable. Keeper = min_by doc_id over the
+    (-len_term, doc_id) struct order — identical to rank-1 of
+    (len_term DESC, doc_id)."""
     from ..functions.text import tokens as toks_fn
 
     d = load_table(spark, sf_dir, "documents")
@@ -1137,15 +1143,21 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         content_fingerprint(F.col("text")).alias("fingerprint"),
         F.least(F.size(t) / F.lit(100.0), F.lit(1.0)).alias("len_term"),
     )
-    w = W.partitionBy("fingerprint").orderBy(
-        F.col("len_term").desc(), F.col("doc_id")
+    keepers = scored.groupBy("fingerprint").agg(
+        F.min_by(
+            "doc_id",
+            F.struct(
+                (-F.col("len_term")).alias("neg_len"),
+                F.col("doc_id").alias("tie"),
+            ),
+        ).alias("keeper_id")
     )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.join(keepers, "fingerprint")
         .select(
             "doc_id",
             "fingerprint",
-            (F.col("rk") == 1).alias("is_keeper"),
+            (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
         )
         .orderBy("doc_id")
     )

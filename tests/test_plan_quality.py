@@ -194,6 +194,15 @@ def test_repetition_and_contamination_plans_stay_linear(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_keep_best_has_no_window(spark):
+    # keeper selection must be the skew-safe argmin aggregate (map-side
+    # combine collapses hot fingerprints; the join is AQE-splittable),
+    # not a window over fingerprint
+    plan = plan_of("dedup_keep_best", spark)
+    assert "Window" not in plan
+    assert "min_by" in plan or "MinBy" in plan
+
+
 def test_chunking_is_map_side_generate(spark):
     # sliding-window chunking must be explode-over-scan: no shuffle
     # except the presentation sort
