@@ -498,6 +498,165 @@ def documents_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "documents_curated",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source, text,
+             {_TOKS.format(c="text")} AS t,
+             {_TOKS.format(c="lower(text)")} AS tl
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, source, len(t) AS n_tokens,
+             md5(array_to_string(tl, ' ')) AS fingerprint,
+             least(len(t) / 100.0, 1.0) AS len_term,
+             least(len(t) / 100.0, 1.0) * 0.3
+               + (CASE WHEN len(t) > 0 THEN {_stop_hits("en")}::DOUBLE / len(t)
+                  ELSE 0.0 END) * 0.5
+               + (CASE WHEN (CASE WHEN length(text) > 0 THEN
+                    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+                      / length(text) ELSE 0.0 END) < 0.1 THEN 1.0 ELSE 0.0 END) * 0.2
+               AS quality,
+             CASE WHEN len(t) > 0 THEN
+               (len(t) - len(list_distinct(t)))::DOUBLE / len(t)
+             ELSE 0.0 END AS dup_token_frac,
+             CASE WHEN len(t) >= 2 THEN
+               [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)]
+             ELSE [] END AS bigrams
+      FROM toks
+    ),
+    top AS (
+      SELECT doc_id, max(n) AS top_n, sum(n) AS total
+      FROM (SELECT doc_id, gram, count(*) AS n
+            FROM (SELECT doc_id, unnest(bigrams) AS gram FROM scored)
+            GROUP BY doc_id, gram)
+      GROUP BY doc_id
+    ),
+    keepers AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (PARTITION BY fingerprint
+                 ORDER BY len_term DESC, doc_id) AS rk FROM scored)
+      WHERE rk = 1
+    ),
+    clean AS (
+      SELECT s.* FROM scored s
+      JOIN keepers USING (doc_id)
+      LEFT JOIN top USING (doc_id)
+      WHERE s.dup_token_frac <= 0.625
+        AND coalesce(top.top_n::DOUBLE / top.total, 0.0) <= 0.06
+    ),
+    q25 AS (
+      SELECT lang, quantile_cont(quality, 0.25) AS q25 FROM clean GROUP BY lang
+    ),
+    quality_pass AS (
+      SELECT c.* FROM clean c JOIN q25 USING (lang) WHERE c.quality >= q25.q25
+    ),
+    totals AS (SELECT source, sum(n_tokens) AS tok FROM quality_pass GROUP BY source),
+    m AS (SELECT min(tok) AS mn FROM totals),
+    rates AS (
+      SELECT source, CAST(floor(mn::DOUBLE / tok * 10000) AS BIGINT) AS threshold
+      FROM totals, m
+    )
+    SELECT q.doc_id, q.lang, q.source, q.n_tokens
+    FROM quality_pass q JOIN rates r USING (source)
+    WHERE {_BASE_HASH.format(s="CAST(doc_id AS VARCHAR) || ':mix'")} % 10000
+            < r.threshold
+    ORDER BY doc_id
+    """,
+)
+def documents_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as ONE declarative plan: exact-dedup
+    keeper selection → Gopher-style repetition filter → per-language
+    bottom-quartile quality gate (thresholds computed over the
+    survivors, as a real pipeline would) → equal-token-share source
+    rebalancing. Every stage keeps its scale shape from the standalone
+    operator: argmin aggregate for keepers, chained per-doc hash
+    aggregates for repetition, broadcast threshold/rate tables for the
+    gates — Catalyst fuses the map-side stages so the corpus is
+    scanned once, not once per filter."""
+    from ..functions.text import tokens as toks_fn
+    from ..operators.dedup import base_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    t = toks_fn(F.col("text"))
+    n = F.size(t)
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        n.alias("n_tokens"),
+        content_fingerprint(F.col("text")).alias("fingerprint"),
+        F.least(n / F.lit(100.0), F.lit(1.0)).alias("len_term"),
+        quality_score(F.col("text")).alias("quality"),
+        F.when(n > 0, (n - F.size(F.array_distinct(t))).cast("double") / n)
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_frac"),
+        F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(t, 1, n - 1),
+                F.slice(t, 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("bigrams"),
+    )
+    top = (
+        scored.select("doc_id", F.explode("bigrams").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_n"), F.sum("cnt").alias("total"))
+    )
+    keepers = scored.groupBy("fingerprint").agg(
+        F.min_by(
+            "doc_id",
+            F.struct(
+                (-F.col("len_term")).alias("neg_len"),
+                F.col("doc_id").alias("tie"),
+            ),
+        ).alias("doc_id")
+    ).select("doc_id")
+    clean = (
+        scored.join(keepers, "doc_id")
+        .join(top, "doc_id", "left")
+        .filter(
+            (F.col("dup_token_frac") <= 0.625)
+            & (
+                F.coalesce(
+                    F.col("top_n").cast("double") / F.col("total"), F.lit(0.0)
+                )
+                <= 0.06
+            )
+        )
+    )
+    q25 = clean.groupBy("lang").agg(
+        F.percentile("quality", F.lit(0.25)).alias("q25")
+    )
+    quality_pass = clean.join(F.broadcast(q25), "lang").filter(
+        F.col("quality") >= F.col("q25")
+    )
+    totals = quality_pass.groupBy("source").agg(F.sum("n_tokens").alias("tok"))
+    m = totals.agg(F.min("tok").alias("mn"))
+    rates = totals.crossJoin(F.broadcast(m)).select(
+        "source",
+        F.floor(F.col("mn").cast("double") / F.col("tok") * 10000).alias(
+            "threshold"
+        ),
+    )
+    bucket = base_hash(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))
+    ) % 10000
+    return (
+        quality_pass.join(F.broadcast(rates), "source")
+        .filter(bucket < F.col("threshold"))
+        .select("doc_id", "lang", "source", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "text_tfidf_top_terms",
     oracle=f"""
     WITH toks AS (

@@ -194,6 +194,15 @@ def test_repetition_and_contamination_plans_stay_linear(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_curated_pipeline_single_scan_no_window(spark):
+    # the composed curation pipeline must keep every stage's scale
+    # shape: no window anywhere, threshold/rate tables broadcast
+    plan = plan_of("documents_curated", spark)
+    assert "Window" not in plan
+    assert "Cartesian" not in plan
+    assert plan.count("BroadcastExchange") >= 2  # q25 + rates (+ m)
+
+
 def test_keep_best_has_no_window(spark):
     # keeper selection must be the skew-safe argmin aggregate (map-side
     # combine collapses hot fingerprints; the join is AQE-splittable),
