@@ -10,6 +10,8 @@ folds; single IEEE divisions only (no float accumulation ambiguity).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -572,12 +574,25 @@ def documents_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebalancing. Every stage keeps its scale shape from the standalone
     operator: argmin aggregate for keepers, chained per-doc hash
     aggregates for repetition, broadcast threshold/rate tables for the
-    gates — Catalyst fuses the map-side stages so the corpus is
-    scanned once, not once per filter."""
+    gates. In this PURE single-query form the diamond-shared stages
+    are re-evaluated per consumer as column-pruned scans (exchange
+    reuse can't dedup them: each branch prunes a different schema);
+    ``curate_documents_scoped`` persists the two shared stage
+    boundaries instead — the production materialization pattern, same
+    rows."""
+    d = load_table(spark, sf_dir, "documents")
+    return _curated_plan(d)
+
+
+def _curated_plan(d: DataFrame, pin=lambda df: df) -> DataFrame:
+    """Curation pipeline plan over a documents frame. ``pin`` is
+    applied at the diamond-shared stage boundaries (scored, clean,
+    quality_pass — each consumed by 2-3 downstream branches); the pure
+    form passes them through, ``curate_documents_scoped`` persists
+    them."""
     from ..functions.text import tokens as toks_fn
     from ..operators.dedup import base_hash
 
-    d = load_table(spark, sf_dir, "documents")
     t = toks_fn(F.col("text"))
     n = F.size(t)
     scored = d.select(
@@ -602,6 +617,7 @@ def documents_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array().cast("array<string>"))
         .alias("bigrams"),
     )
+    scored = pin(scored)
     top = (
         scored.select("doc_id", F.explode("bigrams").alias("gram"))
         .groupBy("doc_id", "gram")
@@ -631,11 +647,14 @@ def documents_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    clean = pin(clean)
     q25 = clean.groupBy("lang").agg(
         F.percentile("quality", F.lit(0.25)).alias("q25")
     )
-    quality_pass = clean.join(F.broadcast(q25), "lang").filter(
-        F.col("quality") >= F.col("q25")
+    quality_pass = pin(
+        clean.join(F.broadcast(q25), "lang").filter(
+            F.col("quality") >= F.col("q25")
+        )
     )
     totals = quality_pass.groupBy("source").agg(F.sum("n_tokens").alias("tok"))
     m = totals.agg(F.min("tok").alias("mn"))
@@ -654,6 +673,29 @@ def documents_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "n_tokens")
         .orderBy("doc_id")
     )
+
+
+@contextmanager
+def curate_documents_scoped(d: DataFrame):
+    """Materialized curation pipeline: persists the diamond-shared
+    stage boundaries (scored / clean / quality_pass) for the block and
+    unpersists on exit — the production pattern for multi-consumer
+    stages that pure exchange reuse cannot dedup (each consumer prunes
+    a different column set, so the canonical exchanges never match).
+    Same rows as the registered ``documents_curated`` query (asserted
+    in tests); run your actions inside the block."""
+    handles: list[DataFrame] = []
+
+    def pin(df: DataFrame) -> DataFrame:
+        h = df.persist()
+        handles.append(h)
+        return h
+
+    try:
+        yield _curated_plan(d, pin)
+    finally:
+        for h in handles:
+            h.unpersist()
 
 
 @register(
@@ -698,6 +740,13 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("text")).alias("dl"),
         F.explode(tokens(F.col("text"))).alias("token"),
     )
+    # the tf frame feeds both the df aggregate (token only, pruned)
+    # and the score join (all columns) — different pruned schemas, so
+    # exchange reuse cannot kick in and the tokenize pass runs twice.
+    # That is the right scale trade: both passes are column-pruned
+    # map work that parallelizes perfectly, while the alternative
+    # (df as count().over(Window.partitionBy(token))) funnels every
+    # occurrence of a stopword-grade token through one task.
     tf = tok.groupBy("doc_id", "dl", "token").agg(
         F.count(F.lit(1)).alias("tc")
     )

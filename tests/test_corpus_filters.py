@@ -165,6 +165,25 @@ def test_chunk_pack_repetition_models(spark, texts):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_scoped_curation_matches_pure(spark):
+    # the persisted (production) form must return exactly the pure
+    # query's rows and release its cache handles on exit
+    from dev_dot_cvp_metadata_ingestion_spark.plans.datapipe import (
+        curate_documents_scoped,
+    )
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import load_table
+
+    from .conftest import SF_SMOKE
+
+    pure = QUERIES["documents_curated"](spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    with curate_documents_scoped(d) as cur:
+        scoped = cur.collect()
+    assert sorted(map(tuple, scoped)) == sorted(map(tuple, pure))
+    # all pinned frames unpersisted: nothing left in the cache manager
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_approx_profile_tracks_exact(spark):
     # the bounded-state (100 TB) profile must agree with the exact one:
     # counts/sums/max exactly, percentiles within the local order-stat
