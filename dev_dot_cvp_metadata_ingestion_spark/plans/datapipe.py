@@ -1489,6 +1489,84 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s AS (SELECT user_id, min(epoch_us(ts)) AS signup_us
+          FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS click_us
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'click' AND epoch_us(e.ts) > s.signup_us
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS purchase_us
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.click_us
+          GROUP BY e.user_id)
+    SELECT u.user_id, s.signup_us, c.click_us, p.purchase_us,
+           (CASE WHEN s.signup_us IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN c.click_us IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN p.purchase_us IS NOT NULL THEN 1 ELSE 0 END)
+             AS funnel_depth
+    FROM u LEFT JOIN s USING (user_id) LEFT JOIN c USING (user_id)
+           LEFT JOIN p USING (user_id)
+    ORDER BY user_id
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup → first later click → first
+    later purchase) per user, in ONE shuffle: running conditional mins
+    over a user-partitioned window mark each step's candidates (a
+    click counts iff strictly after the running first signup, which at
+    that row equals the global first signup), and the final per-user
+    aggregate reuses the window's partitioning — the oracle's
+    equivalent three-way self-join would shuffle the events table
+    three times. Timestamps compare as epoch micros (strict >; a
+    same-microsecond pair never converts in either engine)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    is_type = lambda t: F.col("event_type") == t  # noqa: E731
+    r = ev.withColumn(
+        "run_signup", F.min(F.when(is_type("signup"), F.col("us"))).over(w)
+    )
+    r = r.withColumn(
+        "click_cand",
+        F.when(is_type("click") & (F.col("us") > F.col("run_signup")), F.col("us")),
+    )
+    r = r.withColumn("run_click", F.min("click_cand").over(w))
+    r = r.withColumn(
+        "purchase_cand",
+        F.when(
+            is_type("purchase") & (F.col("us") > F.col("run_click")), F.col("us")
+        ),
+    )
+    out = r.groupBy("user_id").agg(
+        F.min(F.when(is_type("signup"), F.col("us"))).alias("signup_us"),
+        F.min("click_cand").alias("click_us"),
+        F.min("purchase_cand").alias("purchase_us"),
+    )
+    return out.select(
+        "user_id",
+        "signup_us",
+        "click_us",
+        "purchase_us",
+        (
+            F.col("signup_us").isNotNull().cast("int")
+            + F.col("click_us").isNotNull().cast("int")
+            + F.col("purchase_us").isNotNull().cast("int")
+        ).alias("funnel_depth"),
+    ).orderBy("user_id")
+
+
+@register(
     "events_sessionize",
     oracle="""
     WITH g AS (

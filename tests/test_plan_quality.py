@@ -194,6 +194,13 @@ def test_repetition_and_contamination_plans_stay_linear(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_funnel_single_shuffle(spark):
+    # the windowed funnel must shuffle events exactly once on user_id;
+    # the final aggregate reuses the window partitioning
+    plan = plan_of("events_funnel", spark)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_curated_pipeline_single_scan_no_window(spark):
     # the composed curation pipeline must keep every stage's scale
     # shape: no window anywhere, threshold/rate tables broadcast
