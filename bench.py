@@ -34,6 +34,18 @@ HEADLINE = [
     "multimodal_features",
 ]
 
+# round-4 corpus-curation flagships, timed identically but reported
+# under a SEPARATE key so headline_queries_total stays comparable
+# across rounds (the 13-query headline set is frozen)
+EXTENDED = [
+    "documents_curated",
+    "documents_repetition_filter",
+    "documents_contamination",
+    "text_tfidf_top_terms",
+    "ann_knn_join",
+    "events_funnel",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -51,7 +63,7 @@ def main() -> None:
     # headline query once at the smoke scale, so no measured query pays
     # first-run compilation/classloading costs
     t_warm = time.perf_counter()
-    for name in HEADLINE:
+    for name in HEADLINE + EXTENDED:
         qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
@@ -63,14 +75,20 @@ def main() -> None:
     # deltas (measured: cv_validation_tallies 3.3s interleaved vs 1.4s
     # consecutive — the query itself is the latter)
     N_RUNS = 2
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        for _ in range(N_RUNS):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
+
+    def time_set(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            fn = qs[name]
+            for _ in range(N_RUNS):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = round(time.perf_counter() - t0, 3)
+                out[name] = min(out.get(name, dt), dt)
+        return out
+
+    timings = time_set(HEADLINE)
+    extended = time_set(EXTENDED)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -89,6 +107,10 @@ def main() -> None:
                 "warmup_sec": warmup_sec,
                 "runs": N_RUNS,
                 "agg": "min",
+                # round-4 additions, excluded from the frozen headline
+                # total so rounds stay comparable
+                "queries_extended": extended,
+                "extended_total": round(sum(extended.values()), 3),
             }
         )
     )
