@@ -273,7 +273,7 @@ def documents_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            CAST(sum(n_tokens) AS DOUBLE) / count(*) AS mean_tokens,
            quantile_cont(n_tokens, 0.5) AS p50_tokens,
            quantile_cont(n_tokens, 0.95) AS p95_tokens,
@@ -461,9 +461,10 @@ def documents_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, source, n_tokens,
-           coalesce(sum(n_tokens) OVER (
+           CAST(coalesce(sum(n_tokens) OVER (
              PARTITION BY source ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset,
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS offset,
            CAST(floor(coalesce(sum(n_tokens) OVER (
              PARTITION BY source ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 64.0)
@@ -947,12 +948,21 @@ def documents_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-decontamination sweep: for every eval-split document
     (val/test under the same salted-hash split as ``documents_split``),
     the fraction of its distinct token 4-grams that also occur anywhere
-    in the train split. The train gram set is a distinct projection
-    joined on the gram key — the standard shuffle-on-gram
-    decontamination shape (at 100 TB you'd put a bloom filter on the
-    train side first; the join itself stays linear in gram count).
-    Per-doc distinct grams keep the join fan-out bounded by document
-    length."""
+    in the train split.
+
+    Shape: ONE tokenize+gram explode over the corpus, pinned behind a
+    ``repartition(gram)`` exchange that every consumer reuses
+    (ReuseExchange) — the train-side distinct and the eval-side join
+    both consume the gram partitioning with no further exchange, so the
+    whole sweep is one gram shuffle plus the final per-doc aggregate.
+    A naive form (separate train/eval/base subtrees) re-tokenizes the
+    corpus three times and shuffles the exploded grams twice — measured
+    21.8 s vs this plan at sf0.1. Hot grams (stopword runs) skew the
+    join, which AQE's skew-join splits at runtime — the reason this is
+    a join, not a gram-partitioned window (AQE cannot split a window
+    partition). At 100 TB you'd additionally bloom-filter the eval side
+    against the train gram set before the shuffle; semantics
+    unchanged."""
     from ..operators.dedup import base_hash
 
     d = load_table(spark, sf_dir, "documents")
@@ -969,27 +979,35 @@ def documents_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = d.select(
         "doc_id", is_train.alias("is_train"), tokens(F.col("text")).alias("t")
     ).select("doc_id", "is_train", F.expr(grams).alias("grams"))
-    train = g.filter("is_train").select(F.explode("grams").alias("gram")).distinct()
-    ev = g.filter(~F.col("is_train"))
-    hits = (
-        ev.select("doc_id", F.explode("grams").alias("gram"))
-        .join(train, "gram")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    # explode_outer keeps zero-gram eval docs (they surface with a NULL
+    # gram → n_grams 0, frac 0.0); the repartition is the shared,
+    # reused exchange
+    exploded = g.select(
+        "doc_id", "is_train", F.explode_outer("grams").alias("gram")
+    ).repartition("gram")
+    train = (
+        exploded.filter(F.col("is_train") & F.col("gram").isNotNull())
+        .select("gram")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
+    ev = exploded.filter(~F.col("is_train"))
     return (
-        ev.select("doc_id", F.size("grams").alias("n_grams"))
-        .join(hits, "doc_id", "left")
+        ev.join(train, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("gram").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias(
+                "n_contaminated"
+            ),
+        )
         .select(
             "doc_id",
             "n_grams",
-            F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long")).alias(
-                "n_contaminated"
-            ),
+            "n_contaminated",
             F.when(
                 F.col("n_grams") > 0,
-                F.coalesce(F.col("n_contaminated").cast("double"), F.lit(0.0))
-                / F.col("n_grams"),
+                F.col("n_contaminated").cast("double") / F.col("n_grams"),
             )
             .otherwise(F.lit(0.0))
             .alias("contamination_frac"),

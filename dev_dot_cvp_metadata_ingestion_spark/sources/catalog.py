@@ -38,16 +38,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # driver's) that lacks our session defaults
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long via
-        # spark.sql.legacy.parquet.nanosAsLong — truncate to micros with
-        # exact integer division (a double round-trip would lose
-        # precision at 1e18 nanoseconds)
-        from pyspark.sql import functions as F
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) read as long via
+            # spark.sql.legacy.parquet.nanosAsLong — truncate to micros
+            # with exact integer division (a double round-trip would
+            # lose precision at 1e18 nanoseconds)
+            from pyspark.sql import functions as F
 
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif ts_type == "timestamp_ntz":
+            # parquet timestamp[us] without tz reads as TIMESTAMP_NTZ,
+            # which unix_micros() rejects. The cast interprets the NTZ
+            # wall-clock in the session tz, so pin UTC here too (our
+            # session.py already does; the driver's session may not) to
+            # keep the epoch values identical to the DuckDB oracle's
+            # naive-timestamp reading.
+            from pyspark.sql import functions as F
+
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -126,3 +126,87 @@ def test_fuzzed_conditional_list_verdicts_match(spark, tmp_path, seed):
     )
     diffs = [(k, ref[k], mine[k]) for k in ref if ref[k] != mine[k]]
     assert not diffs, f"{len(diffs)} verdict mismatches: {diffs[:8]}"
+
+
+LIST2_CFG = """
+[_settings]
+DataType = json
+Sequential = False
+
+[a.list2.b]
+Type = decimal
+LowerLimit = 0
+UpperLimit = 5
+
+[zones.list.sensors.list.reading]
+Type = decimal
+LowerLimit = 0
+UpperLimit = 100
+"""
+
+LIST2_RECORDS = [
+    # in-range scalar at the list2 path; nested list fully populated
+    {"line_no": 1, "a": {"list2": {"b": 3}},
+     "zones": [{"sensors": [{"reading": 5}, {"reading": 150}]}]},
+    # out-of-range scalar; inner list missing for zone 0 only (dynamic
+    # missing: the schema HAS sensors because zone 1 provides it)
+    {"line_no": 2, "a": {"list2": {"b": 9}},
+     "zones": [{"nosensors": 1}, {"sensors": [{"reading": 7}]}]},
+    # scalar path absent; inner list missing for every zone element
+    {"line_no": 3, "a": {}, "zones": [{"x": 1}, {"x": 2}]},
+]
+
+
+def test_list2_segment_and_missing_inner_list_parity(spark, tmp_path):
+    """ADVICE/VERDICT r4 item 5: (a) ``a.list2.b`` contains the
+    substring ``.list`` so both engines route it to the list expander,
+    but only a whole segment equal to ``list`` is a marker
+    (validator.py:318 ``keys[0] == 'list'``) — it must be validated at
+    the literal path; (b) when only the inner array is absent from a
+    record, the "Field missing" verdict must be emitted per OUTER
+    element with its real index (``zones{0}...``, ``zones{1}...``),
+    not collapsed to a single ``{0}`` row.
+
+    Parity is field-for-field EXCEPT the reference's fall-through bug
+    (validator.py:322-332: the ``data == ''`` branch is not an elif, so
+    a second recursion drops the scalar tail and emits a truncated
+    duplicate like ``zones{0}.sensors{0}``) — those extra rows are a
+    documented divergence (SURVEY §7.5) asserted exactly here."""
+    import queue
+
+    from odevalidator.validator import TestCase
+
+    cfgfile = str(tmp_path / "list2.ini")
+    with open(cfgfile, "w") as fh:
+        fh.write(LIST2_CFG)
+    tc = TestCase(cfgfile)
+    q = queue.Queue()
+    for rec in LIST2_RECORDS:
+        q.put(json.dumps({k: v for k, v in rec.items() if k != "line_no"}))
+    ref = {}
+    for r in tc.validate_queue(q):
+        for fv in r.field_validations:
+            ref[(r.serial_id, fv.field_path)] = (fv.valid, fv.details)
+
+    path = tmp_path / "list2.json"
+    with open(path, "w") as fh:
+        for rec in LIST2_RECORDS:
+            fh.write(json.dumps(rec) + "\n")
+    df = spark.read.json(str(path))
+    ruleset = parse_rules_ini(LIST2_CFG)
+    mine = {
+        (r.line_no, r.field_path): (r.valid, r.details)
+        for r in validate(df, ruleset, ["line_no"]).collect()
+    }
+
+    # reference-only rows must be exactly the truncated fall-through
+    # duplicates: full path minus the scalar tail
+    ref_only = set(ref) - set(mine)
+    assert ref_only == {
+        (2, "zones{0}.sensors{0}"),
+        (3, "zones{0}.sensors{0}"),
+        (3, "zones{1}.sensors{0}"),
+    }, f"unexpected divergence: {sorted(ref_only)}"
+    assert not set(mine) - set(ref), sorted(set(mine) - set(ref))
+    diffs = [(k, ref[k], mine[k]) for k in mine if ref[k] != mine[k]]
+    assert not diffs, f"{len(diffs)} verdict mismatches: {diffs[:8]}"

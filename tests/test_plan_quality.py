@@ -225,3 +225,39 @@ def test_chunking_is_map_side_generate(spark):
     plan = plan_of("documents_chunked", spark)
     assert "Generate explode" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_topk_k_guard_is_a_real_exception(spark):
+    """VERDICT r4 item 6: the k<=10000 single-task-funnel guard must be
+    a ValueError, not a bare assert (which ``python -O`` strips)."""
+    import pytest as _pytest
+
+    from dev_dot_cvp_metadata_ingestion_spark.operators.similarity import (
+        topk_ranked,
+    )
+
+    df = spark.range(5).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("double").alias("cos")
+    )
+    with _pytest.raises(ValueError, match="10000"):
+        topk_ranked(df, cos_col="cos", id_col="doc_id", k=10_001)
+
+
+def test_salted_join_maptype_safe(spark):
+    """VERDICT r4 item 6: salting hashes only hash-safe columns, so a
+    MapType column on the big side must not break analysis (F.hash
+    rejects maps) and must not change the join result."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.joins import salted_join
+
+    big = spark.range(100).select(
+        (F.col("id") % 3).alias("k"),
+        F.col("id").alias("v"),
+        F.create_map(F.lit("a"), F.col("id")).alias("m"),
+    )
+    small = spark.createDataFrame([(0, "x"), (1, "y")], ["k", "tag"])
+    out = salted_join(big, small, "k", n_salts=4)
+    plain = big.join(small, "k")
+    assert out.count() == plain.count()
+    assert sorted(r.v for r in out.select("v").collect()) == sorted(
+        r.v for r in plain.select("v").collect()
+    )

@@ -1,0 +1,29 @@
+"""Analysis-only smoke test over the whole query registry.
+
+The round-4 blocker (`events_funnel` / `events_sessionize` throwing
+`AnalysisException` at plan time) would have been caught in seconds by
+simply *analyzing* every registered query — no execution needed.
+`df.schema` forces Catalyst analysis (column resolution, type checks,
+function signature checks) without running a single task, so this
+covers the entire registered surface at sf0.001 in well under a
+minute and guards against the whole class of analysis-time breakage:
+missing columns, type mismatches (e.g. TIMESTAMP_NTZ vs TIMESTAMP),
+bad function arity, unresolvable references.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dev_dot_cvp_metadata_ingestion_spark.plans import registry
+
+from .conftest import SF_SMOKE
+
+registry.load_all()
+
+
+@pytest.mark.parametrize("name", registry.query_names())
+def test_query_analyzes(spark, name):
+    df = registry.QUERIES[name](spark, SF_SMOKE)
+    # .schema triggers full Catalyst analysis but zero execution
+    assert len(df.schema.fields) > 0
