@@ -62,6 +62,51 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def ordered_grams(text: Column, n: int) -> Column:
+    """Positional (non-distinct) n-word grams in document order — the
+    rolling-window input winnowing needs; same shifted-slice zip_with
+    construction as :func:`shingles` minus the distinct."""
+    t = tokens(text)
+    size = F.size(t)
+    if n == 1:
+        return t
+    acc = t
+    for k in range(1, n):
+        shifted = F.slice(t, k + 1, F.greatest(size - k, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    made = F.slice(acc, 1, F.greatest(size - (n - 1), F.lit(1)))
+    return F.when(size >= n, made).otherwise(F.array().cast("array<string>"))
+
+
+def winnow_fingerprints(text: Column, n: int = 4, w: int = 5) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every positional n-gram,
+    slide a window of ``w`` hashes, keep each window's minimum, distinct
+    the minima. Guarantees any shared run of ``n + w - 1`` tokens
+    between two documents produces at least one common fingerprint,
+    with ~2/(w+1) of grams selected — the bounded-size rolling-hash
+    sketch for plagiarism/overlap detection.
+
+    Short-document convention (documented, mirrored in the oracle SQL):
+    fewer than ``w`` gram hashes but at least one → the single global
+    minimum; no grams (< ``n`` tokens) → empty, no fingerprints.
+
+    Pure Column expression over the token array — map-side only, no
+    shuffle; per-row cost is O(tokens * w) in interpreted HOF land,
+    linear in corpus size at 100 TB."""
+    hs = F.transform(ordered_grams(text, n), base_hash)
+    nh = F.size(hs)
+    mins = F.transform(
+        F.sequence(F.lit(1), nh - w + 1),
+        lambda j: F.array_min(F.slice(hs, j, F.lit(w))),
+    )
+    return (
+        F.when(nh >= w, F.array_distinct(mins))
+        .when(nh > 0, F.array(F.array_min(hs)))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+
+
 def _perm(a: int, b: int):
     # factory closure: a default-arg lambda would change the lambda
     # arity pyspark infers for the higher-order function

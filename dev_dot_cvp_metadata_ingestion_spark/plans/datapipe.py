@@ -34,6 +34,7 @@ from ..operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash16,
+    winnow_fingerprints,
 )
 from ..operators.multimodal import (
     attach_binary,
@@ -1916,3 +1917,107 @@ def multimodal_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = attach_binary(d, "doc_id", "text")
     return resize_media(media, target_chars=256, fake=True).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprints",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 4 THEN
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                for i in generate_series(1, len(t)-3)]
+             ELSE [] END AS grams
+      FROM s
+    ),
+    h AS (
+      SELECT doc_id,
+             [(('0x' || substr(md5(x), 1, 8))::BIGINT) for x in grams] AS hs
+      FROM g
+    ),
+    f AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= 5 THEN
+               list_distinct([list_min(list_slice(hs, j, j+4))
+                              for j in generate_series(1, len(hs)-4)])
+             WHEN len(hs) > 0 THEN [list_min(hs)]
+             ELSE [] END AS fps
+      FROM h
+    )
+    SELECT doc_id, unnest(fps) AS fingerprint
+    FROM f
+    ORDER BY doc_id, fingerprint
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) document fingerprints: per doc the
+    distinct window-minima of 4-gram hashes under a 5-hash sliding
+    window (operators/dedup.py:winnow_fingerprints). Any two documents
+    sharing a run of 8 tokens are guaranteed a common fingerprint, so a
+    groupBy(fingerprint) over this output is the overlap-detection
+    join. Entirely map-side (one projection, no shuffle before the
+    presentation sort) — linear in corpus size at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.explode(winnow_fingerprints(F.col("text"), n=4, w=5)).alias(
+                "fingerprint"
+            ),
+        )
+        .orderBy("doc_id", "fingerprint")
+    )
+
+
+@register(
+    "documents_source_cap",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             {_BASE_HASH.format(s="CAST(doc_id AS VARCHAR) || ':cap7'")} AS hkey
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY hkey, doc_id)
+               AS pick_rank
+      FROM r
+    )
+    SELECT doc_id, source, pick_rank
+    FROM ranked WHERE pick_rank <= 10
+    ORDER BY doc_id
+    """,
+)
+def documents_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (web-curation staple): keep at most 10 docs per
+    source, chosen by salted-hash order — an unbiased deterministic
+    sample, never ``rand()`` (same policy as ``documents_mixture_sample``).
+
+    Two-phase ranking like ``ann_knn_join``: phase 1 ranks within
+    (source, salt-of-doc_id) and keeps 10 per salt, phase 2 re-ranks
+    the <= 10*n_salts survivors per source — no window partition ever
+    holds a whole hot domain, which at 100 TB can be billions of rows.
+    The hash order is a total order (ties broken by doc_id), so the
+    two-phase result is identical to the oracle's single window."""
+    from ..operators.dedup import base_hash
+
+    n_salts = 16
+    cap = 10
+    d = load_table(spark, sf_dir, "documents")
+    hkey = base_hash(F.concat(F.col("doc_id").cast("string"), F.lit(":cap7")))
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(n_salts))
+    r = d.select("doc_id", "source", hkey.alias("hkey"))
+    w_local = W.partitionBy("source", salt).orderBy("hkey", "doc_id")
+    w_final = W.partitionBy("source").orderBy("hkey", "doc_id")
+    return (
+        r.withColumn("_rn", F.row_number().over(w_local))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+        .withColumn("pick_rank", F.row_number().over(w_final))
+        .filter(F.col("pick_rank") <= cap)
+        .select("doc_id", "source", "pick_rank")
+        .orderBy("doc_id")
+    )
