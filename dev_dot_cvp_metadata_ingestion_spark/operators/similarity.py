@@ -215,3 +215,81 @@ def lsh_topk(
         )
     )
     return topk_ranked(cands, k)
+
+
+def kmeans_assign(
+    emb: DataFrame, k: int = 8, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    scale: int = 10_000_000,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column, fully
+    distributed: assignments via crossJoin against the BROADCAST
+    centroid relation (k rows — never a shuffle of the corpus),
+    centroid re-estimation via posexplode + groupBy(cluster, dim).
+    The driver never collects vectors; the loop just grows the logical
+    plan by one assign+reestimate round per iteration.
+
+    Every quantity is fixed-point int64 — vectors quantized to
+    ``floor(x * scale)``, distances are integer squared-L2, centroid
+    means are ``floor(sum/count)`` — so the result is bit-identical
+    across engines regardless of float summation order (the same
+    determinism device as the ``embedding_centroids`` oracle). With
+    |x| <= 1 and dim d, the distance bound is 4·scale²·d ≈ 2.6e16 at
+    d=64: inside int64. Init = the k smallest ids' vectors
+    (deterministic; no seeded rand()). Ties in the argmin break by
+    cluster id via lexicographic struct min.
+
+    Returns (vec_id, cluster, dist) — the final assignment."""
+    x = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.floor(v.cast("double") * scale).cast("long"),
+        ).alias("xf"),
+    )
+    cents = (
+        x.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cluster"), F.col("xf").alias("cf"))
+    )
+    assigned = None
+    for _ in range(iters):
+        dist = F.aggregate(
+            F.zip_with(F.col("xf"), F.col("cf"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, y: acc + y,
+        )
+        assigned = (
+            x.crossJoin(F.broadcast(cents))
+            .select("vec_id", "xf", "cluster", dist.alias("dist"))
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct("dist", "cluster")).alias("_m"),
+                F.first("xf").alias("xf"),
+            )
+            .select(
+                "vec_id",
+                F.col("_m.cluster").alias("cluster"),
+                F.col("_m.dist").alias("dist"),
+                "xf",
+            )
+        )
+        cents = (
+            assigned.select(
+                "cluster", F.posexplode("xf").alias("dim", "v")
+            )
+            .groupBy("cluster", "dim")
+            .agg(
+                F.floor(
+                    F.sum("v").cast("double") / F.count(F.lit(1))
+                ).cast("long").alias("cv")
+            )
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                    lambda s: s.getField("cv"),
+                ).alias("cf")
+            )
+        )
+    return assigned.select("vec_id", "cluster", "dist").orderBy("vec_id")

@@ -744,7 +744,9 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the tf frame feeds both the df aggregate (token only, pruned)
     # and the score join (all columns) — different pruned schemas, so
-    # exchange reuse cannot kick in and the tokenize pass runs twice.
+    # exchange reuse cannot kick in and the tokenize pass runs twice
+    # (a repartition(token) pin was tried and measured: pruning still
+    # diverges the subtrees, no ReusedExchange, strictly slower).
     # That is the right scale trade: both passes are column-pruned
     # map work that parallelizes perfectly, while the alternative
     # (df as count().over(Window.partitionBy(token))) funnels every
@@ -2021,3 +2023,67 @@ def documents_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "pick_rank")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "embedding_kmeans",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id,
+             [CAST(floor(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT)
+              for v in embedding] AS xf
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS cluster, xf AS cf FROM x ORDER BY vec_id LIMIT 8
+    ),
+    d1 AS (
+      SELECT x.vec_id, c0.cluster, x.xf,
+             CAST(list_sum([(x.xf[i]-c0.cf[i])*(x.xf[i]-c0.cf[i])
+                            for i in generate_series(1, len(x.xf))])
+                  AS BIGINT) AS dist
+      FROM x CROSS JOIN c0
+    ),
+    a1 AS (
+      SELECT vec_id, cluster, dist, xf FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cluster) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    e1 AS (SELECT cluster, unnest(xf) AS v, generate_subscripts(xf, 1) AS dim
+           FROM a1),
+    cm1 AS (SELECT cluster, dim,
+                   CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT)
+                     AS cv
+            FROM e1 GROUP BY cluster, dim),
+    c1 AS (SELECT cluster, list(cv ORDER BY dim) AS cf FROM cm1
+           GROUP BY cluster),
+    d2 AS (
+      SELECT x.vec_id, c1.cluster, x.xf,
+             CAST(list_sum([(x.xf[i]-c1.cf[i])*(x.xf[i]-c1.cf[i])
+                            for i in generate_series(1, len(x.xf))])
+                  AS BIGINT) AS dist
+      FROM x CROSS JOIN c1
+    ),
+    a2 AS (
+      SELECT vec_id, cluster, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cluster) AS rn
+        FROM d2) WHERE rn = 1
+    )
+    SELECT vec_id, cluster, dist FROM a2 ORDER BY vec_id
+    """,
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of k-means (k=8) over the embeddings table
+    (operators/similarity.py:kmeans_assign): assignment is a crossJoin
+    against the BROADCAST k-row centroid relation (never a shuffle of
+    the corpus), re-estimation is posexplode + groupBy(cluster, dim).
+    All arithmetic is fixed-point int64, so the oracle's unrolled CTE
+    reproduces it bit-for-bit with no float-order sensitivity. The
+    iterative driver loop is plan-growth only — no collect, same
+    pattern as ``dedup_clusters``."""
+    from ..operators.similarity import kmeans_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(e, k=8, iters=2)
