@@ -34,7 +34,7 @@ HEADLINE = [
     "multimodal_features",
 ]
 
-# round-4 corpus-curation flagships, timed identically but reported
+# round-4/5 corpus-curation flagships, timed identically but reported
 # under a SEPARATE key so headline_queries_total stays comparable
 # across rounds (the 13-query headline set is frozen)
 EXTENDED = [
@@ -44,6 +44,9 @@ EXTENDED = [
     "text_tfidf_top_terms",
     "ann_knn_join",
     "events_funnel",
+    "text_fingerprints",
+    "documents_source_cap",
+    "embedding_kmeans",
 ]
 
 

@@ -78,32 +78,48 @@ def ordered_grams(text: Column, n: int) -> Column:
     return F.when(size >= n, made).otherwise(F.array().cast("array<string>"))
 
 
-def winnow_fingerprints(text: Column, n: int = 4, w: int = 5) -> Column:
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", n: int = 4, w: int = 5,
+    out: str = "fingerprints",
+) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS algorithm): hash every positional n-gram,
     slide a window of ``w`` hashes, keep each window's minimum, distinct
     the minima. Guarantees any shared run of ``n + w - 1`` tokens
     between two documents produces at least one common fingerprint,
     with ~2/(w+1) of grams selected — the bounded-size rolling-hash
-    sketch for plagiarism/overlap detection.
+    sketch for plagiarism/overlap detection. Appends array column
+    ``out``; map-side only, no shuffle, linear in corpus size.
 
     Short-document convention (documented, mirrored in the oracle SQL):
     fewer than ``w`` gram hashes but at least one → the single global
     minimum; no grams (< ``n`` tokens) → empty, no fingerprints.
 
-    Pure Column expression over the token array — map-side only, no
-    shuffle; per-row cost is O(tokens * w) in interpreted HOF land,
-    linear in corpus size at 100 TB."""
-    hs = F.transform(ordered_grams(text, n), base_hash)
-    nh = F.size(hs)
+    DataFrame-level ON PURPOSE: the window minima reference the gram
+    hash array many times (once per sliding position), and Catalyst
+    does not share subexpressions across references inside ``transform``
+    lambdas — a single fused Column expression re-derived
+    tokenize→grams→md5 per WINDOW, measured 87 s at sf0.1. Staging
+    ``_hs`` as a real column makes each reference an attribute read
+    (CollapseProject keeps multi-referenced non-cheap aliases
+    materialized), same output, 87 s → ~1 s."""
+    hs_col = F.col("_hs")
+    nh = F.size(hs_col)
     mins = F.transform(
         F.sequence(F.lit(1), nh - w + 1),
-        lambda j: F.array_min(F.slice(hs, j, F.lit(w))),
+        lambda j: F.array_min(F.slice(hs_col, j, F.lit(w))),
+    )
+    fps = (
+        F.when(nh >= w, F.array_distinct(mins))
+        .when(nh > 0, F.array(F.array_min(hs_col)))
+        .otherwise(F.array().cast("array<bigint>"))
     )
     return (
-        F.when(nh >= w, F.array_distinct(mins))
-        .when(nh > 0, F.array(F.array_min(hs)))
-        .otherwise(F.array().cast("array<bigint>"))
+        df.withColumn(
+            "_hs", F.transform(ordered_grams(F.col(text_col), n), base_hash)
+        )
+        .withColumn(out, fps)
+        .drop("_hs")
     )
 
 

@@ -1963,13 +1963,17 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. Entirely map-side (one projection, no shuffle before the
     presentation sort) — linear in corpus size at 100 TB."""
     d = load_table(spark, sf_dir, "documents")
+    # explode_OUTER on purpose: plain explode triggers
+    # InferFiltersFromGenerate, whose size(...)>0 predicate is then
+    # pushed below the staging projects with the WHOLE fingerprint
+    # expression inlined — re-deriving tokenize+md5 per sliding window
+    # in the Filter (measured 42 s at sf0.1). The outer generate infers
+    # no filter; empty-array placeholder rows (NULL fingerprint) are
+    # dropped AFTER the generate, where the predicate cannot sink.
     return (
-        d.select(
-            "doc_id",
-            F.explode(winnow_fingerprints(F.col("text"), n=4, w=5)).alias(
-                "fingerprint"
-            ),
-        )
+        winnow_fingerprints(d.select("doc_id", "text"), "text", n=4, w=5)
+        .select("doc_id", F.explode_outer("fingerprints").alias("fingerprint"))
+        .where(F.col("fingerprint").isNotNull())
         .orderBy("doc_id", "fingerprint")
     )
 

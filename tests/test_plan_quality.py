@@ -261,3 +261,21 @@ def test_salted_join_maptype_safe(spark):
     assert sorted(r.v for r in out.select("v").collect()) == sorted(
         r.v for r in plain.select("v").collect()
     )
+
+
+def test_fingerprints_hash_derived_once(spark):
+    """The winnowing pipeline must compute the gram-hash array exactly
+    once per row. Two past regressions pinned here: (1) a fused Column
+    expression re-derived tokenize+md5 per sliding window; (2) plain
+    explode() let InferFiltersFromGenerate + predicate pushdown inline
+    the whole fingerprint tree into a Filter below the staging
+    projects. Both manifest as >1 md5 occurrence in the physical plan
+    (87 s / 42 s vs 1.2 s at sf0.1)."""
+    from dev_dot_cvp_metadata_ingestion_spark.plans import registry
+
+    registry.load_all()
+    df = registry.QUERIES["text_fingerprints"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("md5") == 1, (
+        f"gram hashing evaluated {plan.lower().count('md5')} times"
+    )
