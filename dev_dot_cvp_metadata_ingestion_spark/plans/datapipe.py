@@ -2091,3 +2091,164 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return kmeans_assign(e, k=8, iters=2)
+
+
+_WINNOW_CTE = """
+    s AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 4 THEN
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                for i in generate_series(1, len(t)-3)]
+             ELSE [] END AS grams
+      FROM s
+    ),
+    h AS (
+      SELECT doc_id,
+             [(('0x' || substr(md5(x), 1, 8))::BIGINT) for x in grams] AS hs
+      FROM g
+    ),
+    f AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= 5 THEN
+               list_distinct([list_min(list_slice(hs, j, j+4))
+                              for j in generate_series(1, len(hs)-4)])
+             WHEN len(hs) > 0 THEN [list_min(hs)]
+             ELSE [] END AS fps
+      FROM h
+    ),
+    fp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM f)
+"""
+
+
+@register(
+    "text_fingerprint_overlap",
+    oracle=f"""
+    WITH {_WINNOW_CTE},
+    keep AS (
+      SELECT fingerprint FROM fp GROUP BY fingerprint
+      HAVING count(*) BETWEEN 2 AND 50
+    ),
+    ff AS (SELECT fp.* FROM fp JOIN keep USING (fingerprint)),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM ff a JOIN ff b
+        ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared FROM pairs
+    WHERE n_shared >= 2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def text_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-overlap candidates from winnowing fingerprints (the
+    MOSS use-case): pairs of documents sharing >= 2 fingerprints, i.e.
+    each pair shares at least two distinct 8-token runs.
+
+    Shape: fingerprint posting lists via ONE groupBy(fingerprint) over
+    the exploded fingerprints — the fingerprint frame is computed once
+    (no self-join diamond; the oracle uses the equivalent naive
+    self-join) — then in-bucket pairs are generated map-side from the
+    sorted posting array and re-aggregated by pair. Posting lists
+    longer than 50 docs are dropped as stop-fingerprints (boilerplate
+    runs shared by everything — the same reasoning as stopword
+    removal), which also bounds the quadratic pair fan-out per bucket
+    at 50·49/2; everything else is linear shuffles. At 100 TB the cap
+    is the knob: candidate volume scales with sum(|bucket|²) and every
+    bucket is bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(d.select("doc_id", "text"), "text", n=4, w=5)
+    fp = (
+        fp.select("doc_id", F.explode_outer("fingerprints").alias("fingerprint"))
+        .where(F.col("fingerprint").isNotNull())
+    )
+    buckets = (
+        fp.groupBy("fingerprint")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= 50))
+    )
+    # in-bucket ordered pairs (a < b follows from the sorted array)
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ds"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ds"),
+                            i + F.lit(2),
+                            F.greatest(
+                                F.size("ds") - i - 1, F.lit(0)
+                            ),
+                        ),
+                        lambda y: F.struct(
+                            x.alias("doc_a"), y.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+    ),
+    tagged AS (
+      SELECT e.user_id,
+             CAST(floor(date_diff('day', DATE '2024-01-01',
+                                  CAST(f.first_ts AS DATE)) / 7.0) AS BIGINT)
+               AS cohort_week,
+             CAST(floor(date_diff('day', CAST(f.first_ts AS DATE),
+                                  CAST(e.ts AS DATE)) / 7.0) AS BIGINT)
+               AS week_offset
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_week, week_offset,
+           count(DISTINCT user_id) AS n_users
+    FROM tagged
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-activity week, counted
+    in each subsequent activity week — the canonical product-analytics
+    rollup. The per-user first timestamp is a window min over the
+    user partition (bounded by events-per-user, no join back to a user
+    dimension); week arithmetic is integer day-diffs from a fixed
+    epoch, so engines cannot disagree on week-start conventions. Two
+    shuffles total: user_id (window) and the cohort aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    epoch = F.lit("2024-01-01").cast("date")
+    tagged = e.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.min("ts").over(w).cast("date"), epoch) / 7.0
+        ).alias("cohort_week"),
+        F.floor(
+            F.datediff(
+                F.col("ts").cast("date"), F.min("ts").over(w).cast("date")
+            )
+            / 7.0
+        ).alias("week_offset"),
+    )
+    return (
+        tagged.groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
