@@ -47,6 +47,8 @@ EXTENDED = [
     "text_fingerprints",
     "documents_source_cap",
     "embedding_kmeans",
+    "text_fingerprint_overlap",
+    "events_cohort_retention",
 ]
 
 

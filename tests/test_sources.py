@@ -150,3 +150,45 @@ def test_file_lines_chunked_matches_wholetext(spark, tmp_path):
         assert got == want
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_load_table_events_ts_encodings(spark, tmp_path):
+    """The events table's ts column has shipped under two physical
+    encodings (TIMESTAMP(NANOS) read as bigint via nanosAsLong, and
+    timestamp[us]-no-tz read as TIMESTAMP_NTZ). load_table must
+    normalize BOTH to TIMESTAMP so unix_micros()-based queries analyze
+    — the round-4 regression was the NTZ case falling through."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import load_table
+
+    t0 = datetime.datetime(2024, 1, 2, 3, 4, 5, 678901)
+    micros = int(t0.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+
+    ntz_dir = tmp_path / "ntz"
+    ntz_dir.mkdir()
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([t0], pa.timestamp("us")),
+        }),
+        str(ntz_dir / "events.parquet"),
+    )
+    nanos_dir = tmp_path / "nanos"
+    nanos_dir.mkdir()
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([micros * 1000], pa.timestamp("ns")),
+        }),
+        str(nanos_dir / "events.parquet"),
+    )
+
+    for d in (ntz_dir, nanos_dir):
+        df = load_table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", (d, df.dtypes)
+        row = df.select(F.unix_micros("ts").alias("us")).collect()[0]
+        assert row.us == micros, (d, row.us, micros)
