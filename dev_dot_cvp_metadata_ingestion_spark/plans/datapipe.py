@@ -743,14 +743,14 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokens(F.col("text"))).alias("token"),
     )
     # the tf frame feeds both the df aggregate (token only, pruned)
-    # and the score join (all columns) — different pruned schemas, so
-    # exchange reuse cannot kick in and the tokenize pass runs twice
-    # (a repartition(token) pin was tried and measured: pruning still
-    # diverges the subtrees, no ReusedExchange, strictly slower).
-    # That is the right scale trade: both passes are column-pruned
-    # map work that parallelizes perfectly, while the alternative
-    # (df as count().over(Window.partitionBy(token))) funnels every
-    # occurrence of a stopword-grade token through one task.
+    # and the score join (all columns); the tokenize pass runs twice.
+    # A repartition(token) pin (ReuseExchange) was tried and measured
+    # strictly slower: the pinned shuffle of the full tf frame costs
+    # more than the duplicated column-pruned map work it saves. That
+    # is the right scale trade: both passes parallelize perfectly,
+    # while the alternative (df as count().over(
+    # Window.partitionBy(token))) funnels every occurrence of a
+    # stopword-grade token through one task.
     tf = tok.groupBy("doc_id", "dl", "token").agg(
         F.count(F.lit(1)).alias("tc")
     )
@@ -953,19 +953,20 @@ def documents_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fraction of its distinct token 4-grams that also occur anywhere
     in the train split.
 
-    Shape: ONE tokenize+gram explode over the corpus, pinned behind a
-    ``repartition(gram)`` exchange that every consumer reuses
-    (ReuseExchange) — the train-side distinct and the eval-side join
-    both consume the gram partitioning with no further exchange, so the
-    whole sweep is one gram shuffle plus the final per-doc aggregate.
-    A naive form (separate train/eval/base subtrees) re-tokenizes the
-    corpus three times and shuffles the exploded grams twice — measured
-    21.8 s vs this plan at sf0.1. Hot grams (stopword runs) skew the
-    join, which AQE's skew-join splits at runtime — the reason this is
-    a join, not a gram-partitioned window (AQE cannot split a window
-    partition). At 100 TB you'd additionally bloom-filter the eval side
-    against the train gram set before the shuffle; semantics
-    unchanged."""
+    Shape: one tokenize+gram explode subtree feeding exactly TWO
+    consumers — the train-side gram distinct and the eval-side join —
+    instead of the naive three (train/eval/base as separate subtrees,
+    which re-tokenized the corpus three times: 21.8 s vs 0.5 s at
+    sf0.1; per-doc gram counts come free out of the final aggregate,
+    eliminating the base subtree). The two consumers prune different
+    schemas, so an exchange pin canNOT dedupe them (measured: a
+    repartition(gram) pin adds ~40% — the shuffle costs more than the
+    duplicated column-pruned map work; same finding as tf-idf).
+    Hot grams (stopword runs) skew the join, which AQE's skew-join
+    splits at runtime — the reason this is a join, not a
+    gram-partitioned window (AQE cannot split a window partition).
+    At 100 TB you'd additionally bloom-filter the eval side against
+    the train gram set before the shuffle; semantics unchanged."""
     from ..operators.dedup import base_hash
 
     d = load_table(spark, sf_dir, "documents")
@@ -983,11 +984,10 @@ def documents_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", is_train.alias("is_train"), tokens(F.col("text")).alias("t")
     ).select("doc_id", "is_train", F.expr(grams).alias("grams"))
     # explode_outer keeps zero-gram eval docs (they surface with a NULL
-    # gram → n_grams 0, frac 0.0); the repartition is the shared,
-    # reused exchange
+    # gram → n_grams 0, frac 0.0)
     exploded = g.select(
         "doc_id", "is_train", F.explode_outer("grams").alias("gram")
-    ).repartition("gram")
+    )
     train = (
         exploded.filter(F.col("is_train") & F.col("gram").isNotNull())
         .select("gram")

@@ -279,3 +279,20 @@ def test_fingerprints_hash_derived_once(spark):
     assert plan.lower().count("md5") == 1, (
         f"gram hashing evaluated {plan.lower().count('md5')} times"
     )
+
+
+def test_minhash_pin_reuses_exchange(spark):
+    """dedup_minhash_pairs pins its (doc_id, hash-array) frame behind a
+    repartition exchange consumed by 4 branches; the EXECUTED adaptive
+    plan must show the other 3 as ReusedExchange (the md5-over-shingles
+    lineage computes once). Note: reuse is only visible on the final
+    adaptive plan after executing THIS DataFrame — a pre-execution
+    plan string shows none."""
+    from dev_dot_cvp_metadata_ingestion_spark.plans import registry
+
+    registry.load_all()
+    df = registry.QUERIES["dedup_minhash_pairs"](spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 3, plan.count("ReusedExchange")
