@@ -2252,3 +2252,142 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "embedding_zscore",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id,
+             [CAST(floor(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT)
+              for v in embedding] AS xf
+      FROM embeddings
+    ),
+    e AS (SELECT vec_id, unnest(xf) AS v, generate_subscripts(xf, 1) AS dim
+          FROM x),
+    m AS (
+      SELECT dim,
+             CAST(sum(v) AS BIGINT) AS s,
+             CAST(sum(v * v) AS BIGINT) AS ss,
+             count(*) AS n
+      FROM e GROUP BY dim
+    ),
+    stats AS (
+      SELECT dim,
+             CAST(s AS DOUBLE) / n AS mu,
+             sqrt(greatest(CAST(ss AS DOUBLE) / n
+                           - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                           0.0)) AS sigma
+      FROM m
+    )
+    SELECT e.vec_id, e.dim,
+           CASE WHEN stats.sigma > 0.0
+                THEN (CAST(e.v AS DOUBLE) - stats.mu) / stats.sigma
+                ELSE 0.0 END AS z
+    FROM e JOIN stats USING (dim)
+    ORDER BY vec_id, dim
+    """,
+)
+def embedding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization (z-score) of the embedding matrix
+    — the feature-normalization pass before clustering/quantization.
+    Dimension moments are computed from fixed-point int64 sums (exact
+    integer arithmetic → no float-summation-order divergence between
+    engines; sum and sum-of-squares fit int64 at |x|<=1, dim 64,
+    corpus <= 9e4 at 1e7 scale), converted to double ONCE, and joined
+    back broadcast (d rows — 64 here — regardless of corpus size). Two
+    shuffles: the per-dim aggregate and the presentation sort; the
+    normalization itself is a broadcast-join + projection, map-side at
+    100 TB."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda v: F.floor(v.cast("double") * 10_000_000.0).cast(
+                    "long"
+                ),
+            )
+        ).alias("dim0", "v"),
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "v")
+    m = x.groupBy("dim").agg(
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    sigma = F.sqrt(
+        F.greatest(
+            F.col("ss").cast("double") / F.col("n") - mu * mu, F.lit(0.0)
+        )
+    )
+    stats = m.select("dim", mu.alias("mu"), sigma.alias("sigma"))
+    return (
+        x.join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            F.when(
+                F.col("sigma") > 0.0,
+                (F.col("v").cast("double") - F.col("mu")) / F.col("sigma"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("z"),
+        )
+        .orderBy("vec_id", "dim")
+    )
+
+
+@register(
+    "documents_rarity_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS.format(c="lower(text)")}) AS token
+      FROM documents
+    ),
+    freq AS (SELECT token, count(*) AS cf FROM tok GROUP BY token),
+    scored AS (
+      SELECT tok.doc_id, freq.cf FROM tok JOIN freq USING (token)
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(cf) AS BIGINT) AS cf_sum,
+           CAST(sum(CASE WHEN cf <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rare,
+           CAST(sum(CASE WHEN cf <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS rare_frac
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def documents_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency rarity profile per document: total corpus
+    frequency mass of its tokens and the fraction of occurrences whose
+    token appears <= 2 times corpus-wide — the cheap unigram
+    perplexity proxy (high rare_frac → OCR noise/garbage, near-zero →
+    boilerplate). Deliberately integer/ratio-valued: a log-likelihood
+    variant ranks identically but libm log rounding is not
+    engine-portable (same reasoning as tf-idf's ratio idf). Shape is
+    tf-idf's little sibling: one token-keyed aggregate, one join back,
+    one per-doc aggregate — all partial-aggregated, no windows."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cf"))
+    return (
+        tok.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cf").alias("cf_sum"),
+            F.sum((F.col("cf") <= 2).cast("long")).alias("n_rare"),
+            (
+                F.sum((F.col("cf") <= 2).cast("long")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("rare_frac"),
+        )
+        .orderBy("doc_id")
+    )
