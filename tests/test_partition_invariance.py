@@ -1,0 +1,51 @@
+"""Results must not depend on physical partitioning.
+
+Every query whose design involves salts, two-phase ranking, hash
+membership, or iterative re-aggregation promises bit-identical output
+regardless of how rows are sharded. Running with a different (odd,
+non-divisible) shuffle-partition count would expose any accidental
+dependence on partition boundaries — the class of bug that appears in
+production as "results changed after the cluster resized" or
+"stage retry produced different rows" (SPARK-23207 shape).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dev_dot_cvp_metadata_ingestion_spark.plans import registry
+
+from .conftest import SF_SMOKE
+
+registry.load_all()
+
+# the partition-sensitive-by-construction designs, plus one window and
+# one iterative representative
+SENSITIVE = [
+    "ann_knn_join",          # salted two-phase top-k
+    "documents_source_cap",  # salted two-phase per-group cap
+    "dedup_keep_best",       # skew-safe argmin aggregate
+    "documents_mixture_sample",  # salted-hash membership
+    "dedup_minhash_pairs",   # LSH self-join + pinned exchange
+    "dedup_clusters",        # iterative min-label propagation
+    "embedding_kmeans",      # iterative re-aggregation
+    "events_sessionize",     # ordered window logic
+]
+
+
+def _rows(spark, name):
+    df = registry.QUERIES[name](spark, SF_SMOKE)
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_partition_count_invariance(spark, name):
+    base = _rows(spark, name)
+    assert base, name
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        alt = _rows(spark, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert base == alt, f"{name} output depends on shuffle partitioning"
