@@ -54,3 +54,45 @@ def windowed_event_counts(
             "n_events",
         )
     )
+
+
+def session_event_stats(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    lateness: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessionization via the native ``session_window``
+    aggregate — the streaming-capable twin of the batch
+    ``events_sessionize`` query (which uses a lag-window over a static
+    frame). Sessions merge while consecutive events are < gap apart;
+    state per (key, open session) is bounded and evicted once the
+    watermark passes the session end, so an indefinite stream holds
+    state only for sessions inside the lateness horizon.
+
+    Works on streaming frames (append-mode finalization) and batch
+    frames (same plan, no watermark) for parity testing. Boundary
+    semantics vs the lag form: a delta of EXACTLY the gap starts a new
+    session here (session extent is the half-open [ts, ts+gap)) but
+    continues the session in the lag form's strict ``delta > gap``
+    test — equal-to-gap deltas are measure-zero for microsecond
+    timestamps; the equivalence test asserts none exist before
+    comparing. Output: (<key_col>, session_start, session_end,
+    n_events)."""
+    d = events
+    if d.isStreaming:
+        d = d.withWatermark(ts_col, lateness)
+    return (
+        d.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sw"), key_col
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
