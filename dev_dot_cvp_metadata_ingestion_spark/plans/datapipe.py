@@ -2391,3 +2391,49 @@ def documents_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "events_sessionize_native",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) + 1800000000 AS session_end_us,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    ORDER BY user_id, session_start_us
+    """,
+)
+def events_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's native ``session_window`` aggregate
+    (streaming/windows.py:session_event_stats) — the form whose state
+    is watermark-evictable on a live stream, here run in batch and
+    held to a lag-window oracle. session_window merges events strictly
+    closer than the gap and reports end = last_ts + gap, so the oracle
+    starts a new session at delta >= gap (the half-open extent) and
+    adds the gap to the last timestamp. Timestamps cross the compare
+    boundary as epoch micros per the registry determinism rules."""
+    from ..streaming.windows import session_event_stats
+
+    e = load_table(spark, sf_dir, "events")
+    sw = session_event_stats(e, gap="30 minutes")
+    return sw.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    ).orderBy("user_id", "session_start_us")
