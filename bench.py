@@ -49,6 +49,7 @@ EXTENDED = [
     "embedding_kmeans",
     "text_fingerprint_overlap",
     "events_cohort_retention",
+    "dedup_minhash_banded",
 ]
 
 

@@ -2437,3 +2437,48 @@ def events_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("session_end").alias("session_end_us"),
         "n_events",
     ).orderBy("user_id", "session_start_us")
+
+
+@register(
+    "dedup_minhash_banded",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents),
+    sh AS (SELECT doc_id, {_shingle_sql(3)} AS sh FROM toks),
+    hs AS (SELECT doc_id,
+                  list_transform(sh, s -> {_BASE_HASH.format(s="s")}) AS hs
+           FROM sh),
+    sig AS (SELECT doc_id, list_distinct(hs) AS sh, {", ".join(_MINHASH)} FROM hs),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {j} AS band, minh_{2 * j} AS v0, minh_{2 * j + 1} AS v1 FROM sig" for j in range(4))}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.v0 = r.v0 AND l.v1 = r.v1
+           AND l.doc_id < r.doc_id
+    ),
+    ver AS (
+      SELECT doc_id_a, doc_id_b,
+             len(list_intersect(a.sh, b.sh)) AS i,
+             len(a.sh) AS la, len(b.sh) AS lb
+      FROM cand
+      JOIN sig a ON a.doc_id = doc_id_a
+      JOIN sig b ON b.doc_id = doc_id_b
+    )
+    SELECT doc_id_a, doc_id_b, i::DOUBLE / (la + lb - i) AS jaccard
+    FROM ver WHERE i::DOUBLE / (la + lb - i) >= 0.3
+    ORDER BY doc_id_a, doc_id_b
+    """,
+)
+def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b=4, r=2 banded MinHash-LSH near-duplicate pairs from the same
+    8-hash budget as ``dedup_minhash_pairs`` — a candidate must agree
+    on BOTH minhashes of some band (match prob 1-(1-J²)⁴), the
+    precision-leaning operating point whose candidate volume is the
+    100 TB knob (operators/dedup.py:lsh_near_duplicates_banded)."""
+    from ..operators.dedup import lsh_near_duplicates_banded
+
+    d = load_table(spark, sf_dir, "documents")
+    return lsh_near_duplicates_banded(
+        d, "doc_id", "text", num_hashes=8, rows_per_band=2, n=3, threshold=0.3
+    ).orderBy("doc_id_a", "doc_id_b")
