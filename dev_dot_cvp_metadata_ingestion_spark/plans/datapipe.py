@@ -2482,3 +2482,70 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_duplicates_banded(
         d, "doc_id", "text", num_hashes=8, rows_per_band=2, n=3, threshold=0.3
     ).orderBy("doc_id_a", "doc_id_b")
+
+
+@register(
+    "corpus_vocab_by_source",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKS.format(c="lower(text)")}) AS token
+      FROM documents
+    ),
+    per AS (
+      SELECT source, count(DISTINCT token) AS n_distinct_tokens
+      FROM tok GROUP BY source
+    ),
+    total AS (
+      SELECT '__all__' AS source, count(DISTINCT token) AS n_distinct_tokens
+      FROM tok
+    )
+    SELECT * FROM per UNION ALL SELECT * FROM total
+    ORDER BY source
+    """,
+)
+def corpus_vocab_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vocabulary size per source plus the corpus-wide total
+    (the ``__all__`` row) — the oracle baseline for the sketch form
+    below. Exact COUNT DISTINCT shuffles every distinct (source,
+    token) pair; fine here, not the form to run at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    per = tok.groupBy("source").agg(
+        F.count_distinct("token").alias("n_distinct_tokens")
+    )
+    total = tok.agg(
+        F.count_distinct("token").alias("n_distinct_tokens")
+    ).select(F.lit("__all__").alias("source"), "n_distinct_tokens")
+    return per.unionByName(total).orderBy("source")
+
+
+@register("corpus_vocab_by_source_approx")
+def corpus_vocab_by_source_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``corpus_vocab_by_source``: per-source
+    Datasketches HLL sketches (`hll_sketch_agg`, fixed-size state,
+    map-side partial aggregation) estimated per source, and — the part
+    that matters at scale — the corpus-wide total computed by UNIONING
+    the per-source sketches (`hll_union_agg`) rather than re-scanning
+    the corpus. Mergeability is what lets incremental ingestion keep a
+    running vocabulary: one sketch per new shard, union with the
+    stored state. No DuckDB oracle (its HLL differs by
+    implementation); accuracy is tolerance-pinned against the exact
+    form in tests/test_corpus_filters.py."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    sketches = tok.groupBy("source").agg(
+        F.hll_sketch_agg("token").alias("sk")
+    )
+    per = sketches.select(
+        "source", F.hll_sketch_estimate("sk").alias("n_distinct_tokens")
+    )
+    total = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+            "n_distinct_tokens"
+        )
+    ).select(F.lit("__all__").alias("source"), "n_distinct_tokens")
+    return per.unionByName(total).orderBy("source")

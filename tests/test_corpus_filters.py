@@ -224,3 +224,32 @@ def test_contamination_zero_gram_docs_are_clean(spark, doc_dir):
             assert r.n_contaminated == 0
             assert r.contamination_frac == 0.0
         assert 0.0 <= r.contamination_frac <= 1.0
+
+
+def test_vocab_sketch_tracks_exact(spark):
+    """corpus_vocab_by_source_approx must estimate every per-source
+    vocabulary and the sketch-union total within HLL error (lgK=12 →
+    ~1.6% RSE; assert 5%), and the __all__ row must come from UNIONING
+    the per-source sketches — mergeability is the query's point, so
+    the total must also track the exact corpus-wide distinct count."""
+    from dev_dot_cvp_metadata_ingestion_spark.plans import registry
+
+    from .conftest import SF_CORRECT
+
+    registry.load_all()
+    exact = {
+        r.source: r.n_distinct_tokens
+        for r in registry.QUERIES["corpus_vocab_by_source"](
+            spark, SF_CORRECT
+        ).collect()
+    }
+    approx = {
+        r.source: r.n_distinct_tokens
+        for r in registry.QUERIES["corpus_vocab_by_source_approx"](
+            spark, SF_CORRECT
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for src, n in exact.items():
+        err = abs(approx[src] - n) / n
+        assert err <= 0.05, (src, n, approx[src], err)
