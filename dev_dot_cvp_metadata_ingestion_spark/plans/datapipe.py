@@ -2549,3 +2549,73 @@ def corpus_vocab_by_source_approx(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     ).select(F.lit("__all__").alias("source"), "n_distinct_tokens")
     return per.unionByName(total).orderBy("source")
+
+
+@register(
+    "documents_length_histogram",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len({_TOKS.format(c="text")}) AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT quantile_cont(n_tokens,
+                           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+               AS bounds
+      FROM t
+    ),
+    bucketed AS (
+      SELECT t.n_tokens,
+             1 + len(list_filter(b.bounds, x -> x < t.n_tokens)) AS bucket
+      FROM t, b
+    )
+    SELECT bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(n_tokens) AS min_tokens,
+           max(n_tokens) AS max_tokens
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def documents_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile histogram of document lengths — the profiling
+    primitive behind skew diagnosis and packing-efficiency estimates.
+    Decile boundaries are ONE tiny exact-percentile aggregate (9
+    doubles) broadcast back as an array; bucket assignment is a
+    map-side count of boundaries strictly below the value, so ties at
+    a boundary land identically in both engines (Spark ``percentile``
+    and DuckDB ``quantile_cont`` produce bit-identical interpolated
+    boundaries — already relied on by ``corpus_profile``). No global
+    window, no ntile: the whole histogram is two aggregates and a
+    broadcast join. At 100 TB swap the exact percentile for
+    ``approx_percentile`` exactly as ``corpus_profile_approx`` does."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    bounds = t.agg(
+        F.percentile(
+            "n_tokens", F.array(*[F.lit(x / 10.0) for x in range(1, 10)])
+        ).alias("bounds")
+    )
+    bucketed = t.crossJoin(F.broadcast(bounds)).select(
+        "n_tokens",
+        (
+            F.lit(1)
+            + F.size(
+                F.filter(
+                    F.col("bounds"), lambda x: x < F.col("n_tokens")
+                )
+            )
+        ).alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("bucket")
+    )
