@@ -27,6 +27,7 @@ SENSITIVE = [
     "dedup_keep_best",       # skew-safe argmin aggregate
     "documents_mixture_sample",  # salted-hash membership
     "dedup_minhash_pairs",   # LSH self-join + pinned exchange
+    "dedup_minhash_banded",  # b×r banding variant
     "dedup_clusters",        # iterative min-label propagation
     "embedding_kmeans",      # iterative re-aggregation
     "events_sessionize",     # ordered window logic
