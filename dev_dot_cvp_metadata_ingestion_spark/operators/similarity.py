@@ -220,7 +220,7 @@ def lsh_topk(
 def kmeans_assign(
     emb: DataFrame, k: int = 8, iters: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    scale: int = 10_000_000,
+    scale: int = 10_000_000, return_centroids: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means over an embedding column, fully
     distributed: assignments via crossJoin against the BROADCAST
@@ -253,7 +253,9 @@ def kmeans_assign(
         .select(F.col("vec_id").alias("cluster"), F.col("xf").alias("cf"))
     )
     assigned = None
+    cents_used = cents
     for _ in range(iters):
+        cents_used = cents
         dist = F.aggregate(
             F.zip_with(F.col("xf"), F.col("cf"), lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"),
@@ -292,4 +294,10 @@ def kmeans_assign(
                 ).alias("cf")
             )
         )
-    return assigned.select("vec_id", "cluster", "dist").orderBy("vec_id")
+    out = assigned.select("vec_id", "cluster", "dist").orderBy("vec_id")
+    if return_centroids:
+        # `cents` after the loop is one re-estimate AHEAD of the final
+        # assignment; consumers probing the partition (IVF) need the
+        # centroids the last assignment was actually made against
+        return out, cents_used
+    return out

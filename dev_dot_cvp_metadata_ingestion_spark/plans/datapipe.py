@@ -2029,10 +2029,12 @@ def documents_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_kmeans",
-    oracle="""
-    WITH x AS (
+# Two unrolled Lloyd iterations as DuckDB CTEs: x = fixed-point vectors,
+# c0 = init centroids (k smallest ids), a1/a2 = assignments after
+# iteration 1/2, c1 = re-estimated centroids a2 was assigned against.
+# Shared by the embedding_kmeans and ann_ivf_kmeans_topk oracles.
+_KMEANS_CTES = """
+    x AS (
       SELECT vec_id,
              [CAST(floor(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT)
               for v in embedding] AS xf
@@ -2075,6 +2077,13 @@ def documents_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ORDER BY dist, cluster) AS rn
         FROM d2) WHERE rn = 1
     )
+"""
+
+
+@register(
+    "embedding_kmeans",
+    oracle=f"""
+    WITH {_KMEANS_CTES}
     SELECT vec_id, cluster, dist FROM a2 ORDER BY vec_id
     """,
 )
@@ -2619,3 +2628,89 @@ def documents_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    q AS (SELECT xf AS qxf FROM x WHERE vec_id = 0),
+    qc AS (
+      SELECT cluster FROM (
+        SELECT c1.cluster,
+               CAST(list_sum([(q.qxf[i]-c1.cf[i])*(q.qxf[i]-c1.cf[i])
+                              for i in generate_series(1, len(q.qxf))])
+                    AS BIGINT) AS dist
+        FROM c1, q)
+      ORDER BY dist, cluster LIMIT 1
+    ),
+    cand AS (
+      SELECT a2.vec_id FROM a2 JOIN qc USING (cluster)
+      WHERE a2.vec_id <> 0
+    ),
+    e2 AS (
+      SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    qv AS (SELECT v AS qv FROM e2 WHERE vec_id = 0),
+    scored AS (
+      SELECT e2.vec_id, {_cos_sql("v", "qv")} AS cos
+      FROM e2 JOIN cand USING (vec_id), qv
+    ),
+    ranked AS (
+      SELECT vec_id, cos,
+             row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT vec_id, cos, rank FROM ranked WHERE rank <= 10 ORDER BY rank
+    """,
+)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over a LEARNED coarse quantizer: the k-means cells from
+    ``embedding_kmeans`` are the inverted-file partition, the query
+    probes its nearest centroid (against the SAME centroids the final
+    assignment used), and exact cosine runs only within that cell —
+    nprobe=1 of the FAISS IVF-Flat recipe, composed entirely from the
+    engine's own operators. At 100 TB the cell id is the partition
+    column: the probe prunes the scan to 1/k of the corpus, and the
+    centroid relation (k rows) broadcasts everywhere. All cell
+    arithmetic is the fixed-point int64 of ``kmeans_assign``, so cell
+    membership is bit-identical across engines; the in-cell scoring is
+    the same fold-based double cosine as ``ann_bruteforce_topk``."""
+    from ..functions.vectors import cosine_similarity
+    from ..operators.similarity import kmeans_assign, topk_ranked
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, cents = kmeans_assign(e, k=8, iters=2, return_centroids=True)
+    qxf = e.filter(F.col("vec_id") == 0).select(
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.floor(v.cast("double") * 10_000_000.0).cast("long"),
+        ).alias("qxf")
+    )
+    qdist = F.aggregate(
+        F.zip_with(F.col("cf"), F.col("qxf"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    qcell = (
+        cents.crossJoin(F.broadcast(qxf))
+        .select("cluster", qdist.alias("dist"))
+        .orderBy("dist", "cluster")
+        .limit(1)
+        .select("cluster")
+    )
+    qvec = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    scored = (
+        assigned.join(F.broadcast(qcell), "cluster")
+        .filter(F.col("vec_id") != 0)
+        .join(e.select("vec_id", "embedding"), "vec_id")
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            cosine_similarity(F.col("embedding"), F.col("qvec")).alias("cos"),
+        )
+    )
+    return topk_ranked(scored, 10).orderBy("rank")
