@@ -206,7 +206,9 @@ def lsh_near_duplicates(
     across several calls, ``lsh_near_duplicates_scoped`` persists the
     frame instead.
     """
-    hs = _shingle_hashes(docs, id_col, text_col, n).repartition(F.col("doc_id"))
+    hs = _shingle_hashes(docs, id_col, text_col, n).filter(
+        F.size("hs") > 0
+    ).repartition(F.col("doc_id"))
     return _lsh_pairs_plan(hs, num_hashes, threshold)
 
 
@@ -228,13 +230,30 @@ def lsh_near_duplicates_banded(
     join over billions vs millions of pairs; recall is recovered by
     raising num_hashes, not by widening bands. Same pinned shingle-hash
     frame and verify step as :func:`lsh_near_duplicates`."""
-    hs = _shingle_hashes(docs, id_col, text_col, n).repartition(F.col("doc_id"))
+    hs = _shingle_hashes(docs, id_col, text_col, n).filter(
+        F.size("hs") > 0
+    ).repartition(F.col("doc_id"))
     return _lsh_pairs_plan(hs, num_hashes, threshold, rows_per_band)
 
 
 def _lsh_pairs_plan(
     hs: DataFrame, num_hashes: int, threshold: float, rows_per_band: int = 1
 ) -> DataFrame:
+    if num_hashes % rows_per_band != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by rows_per_band "
+            f"({rows_per_band}); leftover hash functions would be silently "
+            "dropped, weakening recall"
+        )
+    # Docs with fewer than n tokens have an empty shingle set, so every
+    # minhash is NULL — and Spark struct equality treats NULL fields as
+    # equal, which would pair every such doc with every other in each
+    # band (quadratic candidate blow-up + 0/0 Jaccard). They can never
+    # be near-duplicates of anything under shingle Jaccard, so drop
+    # them before banding; the NULL-rejecting equi-join oracle agrees.
+    # (Callers filter before their repartition pin so empty rows never
+    # shuffle; this one is the safety net and collapses with theirs.)
+    hs = hs.filter(F.size("hs") > 0)
     sigs = hs.select(
         "doc_id",
         *[
@@ -297,17 +316,104 @@ def _lsh_pairs_plan(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
+    # union > 0 is guaranteed by the empty-signature filter above, but
+    # guard the division anyway so ANSI mode can never DIVIDE_BY_ZERO
+    jaccard = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
     out = (
         cands.join(a, "doc_id_a")
         .join(b, "doc_id_b")
         .select(
             "doc_id_a",
             "doc_id_b",
-            (inter.cast("double") / union).alias("jaccard"),
+            jaccard.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
     return out
+
+
+def lsh_cross_near_duplicates(
+    left_docs: DataFrame,
+    right_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs ACROSS two corpora (e.g.
+    eval-split docs vs train-split docs for fuzzy decontamination):
+    candidates are (left, right) band collisions, verified by exact
+    shingle Jaccard at ``threshold``. Returns
+    (doc_id_left, doc_id_right, jaccard).
+
+    Same banded shape as the self-join form — the candidate join
+    shuffles only (band, minhash, doc_id) tuples, linear in corpus
+    size, never all-pairs — but with no ``a < b`` constraint since the
+    two sides are disjoint corpora. Empty signatures are filtered on
+    both sides before their repartition pins (same NULL-collision
+    hazard as the self-join)."""
+    lh = _shingle_hashes(left_docs, id_col, text_col, n).filter(
+        F.size("hs") > 0
+    ).repartition(F.col("doc_id"))
+    rh = _shingle_hashes(right_docs, id_col, text_col, n).filter(
+        F.size("hs") > 0
+    ).repartition(F.col("doc_id"))
+
+    def bands_of(hs: DataFrame) -> DataFrame:
+        sigs = hs.select(
+            "doc_id",
+            *[
+                F.array_min(
+                    F.transform("hs", _perm(2 * j + 3, 7919 * j + 1))
+                ).alias(f"minh_{j}")
+                for j in range(num_hashes)
+            ],
+        )
+        return sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band"),
+                            F.col(f"minh_{j}").alias("value"),
+                        )
+                        for j in range(num_hashes)
+                    ]
+                )
+            ).alias("b"),
+        ).select("doc_id", "b.band", "b.value")
+
+    cands = (
+        bands_of(lh)
+        .alias("l")
+        .join(
+            bands_of(rh).alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.value") == F.col("r.value")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_id_left"),
+            F.col("r.doc_id").alias("doc_id_right"),
+        )
+        .distinct()
+    )
+    a = lh.select(
+        F.col("doc_id").alias("doc_id_left"), F.array_distinct("hs").alias("sh_a")
+    )
+    b = rh.select(
+        F.col("doc_id").alias("doc_id_right"), F.array_distinct("hs").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jaccard = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        cands.join(a, "doc_id_left")
+        .join(b, "doc_id_right")
+        .select("doc_id_left", "doc_id_right", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 @contextmanager
@@ -324,7 +430,9 @@ def lsh_near_duplicates_scoped(
     for the block and unpersisted on exit — the explicit cache
     lifecycle, with no handle smuggled on the returned DataFrame. Run
     your actions inside the block."""
-    hs = _shingle_hashes(docs, id_col, text_col, n).persist()
+    hs = _shingle_hashes(docs, id_col, text_col, n).filter(
+        F.size("hs") > 0
+    ).persist()
     try:
         yield _lsh_pairs_plan(hs, num_hashes, threshold)
     finally:

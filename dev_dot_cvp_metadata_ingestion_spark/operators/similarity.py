@@ -221,7 +221,7 @@ def kmeans_assign(
     emb: DataFrame, k: int = 8, iters: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
     scale: int = 10_000_000, return_centroids: bool = False,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Deterministic Lloyd's k-means over an embedding column, fully
     distributed: assignments via crossJoin against the BROADCAST
     centroid relation (k rows — never a shuffle of the corpus),
@@ -239,7 +239,9 @@ def kmeans_assign(
     (deterministic; no seeded rand()). Ties in the argmin break by
     cluster id via lexicographic struct min.
 
-    Returns (vec_id, cluster, dist) — the final assignment."""
+    Returns (vec_id, cluster, dist) — the final assignment — or, with
+    ``return_centroids=True``, the (assignments, centroids) tuple where
+    the centroids are the ones the final assignment was made against."""
     x = emb.select(
         F.col(id_col).alias("vec_id"),
         F.transform(

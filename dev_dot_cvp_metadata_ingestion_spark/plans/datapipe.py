@@ -31,7 +31,6 @@ from ..operators.dedup import (
     connected_components,
     exact_duplicates,
     lsh_near_duplicates,
-    minhash_signatures,
     ngram_jaccard_pairs,
     simhash16,
     winnow_fingerprints,
@@ -1019,6 +1018,106 @@ def documents_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "documents_contamination_fuzzy",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             {_BASE_HASH.format(s="CAST(doc_id AS VARCHAR) || ':42'")} % 100 < 80
+               AS is_train,
+             {_TOKS.format(c="text")} AS t
+      FROM documents
+    ),
+    shg AS (SELECT doc_id, is_train, {_shingle_sql(3)} AS sh FROM s),
+    hs AS (SELECT doc_id, is_train,
+                  list_transform(sh, s -> {_BASE_HASH.format(s="s")}) AS hs
+           FROM shg WHERE len(sh) > 0),
+    sig AS (SELECT doc_id, is_train, list_distinct(hs) AS shd,
+                   {", ".join(_MINHASH)}
+            FROM hs),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, is_train, {j} AS band, minh_{j} AS value FROM sig" for j in range(8))}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS ev_id, r.doc_id AS tr_id
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.value = r.value
+      WHERE NOT l.is_train AND r.is_train
+    ),
+    ver AS (
+      SELECT ev_id, tr_id,
+             len(list_intersect(x.shd, y.shd)) AS i,
+             len(x.shd) AS la, len(y.shd) AS lb
+      FROM cand
+      JOIN sig x ON x.doc_id = ev_id
+      JOIN sig y ON y.doc_id = tr_id
+    ),
+    hits AS (
+      SELECT ev_id AS doc_id, count(*) AS n_train_matches,
+             max(i::DOUBLE / (la + lb - i)) AS max_jaccard
+      FROM ver WHERE i::DOUBLE / (la + lb - i) >= 0.3
+      GROUP BY ev_id
+    ),
+    ev AS (SELECT doc_id FROM s WHERE NOT is_train)
+    SELECT ev.doc_id,
+           coalesce(h.n_train_matches, 0) AS n_train_matches,
+           coalesce(h.max_jaccard, 0.0) AS max_jaccard,
+           coalesce(h.n_train_matches, 0) > 0 AS contaminated
+    FROM ev LEFT JOIN hits h USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def documents_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (near-duplicate) train→eval decontamination: every
+    eval-split document scored by banded MinHash-LSH against the TRAIN
+    split — the near-dup complement of ``documents_contamination``'s
+    exact 4-gram sweep. Real decontamination needs both: exact n-gram
+    overlap catches verbatim quotes, this catches lightly-edited
+    near-copies whose grams all differ.
+
+    Composition, not new machinery: the same shingle→minhash→band
+    pipeline as ``dedup_minhash_pairs``, but as a CROSS join between
+    the two splits (operators/dedup.py:lsh_cross_near_duplicates) —
+    the candidate join shuffles only (band, value, doc_id) tuples,
+    linear in corpus size, and verify rejoins shingle sets by doc id.
+    Per eval doc: how many train docs it near-matches (Jaccard >= 0.3)
+    and the strongest match. Eval docs with no LSH candidates (or too
+    short to shingle) surface with zero matches via the left join —
+    the full-sweep contract every decontamination report needs."""
+    from ..operators.dedup import base_hash, lsh_cross_near_duplicates
+
+    d = load_table(spark, sf_dir, "documents")
+    is_train = (
+        base_hash(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))) % 100
+        < 80
+    )
+    split = d.select("doc_id", "text", is_train.alias("is_train"))
+    train = split.filter(F.col("is_train"))
+    ev = split.filter(~F.col("is_train"))
+    pairs = lsh_cross_near_duplicates(
+        ev, train, "doc_id", "text", num_hashes=8, n=3, threshold=0.3
+    )
+    per_eval = pairs.groupBy(F.col("doc_id_left").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_train_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    return (
+        ev.select("doc_id")
+        .join(per_eval, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_train_matches"), F.lit(0)).cast("long").alias(
+                "n_train_matches"
+            ),
+            F.coalesce(F.col("max_jaccard"), F.lit(0.0)).alias("max_jaccard"),
+            (
+                F.coalesce(F.col("n_train_matches"), F.lit(0)) > 0
+            ).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ----------------------------------------------------------------- dedup
 
 
@@ -1039,27 +1138,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by normalized content fingerprint (hash groupBy)."""
     d = load_table(spark, sf_dir, "documents")
     return exact_duplicates(d, "doc_id", "text").orderBy("fingerprint")
-
-
-@register(
-    "dedup_minhash_signatures",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents),
-    sh AS (SELECT doc_id, {_shingle_sql(3)} AS sh FROM toks),
-    hs AS (SELECT doc_id,
-                  list_transform(sh, s -> {_BASE_HASH.format(s="s")}) AS hs
-           FROM sh)
-    SELECT doc_id, {", ".join(_MINHASH)}
-    FROM hs
-    ORDER BY doc_id
-    """,
-)
-def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """8-function MinHash signature per document over 3-word shingles."""
-    d = load_table(spark, sf_dir, "documents")
-    return minhash_signatures(d, "doc_id", "text", num_hashes=8, n=3).orderBy(
-        "doc_id"
-    )
 
 
 # shared CTE chain: documents → LSH candidate pairs at Jaccard >= 0.3
@@ -1289,42 +1367,6 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan instead of reading the corpus."""
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(e, query_id=0, dim=64, k=10, n_planes=4)
-
-
-@register(
-    "ann_lsh_multiprobe_topk",
-    oracle=f"""
-    WITH e AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-    ),
-    bucketed AS (
-      SELECT vec_id, v, CAST({_bucket_sql(4)} AS BIGINT) AS bucket FROM e
-    ),
-    q AS (SELECT v AS qv, bucket AS qbucket FROM bucketed WHERE vec_id = 0),
-    cands AS (
-      SELECT vec_id, bucket, {_cos_sql("v", "qv")} AS cos
-      FROM bucketed, q
-      WHERE vec_id <> 0
-        AND (bucket = qbucket OR bucket = xor(qbucket, 1)
-             OR bucket = xor(qbucket, 2) OR bucket = xor(qbucket, 4)
-             OR bucket = xor(qbucket, 8))
-    ),
-    ranked AS (
-      SELECT vec_id, bucket, cos,
-             row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
-      FROM cands
-    )
-    SELECT vec_id, bucket, cos, rank FROM ranked WHERE rank <= 10 ORDER BY rank
-    """,
-)
-def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe LSH ANN: probe the query's bucket plus every bucket
-    at Hamming distance 1 (one sign bit flipped) — recall hardening for
-    near-hyperplane neighbors that single-bucket probing misses, while
-    the probe set stays a 5-bucket IN-list that prunes the scan."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(e, query_id=0, dim=64, k=10, n_planes=4, multi_probe=True)
 
 
 @register(
@@ -1754,93 +1796,6 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= 0.3)
         .orderBy("vec_id_a", "vec_id_b")
     )
-
-
-_CENTROID_CTE = """
-    ex AS (
-      SELECT label, unnest(embedding) AS val,
-             generate_subscripts(embedding, 1) AS dim
-      FROM embeddings
-    ),
-    cent_long AS (
-      SELECT label, dim,
-             (CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 10000000.0) AS BIGINT))
-                   AS DOUBLE) / count(*)) / 10000000.0 AS centroid
-      FROM ex GROUP BY label, dim
-    ),
-    cent AS (
-      SELECT label, list(centroid ORDER BY dim) AS cvec
-      FROM cent_long GROUP BY label
-    )
-"""
-
-
-@register(
-    "ann_ivf_topk",
-    oracle=f"""
-    WITH {_CENTROID_CTE},
-    e AS (
-      SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-    ),
-    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-    best AS (
-      SELECT label AS best_label
-      FROM cent, q
-      ORDER BY {_cos_sql("cvec", "qv")} DESC, label
-      LIMIT 1
-    ),
-    cands AS (
-      SELECT vec_id, e.label, {_cos_sql("v", "qv")} AS cos
-      FROM e, q, best
-      WHERE e.label = best_label AND vec_id <> 0
-    ),
-    ranked AS (
-      SELECT vec_id, label, cos,
-             row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
-      FROM cands
-    )
-    SELECT vec_id, label, cos, rank FROM ranked WHERE rank <= 10 ORDER BY rank
-    """,
-)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse quantizer = per-cluster centroids (built
-    in-query from the label partitions); probe the nearest centroid,
-    brute-force only its inverted list. At scale the label/centroid id
-    is the partition key, so the probe prunes the scan to one list."""
-    from ..functions.vectors import cosine_similarity
-
-    e = load_table(spark, sf_dir, "embeddings")
-    cent_long = embedding_centroids(spark, sf_dir)
-    cent = cent_long.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
-            lambda s: s.centroid,
-        ).alias("cvec")
-    )
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
-    best = (
-        cent.crossJoin(F.broadcast(q))
-        .select(
-            "label",
-            cosine_similarity(F.col("cvec"), F.col("qvec")).alias("ccos"),
-        )
-        .orderBy(F.col("ccos").desc(), "label")
-        .limit(1)
-        .select(F.col("label").alias("best_label"))
-    )
-    cands = (
-        e.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(best), F.col("label") == F.col("best_label"))
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            "label",
-            cosine_similarity(F.col("embedding"), F.col("qvec")).alias("cos"),
-        )
-    )
-    return topk_ranked(cands, 10)
 
 
 # ------------------------------------------------------------- multimodal
@@ -2406,7 +2361,7 @@ def documents_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionize_native",
     oracle="""
     WITH o AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                   THEN 1 ELSE 0 END AS new_s
@@ -2415,7 +2370,7 @@ def documents_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT user_id, ts,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS session_id
       FROM o
     )

@@ -48,6 +48,126 @@ def query_names() -> list[str]:
     return sorted(QUERIES)
 
 
+# Driver-board curation: the correctness driver runs the FIRST 50
+# registered queries, so the surface is exposed in two explicit tiers.
+# BOARD (exactly 50) holds one representative of every operator family
+# in COVERAGE.md — every family gets an independent driver-verified
+# CORRECTNESS row each round. BACK holds within-family variants and
+# no-oracle approximation twins, each still hash-checked against DuckDB
+# locally by tests/test_oracle_parity.py. Membership is asserted
+# exhaustive (BOARD + BACK == registered, no dupes) in
+# tests/test_registry_analyzes.py.
+BOARD: tuple[str, ...] = (
+    # relational core — one per §2 line item
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders_per_priority",
+    "customers_without_orders",
+    "order_priority_rollup",
+    "part_brand_setops",
+    "supplier_balance_running",
+    # CVP reference-parity surface
+    "cv_validation_results",
+    "cv_now_token_validation",
+    "cv_conditional_validation",
+    "cv_validation_tallies",
+    "cv_message_metrics",
+    "cv_error_histogram",
+    "cv_sequential_checks",
+    "file_metadata_docs",
+    "file_metrics_counters",
+    "url_decoded_keys",
+    "events_hourly_windows",
+    "events_props_map",
+    "rules_catalog",
+    "csv_rule_validation",
+    "events_asof_last_signup",
+    # text analysis
+    "text_stats",
+    "text_token_counts",
+    "text_lang_id",
+    "text_fingerprints",
+    # corpus curation / profiling
+    "documents_split",
+    "corpus_profile",
+    "documents_quality_filter",
+    "documents_curated",
+    "documents_repetition_filter",
+    "documents_contamination_fuzzy",
+    "documents_length_histogram",
+    "corpus_vocab_by_source",
+    # dedup family
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_minhash_banded",
+    "dedup_clusters",
+    "dedup_simhash",
+    "dedup_embedding_pairs",
+    # similarity / ANN
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_knn_join",
+    # embedding transforms
+    "embedding_kmeans",
+    "embedding_zscore",
+    # event sequences / sessions
+    "events_funnel",
+    "events_sessionize_native",
+    "events_cohort_retention",
+    # multimodal plumbing
+    "multimodal_features",
+)
+
+BACK: tuple[str, ...] = (
+    # join/grouping variants of in-board families
+    "suppliers_with_large_shipments",
+    "lineitem_status_cube",
+    "orders_grouping_sets",
+    "orders_status_pivot",
+    "cv_sequential_checks_gated",
+    # text variants (fingerprints/tfidf family repped by text_fingerprints)
+    "text_tfidf_top_terms",
+    "text_fingerprint_overlap",
+    # documents variants (curated composes dedup+repetition+quality+mixture)
+    "documents_chunked",
+    "documents_packed",
+    "documents_mixture_sample",
+    "documents_contamination",
+    "documents_source_cap",
+    "documents_rarity_score",
+    # dedup variants (blocked-verify and argmin-keeper forms)
+    "dedup_ngram_pairs",
+    "dedup_keep_best",
+    # embedding variants
+    "embedding_quantize",
+    "embedding_centroids",
+    # events variants (lag-window sessionize kept for its distinct
+    # single-shuffle implementation and stream-parity tests)
+    "events_range_join",
+    "events_sessionize",
+    # multimodal variants (same mapInPandas plumbing as _features)
+    "multimodal_frames",
+    "multimodal_resized",
+    # no-oracle approximation twins (tolerance-pinned in pytest)
+    "corpus_profile_approx",
+    "corpus_vocab_by_source_approx",
+)
+
+
+def ordered_queries() -> dict[str, QueryFn]:
+    """Registered queries in driver-board order: BOARD first (one rep
+    per operator family — the driver's 50-run cap covers them all),
+    then BACK."""
+    missing = [n for n in BOARD + BACK if n not in QUERIES]
+    extra = [n for n in QUERIES if n not in BOARD and n not in BACK]
+    if missing or extra:
+        raise ValueError(
+            f"board curation out of sync: missing={missing} extra={extra}"
+        )
+    return {n: QUERIES[n] for n in BOARD + BACK}
+
+
 def load_all() -> None:
     """Import every plan module so registration side-effects run."""
     from . import relational  # noqa: F401

@@ -31,6 +31,13 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Pin UTC unconditionally — not just on the events/NTZ path — so
+    # date/timestamp casts behave identically no matter which table (or
+    # physical timestamp encoding) a caller happens to load first. Our
+    # own session factory (session.py) already pins UTC; this covers
+    # caller-owned sessions (the driver's) deterministically instead of
+    # as an encoding-dependent side effect.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events stores TIMESTAMP(NANOS), which the reader rejects
         # unless nanos are read as long — set defensively so the
@@ -53,13 +60,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif ts_type == "timestamp_ntz":
             # parquet timestamp[us] without tz reads as TIMESTAMP_NTZ,
             # which unix_micros() rejects. The cast interprets the NTZ
-            # wall-clock in the session tz, so pin UTC here too (our
-            # session.py already does; the driver's session may not) to
-            # keep the epoch values identical to the DuckDB oracle's
+            # wall-clock in the session tz — UTC, pinned above — keeping
+            # the epoch values identical to the DuckDB oracle's
             # naive-timestamp reading.
             from pyspark.sql import functions as F
 
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

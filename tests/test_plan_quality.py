@@ -91,7 +91,7 @@ def test_no_global_window_anywhere(spark):
 
 
 def test_ann_topk_is_take_ordered(spark):
-    for name in ("ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk"):
+    for name in ("ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_kmeans_topk"):
         plan = plan_of(name, spark)
         assert "TakeOrderedAndProject" in plan, f"{name}: no TakeOrderedAndProject"
         assert "Window" not in plan, f"{name}: unexpected Window node"

@@ -27,3 +27,15 @@ def test_query_analyzes(spark, name):
     df = registry.QUERIES[name](spark, SF_SMOKE)
     # .schema triggers full Catalyst analysis but zero execution
     assert len(df.schema.fields) > 0
+
+
+def test_board_curation_in_sync():
+    """BOARD (exactly 50 — the driver's run cap, one rep per operator
+    family) plus BACK must partition the registered set with no dupes;
+    ordered_queries() raises on drift, so a new @register without a
+    tier assignment fails here, not in the driver."""
+    assert len(registry.BOARD) == 50
+    tiers = registry.BOARD + registry.BACK
+    assert len(tiers) == len(set(tiers)), "duplicate name across tiers"
+    assert set(tiers) == set(registry.QUERIES)
+    assert list(registry.ordered_queries()) == list(tiers)
