@@ -1,12 +1,19 @@
 """Multimodal column plumbing (beyond-reference).
 
 Images/audio/video are opaque ``binary`` columns with a typed metadata
-struct. The Spark-side plumbing — schema, Arrow batching through
-``mapInPandas``, partition-sized batches — is real and tested; the
-actual media decode is STUBBED (the codec libraries are not in this
-container): ``decode_features(..., fake=True)`` computes deterministic
-byte-level features, and ``fake=False`` raises NotImplementedError at
-the exact point a real decoder (PIL/ffmpeg) would plug in.
+struct. Both decode paths are real code:
+
+* ``fake=True`` — deterministic byte-level stand-ins (length, md5,
+  text slices). This is the ORACLE form: DuckDB can reproduce it, so
+  the registered queries stay hash-checked.
+* ``fake=False`` — REAL decode via the stdlib-only codecs in
+  functions/codecs.py: full PNG (zlib inflate + scanline unfilter) for
+  images and PCM WAV (stdlib ``wave``) for audio, dispatched on magic
+  bytes. Not DuckDB-expressible, so exercised by pytest
+  (tests/test_multimodal.py) over in-repo generated fixtures rather
+  than by the driver oracle. Video demux (beyond single-frame images /
+  PCM audio) stays out of scope — a container format needs ffmpeg;
+  unsupported payloads raise ValueError naming the sniffed type.
 
 Scale notes: mapInPandas streams Arrow record batches, so each Python
 worker touches one batch at a time (no per-row serde); binary payloads
@@ -42,17 +49,60 @@ def attach_binary(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+IMAGE_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, channels int, n_bytes long, "
+    "content_md5 string, mean_pixel double"
+)
+
+
 def decode_features(media: DataFrame, *, fake: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload.
 
     fake=True → deterministic byte-level features (length, md5, mean
-    byte value) standing in for decode→resize→embed. fake=False is the
-    real-decoder socket and raises NotImplementedError.
+    byte value) — the DuckDB-reproducible oracle form. fake=False →
+    REAL PNG decode (functions/codecs.py) emitting decoded-domain
+    features (dimensions, mean pixel sample) under
+    ``IMAGE_FEATURE_SCHEMA``; non-PNG payloads raise ValueError.
     """
     if not fake:
-        raise NotImplementedError(
-            "real media decode requires codec libraries (PIL/ffmpeg) not "
-            "present in this environment; plug the decoder in here"
+
+        def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import hashlib
+
+            from ..functions.codecs import decode_png, sniff_mime
+
+            for pdf in batches:
+                rows = []
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    data = bytes(payload)
+                    mime = sniff_mime(data)
+                    if mime != "image/png":
+                        raise ValueError(
+                            f"decode_features(fake=False): doc {doc_id} is "
+                            f"{mime}, only image/png is decodable here"
+                        )
+                    img = decode_png(data)
+                    rows.append(
+                        (
+                            doc_id,
+                            img.shape[1],
+                            img.shape[0],
+                            img.shape[2],
+                            len(data),
+                            hashlib.md5(data).hexdigest(),
+                            float(img.mean()),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "width", "height", "channels", "n_bytes",
+                        "content_md5", "mean_pixel",
+                    ],
+                )
+
+        return media.select("doc_id", "payload").mapInPandas(
+            _decode, IMAGE_FEATURE_SCHEMA
         )
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -92,13 +142,57 @@ def sample_frames(
     fake=True treats the payload as its utf-8 text and emits
     deterministic per-frame slices (count scales with length, capped
     at ``max_frames``; timestamps stride the fake duration =
-    10 ms/char) so the full plumbing is oracle-checkable. fake=False
-    is the real ffmpeg socket.
+    10 ms/char) so the full plumbing is oracle-checkable. fake=False →
+    REAL PCM WAV decode (stdlib ``wave`` via functions/codecs.py):
+    evenly-spaced sample windows over the decoded audio, real
+    timestamps from the sample rate; non-WAV payloads raise ValueError.
+    (Video demux needs ffmpeg and stays out of scope.)
     """
     if not fake:
-        raise NotImplementedError(
-            "real frame sampling requires ffmpeg bindings not present in "
-            "this environment; plug the demuxer in here"
+
+        def _audio_frames(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            import hashlib
+
+            from ..functions.codecs import decode_wav, sniff_mime
+
+            for pdf in batches:
+                rows = []
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    data = bytes(payload)
+                    mime = sniff_mime(data)
+                    if mime != "audio/wav":
+                        raise ValueError(
+                            f"sample_frames(fake=False): doc {doc_id} is "
+                            f"{mime}, only audio/wav is decodable here"
+                        )
+                    samples, rate = decode_wav(data)
+                    n = len(samples)
+                    n_frames = max(1, min(max_frames, n // max(1, rate // 10)))
+                    flen = n // n_frames
+                    for i in range(n_frames):
+                        start = (i * n) // n_frames
+                        window = samples[start:start + flen]
+                        rows.append(
+                            (
+                                doc_id,
+                                i,
+                                start * 1000 // rate,
+                                len(window),
+                                hashlib.md5(window.tobytes()).hexdigest(),
+                            )
+                        )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "frame_idx", "ts_ms", "frame_chars",
+                        "frame_md5",
+                    ],
+                )
+
+        return media.select("doc_id", "payload").mapInPandas(
+            _audio_frames, FRAME_SCHEMA
         )
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -137,16 +231,68 @@ def sample_frames(
 RESIZE_SCHEMA = "doc_id long, orig_chars long, resized_chars long, resized_md5 string"
 
 
+IMAGE_RESIZE_SCHEMA = (
+    "doc_id long, orig_width int, orig_height int, resized_width int, "
+    "resized_height int, resized_md5 string"
+)
+
+
 def resize_media(
-    media: DataFrame, *, target_chars: int = 256, fake: bool = True
+    media: DataFrame, *, target_chars: int = 256, target_px: int = 16,
+    fake: bool = True,
 ) -> DataFrame:
     """Resize/downsample: bound each payload to a target size. fake=True
     truncates the utf-8 text to ``target_chars`` (deterministic,
-    oracle-expressible); fake=False is the real resampler socket."""
+    oracle-expressible). fake=False → REAL nearest-neighbor resample of
+    the decoded PNG raster to ``target_px``×``target_px`` (aspect not
+    preserved — thumbnail normalization), emitting
+    ``IMAGE_RESIZE_SCHEMA`` with the md5 of the re-encoded PNG."""
     if not fake:
-        raise NotImplementedError(
-            "real resize requires image codecs (PIL) not present in this "
-            "environment; plug the resampler in here"
+
+        def _resize_real(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            import hashlib
+
+            from ..functions.codecs import (
+                decode_png,
+                encode_png,
+                resize_nearest,
+                sniff_mime,
+            )
+
+            for pdf in batches:
+                rows = []
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    data = bytes(payload)
+                    mime = sniff_mime(data)
+                    if mime != "image/png":
+                        raise ValueError(
+                            f"resize_media(fake=False): doc {doc_id} is "
+                            f"{mime}, only image/png is decodable here"
+                        )
+                    img = decode_png(data)
+                    small = resize_nearest(img, target_px, target_px)
+                    rows.append(
+                        (
+                            doc_id,
+                            img.shape[1],
+                            img.shape[0],
+                            small.shape[1],
+                            small.shape[0],
+                            hashlib.md5(encode_png(small)).hexdigest(),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "orig_width", "orig_height",
+                        "resized_width", "resized_height", "resized_md5",
+                    ],
+                )
+
+        return media.select("doc_id", "payload").mapInPandas(
+            _resize_real, IMAGE_RESIZE_SCHEMA
         )
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1818,8 +1818,10 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: text → binary payload + typed metadata →
-    Arrow-batched mapInPandas feature extraction (deterministic fake
-    decode; the real decoder socket raises NotImplementedError)."""
+    Arrow-batched mapInPandas feature extraction. fake=True here is
+    the DuckDB-reproducible oracle form; the fake=False path is a REAL
+    stdlib-only PNG decode (functions/codecs.py), pytest-verified over
+    generated fixtures (tests/test_multimodal.py)."""
     d = load_table(spark, sf_dir, "documents")
     media = attach_binary(d, "doc_id", "text")
     return decode_features(media, fake=True).orderBy("doc_id")
@@ -1848,8 +1850,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling, the generator-shaped multimodal op: one media
     row fans out to N evenly-spaced frame rows through mapInPandas
-    (deterministic char-slice fake; the real ffmpeg socket raises
-    NotImplementedError). Frame count scales with payload size, capped
+    (deterministic char-slice fake — the oracle form; fake=False is
+    a REAL PCM WAV decode with sample-rate-true timestamps,
+    pytest-verified). Frame count scales with payload size, capped
     at 4; timestamps stride the fake 10 ms/char duration."""
     d = load_table(spark, sf_dir, "documents")
     media = attach_binary(d, "doc_id", "text")
@@ -1870,7 +1873,8 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize/downsample plumbing: bound every payload to a target
     size through the Arrow-batched resampler (deterministic truncation
-    fake; the real PIL socket raises NotImplementedError)."""
+    fake — the oracle form; fake=False is a REAL nearest-neighbor
+    resample of the decoded PNG raster, pytest-verified)."""
     d = load_table(spark, sf_dir, "documents")
     media = attach_binary(d, "doc_id", "text")
     return resize_media(media, target_chars=256, fake=True).orderBy("doc_id")
@@ -2597,7 +2601,7 @@ def documents_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                               for i in generate_series(1, len(q.qxf))])
                     AS BIGINT) AS dist
         FROM c1, q)
-      ORDER BY dist, cluster LIMIT 1
+      ORDER BY dist, cluster LIMIT 2
     ),
     cand AS (
       SELECT a2.vec_id FROM a2 JOIN qc USING (cluster)
@@ -2620,18 +2624,25 @@ def documents_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id, cos, rank FROM ranked WHERE rank <= 10 ORDER BY rank
     """,
 )
-def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_kmeans_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = 2
+) -> DataFrame:
     """IVF ANN over a LEARNED coarse quantizer: the k-means cells from
     ``embedding_kmeans`` are the inverted-file partition, the query
-    probes its nearest centroid (against the SAME centroids the final
-    assignment used), and exact cosine runs only within that cell —
-    nprobe=1 of the FAISS IVF-Flat recipe, composed entirely from the
-    engine's own operators. At 100 TB the cell id is the partition
-    column: the probe prunes the scan to 1/k of the corpus, and the
-    centroid relation (k rows) broadcasts everywhere. All cell
-    arithmetic is the fixed-point int64 of ``kmeans_assign``, so cell
-    membership is bit-identical across engines; the in-cell scoring is
-    the same fold-based double cosine as ``ann_bruteforce_topk``."""
+    probes its ``nprobe`` nearest centroids (against the SAME centroids
+    the final assignment used), and exact cosine runs only within those
+    cells — the FAISS IVF-Flat recipe, composed entirely from the
+    engine's own operators. nprobe=2 default: nprobe=1 misses
+    boundary-of-cell neighbors (recall@10 vs bruteforce is pinned per
+    nprobe in tests/test_ann_recall.py — the registered config must
+    hold >= 0.9); the probe set is the semi-join key, so candidates
+    from all probed cells union BEFORE the single final top-k. At
+    100 TB the cell id is the partition column: the probe prunes the
+    scan to nprobe/k of the corpus, and the centroid relation (k rows)
+    broadcasts everywhere. All cell arithmetic is the fixed-point
+    int64 of ``kmeans_assign``, so cell membership is bit-identical
+    across engines; the in-cell scoring is the same fold-based double
+    cosine as ``ann_bruteforce_topk``."""
     from ..functions.vectors import cosine_similarity
     from ..operators.similarity import kmeans_assign, topk_ranked
 
@@ -2652,7 +2663,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.crossJoin(F.broadcast(qxf))
         .select("cluster", qdist.alias("dist"))
         .orderBy("dist", "cluster")
-        .limit(1)
+        .limit(nprobe)
         .select("cluster")
     )
     qvec = e.filter(F.col("vec_id") == 0).select(
