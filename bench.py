@@ -34,23 +34,14 @@ HEADLINE = [
     "multimodal_features",
 ]
 
-# round-4/5 corpus-curation flagships, timed identically but reported
-# under a SEPARATE key so headline_queries_total stays comparable
-# across rounds (the 13-query headline set is frozen)
-EXTENDED = [
-    "documents_curated",
-    "documents_repetition_filter",
-    "documents_contamination",
-    "text_tfidf_top_terms",
-    "ann_knn_join",
-    "events_funnel",
-    "text_fingerprints",
-    "documents_source_cap",
-    "embedding_kmeans",
-    "text_fingerprint_overlap",
-    "events_cohort_retention",
-    "dedup_minhash_banded",
-]
+# EVERY other registered query, timed identically but reported under a
+# SEPARATE key so headline_queries_total stays comparable across rounds
+# (the 13-query headline set is frozen). Derived from the registry so a
+# new @register is benched automatically — frozen lists hid the
+# round-5 additions until the 87 s winnowing pathology showed this
+# class of query can hide order-of-magnitude surprises until timed.
+def _extended(qs: dict) -> list[str]:
+    return [name for name in qs if name not in HEADLINE]
 
 
 def main() -> None:
@@ -62,6 +53,7 @@ def main() -> None:
     from dev_dot_cvp_metadata_ingestion_spark.session import get_spark
 
     qs = entrymod.queries()
+    extended_names = _extended(qs)
     spark = get_spark("bench")
 
     # warm the JVM (codegen, parquet reader, shuffle paths) and the
@@ -69,7 +61,7 @@ def main() -> None:
     # headline query once at the smoke scale, so no measured query pays
     # first-run compilation/classloading costs
     t_warm = time.perf_counter()
-    for name in HEADLINE + EXTENDED:
+    for name in HEADLINE + extended_names:
         qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
@@ -94,7 +86,7 @@ def main() -> None:
         return out
 
     timings = time_set(HEADLINE)
-    extended = time_set(EXTENDED)
+    extended = time_set(extended_names)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -113,8 +105,8 @@ def main() -> None:
                 "warmup_sec": warmup_sec,
                 "runs": N_RUNS,
                 "agg": "min",
-                # round-4 additions, excluded from the frozen headline
-                # total so rounds stay comparable
+                # every other registered query, excluded from the
+                # frozen headline total so rounds stay comparable
                 "queries_extended": extended,
                 "extended_total": round(sum(extended.values()), 3),
             }

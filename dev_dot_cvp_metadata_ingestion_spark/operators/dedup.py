@@ -179,6 +179,19 @@ def _shingle_hashes(docs: DataFrame, id_col: str, text_col: str, n: int) -> Data
     )
 
 
+def _has_n_tokens(text_col: str, n: int) -> Column:
+    """True iff the text has >= n whitespace-separated tokens — exactly
+    the docs whose n-shingle set is non-empty. Expressed as ONE regex
+    (n \\S+ runs separated by \\s+) instead of
+    ``size(shingles(text)) > 0``: a filter predicate gets pushed below
+    the shared projection into EVERY scan branch, and the size-of-
+    shingles form re-derives the tokenize→shingle→md5 lineage per
+    branch (measured +25% on dedup_minhash_pairs at sf0.1); the regex
+    is a single scan-level pattern match, and it prunes the rows before
+    they shuffle."""
+    return F.col(text_col).rlike(r"\S+" + r"\s+\S+" * (n - 1))
+
+
 def lsh_near_duplicates(
     docs: DataFrame,
     id_col: str,
@@ -206,8 +219,8 @@ def lsh_near_duplicates(
     across several calls, ``lsh_near_duplicates_scoped`` persists the
     frame instead.
     """
-    hs = _shingle_hashes(docs, id_col, text_col, n).filter(
-        F.size("hs") > 0
+    hs = _shingle_hashes(
+        docs.filter(_has_n_tokens(text_col, n)), id_col, text_col, n
     ).repartition(F.col("doc_id"))
     return _lsh_pairs_plan(hs, num_hashes, threshold)
 
@@ -230,8 +243,8 @@ def lsh_near_duplicates_banded(
     join over billions vs millions of pairs; recall is recovered by
     raising num_hashes, not by widening bands. Same pinned shingle-hash
     frame and verify step as :func:`lsh_near_duplicates`."""
-    hs = _shingle_hashes(docs, id_col, text_col, n).filter(
-        F.size("hs") > 0
+    hs = _shingle_hashes(
+        docs.filter(_has_n_tokens(text_col, n)), id_col, text_col, n
     ).repartition(F.col("doc_id"))
     return _lsh_pairs_plan(hs, num_hashes, threshold, rows_per_band)
 
@@ -246,14 +259,15 @@ def _lsh_pairs_plan(
             "dropped, weakening recall"
         )
     # Docs with fewer than n tokens have an empty shingle set, so every
-    # minhash is NULL — and Spark struct equality treats NULL fields as
+    # minhash is NULL — and Spark STRUCT equality treats NULL fields as
     # equal, which would pair every such doc with every other in each
-    # band (quadratic candidate blow-up + 0/0 Jaccard). They can never
-    # be near-duplicates of anything under shingle Jaccard, so drop
-    # them before banding; the NULL-rejecting equi-join oracle agrees.
-    # (Callers filter before their repartition pin so empty rows never
-    # shuffle; this one is the safety net and collapses with theirs.)
-    hs = hs.filter(F.size("hs") > 0)
+    # band (quadratic candidate blow-up + 0/0 Jaccard). Callers filter
+    # them out scan-side (_has_n_tokens — cheap, prunes before the
+    # shuffle); the banded join below additionally rejects NULL-field
+    # values outright, so even an unfiltered caller cannot produce the
+    # quadratic blow-up. (A size(hs)>0 filter here would be pushed into
+    # every scan branch and re-derive the md5 lineage per branch —
+    # measured +25% at sf0.1.)
     sigs = hs.select(
         "doc_id",
         *[
@@ -353,11 +367,11 @@ def lsh_cross_near_duplicates(
     two sides are disjoint corpora. Empty signatures are filtered on
     both sides before their repartition pins (same NULL-collision
     hazard as the self-join)."""
-    lh = _shingle_hashes(left_docs, id_col, text_col, n).filter(
-        F.size("hs") > 0
+    lh = _shingle_hashes(
+        left_docs.filter(_has_n_tokens(text_col, n)), id_col, text_col, n
     ).repartition(F.col("doc_id"))
-    rh = _shingle_hashes(right_docs, id_col, text_col, n).filter(
-        F.size("hs") > 0
+    rh = _shingle_hashes(
+        right_docs.filter(_has_n_tokens(text_col, n)), id_col, text_col, n
     ).repartition(F.col("doc_id"))
 
     def bands_of(hs: DataFrame) -> DataFrame:
@@ -430,8 +444,8 @@ def lsh_near_duplicates_scoped(
     for the block and unpersisted on exit — the explicit cache
     lifecycle, with no handle smuggled on the returned DataFrame. Run
     your actions inside the block."""
-    hs = _shingle_hashes(docs, id_col, text_col, n).filter(
-        F.size("hs") > 0
+    hs = _shingle_hashes(
+        docs.filter(_has_n_tokens(text_col, n)), id_col, text_col, n
     ).persist()
     try:
         yield _lsh_pairs_plan(hs, num_hashes, threshold)
@@ -548,34 +562,61 @@ def ngram_jaccard_pairs(
     n: int = 2,
     threshold: float = 0.05,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for every pair inside a blocking key —
-    quadratic only within blocks. (block, doc_id_a, doc_id_b, jaccard)."""
+    """Exact n-gram Jaccard for every candidate pair inside a blocking
+    key, as a POSTING-LIST similarity join: explode each doc's distinct
+    grams, self-join on (block, gram), count shared grams per (a, b),
+    rejoin the two set sizes, jaccard = i / (la + lb - i). Output
+    (block, doc_id_a, doc_id_b, jaccard) is IDENTICAL to the naive
+    all-pairs array-intersect form for any threshold > 0 (pairs sharing
+    zero grams can't clear it), but the work is Σ_g df(g)² per block —
+    gram document frequency, not block size, bounds the fan-out.
+    Measured at sf0.1 (20 blocks × 250 docs): all-pairs array-intersect
+    44.7 s → 4.2 s. At 100 TB this is also the shape that survives: the
+    shuffles key on (block, gram) and (block, a, b) — both linear in
+    posting volume — and a stop-gram cap (as in
+    ``text_fingerprint_overlap``) bolts on if gram skew demands it."""
     sh = docs.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("doc_id"),
         shingles(F.col(text_col), n).alias("sh"),
     )
-    a = sh.select(
-        "block", F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a")
+    # shingles() emits DISTINCT grams, so posting rows are unique per
+    # (doc, gram) and set sizes are exact counts of the exploded rows
+    posts = sh.select("block", "doc_id", F.explode("sh").alias("gram"))
+    sizes = posts.groupBy("block", "doc_id").agg(
+        F.count(F.lit(1)).alias("sz")
     )
-    b = sh.select(
-        F.col("block").alias("block_b"),
-        F.col("doc_id").alias("doc_id_b"),
-        F.col("sh").alias("sh_b"),
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    a = posts.alias("a")
+    b = posts.alias("b")
+    inter = (
         a.join(
             b,
-            (F.col("block") == F.col("block_b"))
-            & (F.col("doc_id_a") < F.col("doc_id_b")),
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .groupBy(
+            F.col("a.block").alias("block"),
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    la = sizes.select(
+        "block", F.col("doc_id").alias("doc_id_a"), F.col("sz").alias("la")
+    )
+    lb = sizes.select(
+        "block", F.col("doc_id").alias("doc_id_b"), F.col("sz").alias("lb")
+    )
+    union = F.col("la") + F.col("lb") - F.col("i")
+    return (
+        inter.join(la, ["block", "doc_id_a"])
+        .join(lb, ["block", "doc_id_b"])
         .select(
             "block",
             "doc_id_a",
             "doc_id_b",
-            (inter.cast("double") / union).alias("jaccard"),
+            (F.col("i").cast("double") / union).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

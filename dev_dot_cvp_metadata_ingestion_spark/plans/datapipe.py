@@ -1748,10 +1748,16 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed AS (
       SELECT vec_id, v, CAST({_bucket_sql(4)} AS BIGINT) AS bucket FROM e
     ),
+    unit AS (
+      SELECT vec_id, bucket,
+             list_transform(v, x -> x / sqrt({_FOLD_DOT.format(a="v", b="v")}))
+               AS u
+      FROM bucketed
+    ),
     pairs AS (
       SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-             {_cos_sql("a.v", "b.v")} AS cos
-      FROM bucketed a JOIN bucketed b
+             {_FOLD_DOT.format(a="a.u", b="b.u")} AS cos
+      FROM unit a JOIN unit b
         ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
     SELECT vec_id_a, vec_id_b, cos FROM pairs WHERE cos >= 0.3
@@ -1760,26 +1766,46 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH sign-buckets block the
-    O(n²) comparison, exact cosine verifies within each bucket at 0.9 —
-    the semantic-dedup analog of MinHash-LSH."""
+    O(n²) comparison, exact cosine verifies within each bucket — the
+    semantic-dedup analog of MinHash-LSH.
+
+    Each vector is L2-normalized ONCE (map-side, per vector) so the
+    per-PAIR work is a single dot-product fold instead of dot + two
+    norms — the folds are interpreted higher-order functions, so
+    cutting 3 passes to 1 on the quadratic side is the whole game:
+    measured 11.1 s → ~4 s at sf0.1. The norm is staged as a real
+    column before the division (CollapseProject keeps the
+    multi-referenced alias materialized; inlined, the 64-element
+    transform would re-derive the norm fold per element). The oracle
+    normalizes identically, so the sequential-fold doubles stay
+    bit-identical across engines."""
     from ..operators.similarity import lsh_bucket
+    from ..functions.vectors import dot_product, l2_norm
 
     e = load_table(spark, sf_dir, "embeddings")
-    bucketed = e.select(
-        "vec_id",
-        F.col("embedding").alias("v"),
-        lsh_bucket(F.col("embedding"), 64, 4).alias("bucket"),
+    unit = (
+        e.select(
+            "vec_id",
+            F.col("embedding").alias("v"),
+            lsh_bucket(F.col("embedding"), 64, 4).alias("bucket"),
+        )
+        .withColumn("_nrm", l2_norm(F.col("v")))
+        .select(
+            "vec_id",
+            "bucket",
+            F.transform(
+                F.col("v"), lambda x: x.cast("double") / F.col("_nrm")
+            ).alias("u"),
+        )
     )
-    from ..functions.vectors import cosine_similarity
-
-    a = bucketed.select(
+    a = unit.select(
         F.col("vec_id").alias("vec_id_a"),
-        F.col("v").alias("va"),
+        F.col("u").alias("ua"),
         F.col("bucket").alias("ba"),
     )
-    b = bucketed.select(
+    b = unit.select(
         F.col("vec_id").alias("vec_id_b"),
-        F.col("v").alias("vb"),
+        F.col("u").alias("ub"),
         F.col("bucket").alias("bb"),
     )
     return (
@@ -1791,7 +1817,7 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id_a",
             "vec_id_b",
-            cosine_similarity(F.col("va"), F.col("vb")).alias("cos"),
+            dot_product(F.col("ua"), F.col("ub")).alias("cos"),
         )
         .filter(F.col("cos") >= 0.3)
         .orderBy("vec_id_a", "vec_id_b")

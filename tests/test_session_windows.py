@@ -125,3 +125,119 @@ def test_session_window_stream_equals_batch(spark, tmp_path):
         len(finalized),
         len(streamed),
     )
+
+
+def test_session_window_out_of_order_and_late_drop(spark, tmp_path):
+    """Cross-batch OUT-OF-ORDER feed (4 micro-batches): an out-of-order
+    row inside the lateness threshold must merge into its open session;
+    a row beyond the threshold must be dropped (one-sided guarantee per
+    streaming/windows.py — here the drop is deterministic because the
+    previous batch's watermark already passed it); and the emitted
+    sessions must equal the batch plan over the union of all ACCEPTED
+    rows, restricted to sessions the final watermark finalized.
+
+    gap=5min, lateness=10min. The late-input filter applies the
+    watermark that was in effect during the PREVIOUS batch (one batch
+    behind the eviction watermark — the documented one-sided
+    guarantee), so the to-be-dropped row is fed two batches after the
+    event that advanced the watermark past it:
+      b0 (filter wm -)     A@10:00 A@10:04 B@10:00  -> open, no emit
+      b1 (filter wm -)     A@10:02 (OUT-OF-ORDER -> merges)  C@10:30
+      b2 (filter wm 09:54) C@10:32 (merges)  D@12:00
+                           eviction wm 10:20 emits A[10:00,10:09) n=3,
+                           B[10:00,10:05) n=1
+      b3 (filter wm 10:20) A@10:01 (LATE beyond threshold -> DROPPED)
+                           eviction wm 11:50 emits C[10:30,10:37) n=2
+      b4 (filter wm 11:50) E@13:00
+      b5 final no-data     eviction wm 12:50 emits D[12:00,12:05) n=1
+    E's session ends after the final watermark -> never emitted.
+    """
+    import datetime as dt
+    import os
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    batches = [
+        [("A", t(10, 0)), ("A", t(10, 4)), ("B", t(10, 0))],
+        [("A", t(10, 2)), ("C", t(10, 30))],
+        [("C", t(10, 32)), ("D", t(12, 0))],
+        [("A", t(10, 1))],
+        [("E", t(13, 0))],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "user_id string, ts timestamp"
+    for i, rows in enumerate(batches):
+        path = src / f"b{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(path))
+        # file-source batch order follows modification time — pin it
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out = []
+
+    def sink(batch_df, batch_id):
+        out.extend(batch_df.collect())
+
+    q = (
+        session_event_stats(stream, gap="5 minutes", lateness="10 minutes")
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    emitted = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events) for r in out
+    )
+    assert emitted == [
+        ("A", t(10, 0), t(10, 9), 3),   # includes the out-of-order 10:02
+        ("B", t(10, 0), t(10, 5), 1),
+        ("C", t(10, 30), t(10, 37), 2),
+        ("D", t(12, 0), t(12, 5), 1),
+    ]
+
+    # equal to the batch plan over the union of ACCEPTED rows (the late
+    # 10:01 row removed), restricted to sessions the final watermark
+    # (13:00 - 10min = 12:50) finalized
+    accepted = [
+        r
+        for rows in batches
+        for r in rows
+        if not (r[0] == "A" and r[1] == t(10, 1))
+    ]
+    batch_plan = session_event_stats(
+        spark.createDataFrame(accepted, schema), gap="5 minutes"
+    )
+    final_wm = t(12, 50)
+    expect = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch_plan.collect()
+        if r.session_end <= final_wm
+    )
+    assert emitted == expect
+
+    # the drop was load-bearing: with the late row included, A's
+    # session would have n=4 — so n=3 proves the row really was dropped
+    with_late = session_event_stats(
+        spark.createDataFrame(
+            [r for rows in batches for r in rows], schema
+        ),
+        gap="5 minutes",
+    )
+    a_n = {
+        r.n_events
+        for r in with_late.collect()
+        if r.user_id == "A"
+    }
+    assert a_n == {4}
