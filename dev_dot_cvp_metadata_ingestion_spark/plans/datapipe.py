@@ -2706,3 +2706,170 @@ def ann_ivf_kmeans_topk(
         )
     )
     return topk_ranked(scored, 10).orderBy("rank")
+
+
+@register(
+    "dedup_semantic_keep",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    u0 AS (
+      SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    unit AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt({_FOLD_DOT.format(a="v", b="v")}))
+               AS u
+      FROM u0
+    ),
+    m AS (
+      SELECT a2.vec_id, a2.cluster, a2.dist, unit.u
+      FROM a2 JOIN unit USING (vec_id)
+    ),
+    losers AS (
+      SELECT DISTINCT
+             CASE WHEN (a.dist, a.vec_id) < (b.dist, b.vec_id)
+                  THEN a.vec_id ELSE b.vec_id END AS loser
+      FROM m a JOIN m b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {_FOLD_DOT.format(a="a.u", b="b.u")} >= 0.25
+    )
+    SELECT m.vec_id, m.cluster, m.dist,
+           (losers.loser IS NULL) AS keep
+    FROM m LEFT JOIN losers ON m.vec_id = losers.loser
+    ORDER BY vec_id
+    """,
+)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    arXiv 2303.09540): cluster the embeddings with the deterministic
+    k-means coarse quantizer, then prune near-duplicate pairs ONLY
+    within each cluster — the cluster is the blocking key that turns
+    the O(n²) semantic comparison into k independent O((n/k)²) blocks.
+    Within a duplicate pair (cos >= 0.25) the member CLOSER to its
+    centroid is dropped (the paper's keep-low-centroid-similarity
+    rule: the far member carries more marginal information); ties
+    break by vec_id. A vector survives iff no pair votes it out.
+
+    100 TB design: k scales with corpus size (the paper runs k≈11k at
+    100M embeddings) so the per-cluster block stays bounded; the
+    quadratic join shuffles only on the cluster id, the unit vectors
+    are normalized once map-side, and the keeper verdict is a
+    left-anti-style join against the distinct loser set — no global
+    window, no driver collect. Drop-in upstream of
+    ``documents_curated``-style keeper joins. Fixed-point cluster
+    arithmetic + sequential-fold cosine keep every engine
+    bit-identical (same doctrine as ``dedup_embedding_pairs``)."""
+    from ..functions.vectors import dot_product, l2_norm
+    from ..operators.similarity import kmeans_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    asg = kmeans_assign(e, k=8, iters=2)
+    unit = (
+        e.select("vec_id", F.col("embedding").alias("v"))
+        .withColumn("_nrm", l2_norm(F.col("v")))
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("v"), lambda x: x.cast("double") / F.col("_nrm")
+            ).alias("u"),
+        )
+    )
+    m = asg.join(unit, "vec_id")
+    a = m.select(
+        F.col("vec_id").alias("ida"),
+        F.col("cluster").alias("ca"),
+        F.col("dist").alias("da"),
+        F.col("u").alias("ua"),
+    )
+    b = m.select(
+        F.col("vec_id").alias("idb"),
+        F.col("cluster").alias("cb"),
+        F.col("dist").alias("db"),
+        F.col("u").alias("ub"),
+    )
+    losers = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("ida") < F.col("idb")))
+        .filter(dot_product(F.col("ua"), F.col("ub")) >= 0.25)
+        .select(
+            F.when(
+                F.struct(F.col("da"), F.col("ida"))
+                < F.struct(F.col("db"), F.col("idb")),
+                F.col("ida"),
+            )
+            .otherwise(F.col("idb"))
+            .alias("loser")
+        )
+        .distinct()
+    )
+    return (
+        asg.join(losers, asg["vec_id"] == losers["loser"], "left")
+        .select(
+            "vec_id",
+            "cluster",
+            "dist",
+            F.col("loser").isNull().alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "events_top_transitions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n_transitions,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM o WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions, n_users,
+           CAST(row_number() OVER (ORDER BY n_transitions DESC,
+                                   from_type, to_type) AS BIGINT) AS rank
+    FROM t
+    ORDER BY rank LIMIT 20
+    """,
+)
+def events_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining: the event-type transition matrix.
+    Each user's clickstream is ordered by (ts, event_id) and adjacent
+    pairs become (from_type, to_type) bigrams; the global top-20
+    transitions rank by frequency with distinct-user support — the
+    first-order Markov summary funnels/recommenders start from.
+
+    One shuffle on user_id feeds the lead() window (same clustering as
+    ``events_funnel`` — at 100 TB this is the partitioning the whole
+    event-sequence family shares, so the exchange is reusable across
+    them); the bigram aggregate partial-aggregates map-side down to
+    |event_types|² rows, and the final rank is a window over that
+    tiny relation, not the stream."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    rank_w = W.orderBy(
+        F.col("n_transitions").desc(), F.col("from_type"), F.col("to_type")
+    )
+    return (
+        t.withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .orderBy("rank")
+    )

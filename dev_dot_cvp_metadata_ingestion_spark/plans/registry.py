@@ -99,7 +99,7 @@ BOARD: tuple[str, ...] = (
     # dedup family
     "dedup_exact",
     "dedup_minhash_pairs",
-    "dedup_minhash_banded",
+    "dedup_semantic_keep",
     "dedup_clusters",
     "dedup_simhash",
     "dedup_embedding_pairs",
@@ -139,6 +139,9 @@ BACK: tuple[str, ...] = (
     # dedup variants (blocked-verify and argmin-keeper forms)
     "dedup_ngram_pairs",
     "dedup_keep_best",
+    "dedup_minhash_banded",
+    # events variant: first-order transition matrix (bigram mining)
+    "events_top_transitions",
     # embedding variants
     "embedding_quantize",
     "embedding_centroids",
