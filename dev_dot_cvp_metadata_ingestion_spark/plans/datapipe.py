@@ -2848,8 +2848,11 @@ def events_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``events_funnel`` — at 100 TB this is the partitioning the whole
     event-sequence family shares, so the exchange is reusable across
     them); the bigram aggregate partial-aggregates map-side down to
-    |event_types|² rows, and the final rank is a window over that
-    tiny relation, not the stream."""
+    |event_types|² rows, and the final rank uses the
+    ``topk_ranked`` device — orderBy().limit() plans as
+    TakeOrderedAndProject (per-partition top-k merge) and the rank is
+    derived by folding just the 20 survivors into one sorted array,
+    never a partition-less Window over the aggregate."""
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     t = (
@@ -2865,11 +2868,23 @@ def events_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
-    rank_w = W.orderBy(
+    top = t.orderBy(
         F.col("n_transitions").desc(), F.col("from_type"), F.col("to_type")
-    )
-    return (
-        t.withColumn("rank", F.row_number().over(rank_w).cast("long"))
-        .filter(F.col("rank") <= 20)
-        .orderBy("rank")
+    ).limit(20)
+    packed = top.select(
+        F.struct(
+            (-F.col("n_transitions")).alias("_neg"),
+            F.col("from_type").alias("_t1"),
+            F.col("to_type").alias("_t2"),
+            F.struct("from_type", "to_type", "n_transitions", "n_users").alias(
+                "_row"
+            ),
+        ).alias("key")
+    ).agg(F.sort_array(F.collect_list("key")).alias("xs"))
+    return packed.select(F.posexplode("xs").alias("_pos", "_x")).select(
+        "_x._row.from_type",
+        "_x._row.to_type",
+        "_x._row.n_transitions",
+        "_x._row.n_users",
+        (F.col("_pos") + 1).cast("long").alias("rank"),
     )

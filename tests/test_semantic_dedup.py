@@ -1,0 +1,118 @@
+"""SemDeDup keeper semantics on a crafted duplicate-group fixture.
+
+The DuckDB oracle (tests/test_oracle_parity.py) independently verifies
+``dedup_semantic_keep`` end-to-end on the real embeddings table; this
+suite pins the RULE on a corpus built to have a known answer: one tight
+group of near-identical vectors plus mutually-orthogonal singletons.
+Exactly one member of the duplicate group may survive, and it must be
+the far-from-centroid member (max (dist, vec_id)) — the SemDeDup
+keep-low-centroid-similarity rule (arXiv 2303.09540).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dev_dot_cvp_metadata_ingestion_spark.plans.datapipe import (
+    dedup_semantic_keep,
+)
+
+DIM = 8
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    """20 vectors: ids 0-7 are orthogonal one-hot singletons (cos = 0
+    pairwise — below every plausible threshold), ids 8-19 are small
+    deterministic perturbations of id 3's direction (pairwise cos ≈ 1).
+    k-means (k=8, init = first 8 ids) puts the perturbed dozen in id
+    3's cell and leaves every other cell a singleton."""
+    rows = []
+    for i in range(8):
+        v = np.zeros(DIM, dtype=np.float32)
+        v[i] = 1.0
+        rows.append((i, v.copy()))
+    for j, i in enumerate(range(8, 20)):
+        v = np.zeros(DIM, dtype=np.float32)
+        v[3] = 1.0
+        v[(3 + 1 + j % 4) % DIM] = 0.01 * (j + 1)  # tiny, distinct tilt
+        rows.append((i, v.copy()))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [r[0] for r in rows],
+            "embedding": [r[1].tolist() for r in rows],
+            "label": [0] * len(rows),
+        }
+    )
+    d = tmp_path_factory.mktemp("semdedup_sf")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.Table.from_pandas(
+        pdf,
+        schema=pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("embedding", pa.list_(pa.float32())),
+                ("label", pa.int32()),
+            ]
+        ),
+        preserve_index=False,
+    )
+    pq.write_table(table, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_duplicate_group_keeps_exactly_one(spark, fixture_dir):
+    res = dedup_semantic_keep(spark, fixture_dir).collect()
+    assert len(res) == 20  # one verdict per vector, none lost
+    by_id = {r.vec_id: r for r in res}
+
+    # the orthogonal singletons all survive
+    for i in (0, 1, 2, 4, 5, 6, 7):
+        assert by_id[i].keep, f"singleton {i} wrongly dropped"
+
+    # the duplicate group keeps exactly one member
+    group = [by_id[i] for i in [3, *range(8, 20)]]
+    kept = [r for r in group if r.keep]
+    assert len(kept) == 1, f"expected 1 survivor, got {[r.vec_id for r in kept]}"
+
+    # group members share one cluster, and the survivor is the
+    # far-from-centroid member (max (dist, vec_id)) per the SemDeDup rule
+    clusters = {r.cluster for r in group}
+    assert len(clusters) == 1, f"duplicate group split across {clusters}"
+    expected = max(group, key=lambda r: (r.dist, r.vec_id))
+    assert kept[0].vec_id == expected.vec_id
+
+
+def test_all_distinct_corpus_keeps_everything(spark, tmp_path):
+    """Orthogonal-only corpus: no pair reaches the threshold, so every
+    verdict is keep=True — the no-duplicates fixed point."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    eye = np.eye(DIM, dtype=np.float32)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": list(range(DIM)),
+            "embedding": [eye[i].tolist() for i in range(DIM)],
+            "label": [0] * DIM,
+        }
+    )
+    table = pa.Table.from_pandas(
+        pdf,
+        schema=pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("embedding", pa.list_(pa.float32())),
+                ("label", pa.int32()),
+            ]
+        ),
+        preserve_index=False,
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+    res = dedup_semantic_keep(spark, str(tmp_path)).collect()
+    assert len(res) == DIM
+    assert all(r.keep for r in res)
