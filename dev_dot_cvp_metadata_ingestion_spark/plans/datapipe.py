@@ -2815,6 +2815,78 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "documents_classifier_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS.format(c="lower(text)")} AS t FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(coalesce(list_sum(list_transform(t, x ->
+               (({_BASE_HASH.format(s="x")} % 1024) * 2654435761 + 101)
+                 % 2001 - 1000)), 0) AS BIGINT) AS score_fp
+      FROM tok
+    )
+    SELECT doc_id, n_tokens, score_fp,
+           CASE WHEN n_tokens > 0
+                THEN CAST(score_fp AS DOUBLE) / (1000.0 * n_tokens)
+                ELSE 0.0 END AS margin,
+           (score_fp >= 0) AS label
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def documents_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-bag-of-words linear classifier scoring — the fastText /
+    CCNet quality-classifier inference shape (public: Joulin et al.
+    2016, Wenzek et al. 2019) as a pure map-side fold. Each token
+    hashes into one of 1024 feature buckets (the cross-engine md5
+    device) and the document score is the integer sum of the bucket
+    weights; the margin is the mean weight, the label its sign.
+
+    The weight table here is a FROZEN deterministic function of the
+    bucket id (integer fixed-point 1e-3 in [-1, 1]) standing in for
+    trained parameters — the scoring plumbing, which is what the
+    engine owns, is real: at 100 TB this plan is a zero-shuffle
+    projection (fold over the token array inside whole-stage codegen,
+    no explode, no join, no Python), so classifier filtering runs at
+    full scan throughput. Swapping in real trained weights changes
+    only the weight expression — either a `F.create_map` literal
+    (vocab-hashed models are small) or, for 2^20-bucket models, a
+    posexplode + broadcast-join variant of the same plan. Integer
+    accumulation makes the result order-independent, so Spark and the
+    oracle agree bit-for-bit; the single final division is one IEEE
+    op. Peak intermediate (1023·2654435761) ≈ 2.7e12: inside int64."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def weight(t):
+        bucket = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % 1024
+        return (bucket * 2654435761 + 101) % 2001 - 1000
+
+    toks = tokens(F.lower(F.col("text")))
+    scored = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + weight(t)
+        ).alias("score_fp"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "score_fp",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("score_fp").cast("double") / (1000.0 * F.col("n_tokens")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("margin"),
+        (F.col("score_fp") >= 0).alias("label"),
+    ).orderBy("doc_id")
+
+
+@register(
     "events_top_transitions",
     oracle="""
     WITH o AS (

@@ -136,6 +136,8 @@ BACK: tuple[str, ...] = (
     "documents_contamination",
     "documents_source_cap",
     "documents_rarity_score",
+    # model-inference-shaped scoring (fastText/CCNet classifier plumbing)
+    "documents_classifier_score",
     # dedup variants (blocked-verify and argmin-keeper forms)
     "dedup_ngram_pairs",
     "dedup_keep_best",

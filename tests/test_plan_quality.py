@@ -154,6 +154,18 @@ def test_documents_split_is_map_side(spark):
     assert plan.count("Exchange rangepartitioning") <= 1
 
 
+def test_classifier_score_is_map_side(spark):
+    # model-inference plumbing must run at scan throughput: the hashed
+    # linear scorer is a pure fold-projection — no hash exchange, no
+    # generate/explode, no Python; only the presentation sort may range
+    # partition
+    plan = plan_of("documents_classifier_score", spark)
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Exchange rangepartitioning") <= 1
+    assert "Generate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_corpus_profile_single_aggregate_shuffle(spark):
     # one hash aggregate on the low-cardinality lang key; percentile
     # state must not force extra exchanges
