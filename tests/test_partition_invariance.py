@@ -30,6 +30,7 @@ SENSITIVE = [
     "dedup_minhash_banded",  # b×r banding variant
     "dedup_clusters",        # iterative min-label propagation
     "embedding_kmeans",      # iterative re-aggregation
+    "dedup_semantic_keep",   # kmeans blocking + pairwise keeper votes
     "events_sessionize",     # ordered window logic
 ]
 
