@@ -2764,7 +2764,12 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import kmeans_assign
 
     e = load_table(spark, sf_dir, "embeddings")
-    asg = kmeans_assign(e, k=8, iters=2)
+    # the assignment feeds three consumers (both pair sides + the final
+    # verdict join); materialize it once instead of replanning the
+    # iterative k-means subtree per consumer (same device as
+    # dedup_clusters' edge pinning — at 100 TB this is "write the
+    # assignment table, then dedup against it")
+    asg = kmeans_assign(e, k=8, iters=2).localCheckpoint()
     unit = (
         e.select("vec_id", F.col("embedding").alias("v"))
         .withColumn("_nrm", l2_norm(F.col("v")))
