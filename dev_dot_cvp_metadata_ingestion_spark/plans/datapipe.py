@@ -1770,17 +1770,22 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic-dedup analog of MinHash-LSH.
 
     Each vector is L2-normalized ONCE (map-side, per vector) so the
-    per-PAIR work is a single dot-product fold instead of dot + two
-    norms — the folds are interpreted higher-order functions, so
-    cutting 3 passes to 1 on the quadratic side is the whole game:
-    measured 11.1 s → ~4 s at sf0.1. The norm is staged as a real
-    column before the division (CollapseProject keeps the
-    multi-referenced alias materialized; inlined, the 64-element
-    transform would re-derive the norm fold per element). The oracle
-    normalizes identically, so the sequential-fold doubles stay
-    bit-identical across engines."""
+    per-PAIR work is a single dot product instead of dot + two norms
+    (measured 11.1 s → ~4 s at sf0.1), and the quadratic-side dot is
+    NOT a higher-order-function fold: interpreted lambda evaluation
+    costs ~40 µs/pair at d=64, so the per-pair product array is built
+    with ``arrays_zip`` (a regular codegen expression, no lambda),
+    exploded, and summed by a codegen hash aggregate keyed on the pair
+    — measured 6.7 s → 2.45 s at sf0.1 on identical output. The sum
+    is deterministic: generate keeps a pair's element rows inside one
+    partition in index order, so the single partial accumulates
+    left-to-right exactly like the oracle's fold (((0+x₁)+x₂)+…).
+    The norm is staged as a real column before the division
+    (CollapseProject keeps the multi-referenced alias materialized;
+    inlined, the 64-element transform would re-derive the norm fold
+    per element)."""
     from ..operators.similarity import lsh_bucket
-    from ..functions.vectors import dot_product, l2_norm
+    from ..functions.vectors import l2_norm
 
     e = load_table(spark, sf_dir, "embeddings")
     unit = (
@@ -1808,17 +1813,20 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").alias("ub"),
         F.col("bucket").alias("bb"),
     )
+    pairs = a.join(
+        b,
+        (F.col("ba") == F.col("bb")) & (F.col("vec_id_a") < F.col("vec_id_b")),
+    )
+    prod = pairs.select(
+        "vec_id_a",
+        "vec_id_b",
+        F.explode(F.arrays_zip("ua", "ub")).alias("z"),
+    ).select(
+        "vec_id_a", "vec_id_b", (F.col("z.ua") * F.col("z.ub")).alias("p")
+    )
     return (
-        a.join(
-            b,
-            (F.col("ba") == F.col("bb"))
-            & (F.col("vec_id_a") < F.col("vec_id_b")),
-        )
-        .select(
-            "vec_id_a",
-            "vec_id_b",
-            dot_product(F.col("ua"), F.col("ub")).alias("cos"),
-        )
+        prod.groupBy("vec_id_a", "vec_id_b")
+        .agg(F.sum("p").alias("cos"))
         .filter(F.col("cos") >= 0.3)
         .orderBy("vec_id_a", "vec_id_b")
     )
@@ -2760,7 +2768,7 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``documents_curated``-style keeper joins. Fixed-point cluster
     arithmetic + sequential-fold cosine keep every engine
     bit-identical (same doctrine as ``dedup_embedding_pairs``)."""
-    from ..functions.vectors import dot_product, l2_norm
+    from ..functions.vectors import l2_norm
     from ..operators.similarity import kmeans_assign
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -2793,9 +2801,26 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dist").alias("db"),
         F.col("u").alias("ub"),
     )
+    # per-pair cosine via arrays_zip → explode → codegen hash-agg sum
+    # (no higher-order-function lambdas on the quadratic side; same
+    # left-to-right accumulation as the oracle fold — see
+    # dedup_embedding_pairs for the measured 2.7× rationale)
+    pairs = a.join(
+        b, (F.col("ca") == F.col("cb")) & (F.col("ida") < F.col("idb"))
+    )
+    prod = pairs.select(
+        "ida",
+        "idb",
+        "da",
+        "db",
+        F.explode(F.arrays_zip("ua", "ub")).alias("z"),
+    ).select(
+        "ida", "idb", "da", "db", (F.col("z.ua") * F.col("z.ub")).alias("p")
+    )
     losers = (
-        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("ida") < F.col("idb")))
-        .filter(dot_product(F.col("ua"), F.col("ub")) >= 0.25)
+        prod.groupBy("ida", "idb", "da", "db")
+        .agg(F.sum("p").alias("cos"))
+        .filter(F.col("cos") >= 0.25)
         .select(
             F.when(
                 F.struct(F.col("da"), F.col("ida"))
