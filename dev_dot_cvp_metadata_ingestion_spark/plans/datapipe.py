@@ -2717,6 +2717,128 @@ def ann_ivf_kmeans_topk(
 
 
 @register(
+    "corpus_source_overlap",
+    oracle=f"""
+    WITH post AS (
+      SELECT DISTINCT source, token FROM (
+        SELECT source, unnest({_TOKS.format(c="lower(text)")}) AS token
+        FROM documents
+      )
+    ),
+    sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS vocab FROM post
+      GROUP BY source
+    ),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM post a JOIN post b
+        ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           sa.vocab AS vocab_a, sb.vocab AS vocab_b,
+           CAST(n_shared AS DOUBLE)
+             / (sa.vocab + sb.vocab - n_shared) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise vocabulary overlap between sources — the corpus
+    comparison behind mixture design and contamination triage ("how
+    much does crawl A repeat crawl B?"). Posting-list shape like
+    ``dedup_ngram_pairs``: distinct (source, token) postings self-join
+    on the token, so the fan-out is Σ_t df(t)² bounded by the SOURCE
+    count squared per token — never |vocab|² — and the result is the
+    S·(S-1)/2 overlap matrix with exact Jaccard. The single double
+    division at the end is engine-identical; everything before it is
+    integer. Not the form to run at 100 TB (the postings shuffle is
+    corpus-sized) — that's the ``_approx`` sketch twin below."""
+    d = load_table(spark, sf_dir, "documents")
+    post = d.select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    ).distinct()
+    sizes = post.groupBy("source").agg(F.count(F.lit(1)).alias("vocab"))
+    a = post.select(F.col("source").alias("source_a"), "token")
+    b = post.select(F.col("source").alias("source_b"), "token")
+    shared = (
+        a.join(b, ["token"])
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("vocab").alias("vocab_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("vocab").alias("vocab_b")
+    )
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "vocab_a",
+            "vocab_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@register("corpus_source_overlap_approx")
+def corpus_source_overlap_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``corpus_source_overlap``: one HLL sketch per
+    source (fixed-size mergeable state, one linear pass over the
+    corpus), then the full S×S overlap matrix from sketches alone —
+    |A∩B| ≈ |A| + |B| − |A∪B| with the pairwise union via the binary
+    ``hll_union``. The corpus is scanned ONCE no matter how many source
+    pairs are compared (vs the exact form's posting self-join), and
+    stored per-shard sketches make the matrix incrementally
+    maintainable. No DuckDB oracle (implementation-specific sketches);
+    accuracy is tolerance-pinned against the exact form in
+    tests/test_corpus_filters.py."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    sk = tok.groupBy("source").agg(F.hll_sketch_agg("token").alias("sk"))
+    a = sk.select(F.col("source").alias("source_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("source").alias("source_b"), F.col("sk").alias("sk_b"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.hll_sketch_estimate("sk_a").alias("est_a"),
+            F.hll_sketch_estimate("sk_b").alias("est_b"),
+            F.hll_sketch_estimate(
+                F.hll_union("sk_a", "sk_b")
+            ).alias("est_union"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "n_shared_est"
+            ),
+            "est_a",
+            "est_b",
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@register(
     "dedup_semantic_keep",
     oracle=f"""
     WITH {_KMEANS_CTES},

@@ -154,9 +154,12 @@ BACK: tuple[str, ...] = (
     # multimodal variants (same mapInPandas plumbing as _features)
     "multimodal_frames",
     "multimodal_resized",
+    # corpus-comparison family (pairwise source-vocabulary overlap)
+    "corpus_source_overlap",
     # no-oracle approximation twins (tolerance-pinned in pytest)
     "corpus_profile_approx",
     "corpus_vocab_by_source_approx",
+    "corpus_source_overlap_approx",
 )
 
 

@@ -253,3 +253,35 @@ def test_vocab_sketch_tracks_exact(spark):
     for src, n in exact.items():
         err = abs(approx[src] - n) / n
         assert err <= 0.05, (src, n, approx[src], err)
+
+
+def test_source_overlap_sketch_tracks_exact(spark):
+    """corpus_source_overlap_approx must estimate every pairwise
+    shared-vocabulary count within HLL inclusion-exclusion error.
+    |A∩B| = |A|+|B|-|A∪B| compounds three estimates, so the bound is
+    looser than the per-set 5%: assert 15% relative OR a small
+    absolute slack (intersections can be tiny, where relative error
+    is meaningless)."""
+    from dev_dot_cvp_metadata_ingestion_spark.plans import registry
+
+    from .conftest import SF_CORRECT
+
+    registry.load_all()
+    exact = {
+        (r.source_a, r.source_b): r.n_shared
+        for r in registry.QUERIES["corpus_source_overlap"](
+            spark, SF_CORRECT
+        ).collect()
+    }
+    approx = {
+        (r.source_a, r.source_b): r.n_shared_est
+        for r in registry.QUERIES["corpus_source_overlap_approx"](
+            spark, SF_CORRECT
+        ).collect()
+    }
+    # every exact pair must be present in the matrix (the approx form
+    # emits all S*(S-1)/2 pairs; exact drops zero-overlap pairs)
+    assert set(exact) <= set(approx)
+    for pair, n in exact.items():
+        est = approx[pair]
+        assert abs(est - n) <= max(0.15 * n, 50), (pair, n, est)
