@@ -241,3 +241,15 @@ def test_observe_pipeline_progress_counters(spark, ndjson_dir, tmp_path):
     assert metrics["validation"]["n_validations"] == 9 * n_rules
     # exactly the bad-lat record's range error
     assert metrics["validation"]["n_errors"] == 1
+
+
+def test_cli_list_queries_covers_registry(capsys):
+    """`list-queries` must print every registered query in board order
+    (no Spark session needed — pure registry access)."""
+    from dev_dot_cvp_metadata_ingestion_spark.__main__ import main
+    from dev_dot_cvp_metadata_ingestion_spark.plans import registry
+
+    assert main(["list-queries"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    names = [line.split()[0] for line in out if line.strip()]
+    assert names == list(registry.ordered_queries())
