@@ -139,3 +139,79 @@ def stateful_sequential_checks(records: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TRANSITION_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("from_type", StringType()),
+        StructField("to_type", StringType()),
+    ]
+)
+
+TRANSITION_STATE = StructType(
+    [
+        StructField("last_ts", LongType()),       # epoch micros
+        StructField("last_event_id", LongType()),
+        StructField("last_type", StringType()),
+    ]
+)
+
+
+def _emit_transitions(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    user_id = int(key[0])
+    if state.exists:
+        last_ts, last_event_id, last_type = state.get
+    else:
+        last_ts = last_event_id = last_type = None
+
+    out: list[dict[str, Any]] = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts_micros", "event_id"])
+        for row in pdf.itertuples(index=False):
+            if last_type is not None:
+                out.append(
+                    dict(
+                        user_id=user_id,
+                        from_type=last_type,
+                        to_type=str(row.event_type),
+                    )
+                )
+            last_ts = int(row.ts_micros)
+            last_event_id = int(row.event_id)
+            last_type = str(row.event_type)
+
+    state.update((last_ts, last_event_id, last_type))
+    yield pd.DataFrame(out, columns=["user_id", "from_type", "to_type"])
+
+
+def stateful_event_transitions(events: DataFrame) -> DataFrame:
+    """Streaming first-order transition mining with cross-batch state —
+    the streaming form of the batch ``events_top_transitions`` query.
+
+    A per-user clickstream split across micro-batches still yields the
+    BOUNDARY transition (last event of batch N → first event of batch
+    N+1) because the group state carries each user's last
+    (ts, event_id, event_type): a stateless per-batch lead() window
+    would silently drop one transition per user per batch boundary.
+
+    ``events`` must be a STREAMING DataFrame with columns user_id
+    (long), event_id (long), ts_micros (long, epoch micros),
+    event_type (string). Emits one row per observed transition;
+    downstream aggregation (the global (from, to) counts) is an
+    ordinary streaming groupBy, or a batch rollup over the emitted
+    log. State is O(1) per live user (three scalars). Ordering
+    contract: rows are sorted within each batch and batches must be
+    per-user time-monotone (ordered-log replay, the
+    ``stateful_sequential_checks`` contract); out-of-order ARRIVAL
+    needs the watermark/session forms instead
+    (streaming/windows.py)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _emit_transitions,
+        outputStructType=TRANSITION_OUTPUT,
+        stateStructType=TRANSITION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,83 @@
+"""Streaming transition mining equals the batch query across
+micro-batch boundaries (SURVEY §2.9 stateful extension).
+
+The events table is split into 4 time-ordered micro-batches, so almost
+every user's sequence is cut mid-stream several times; the stateful
+operator must still emit every boundary transition a stateless
+per-batch window would drop. The aggregated stream output is compared
+to an independent batch lead()-window computation over the full table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import load_table
+from dev_dot_cvp_metadata_ingestion_spark.streaming.stateful import (
+    stateful_event_transitions,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stateful_transitions_equal_batch(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_micros"),
+        "event_type",
+    )
+
+    # 4 time-range micro-batches: per-user order is preserved across
+    # batches (the operator's ordered-log contract) but sequences are
+    # cut mid-user at every boundary
+    qs = ev.approxQuantile("ts_micros", [0.25, 0.5, 0.75], 0.0)
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    bounds = [float("-inf"), *qs, float("inf")]
+    n_batches = 0
+    for i in range(4):
+        part = ev.filter(
+            (F.col("ts_micros") > F.lit(bounds[i]))
+            & (F.col("ts_micros") <= F.lit(bounds[i + 1]))
+        ).coalesce(1)
+        if part.count():
+            part.write.parquet(str(src / f"batch_{i}"))
+            n_batches += 1
+    assert n_batches >= 3, "need several batches to cut sequences"
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out_rows: list[tuple] = []
+
+    def sink(df, batch_id):
+        out_rows.extend(
+            (r.user_id, r.from_type, r.to_type) for r in df.collect()
+        )
+
+    q = (
+        stateful_event_transitions(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    w = W.partitionBy("user_id").orderBy("ts_micros", "event_id")
+    batch = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .collect()
+    )
+    expected = sorted((r.user_id, r.from_type, r.to_type) for r in batch)
+    assert sorted(out_rows) == expected
