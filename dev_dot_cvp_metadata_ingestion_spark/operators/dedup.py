@@ -561,6 +561,7 @@ def ngram_jaccard_pairs(
     block_col: str,
     n: int = 2,
     threshold: float = 0.05,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """Exact n-gram Jaccard for every candidate pair inside a blocking
     key, as a POSTING-LIST similarity join: explode each doc's distinct
@@ -608,7 +609,16 @@ def ngram_jaccard_pairs(
     lb = sizes.select(
         "block", F.col("doc_id").alias("doc_id_b"), F.col("sz").alias("lb")
     )
-    union = F.col("la") + F.col("lb") - F.col("i")
+    if metric == "jaccard":
+        denom = F.col("la") + F.col("lb") - F.col("i")
+    elif metric == "containment":
+        # asymmetric overlap |A∩B| / min(|A|,|B|): near 1.0 whenever
+        # the smaller doc's grams are a subset of the larger's — the
+        # quote-expansion / boilerplate-wrapping duplicates whose
+        # Jaccard is diluted by the size imbalance
+        denom = F.least(F.col("la"), F.col("lb"))
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
     return (
         inter.join(la, ["block", "doc_id_a"])
         .join(lb, ["block", "doc_id_b"])
@@ -616,7 +626,7 @@ def ngram_jaccard_pairs(
             "block",
             "doc_id_a",
             "doc_id_b",
-            (F.col("i").cast("double") / union).alias("jaccard"),
+            (F.col("i").cast("double") / denom).alias(metric),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col(metric) >= threshold)
     )

@@ -1274,6 +1274,43 @@ def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("block", "doc_id_a", "doc_id_b")
 
 
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS.format(c="text")} AS t FROM documents
+    ),
+    sh AS (SELECT doc_id, source AS block, {_shingle_sql(2)} AS sh FROM toks),
+    pairs AS (
+      SELECT a.block, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             len(list_intersect(a.sh, b.sh)) AS i,
+             len(a.sh) AS la, len(b.sh) AS lb
+      FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+    )
+    SELECT block, doc_id_a, doc_id_b,
+           i::DOUBLE / least(la, lb) AS containment
+    FROM pairs WHERE i::DOUBLE / least(la, lb) >= 0.15
+    ORDER BY block, doc_id_a, doc_id_b
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-duplicate pairs by shingle CONTAINMENT —
+    |A∩B| / min(|A|,|B|) — within the ``source`` blocking key. Catches
+    the subset duplicates Jaccard structurally under-scores: a short
+    doc fully quoted inside a long one has containment ≈ 1 but Jaccard
+    ≈ |short|/|long| (arbitrarily small), so symmetric dedup keeps
+    both. Standard alongside Jaccard in web-dedup pipelines (the
+    Broder resemblance/containment pair, public STOC'97 framing).
+    Same posting-list plan as ``dedup_ngram_pairs`` — fan-out bounded
+    by gram document frequency, shuffles on (block, gram) then
+    (block, a, b) — only the final denominator differs."""
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", "source", n=2, threshold=0.15,
+        metric="containment",
+    ).orderBy("block", "doc_id_a", "doc_id_b")
+
+
 # ------------------------------------------------------------- similarity
 
 

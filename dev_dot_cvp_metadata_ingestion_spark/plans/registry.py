@@ -140,6 +140,7 @@ BACK: tuple[str, ...] = (
     "documents_classifier_score",
     # dedup variants (blocked-verify and argmin-keeper forms)
     "dedup_ngram_pairs",
+    "dedup_containment_pairs",
     "dedup_keep_best",
     "dedup_minhash_banded",
     # events variant: first-order transition matrix (bigram mining)
