@@ -40,7 +40,12 @@ def get_spark(
         # double round-trip
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode runs all N worker threads inside the driver JVM, so
+        # this heap is the whole cluster's execution+storage memory;
+        # 16g keeps 32 threads out of spill territory on the heavy
+        # quadratic-verify queries (measured ~5% on the worst ones, and
+        # headroom is free on the 128 GiB harness)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
