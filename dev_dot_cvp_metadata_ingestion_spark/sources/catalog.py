@@ -93,3 +93,30 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table_name)
     )
+
+
+def write_sorted_layout(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int = 32,
+) -> None:
+    """Persist with a RANGE-partitioned, within-file-sorted layout on
+    ``sort_cols`` — the file-skipping lever for selective scans at
+    100 TB. Range partitioning gives each output file a narrow,
+    non-overlapping min/max envelope on the sort key, so parquet
+    footer statistics let a pushed-down predicate skip whole files
+    (and row groups within them) instead of scanning the corpus; an
+    unsorted layout scatters every key range across every file and
+    defeats the statistics entirely. Pay one range shuffle at write
+    time, prune every read after. tests/test_layout_skipping.py
+    asserts the property from the real parquet footers — ≥14/16 files
+    provably skippable for a selective slice under this layout, 0
+    under an unsorted control — alongside the directory-partitioned
+    form whose pruning shows up in the planned-file scan metric."""
+    (
+        df.repartitionByRange(n_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
