@@ -82,9 +82,9 @@ BOARD: tuple[str, ...] = (
     "rules_catalog",
     "csv_rule_validation",
     "events_asof_last_signup",
-    # text analysis
+    # text analysis + model-inference-shaped scoring
     "text_stats",
-    "text_token_counts",
+    "documents_classifier_score",
     "text_lang_id",
     "text_fingerprints",
     # corpus curation / profiling
@@ -92,7 +92,7 @@ BOARD: tuple[str, ...] = (
     "corpus_profile",
     "documents_quality_filter",
     "documents_curated",
-    "documents_repetition_filter",
+    "corpus_source_overlap",
     "documents_contamination_fuzzy",
     "documents_length_histogram",
     "corpus_vocab_by_source",
@@ -110,8 +110,8 @@ BOARD: tuple[str, ...] = (
     "ann_knn_join",
     # embedding transforms
     "embedding_kmeans",
-    "embedding_zscore",
-    # event sequences / sessions
+    # event sequences / sessions / sequence mining
+    "events_top_transitions",
     "events_funnel",
     "events_sessionize_native",
     "events_cohort_retention",
@@ -136,16 +136,18 @@ BACK: tuple[str, ...] = (
     "documents_contamination",
     "documents_source_cap",
     "documents_rarity_score",
-    # model-inference-shaped scoring (fastText/CCNet classifier plumbing)
-    "documents_classifier_score",
+    "documents_repetition_filter",
     # dedup variants (blocked-verify and argmin-keeper forms)
     "dedup_ngram_pairs",
     "dedup_containment_pairs",
     "dedup_keep_best",
     "dedup_minhash_banded",
-    # events variant: first-order transition matrix (bigram mining)
-    "events_top_transitions",
+    # demoted r6 for new-family board slots: token_counts is a
+    # text_stats variant, zscore an embedding-transform variant,
+    # repetition_filter a stage of documents_curated (above)
+    "text_token_counts",
     # embedding variants
+    "embedding_zscore",
     "embedding_quantize",
     "embedding_centroids",
     # events variants (lag-window sessionize kept for its distinct
@@ -155,8 +157,6 @@ BACK: tuple[str, ...] = (
     # multimodal variants (same mapInPandas plumbing as _features)
     "multimodal_frames",
     "multimodal_resized",
-    # corpus-comparison family (pairwise source-vocabulary overlap)
-    "corpus_source_overlap",
     # no-oracle approximation twins (tolerance-pinned in pytest)
     "corpus_profile_approx",
     "corpus_vocab_by_source_approx",
