@@ -3004,6 +3004,88 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bigram_lm",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS.format(c="lower(text)")} AS t FROM documents
+    ),
+    bg AS (
+      SELECT unnest([{{'w1': t[i], 'w2': t[i+1]}}
+                     for i in generate_series(1, len(t) - 1)]) AS z
+      FROM toks WHERE len(t) >= 2
+    ),
+    c12 AS (
+      SELECT z.w1 AS w1, z.w2 AS w2, CAST(count(*) AS BIGINT) AS c12
+      FROM bg GROUP BY 1, 2
+    ),
+    c1 AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1
+    ),
+    scored AS (
+      SELECT c12.w1, w2, c12, c1.c1,
+             CAST(c12 AS DOUBLE) / c1.c1 AS prob
+      FROM c12 JOIN c1 USING (w1)
+    ),
+    ranked AS (
+      SELECT w1, w2, c12, c1, prob,
+             CAST(row_number() OVER (PARTITION BY w1
+                                     ORDER BY c12 DESC, w2) AS BIGINT)
+               AS rank
+      FROM scored
+    )
+    SELECT w1, w2, c12, c1, prob, rank FROM ranked WHERE rank <= 3
+    ORDER BY w1, rank
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a bigram language model ON the corpus: maximum-likelihood
+    conditional probabilities P(w2 | w1) = c(w1,w2) / c(w1), keeping
+    the top-3 continuations per context — the classic MapReduce LM
+    estimation (Brants et al. 2007, "Large Language Models in Machine
+    Translation" — public EMNLP), i.e. model TRAINING as a query, the
+    counterpart of ``documents_classifier_score``'s model inference.
+
+    Plan shape at 100 TB: bigrams are generated map-side with
+    ``arrays_zip`` over two shifted slices (a regular codegen
+    expression — no higher-order-function lambdas, the
+    ``dedup_embedding_pairs`` lesson), the (w1, w2) count
+    partial-aggregates before its single shuffle, the context total
+    reuses the counted relation (Σ_w2 c12 — never a second corpus
+    scan), and the top-3 window partitions by w1 — per-partition state
+    bounded by a context's continuation vocabulary, no global window.
+    The probability is one IEEE division of exact integers, so engines
+    agree bit-for-bit; ties rank by (count desc, w2) for determinism."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(tokens(F.lower(F.col("text"))).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    n = F.size("t")
+    bg = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, n - 1).alias("w1"),
+                F.slice("t", 2, n - 1).alias("w2"),
+            )
+        ).alias("z")
+    ).select(F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    scored = c12.join(c1, "w1").select(
+        "w1",
+        "w2",
+        "c12",
+        "c1",
+        (F.col("c12").cast("double") / F.col("c1")).alias("prob"),
+    )
+    w = W.partitionBy("w1").orderBy(F.col("c12").desc(), F.col("w2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("w1", "rank")
+    )
+
+
+@register(
     "documents_classifier_score",
     oracle=f"""
     WITH tok AS (

@@ -129,6 +129,8 @@ BACK: tuple[str, ...] = (
     # text variants (fingerprints/tfidf family repped by text_fingerprints)
     "text_tfidf_top_terms",
     "text_fingerprint_overlap",
+    # LM estimation twin of the board's classifier-inference rep
+    "text_bigram_lm",
     # documents variants (curated composes dedup+repetition+quality+mixture)
     "documents_chunked",
     "documents_packed",
