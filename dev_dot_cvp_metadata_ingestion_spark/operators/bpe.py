@@ -1,0 +1,127 @@
+"""Byte-pair-encoding vocabulary induction — tokenizer TRAINING as a
+sequence of declarative Spark rounds (Sennrich et al. 2016, "Neural
+Machine Translation of Rare Words with Subword Units", public ACL).
+
+The 100 TB shape: ONE corpus-scale aggregation reduces the corpus to
+the (word, freq) vocabulary relation — everything after runs on that
+vocabulary table, which is millions of rows at web scale, not
+petabytes. Each merge round is pure DataFrame algebra:
+
+* pair counts: ``arrays_zip`` of two shifted slices of the symbol
+  array (regular codegen expression, no lambda), exploded and
+  freq-weighted into one partial-aggregated shuffle;
+* the winning pair: ``orderBy(count desc, left, right).limit(1)`` —
+  a TakeOrderedAndProject, broadcast back as a 1-row relation; the
+  driver never collects it (the merge is applied by comparing against
+  the broadcast columns, so the whole k-round training is one lazy
+  plan, checkpointed per round to truncate lineage);
+* the merge itself: a left-fold over each word's symbols that joins
+  an adjacent (left, right) occurrence into one symbol — BPE's
+  leftmost-first, non-overlapping semantics exactly (after a merge
+  the joined symbol is the fold accumulator's tail, so ``aaa`` under
+  pair (a,a) gives [aa, a], not [aa, aa]).
+
+Ties on the pair count break lexicographically by (left, right) —
+pinned against an independent plain-Python BPE in
+tests/test_bpe.py. No end-of-word marker (whole words are the
+units; add one upstream by appending it to the text if cross-word
+merges must be blocked).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import tokens
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over lowercased whitespace tokens — the one
+    corpus-scale aggregation BPE training needs."""
+    return (
+        docs.select(
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _pair_counts(syms: DataFrame) -> DataFrame:
+    n = F.size("s")
+    return (
+        syms.filter(n >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("s", 1, n - 1).alias("left"),
+                    F.slice("s", 2, n - 1).alias("right"),
+                )
+            ).alias("z"),
+        )
+        .groupBy(
+            F.col("z.left").alias("left"), F.col("z.right").alias("right")
+        )
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def _apply_merge(syms: DataFrame, top: DataFrame) -> DataFrame:
+    """Merge every adjacent (left, right) occurrence, leftmost-first,
+    against the broadcast 1-row winning pair."""
+    merged = F.concat(F.col("left"), F.col("right"))
+    return syms.crossJoin(F.broadcast(top)).select(
+        "w",
+        "freq",
+        F.aggregate(
+            "s",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.col("left"))
+                & (x == F.col("right")),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        ).alias("s"),
+    )
+
+
+def bpe_merges(
+    docs: DataFrame, k: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Learn the first ``k`` BPE merges from the corpus. Returns one
+    row per merge: (rank, left, right, merged, pair_count), rank 1 =
+    first merge learned."""
+    if not 1 <= k <= 50:
+        raise ValueError("k merge rounds must be in [1, 50] (plan growth)")
+    words = word_frequencies(docs, text_col)
+    syms = words.select(
+        "w",
+        "freq",
+        F.array_remove(F.split("w", r"(?!^)"), "").alias("s"),
+    ).localCheckpoint()
+
+    out: DataFrame | None = None
+    for rank in range(1, k + 1):
+        top = (
+            _pair_counts(syms)
+            .orderBy(
+                F.col("pair_count").desc(), F.col("left"), F.col("right")
+            )
+            .limit(1)
+        )
+        row = top.select(
+            F.lit(rank).alias("rank"),
+            "left",
+            "right",
+            F.concat("left", "right").alias("merged"),
+            "pair_count",
+        )
+        out = row if out is None else out.unionByName(row)
+        # checkpoint BOTH the merge row and the rewritten symbols: the
+        # round-k pair counts must not replan rounds 1..k-1
+        syms = _apply_merge(syms, top).localCheckpoint()
+    return out

@@ -3003,6 +3003,22 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("text_bpe_merges")
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 8 BPE merges from the documents corpus
+    (operators/bpe.py) — tokenizer TRAINING as k declarative rounds
+    over the (word, freq) vocabulary relation. No SQL oracle: the
+    per-round data-dependent argmax-then-rewrite is the iterative
+    class the driver contract exempts; instead the merge sequence is
+    pinned field-for-field against an independent plain-Python BPE
+    implementation in tests/test_bpe.py (and the rows-only driver
+    check covers schema/stability)."""
+    from ..operators.bpe import bpe_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_merges(d, k=8)
+
+
 @register(
     "text_bigram_lm",
     oracle=f"""

@@ -159,6 +159,9 @@ BACK: tuple[str, ...] = (
     # multimodal variants (same mapInPandas plumbing as _features)
     "multimodal_frames",
     "multimodal_resized",
+    # iterative vocabulary induction (python-reference-pinned, no SQL
+    # oracle — data-dependent per-round argmax)
+    "text_bpe_merges",
     # no-oracle approximation twins (tolerance-pinned in pytest)
     "corpus_profile_approx",
     "corpus_vocab_by_source_approx",

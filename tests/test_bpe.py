@@ -1,0 +1,85 @@
+"""BPE vocabulary induction pinned against an independent plain-Python
+reference implementation (the Sennrich et al. 2016 algorithm,
+reimplemented here from the paper's pseudocode — dict-of-tuples pair
+counting, leftmost-first non-overlapping merge, ties broken by
+(count desc, left, right) to match the operator's declared order).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from dev_dot_cvp_metadata_ingestion_spark.operators.bpe import bpe_merges
+from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _python_bpe(word_freqs: dict[str, int], k: int):
+    """Reference BPE: independent of the Spark implementation."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for rank in range(1, k + 1):
+        pairs: Counter = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (left, right), count = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, left, right, left + right, count))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_match_python_reference(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    wf = {
+        r.w: r.freq
+        for r in docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .collect()
+    }
+    expected = _python_bpe(wf, 8)
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_merges(docs, k=8).orderBy("rank").collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_leftmost_nonoverlapping_merge(spark):
+    """`aaa` under winning pair (a, a) must become [aa, a] — the fold's
+    accumulator-tail semantics — and the pair count must weight by
+    word frequency."""
+    docs = spark.createDataFrame(
+        [("aaa aaa b",), ("aaa zz",)], ["text"]
+    )
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_merges(docs, k=2).orderBy("rank").collect()
+    ]
+    # 'aaa' freq 3: pairs (a,a) x2 per word = 6; 'zz' freq 1: (z,z)=1
+    assert got[0] == (1, "a", "a", "aa", 6)
+    # after merging: 'aaa' -> [aa, a] x3 → pair (aa, a) = 3 beats (z,z)=1
+    assert got[1] == (2, "aa", "a", "aaa", 3)
