@@ -125,3 +125,72 @@ def bpe_merges(
         # round-k pair counts must not replan rounds 1..k-1
         syms = _apply_merge(syms, top).localCheckpoint()
     return out
+
+
+def apply_merges(syms_col, merges: list[tuple[str, str]]):
+    """Compile a learned merge LIST into one chained fold expression
+    over a symbol-array column — the trained artifact becomes plan
+    parameters exactly like the INI rule schemas do (driver-side
+    compile, zero per-row interpretation of the model). ``merges`` is
+    config-scale (k rows), not corpus-scale, so collecting it is the
+    same move as reading a rule file — distinct from the kmeans/BPE
+    TRAINING loops, which never collect corpus-derived relations of
+    unbounded size."""
+    def merge_step(left: str, right: str):
+        l, r, m = F.lit(left), F.lit(right), F.lit(left + right)
+
+        def step(acc, x):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == l)
+                & (x == r),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(m)),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return step
+
+    col = syms_col
+    for left, right in merges:
+        col = F.aggregate(
+            col, F.array().cast("array<string>"), merge_step(left, right)
+        )
+    return col
+
+
+def bpe_subword_vocabulary(
+    docs: DataFrame, k: int = 8, top: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Train k merges, then segment the corpus with them and return the
+    top subwords by corpus frequency: (subword, freq, rank). The
+    train→apply round trip of a BPE tokenizer pipeline."""
+    merges = [
+        (r.left, r.right)
+        for r in bpe_merges(docs, k=k, text_col=text_col)
+        .orderBy("rank")
+        .collect()
+    ]
+    words = word_frequencies(docs, text_col)
+    segmented = words.select(
+        "freq",
+        apply_merges(
+            F.array_remove(F.split("w", r"(?!^)"), ""), merges
+        ).alias("s"),
+    )
+    counts = (
+        segmented.select("freq", F.explode("s").alias("subword"))
+        .groupBy("subword")
+        .agg(F.sum("freq").alias("freq"))
+    )
+    ranked = counts.orderBy(F.col("freq").desc(), F.col("subword")).limit(top)
+    packed = ranked.select(
+        F.struct(
+            (-F.col("freq")).alias("_neg"),
+            F.col("subword").alias("_tie"),
+            F.struct("subword", "freq").alias("_row"),
+        ).alias("key")
+    ).agg(F.sort_array(F.collect_list("key")).alias("xs"))
+    return packed.select(F.posexplode("xs").alias("_pos", "_x")).select(
+        "_x._row.subword",
+        "_x._row.freq",
+        (F.col("_pos") + 1).cast("long").alias("rank"),
+    )

@@ -3019,6 +3019,22 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(d, k=8)
 
 
+@register("text_bpe_subwords")
+def text_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train→apply round trip: learn 8 BPE merges, segment the
+    corpus with them (the learned merge list compiles into one chained
+    fold expression — model parameters become plan constants exactly
+    like the INI rule schemas), and return the top-20 subwords by
+    corpus frequency with fold-derived ranks (no global window).
+    Python-reference-pinned in tests/test_bpe.py; rows-only driver
+    check (the result depends on the learned merges, which SQL can't
+    re-derive)."""
+    from ..operators.bpe import bpe_subword_vocabulary
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_subword_vocabulary(d, k=8, top=20)
+
+
 @register(
     "text_bigram_lm",
     oracle=f"""

@@ -160,8 +160,9 @@ BACK: tuple[str, ...] = (
     "multimodal_frames",
     "multimodal_resized",
     # iterative vocabulary induction (python-reference-pinned, no SQL
-    # oracle — data-dependent per-round argmax)
+    # oracle — data-dependent per-round argmax) + its apply round trip
     "text_bpe_merges",
+    "text_bpe_subwords",
     # no-oracle approximation twins (tolerance-pinned in pytest)
     "corpus_profile_approx",
     "corpus_vocab_by_source_approx",

@@ -83,3 +83,53 @@ def test_bpe_leftmost_nonoverlapping_merge(spark):
     assert got[0] == (1, "a", "a", "aa", 6)
     # after merging: 'aaa' -> [aa, a] x3 → pair (aa, a) = 3 beats (z,z)=1
     assert got[1] == (2, "aa", "a", "aaa", 3)
+
+
+def test_bpe_subword_vocabulary_matches_python(spark):
+    """Train→apply round trip: segmenting with the learned merges and
+    counting subwords must match the Python reference end-to-end."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.bpe import (
+        bpe_subword_vocabulary,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    wf = {
+        r.w: r.freq
+        for r in docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .collect()
+    }
+    merges = [(l, r) for _, l, r, _, _ in _python_bpe(wf, 8)]
+    counts: Counter = Counter()
+    for w, f in wf.items():
+        syms = list(w)
+        for left, right in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            syms = out
+        for s in syms:
+            counts[s] += f
+    expected = sorted(
+        counts.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:20]
+    expected = [
+        (sub, freq, i + 1) for i, (sub, freq) in enumerate(expected)
+    ]
+    got = [
+        (r.subword, r.freq, r.rank)
+        for r in bpe_subword_vocabulary(docs, k=8, top=20)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expected
