@@ -3003,6 +3003,56 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_dedup_report",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, source, md5(text) AS fp FROM documents
+    ),
+    g AS (
+      SELECT source, fp, CAST(count(*) AS BIGINT) AS n
+      FROM f GROUP BY source, fp
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_distinct_texts,
+           CAST(sum(n) - count(*) AS BIGINT) AS n_redundant_docs,
+           CAST(sum(n) - count(*) AS DOUBLE) / sum(n) AS dup_frac
+    FROM g
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication dashboard: how many documents each
+    source contributes, how many distinct texts that is, and the
+    redundant fraction an exact dedup pass would remove — the summary
+    a curation run reports before/after (the reporting rollup over the
+    ``dedup_exact`` structure). Two partial-aggregated shuffles —
+    (source, fingerprint) then source — both keyed below source
+    cardinality after the first combine; fingerprints are md5 of the
+    raw text, identical on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        d.select("source", F.md5("text").alias("fp"))
+        .groupBy("source", "fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        g.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_distinct_texts"),
+            (F.sum("n") - F.count(F.lit(1))).alias("n_redundant_docs"),
+            (
+                (F.sum("n") - F.count(F.lit(1))).cast("double")
+                / F.sum("n")
+            ).alias("dup_frac"),
+        )
+        .orderBy("source")
+    )
+
+
 @register("text_bpe_merges")
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the first 8 BPE merges from the documents corpus

@@ -144,6 +144,8 @@ BACK: tuple[str, ...] = (
     "dedup_containment_pairs",
     "dedup_keep_best",
     "dedup_minhash_banded",
+    # reporting rollup over the dedup structure
+    "corpus_dedup_report",
     # demoted r6 for new-family board slots: token_counts is a
     # text_stats variant, zscore an embedding-transform variant,
     # repetition_filter a stage of documents_curated (above)
