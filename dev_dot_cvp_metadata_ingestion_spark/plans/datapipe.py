@@ -3004,6 +3004,87 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "documents_lm_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS.format(c="lower(text)")} AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest([{{'w1': t[i], 'w2': t[i+1]}}
+                     for i in generate_series(1, len(t) - 1)]) AS z
+      FROM toks WHERE len(t) >= 2
+    ),
+    db AS (SELECT doc_id, z.w1 AS w1, z.w2 AS w2 FROM bg),
+    c12 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM db GROUP BY w1, w2
+    ),
+    c1 AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1
+    ),
+    q AS (
+      SELECT w1, w2, (1000000 * c12) // c1.c1 AS q
+      FROM c12 JOIN c1 USING (w1)
+    )
+    SELECT db.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(q.q) AS BIGINT) AS q_sum,
+           CAST(sum(q.q) AS DOUBLE) / (1000000.0 * count(*)) AS fluency
+    FROM db JOIN q USING (w1, w2)
+    GROUP BY db.doc_id
+    ORDER BY db.doc_id
+    """,
+)
+def documents_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fluency under the corpus's own bigram LM: the mean
+    conditional probability P(w2 | w1) over the document's bigrams —
+    the train-then-score loop of perplexity-based quality filtering
+    (CCNet's wikipedia-LM gate, public), with the LM estimated from
+    the corpus itself in the same query. Each bigram's probability is
+    quantized to fixed-point ppm with exact INTEGER division
+    ((1e6·c12) div c1 — numerators bounded by 1e6·corpus ≪ 2^63), so
+    the per-doc sum is order-independent and engine-identical; one
+    final IEEE division produces the [0, 1] fluency. Plan: the bigram
+    relation is counted once, the model join is bigram-keyed (the
+    model relation is |bigram types|, far below corpus size), and the
+    per-doc aggregate partial-aggregates — three shuffles total, no
+    window, no collect."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("t")
+    ).filter(F.size("t") >= 2)
+    n = F.size("t")
+    db = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, n - 1).alias("w1"),
+                F.slice("t", 2, n - 1).alias("w2"),
+            )
+        ).alias("z"),
+    ).select("doc_id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+    c12 = db.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    q = c12.join(c1, "w1").select(
+        "w1", "w2", F.expr("(1000000 * c12) div c1").alias("q")
+    )
+    return (
+        db.join(q, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("q").alias("q_sum"),
+            (
+                F.sum("q").cast("double")
+                / (F.lit(1000000.0) * F.count(F.lit(1)))
+            ).alias("fluency"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "corpus_dedup_report",
     oracle="""
     WITH f AS (

@@ -129,8 +129,10 @@ BACK: tuple[str, ...] = (
     # text variants (fingerprints/tfidf family repped by text_fingerprints)
     "text_tfidf_top_terms",
     "text_fingerprint_overlap",
-    # LM estimation twin of the board's classifier-inference rep
+    # LM estimation twin of the board's classifier-inference rep,
+    # and the train-then-score fluency gate built on it
     "text_bigram_lm",
+    "documents_lm_score",
     # documents variants (curated composes dedup+repetition+quality+mixture)
     "documents_chunked",
     "documents_packed",
