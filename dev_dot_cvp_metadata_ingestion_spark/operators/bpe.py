@@ -127,15 +127,20 @@ def bpe_merges(
     return out
 
 
-def apply_merges(syms_col, merges: list[tuple[str, str]]):
-    """Compile a learned merge LIST into one chained fold expression
-    over a symbol-array column — the trained artifact becomes plan
-    parameters exactly like the INI rule schemas do (driver-side
-    compile, zero per-row interpretation of the model). ``merges`` is
-    config-scale (k rows), not corpus-scale, so collecting it is the
-    same move as reading a rule file — distinct from the kmeans/BPE
-    TRAINING loops, which never collect corpus-derived relations of
-    unbounded size."""
+def merge_fold(syms_col, left: str, right: str):
+    """One learned merge compiled into a fold expression over a
+    symbol-array column — the trained artifact becomes plan parameters
+    exactly like the INI rule schemas do (driver-side compile, zero
+    per-row interpretation of the model). Merges are config-scale
+    (k rows), not corpus-scale, so collecting them is the same move as
+    reading a rule file — distinct from the kmeans/BPE TRAINING loops,
+    which never collect corpus-derived relations of unbounded size.
+
+    Apply ONE merge per projection (see ``bpe_subword_vocabulary``),
+    never as a k-deep nested expression: Catalyst's lambda-variable
+    rewriting over nested higher-order functions is super-linear in
+    nesting depth — a single 8-deep chain measured 13 s of pure
+    optimizer time on a 31-row vocabulary."""
     def merge_step(left: str, right: str):
         l, r, m = F.lit(left), F.lit(right), F.lit(left + right)
 
@@ -149,12 +154,9 @@ def apply_merges(syms_col, merges: list[tuple[str, str]]):
 
         return step
 
-    col = syms_col
-    for left, right in merges:
-        col = F.aggregate(
-            col, F.array().cast("array<string>"), merge_step(left, right)
-        )
-    return col
+    return F.aggregate(
+        syms_col, F.array().cast("array<string>"), merge_step(left, right)
+    )
 
 
 def bpe_subword_vocabulary(
@@ -172,10 +174,14 @@ def bpe_subword_vocabulary(
     words = word_frequencies(docs, text_col)
     segmented = words.select(
         "freq",
-        apply_merges(
-            F.array_remove(F.split("w", r"(?!^)"), ""), merges
-        ).alias("s"),
-    )
+        F.array_remove(F.split("w", r"(?!^)"), "").alias("s"),
+    ).localCheckpoint()
+    # one fold per projection, checkpointed: flat plans each round
+    # instead of one k-deep nested lambda tree (see merge_fold)
+    for left, right in merges:
+        segmented = segmented.select(
+            "freq", merge_fold(F.col("s"), left, right).alias("s")
+        ).localCheckpoint()
     counts = (
         segmented.select("freq", F.explode("s").alias("subword"))
         .groupBy("subword")

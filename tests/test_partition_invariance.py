@@ -32,6 +32,10 @@ SENSITIVE = [
     "embedding_kmeans",      # iterative re-aggregation
     "dedup_semantic_keep",   # kmeans blocking + pairwise keeper votes
     "events_sessionize",     # ordered window logic
+    "documents_lm_score",    # 3-shuffle train-then-score pipeline
+    "corpus_source_overlap", # posting-list pair sweep
+    "text_bigram_lm",        # count shuffle + per-context rank
+    "text_bpe_merges",       # iterative argmax rounds (tie-breaks!)
 ]
 
 
