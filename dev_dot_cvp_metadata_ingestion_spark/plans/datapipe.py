@@ -500,10 +500,11 @@ def documents_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
-    "documents_curated",
-    oracle=f"""
-    WITH toks AS (
+# The full curation pipeline as DuckDB CTEs — shared by the
+# documents_curated oracle and the documents_curation_funnel stage
+# counts, so the two can never drift apart.
+_CURATED_CTES = f"""
+    toks AS (
       SELECT doc_id, lang, source, text,
              {_TOKS.format(c="text")} AS t,
              {_TOKS.format(c="lower(text)")} AS tl
@@ -559,12 +560,21 @@ def documents_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates AS (
       SELECT source, CAST(floor(mn::DOUBLE / tok * 10000) AS BIGINT) AS threshold
       FROM totals, m
+    ),
+    curated AS (
+      SELECT q.doc_id, q.lang, q.source, q.n_tokens
+      FROM quality_pass q JOIN rates r USING (source)
+      WHERE {_BASE_HASH.format(s="CAST(doc_id AS VARCHAR) || ':mix'")} % 10000
+              < r.threshold
     )
-    SELECT q.doc_id, q.lang, q.source, q.n_tokens
-    FROM quality_pass q JOIN rates r USING (source)
-    WHERE {_BASE_HASH.format(s="CAST(doc_id AS VARCHAR) || ':mix'")} % 10000
-            < r.threshold
-    ORDER BY doc_id
+"""
+
+
+@register(
+    "documents_curated",
+    oracle=f"""
+    WITH {_CURATED_CTES}
+    SELECT doc_id, lang, source, n_tokens FROM curated ORDER BY doc_id
     """,
 )
 def documents_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -583,6 +593,59 @@ def documents_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows."""
     d = load_table(spark, sf_dir, "documents")
     return _curated_plan(d)
+
+
+@register(
+    "documents_curation_funnel",
+    oracle=f"""
+    WITH {_CURATED_CTES}
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS stage, 'input' AS gate,
+             CAST(count(*) AS BIGINT) AS n_docs FROM scored
+      UNION ALL
+      SELECT 2, 'dedup_and_repetition', CAST(count(*) AS BIGINT) FROM clean
+      UNION ALL
+      SELECT 3, 'quality_quartile', CAST(count(*) AS BIGINT)
+      FROM quality_pass
+      UNION ALL
+      SELECT 4, 'mixture_rebalance', CAST(count(*) AS BIGINT) FROM curated
+    ) ORDER BY stage
+    """,
+)
+def documents_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability over the flagship pipeline: how many documents
+    survive each curation gate — the funnel a production run reports
+    next to its output. Built by capturing ``_curated_plan``'s pinned
+    stage boundaries (the same plan object ``documents_curated``
+    executes — not a reimplementation, so the counts can never drift
+    from the real pipeline) plus the final mixture stage; four 1-row
+    count aggregates unioned, each a column-pruned scan of its
+    stage's subtree. The oracle shares the curated CTE block
+    verbatim for the same no-drift guarantee."""
+    d = load_table(spark, sf_dir, "documents")
+    stages: list[DataFrame] = []
+
+    def pin(df: DataFrame) -> DataFrame:
+        stages.append(df)
+        return df
+
+    final = _curated_plan(d, pin=pin)
+    scored, clean, quality_pass = stages
+
+    def stage_count(rank: int, gate: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(rank).cast("long").alias("stage"),
+            F.lit(gate).alias("gate"),
+            "n_docs",
+        )
+
+    return (
+        stage_count(1, "input", scored)
+        .unionByName(stage_count(2, "dedup_and_repetition", clean))
+        .unionByName(stage_count(3, "quality_quartile", quality_pass))
+        .unionByName(stage_count(4, "mixture_rebalance", final))
+        .orderBy("stage")
+    )
 
 
 def _curated_plan(d: DataFrame, pin=lambda df: df) -> DataFrame:

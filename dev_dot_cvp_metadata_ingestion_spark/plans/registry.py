@@ -141,6 +141,8 @@ BACK: tuple[str, ...] = (
     "documents_source_cap",
     "documents_rarity_score",
     "documents_repetition_filter",
+    # observability funnel over the curated pipeline's own stages
+    "documents_curation_funnel",
     # dedup variants (blocked-verify and argmin-keeper forms)
     "dedup_ngram_pairs",
     "dedup_containment_pairs",
