@@ -56,16 +56,18 @@ def _query_main(argv: list[str]) -> int:
         print(f"unknown query {args.name!r}; run list-queries", file=sys.stderr)
         return 2
     spark = get_spark("cvp-query", cores=args.cores)
-    df = registry.QUERIES[args.name](spark, args.sf_dir)
-    if args.explain:
-        df.explain("formatted")
-    elif args.out:
-        df.write.mode("overwrite").parquet(args.out)
-        print(json.dumps({"query": args.name, "out": args.out}))
-    else:
-        for row in df.limit(args.limit).collect():
-            print(json.dumps(row.asDict(), default=str))
-    spark.stop()
+    try:
+        df = registry.QUERIES[args.name](spark, args.sf_dir)
+        if args.explain:
+            df.explain("formatted")
+        elif args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"query": args.name, "out": args.out}))
+        else:
+            for row in df.limit(args.limit).collect():
+                print(json.dumps(row.asDict(), default=str))
+    finally:
+        spark.stop()
     return 0
 
 
@@ -91,16 +93,24 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--cores", type=int, default=None)
     args = p.parse_args(argv)
 
+    from .session import get_spark
+
+    spark = get_spark("cvp-pipeline", cores=args.cores)
+    try:
+        return _pipeline_main(spark, args)
+    finally:
+        spark.stop()
+
+
+def _pipeline_main(spark, args) -> int:
     from .plans.pipeline import (
         log_progress,
         observe_pipeline,
         run_cv_pipeline,
         write_tables,
     )
-    from .session import get_spark
     from .sources.rules import load_rules_file
 
-    spark = get_spark("cvp-pipeline", cores=args.cores)
     ruleset = load_rules_file(args.config)
 
     if args.streaming:
@@ -154,7 +164,6 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
 
-    spark.stop()
     return 0
 
 

@@ -17,6 +17,33 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def _default_driver_memory() -> str:
+    """Pick a driver heap that fits the machine.
+
+    Local mode runs every worker thread inside the driver JVM, so this
+    heap is the whole cluster's execution+storage memory. 16g keeps 32
+    threads out of spill territory on the heavy quadratic-verify
+    queries, but would refuse to start on a <16 GiB dev laptop — so cap
+    at ~half of MemAvailable and floor at 2g. SPARK_DRIVER_MEMORY
+    always wins (documented in README).
+    """
+    env = os.environ.get("SPARK_DRIVER_MEMORY")
+    if env:
+        return env
+    avail_gib = None
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail_gib = int(line.split()[1]) / (1024 * 1024)
+                    break
+    except OSError:
+        pass
+    if avail_gib is None:
+        return "4g"
+    return f"{max(2, min(16, int(avail_gib // 2)))}g"
+
+
 def get_spark(
     app_name: str = "cvp-metadata-ingestion-spark",
     cores: int | None = None,
@@ -40,12 +67,7 @@ def get_spark(
         # double round-trip
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        # local mode runs all N worker threads inside the driver JVM, so
-        # this heap is the whole cluster's execution+storage memory;
-        # 16g keeps 32 threads out of spill territory on the heavy
-        # quadratic-verify queries (measured ~5% on the worst ones, and
-        # headroom is free on the 128 GiB harness)
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.driver.memory", _default_driver_memory())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

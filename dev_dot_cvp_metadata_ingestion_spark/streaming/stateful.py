@@ -65,9 +65,15 @@ def _check_transitions(
         n_seen = 0
 
     out: list[dict[str, Any]] = []
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values("sn")
-        for row in pdf.itertuples(index=False):
+    # Arrow hands a group to us as MULTIPLE chunks (~10k rows each) in
+    # nondeterministic shuffle-fetch order; sorting per-chunk would
+    # interleave wrong. Materialize the whole group, then sort ONCE —
+    # group state is already O(rows-in-group) here, so this does not
+    # change the memory class.
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        whole = pd.concat(chunks, ignore_index=True).sort_values(["sn", "rid"])
+        for row in whole.itertuples(index=False):
             sn, rid, bs = int(row.sn), int(row.rid), int(row.bs)
             gen, recv = int(row.gen_epoch), int(row.recv_epoch)
             if last_sn is not None:
@@ -168,9 +174,14 @@ def _emit_transitions(
         last_ts = last_event_id = last_type = None
 
     out: list[dict[str, Any]] = []
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values(["ts_micros", "event_id"])
-        for row in pdf.itertuples(index=False):
+    # Same chunking hazard as _check_transitions: one group arrives as
+    # many Arrow chunks in nondeterministic order — concat, sort once.
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        whole = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts_micros", "event_id"]
+        )
+        for row in whole.itertuples(index=False):
             if last_type is not None:
                 out.append(
                     dict(

@@ -102,7 +102,7 @@ def test_streaming_matches_batch(spark, ndjson_dir, tmp_path):
         spark, ndjson_dir, ruleset, schema, sink,
         str(tmp_path / "ckpt"), available_now=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "availableNow drain timed out"
 
     batch = run_cv_pipeline(spark, ndjson_dir, ruleset)
     expected = sorted(

@@ -100,7 +100,7 @@ def test_session_window_stream_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "availableNow drain timed out"
 
     streamed = sorted(
         (r.user_id, r.session_start, r.session_end, r.n_events)
@@ -195,7 +195,7 @@ def test_session_window_out_of_order_and_late_drop(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "availableNow drain timed out"
 
     emitted = sorted(
         (r.user_id, r.session_start, r.session_end, r.n_events) for r in out

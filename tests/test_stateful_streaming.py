@@ -51,7 +51,7 @@ def test_cross_batch_gap_detection(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "availableNow drain timed out"
 
     rows = spark.sql("select * from seq_errors").collect()
     sn_gaps = [

@@ -10,6 +10,9 @@ to an independent batch lead()-window computation over the full table.
 
 from __future__ import annotations
 
+import os
+import time
+
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -37,6 +40,7 @@ def test_stateful_transitions_equal_batch(spark, tmp_path):
     src.mkdir()
     bounds = [float("-inf"), *qs, float("inf")]
     n_batches = 0
+    base_mtime = time.time()
     for i in range(4):
         part = ev.filter(
             (F.col("ts_micros") > F.lit(bounds[i]))
@@ -44,6 +48,12 @@ def test_stateful_transitions_equal_batch(spark, tmp_path):
         ).coalesce(1)
         if part.count():
             part.write.parquet(str(src / f"batch_{i}"))
+            # file source orders batches by modification time; parquet
+            # part-file mtimes have second granularity, so 4 quick
+            # writes can tie — pin strictly increasing mtimes so the
+            # maxFilesPerTrigger=1 replay order is deterministic
+            for f in (src / f"batch_{i}").rglob("*.parquet"):
+                os.utime(f, (base_mtime + 10 * i, base_mtime + 10 * i))
             n_batches += 1
     assert n_batches >= 3, "need several batches to cut sequences"
 
@@ -67,7 +77,7 @@ def test_stateful_transitions_equal_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "availableNow drain exceeded 300s"
 
     w = W.partitionBy("user_id").orderBy("ts_micros", "event_id")
     batch = (

@@ -73,7 +73,7 @@ def test_cv_sequential_checks_stream_equals_batch(spark, events, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "availableNow drain timed out"
 
     batch = sequential_results(events, _events_seq_spec())
     expected = sorted(
@@ -136,7 +136,7 @@ def test_streaming_dedup_matches_batch_distinct(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "availableNow drain timed out"
 
     got = [
         r.fingerprint
@@ -235,7 +235,7 @@ def test_stateful_stream_matches_batch_oracle(spark, events, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "availableNow drain timed out"
 
     got = {
         (r.bundle_key, r.serial_number, r.field_path, r.details)

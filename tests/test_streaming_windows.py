@@ -59,7 +59,7 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "availableNow drain timed out"
 
     emitted = [
         ((r.window_start.hour, r.event_type), r.n_events)
@@ -129,7 +129,7 @@ def test_dedup_stream_drops_cross_batch_redeliveries(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "availableNow drain timed out"
 
     rows = [r.event_type for r in spark.sql("select * from dedup_out").collect()]
     assert sorted(rows) == ["a", "b", "c"]  # the re-delivered "a" dropped
