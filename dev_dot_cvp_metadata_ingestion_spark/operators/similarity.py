@@ -296,7 +296,7 @@ def kmeans_assign(
                 ).alias("cf")
             )
         )
-    out = assigned.select("vec_id", "cluster", "dist").orderBy("vec_id")
+    out = assigned.select("vec_id", "cluster", "dist")
     if return_centroids:
         # `cents` after the loop is one re-estimate AHEAD of the final
         # assignment; consumers probing the partition (IVF) need the

@@ -537,7 +537,7 @@ def cv_validation_tallies(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential check rows. Computed from the WIDE verdicts
     (validation_summary): one projection + one hash aggregate, no
     explode, no distinct-count."""
-    return _tallies_df(spark, sf_dir).orderBy("file")
+    return _tallies_df(spark, sf_dir)
 
 
 def _tallies_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -640,9 +640,7 @@ def cv_message_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DataType"
         ),
     )
-    return message_metrics(dims).orderBy(
-        "metric_name", "dim1_value", "dim2_value"
-    )
+    return message_metrics(dims)
 
 
 @register(
@@ -677,7 +675,6 @@ def cv_error_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("file", "error_message")
         .agg(F.count(F.lit(1)).alias("occurrences"))
-        .orderBy("file", "error_message")
     )
 
 
@@ -851,7 +848,7 @@ _META_SQL = """
 def file_metadata_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1-P3 + S2: the per-file metadata document
     (bucket_event_lambda_handler.py:41-89) over the synthetic catalog."""
-    return file_metadata(_files_df(spark, sf_dir)).orderBy("Key")
+    return file_metadata(_files_df(spark, sf_dir))
 
 
 @register(
@@ -898,7 +895,7 @@ def file_metrics_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bucket_event_lambda_handler.py:105-198), incl. the zero-byte
     sentinel and the reference's literal value=10 for cv file counts."""
     meta = file_metadata(_files_df(spark, sf_dir), passthrough=("bucket",))
-    return file_metrics(meta).orderBy("namespace", "dim1_value", "dim2_value")
+    return file_metrics(meta)
 
 
 @register(
@@ -925,7 +922,7 @@ def url_decoded_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return files.select(
         "doc_id", F.url_decode(encoded).alias("decoded_key")
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -961,7 +958,6 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_value"),
         )
-        .orderBy("window_start", "event_type")
     )
 
 
@@ -1199,7 +1195,7 @@ def events_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("event_id_s").alias("signup_event_id"),
         F.date_format("ts_s", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("signup_ts"),
-    ).orderBy("event_id")
+    )
 
 
 @register(

@@ -151,7 +151,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score(t).alias("quality"),
         rolling_hash(t).alias("rolling_hash"),
         content_fingerprint(t).alias("fingerprint"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -187,7 +187,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ws > 0, bpe.cast("double") / ws)
         .otherwise(F.lit(0.0))
         .alias("fertility"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -221,7 +221,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         lang_id(F.col("text")).alias("predicted_lang"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -259,7 +259,7 @@ def documents_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(bucket < 90, F.lit("val"))
         .otherwise(F.lit("test"))
         .alias("split"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -395,7 +395,6 @@ def documents_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.join(broadcast(thresholds), "lang")
         .filter(F.col("quality") >= F.col("q25"))
         .select("doc_id", "lang", "quality", "q25")
-        .orderBy("doc_id")
     )
 
 
@@ -447,7 +446,6 @@ def documents_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(chunk).cast("long").alias("n_chunk_tokens"),
             F.array_join(chunk, " ").alias("chunk_text"),
         )
-        .orderBy("doc_id", "chunk_id")
     )
 
 
@@ -497,7 +495,7 @@ def documents_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         offset.alias("offset"),
         F.floor(offset / 64.0).cast("long").alias("seq_id"),
-    ).orderBy("doc_id")
+    )
 
 
 # The full curation pipeline as DuckDB CTEs — shared by the
@@ -735,7 +733,6 @@ def _curated_plan(d: DataFrame, pin=lambda df: df) -> DataFrame:
         quality_pass.join(F.broadcast(rates), "source")
         .filter(bucket < F.col("threshold"))
         .select("doc_id", "lang", "source", "n_tokens")
-        .orderBy("doc_id")
     )
 
 
@@ -834,7 +831,6 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
-        .orderBy("doc_id", "rank")
     )
 
 
@@ -887,7 +883,6 @@ def documents_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.join(F.broadcast(rates), "source")
         .filter(bucket < F.col("threshold"))
         .select("doc_id", "source", "n_tokens", "threshold")
-        .orderBy("doc_id")
     )
 
 
@@ -972,7 +967,6 @@ def documents_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("top_bigram_frac") <= 0.06)
             ).alias("keep"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1077,7 +1071,6 @@ def documents_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0.0))
             .alias("contamination_frac"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1177,7 +1170,6 @@ def documents_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.coalesce(F.col("n_train_matches"), F.lit(0)) > 0
             ).alias("contaminated"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1200,7 +1192,7 @@ def documents_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by normalized content fingerprint (hash groupBy)."""
     d = load_table(spark, sf_dir, "documents")
-    return exact_duplicates(d, "doc_id", "text").orderBy("fingerprint")
+    return exact_duplicates(d, "doc_id", "text")
 
 
 # shared CTE chain: documents → LSH candidate pairs at Jaccard >= 0.3
@@ -1249,7 +1241,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return lsh_near_duplicates(
         d, "doc_id", "text", num_hashes=8, n=3, threshold=0.3
-    ).orderBy("doc_id_a", "doc_id_b")
+    )
 
 
 @register(
@@ -1281,7 +1273,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_near_duplicates(
         d, "doc_id", "text", num_hashes=8, n=3, threshold=0.3
     )
-    return connected_components(pairs, d.select("doc_id")).orderBy("doc_id")
+    return connected_components(pairs, d.select("doc_id"))
 
 
 _SIMHASH_VOTES = ", ".join(
@@ -1308,7 +1300,7 @@ _SIMHASH_BITS = " + ".join(
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document (bit votes over token hashes)."""
     d = load_table(spark, sf_dir, "documents")
-    return simhash16(d, "doc_id", "text").orderBy("doc_id")
+    return simhash16(d, "doc_id", "text")
 
 
 @register(
@@ -1334,7 +1326,7 @@ def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
         d, "doc_id", "text", "source", n=2, threshold=0.05
-    ).orderBy("block", "doc_id_a", "doc_id_b")
+    )
 
 
 @register(
@@ -1371,7 +1363,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         d, "doc_id", "text", "source", n=2, threshold=0.15,
         metric="containment",
-    ).orderBy("block", "doc_id_a", "doc_id_b")
+    )
 
 
 # ------------------------------------------------------------- similarity
@@ -1530,7 +1522,6 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fingerprint",
             (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1600,7 +1591,6 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .alias("q127"),
         )
-        .orderBy("vec_id")
     )
 
 
@@ -1726,7 +1716,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("click_us").isNotNull().cast("int")
             + F.col("purchase_us").isNotNull().cast("int")
         ).alias("funnel_depth"),
-    ).orderBy("user_id")
+    )
 
 
 @register(
@@ -1785,7 +1775,6 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("event_id").alias("first_event"),
             F.max("event_id").alias("last_event"),
         )
-        .orderBy("user_id", "session_id")
     )
 
 
@@ -1834,7 +1823,6 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "gap_sec"
             ),
         )
-        .orderBy("user_id", "click_id", "purchase_id")
     )
 
 
@@ -1928,7 +1916,6 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         prod.groupBy("vec_id_a", "vec_id_b")
         .agg(F.sum("p").alias("cos"))
         .filter(F.col("cos") >= 0.3)
-        .orderBy("vec_id_a", "vec_id_b")
     )
 
 
@@ -1958,7 +1945,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated fixtures (tests/test_multimodal.py)."""
     d = load_table(spark, sf_dir, "documents")
     media = attach_binary(d, "doc_id", "text")
-    return decode_features(media, fake=True).orderBy("doc_id")
+    return decode_features(media, fake=True)
 
 
 @register(
@@ -1990,7 +1977,7 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 4; timestamps stride the fake 10 ms/char duration."""
     d = load_table(spark, sf_dir, "documents")
     media = attach_binary(d, "doc_id", "text")
-    return sample_frames(media, fake=True).orderBy("doc_id", "frame_idx")
+    return sample_frames(media, fake=True)
 
 
 @register(
@@ -2011,7 +1998,7 @@ def multimodal_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
     resample of the decoded PNG raster, pytest-verified)."""
     d = load_table(spark, sf_dir, "documents")
     media = attach_binary(d, "doc_id", "text")
-    return resize_media(media, target_chars=256, fake=True).orderBy("doc_id")
+    return resize_media(media, target_chars=256, fake=True)
 
 
 @register(
@@ -2067,7 +2054,6 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         winnow_fingerprints(d.select("doc_id", "text"), "text", n=4, w=5)
         .select("doc_id", F.explode_outer("fingerprints").alias("fingerprint"))
         .where(F.col("fingerprint").isNotNull())
-        .orderBy("doc_id", "fingerprint")
     )
 
 
@@ -2118,7 +2104,6 @@ def documents_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pick_rank", F.row_number().over(w_final))
         .filter(F.col("pick_rank") <= cap)
         .select("doc_id", "source", "pick_rank")
-        .orderBy("doc_id")
     )
 
 
@@ -2299,7 +2284,6 @@ def text_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= 2)
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -2437,7 +2421,6 @@ def embedding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0.0))
             .alias("z"),
         )
-        .orderBy("vec_id", "dim")
     )
 
 
@@ -2491,7 +2474,6 @@ def documents_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1))
             ).alias("rare_frac"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -2538,7 +2520,7 @@ def events_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("session_start").alias("session_start_us"),
         F.unix_micros("session_end").alias("session_end_us"),
         "n_events",
-    ).orderBy("user_id", "session_start_us")
+    )
 
 
 @register(
@@ -2583,7 +2565,7 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return lsh_near_duplicates_banded(
         d, "doc_id", "text", num_hashes=8, rows_per_band=2, n=3, threshold=0.3
-    ).orderBy("doc_id_a", "doc_id_b")
+    )
 
 
 @register(
@@ -3062,7 +3044,6 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist",
             F.col("loser").isNull().alias("keep"),
         )
-        .orderBy("vec_id")
     )
 
 
@@ -3143,7 +3124,6 @@ def documents_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.lit(1000000.0) * F.count(F.lit(1)))
             ).alias("fluency"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -3307,7 +3287,6 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
-        .orderBy("w1", "rank")
     )
 
 
@@ -3380,7 +3359,7 @@ def documents_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("margin"),
         (F.col("score_fp") >= 0).alias("label"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(

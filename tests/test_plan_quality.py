@@ -293,6 +293,54 @@ def test_fingerprints_hash_derived_once(spark):
     )
 
 
+# Queries whose output is corpus-sized (one row per document / vector /
+# event / file / pair). A global orderBy on such an output is a pure
+# presentational range-shuffle of the entire corpus — the oracle compare
+# is order-insensitive by contract (check_oracle.py sorts rows), so at
+# 100 TB that sort is wasted wall-clock. VERDICT r6 item 1.
+PER_ROW_OUTPUT = [
+    "text_stats", "text_token_counts", "text_lang_id", "documents_split",
+    "documents_quality_filter", "documents_chunked", "documents_packed",
+    "documents_curated", "text_tfidf_top_terms", "documents_mixture_sample",
+    "documents_repetition_filter", "documents_contamination",
+    "documents_contamination_fuzzy", "dedup_exact", "dedup_minhash_pairs",
+    "dedup_clusters", "dedup_simhash", "dedup_ngram_pairs",
+    "dedup_containment_pairs", "dedup_keep_best", "embedding_quantize",
+    "events_funnel", "events_sessionize", "events_range_join",
+    "dedup_embedding_pairs", "multimodal_features", "multimodal_frames",
+    "multimodal_resized", "text_fingerprints", "documents_source_cap",
+    "text_fingerprint_overlap", "embedding_zscore", "documents_rarity_score",
+    "events_sessionize_native", "dedup_minhash_banded", "dedup_semantic_keep",
+    "documents_lm_score", "text_bigram_lm", "documents_classifier_score",
+    "embedding_kmeans", "cv_validation_results", "cv_validation_tallies",
+    "cv_error_histogram", "file_metadata_docs", "file_metrics_counters",
+    "url_decoded_keys", "events_hourly_windows", "events_asof_last_signup",
+    "cv_message_metrics", "csv_rule_validation", "cv_sequential_checks",
+]
+
+
+def _is_global_sort(node) -> bool:
+    # logical Sort's simpleString is `Sort [...], true` when global
+    return node.nodeName() == "Sort" and node.simpleString(200).rstrip(
+    ).endswith("true")
+
+
+def test_no_topmost_global_sort_on_per_row_outputs(spark):
+    # positive control: the detector must flag a planted global sort
+    planted = spark.range(10).orderBy("id")
+    assert _is_global_sort(planted._jdf.queryExecution().optimizedPlan())
+
+    missing = [n for n in PER_ROW_OUTPUT if n not in QUERIES]
+    assert not missing, f"stale names in PER_ROW_OUTPUT: {missing}"
+    for name in PER_ROW_OUTPUT:
+        df = QUERIES[name](spark, SF_SMOKE)
+        top = df._jdf.queryExecution().optimizedPlan()
+        assert not _is_global_sort(top), (
+            f"{name}: topmost global Sort on a corpus-sized output — "
+            "presentational, drop it"
+        )
+
+
 def test_minhash_pin_reuses_exchange(spark):
     """dedup_minhash_pairs pins its (doc_id, hash-array) frame behind a
     repartition exchange consumed by 4 branches; the EXECUTED adaptive
