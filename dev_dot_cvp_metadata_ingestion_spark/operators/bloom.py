@@ -1,0 +1,118 @@
+"""Declarative Bloom filter: a fixed-size bitmap relation built with
+one partial-aggregated shuffle, probed with broadcast semi-joins.
+
+Spark's own runtime filters (InjectRuntimeFilter) inject this exact
+structure automatically for selective equi-joins, but the aggregate
+expression behind them (``bloom_filter_agg``) is not registered as a
+public SQL function, so pipelines that want an EXPLICIT membership
+pre-filter — e.g. decontamination, where the build side is a derived
+distinct-gram set, not a filtered dimension — need it as an operator.
+This is that operator, in pure DataFrame algebra:
+
+* **build**: each value hashes to ``num_hashes`` bit positions
+  (``xxhash64(value, seed)`` per seed — independent hash functions,
+  the standard construction); positions become ``(word_idx, mask)``
+  pairs that one ``bit_or`` groupBy collapses into at most
+  ``num_bits/64`` longs. No ``distinct`` is needed before the build:
+  ``bit_or`` is idempotent, so duplicate values cost nothing but map
+  output. The bitmap is a RELATION (≤ num_bits/64 rows), never a
+  driver-side object — nothing is collected.
+* **probe**: one broadcast LEFT SEMI join per hash function against
+  the bitmap, on ``word_idx`` with a bit-test residual. A row
+  survives only if every probed bit is set — exactly Bloom-filter
+  semantics: **no false negatives ever** (every inserted value set
+  all its bits), false positives at the classic
+  ``(1-e^{-kn/m})^k`` rate.
+
+100 TB shape: the bitmap size is FIXED by configuration, not by the
+build-side cardinality — the broadcast is ``num_bits/8`` bytes
+(default 1 MiB) no matter how many values were inserted, so the probe
+stays a map-side operation at any scale; a bigger-than-planned build
+side only degrades the false-positive rate, never correctness. That
+is the same capped-size trade Spark's runtime bloom filters make
+(``spark.sql.optimizer.runtime.bloomFilter.maxNumBits``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+DEFAULT_NUM_BITS = 1 << 23  # 8 Mbit = 1 MiB bitmap
+DEFAULT_NUM_HASHES = 2
+
+
+def _bit_position(value: Column, seed: int, num_bits: int) -> Column:
+    """Bit index in [0, num_bits) for one hash function."""
+    return F.pmod(F.xxhash64(value, F.lit(seed)), F.lit(num_bits))
+
+
+def _mask(bit_position: Column) -> Column:
+    # call_function: the classic-API F.shiftleft only takes a Python
+    # int for the shift amount
+    return F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (bit_position % 64).cast("int")
+    )
+
+
+def bloom_build(
+    values: DataFrame,
+    col: str,
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """Bitmap relation ``(word_idx: long, word: long)`` covering every
+    non-null value of ``values[col]``. At most ``num_bits/64`` rows;
+    absent word_idx rows are all-zero words."""
+    if num_bits % 64 != 0:
+        raise ValueError("num_bits must be a multiple of 64")
+    positions = values.select(
+        F.explode(
+            F.array(
+                *[
+                    _bit_position(F.col(col), seed, num_bits).alias("p")
+                    for seed in range(num_hashes)
+                ]
+            )
+        ).alias("p")
+    )
+    return (
+        positions.filter(F.col("p").isNotNull())
+        .select(
+            (F.col("p") / 64).cast("long").alias("word_idx"),
+            _mask(F.col("p")).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    col: str,
+    bitmap: DataFrame,
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """Rows of ``df`` whose ``col`` value MIGHT be in the built set
+    (all probed bits set). Never drops a truly-present value; passes
+    false positives at the configured rate — callers follow with the
+    exact check (here, the equi-join the filter is protecting).
+
+    One broadcast semi-join per hash function; the bitmap exchange is
+    identical across probes, so Spark reuses one broadcast."""
+    out = df
+    for seed in range(num_hashes):
+        p = _bit_position(F.col(col), seed, num_bits)
+        probe = out.withColumn("_bloom_widx", (p / 64).cast("long")).withColumn(
+            "_bloom_mask", _mask(p)
+        )
+        out = (
+            probe.join(
+                F.broadcast(bitmap),
+                on=(probe["_bloom_widx"] == bitmap["word_idx"])
+                & (bitmap["word"].bitwiseAND(probe["_bloom_mask"]) != 0),
+                how="left_semi",
+            )
+            .drop("_bloom_widx", "_bloom_mask")
+        )
+    return out

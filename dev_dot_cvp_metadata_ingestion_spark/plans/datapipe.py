@@ -970,9 +970,11 @@ def documents_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "documents_contamination",
-    oracle=f"""
+# Shared by documents_contamination and its bloom-prefiltered twin:
+# the bloom pass changes WHICH eval rows reach the exact join, never
+# the result (a Bloom filter has no false negatives), so both forms
+# answer to the identical oracle.
+_CONTAMINATION_ORACLE = f"""
     WITH s AS (
       SELECT doc_id,
              {_BASE_HASH.format(s="CAST(doc_id AS VARCHAR) || ':42'")} % 100 < 80
@@ -1001,8 +1003,10 @@ def documents_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
            ELSE 0.0 END AS contamination_frac
     FROM base b LEFT JOIN hits h USING (doc_id)
     ORDER BY doc_id
-    """,
-)
+    """
+
+
+@register("documents_contamination", oracle=_CONTAMINATION_ORACLE)
 def documents_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-decontamination sweep: for every eval-split document
     (val/test under the same salted-hash split as ``documents_split``),
@@ -1071,6 +1075,78 @@ def documents_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0.0))
             .alias("contamination_frac"),
         )
+    )
+
+
+@register("documents_contamination_bloom", oracle=_CONTAMINATION_ORACLE)
+def documents_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``documents_contamination`` with the 100 TB pre-join that
+    SCALE.md promised: eval-side grams are screened against a
+    fixed-size Bloom bitmap of the train gram set BEFORE the exact
+    gram join, so the join's shuffle carries only grams that might be
+    contaminated (plus the bitmap's small false-positive tail) instead
+    of every eval gram. Identical result to the exact form — a Bloom
+    filter cannot false-negative, and the surviving false positives
+    are eliminated by the exact join it protects — hence the shared
+    oracle.
+
+    Structure: the bitmap is built from the RAW train gram stream (no
+    pre-distinct; ``bit_or`` is idempotent) with one bounded shuffle to
+    ≤ num_bits/64 rows, broadcast once, probed with two semi-joins
+    (map-side). Per-doc gram totals come from their own partial-agg
+    shuffle of (doc_id, count) pairs — the price of counting rows the
+    bloom is about to drop — which is why the exact single-aggregate
+    form remains the right plan at SMALL scale and this one wins when
+    the gram shuffle dominates: at 100 TB the eval gram relation is
+    ~20% of a corpus-scale explode, and typically ≳95% of eval grams
+    are clean and never leave their map task here."""
+    from ..operators.bloom import bloom_build, bloom_probe
+    from ..operators.dedup import base_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    is_train = (
+        base_hash(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))) % 100
+        < 80
+    )
+    grams = (
+        "CASE WHEN size(t) >= 4 THEN "
+        "array_distinct(transform(sequence(0, size(t)-4), "
+        "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2], ' ', t[i+3]))) "
+        "ELSE array() END"
+    )
+    g = d.select(
+        "doc_id", is_train.alias("is_train"), tokens(F.col("text")).alias("t")
+    ).select("doc_id", "is_train", F.expr(grams).alias("grams"))
+    exploded = g.select(
+        "doc_id", "is_train", F.explode_outer("grams").alias("gram")
+    )
+    train = exploded.filter(F.col("is_train") & F.col("gram").isNotNull())
+    ev = exploded.filter(~F.col("is_train"))
+    # per-doc totals must be counted BEFORE the bloom drops clean grams
+    # (count("gram") skips the explode_outer NULL of zero-gram docs)
+    base = ev.groupBy("doc_id").agg(F.count("gram").alias("n_grams"))
+    bitmap = bloom_build(train, "gram")
+    ev_maybe = bloom_probe(
+        ev.filter(F.col("gram").isNotNull()), "gram", bitmap
+    )
+    hits = (
+        ev_maybe.join(train.select("gram").distinct(), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_contaminated", F.lit(0)).cast("long").alias(
+            "n_contaminated"
+        ),
+        F.when(
+            F.col("n_grams") > 0,
+            F.coalesce("n_contaminated", F.lit(0)).cast("double")
+            / F.col("n_grams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("contamination_frac"),
     )
 
 

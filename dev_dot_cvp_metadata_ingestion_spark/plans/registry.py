@@ -138,6 +138,7 @@ BACK: tuple[str, ...] = (
     "documents_packed",
     "documents_mixture_sample",
     "documents_contamination",
+    "documents_contamination_bloom",
     "documents_source_cap",
     "documents_rarity_score",
     "documents_repetition_filter",

@@ -1,0 +1,99 @@
+"""Declarative Bloom filter (operators/bloom.py) and the
+bloom-prefiltered decontamination twin.
+
+The operator contract under test: NO false negatives ever (the exact
+join downstream would silently lose contaminated grams), useful
+selectivity on absent values (the whole point of the pre-join), and —
+the 100 TB claim — the probe runs on the eval side BEFORE the gram
+join's exchange, so cleared grams never shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dev_dot_cvp_metadata_ingestion_spark.operators.bloom import (
+    bloom_build,
+    bloom_probe,
+)
+from tests.conftest import SF_SMOKE
+
+NUM_BITS = 1 << 16  # small bitmap: makes the fp-rate test meaningful
+
+
+def test_bloom_never_false_negative(spark):
+    values = spark.range(5000).select(
+        F.concat(F.lit("v"), F.col("id")).alias("g")
+    )
+    bitmap = bloom_build(values, "g", num_bits=NUM_BITS)
+    survived = bloom_probe(values, "g", bitmap, num_bits=NUM_BITS).count()
+    assert survived == 5000
+
+
+def test_bloom_filters_most_absent_values(spark):
+    present = spark.range(2000).select(
+        F.concat(F.lit("in"), F.col("id")).alias("g")
+    )
+    absent = spark.range(20000).select(
+        F.concat(F.lit("out"), F.col("id")).alias("g")
+    )
+    bitmap = bloom_build(present, "g", num_bits=NUM_BITS)
+    fp = bloom_probe(absent, "g", bitmap, num_bits=NUM_BITS).count()
+    # k=2, n=2000, m=65536: theoretical fpp ~ (1-e^{-2n/m})^2 ≈ 0.35%;
+    # 5% is a wide deterministic-hash margin
+    assert fp / 20000 < 0.05, f"false-positive rate {fp / 20000:.3f}"
+
+
+def test_bloom_bitmap_is_bounded_relation(spark):
+    values = spark.range(100000).select(F.col("id").cast("string").alias("g"))
+    bitmap = bloom_build(values, "g", num_bits=NUM_BITS)
+    assert bitmap.count() <= NUM_BITS // 64
+
+
+def test_contamination_bloom_matches_exact(spark):
+    from dev_dot_cvp_metadata_ingestion_spark.plans import registry
+
+    registry.load_all()
+    exact = registry.QUERIES["documents_contamination"](spark, SF_SMOKE)
+    bloom = registry.QUERIES["documents_contamination_bloom"](spark, SF_SMOKE)
+    assert exact.schema == bloom.schema
+    a = sorted(map(tuple, exact.collect()))
+    b = sorted(map(tuple, bloom.collect()))
+    assert a == b
+
+
+def _walk(node):
+    yield node
+    it = node.children().iterator()
+    while it.hasNext():
+        yield from _walk(it.next())
+
+
+def test_bloom_probe_sits_below_gram_join(spark):
+    """The semi-join probes must be INSIDE the subtree feeding the
+    exact gram join — i.e. grams are screened before that join's
+    shuffle — not applied to the join output (which would screen
+    nothing)."""
+    from dev_dot_cvp_metadata_ingestion_spark.plans import registry
+
+    registry.load_all()
+    df = registry.QUERIES["documents_contamination_bloom"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().optimizedPlan()
+    gram_joins = [
+        n
+        for n in _walk(plan)
+        if n.nodeName() == "Join"
+        and "Inner" in n.simpleString(500)
+        and "gram" in n.simpleString(500)
+    ]
+    assert gram_joins, "exact gram join missing from optimized plan"
+    semi_below = [
+        n
+        for gj in gram_joins
+        for n in _walk(gj)
+        if n is not gj and n.nodeName() == "Join"
+        and "LeftSemi" in n.simpleString(500)
+    ]
+    assert len(semi_below) >= 2, (
+        "expected both bloom semi-join probes below the exact gram join"
+    )
