@@ -628,22 +628,54 @@ def documents_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df
 
     final = _curated_plan(d, pin=pin)
+    return _funnel_counts(stages, final)
+
+
+def _stage_count(rank: int, gate: str, df: DataFrame) -> DataFrame:
+    return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+        F.lit(rank).cast("long").alias("stage"),
+        F.lit(gate).alias("gate"),
+        "n_docs",
+    )
+
+
+def _funnel_counts(stages: list[DataFrame], final: DataFrame) -> DataFrame:
     scored, clean, quality_pass = stages
-
-    def stage_count(rank: int, gate: str, df: DataFrame) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
-            F.lit(rank).cast("long").alias("stage"),
-            F.lit(gate).alias("gate"),
-            "n_docs",
-        )
-
     return (
-        stage_count(1, "input", scored)
-        .unionByName(stage_count(2, "dedup_and_repetition", clean))
-        .unionByName(stage_count(3, "quality_quartile", quality_pass))
-        .unionByName(stage_count(4, "mixture_rebalance", final))
+        _stage_count(1, "input", scored)
+        .unionByName(_stage_count(2, "dedup_and_repetition", clean))
+        .unionByName(_stage_count(3, "quality_quartile", quality_pass))
+        .unionByName(_stage_count(4, "mixture_rebalance", final))
         .orderBy("stage")
     )
+
+
+@contextmanager
+def curation_funnel_scoped(d: DataFrame):
+    """Production funnel: the same four gate counts as the registered
+    ``documents_curation_funnel``, computed in a SINGLE pass over the
+    corpus. The pure funnel re-executes the flagship subtree under
+    each count (column pruning keeps it cheap at test scale, but at
+    100 TB that is four corpus scans for observability); here the
+    diamond-shared stage boundaries (scored / clean / quality_pass)
+    are persisted, so the one parquet scan that materializes ``scored``
+    feeds every downstream count and the final mixture stage from
+    memory/disk cache. Same rows as the pure form (asserted in tests,
+    which also pin the one-FileScan plan shape); run your actions
+    inside the block — boundaries unpersist on exit."""
+    handles: list[DataFrame] = []
+
+    def pin(df: DataFrame) -> DataFrame:
+        h = df.persist()
+        handles.append(h)
+        return h
+
+    try:
+        final = _curated_plan(d, pin)
+        yield _funnel_counts(handles, final)
+    finally:
+        for h in handles:
+            h.unpersist()
 
 
 def _curated_plan(d: DataFrame, pin=lambda df: df) -> DataFrame:

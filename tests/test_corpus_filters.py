@@ -184,6 +184,43 @@ def test_scoped_curation_matches_pure(spark):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
+def test_scoped_funnel_single_pass_matches_pure(spark):
+    # VERDICT r6 item 4: the production funnel must read documents ONCE
+    # (persisted stage boundaries), not once per gate count, and return
+    # exactly the pure (oracle-twin) funnel's rows
+    from dev_dot_cvp_metadata_ingestion_spark.plans.datapipe import (
+        curation_funnel_scoped,
+    )
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import load_table
+
+    from .conftest import SF_SMOKE
+
+    pure = QUERIES["documents_curation_funnel"](spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    def walk(n):
+        yield n
+        it = n.children().iterator()
+        while it.hasNext():
+            yield from walk(it.next())
+
+    with curation_funnel_scoped(d) as funnel:
+        # every branch of the funnel reads a cached stage boundary:
+        # the optimized plan's leaves are all InMemoryRelation, ZERO
+        # direct parquet relations — the only parquet scan in the
+        # whole computation is the one that materializes `scored`
+        # inside its cache (clean/quality_pass caches chain off it)
+        names = [
+            n.nodeName()
+            for n in walk(funnel._jdf.queryExecution().optimizedPlan())
+        ]
+        assert names.count("InMemoryRelation") >= 4, names
+        assert not any("Relation" in n and n != "InMemoryRelation"
+                       for n in names), names
+        scoped = funnel.collect()
+    assert sorted(map(tuple, scoped)) == sorted(map(tuple, pure))
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_approx_profile_tracks_exact(spark):
     # the bounded-state (100 TB) profile must agree with the exact one:
     # counts/sums/max exactly, percentiles within the local order-stat
