@@ -127,6 +127,152 @@ def bpe_merges(
     return out
 
 
+_BATCH_SEP = "\x00"  # never inside a symbol: tokens are split on \s+
+
+
+def _apply_merge_batch(
+    syms: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply a SET of symbol-disjoint merges in one fold pass. The
+    greedy selection guarantees no merge's left/right equals another's
+    left/right/merged output, so a single left-fold that looks up
+    (acc tail, next symbol) in a constant map applies all of them with
+    the same leftmost-first semantics as applying each alone."""
+    mapping = F.create_map(
+        *[
+            F.lit(s)
+            for left, right in merges
+            for s in (left + _BATCH_SEP + right, left + right)
+        ]
+    )
+    return syms.select(
+        "w",
+        "freq",
+        F.aggregate(
+            "s",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & F.element_at(
+                    mapping,
+                    F.concat(F.element_at(acc, -1), F.lit(_BATCH_SEP), x),
+                ).isNotNull(),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.element_at(
+                            mapping,
+                            F.concat(
+                                F.element_at(acc, -1), F.lit(_BATCH_SEP), x
+                            ),
+                        )
+                    ),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        ).alias("s"),
+    )
+
+
+def select_disjoint(
+    candidates: list[tuple[str, str, int]], batch: int
+) -> list[tuple[str, str, int]]:
+    """Greedy symbol-disjoint prefix of a (count desc, left, right)
+    candidate list — the standard batched-BPE selection. A pair is
+    kept only if neither symbol was touched by an earlier kept pair
+    (including earlier MERGED outputs, which blocks within-batch
+    cascades the single-fold application couldn't order). Pure
+    function, driver-side, O(batch) state."""
+    used: set[str] = set()
+    out: list[tuple[str, str, int]] = []
+    for left, right, count in candidates:
+        if len(out) >= batch:
+            break
+        if left in used or right in used:
+            continue
+        out.append((left, right, count))
+        used.update((left, right, left + right))
+    return out
+
+
+def bpe_merges_batched(
+    docs: DataFrame,
+    k: int = 64,
+    batch: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Batched BPE training: learn up to ``batch`` symbol-disjoint
+    merges per counting round, so ``k`` merges cost O(k/batch) Spark
+    jobs instead of O(k) — the standard scale escape for the
+    one-job-per-merge driver loop (``bpe_merges``'s k ≤ 50 guard).
+
+    DIVERGENCE SEMANTICS vs sequential BPE (documented, deliberate):
+    within one round all ``batch`` winners are chosen from the SAME
+    pair-count snapshot. Sequential BPE recounts after every merge, so
+    it may interleave a pair CREATED by an earlier merge (e.g. (x, ab)
+    right after (a,b)) ahead of this round's lower-ranked picks; the
+    batched schedule cannot. Each round's selection is still exactly
+    (count desc, left, right) order with conflicting pairs skipped.
+    The schedule equals sequential whenever no created pair outranks a
+    same-round pick — the usual case on natural-language counts, and
+    the Spark implementation is pinned row-for-row against an
+    independent plain-Python implementation of this same batched
+    schedule (tests/test_bpe.py).
+
+    Driver-side state is the per-round candidate window (≤ 4×batch
+    (left, right, count) rows — config-scale, the same move as reading
+    a rule file; the corpus-scale relations stay distributed). Returns
+    (rank, left, right, merged, pair_count, round): rank is global
+    selection order, pair_count the count snapshot its round selected
+    on."""
+    if not 1 <= k <= 100_000:
+        raise ValueError("k must be in [1, 100000]")
+    if not 1 <= batch <= 1024:
+        raise ValueError("batch must be in [1, 1024]")
+    words = word_frequencies(docs, text_col)
+    syms = words.select(
+        "w",
+        "freq",
+        F.array_remove(F.split("w", r"(?!^)"), "").alias("s"),
+    ).localCheckpoint()
+
+    learned: list[tuple[int, str, str, str, int, int]] = []
+    round_no = 0
+    while len(learned) < k:
+        round_no += 1
+        want = min(batch, k - len(learned))
+        candidates = [
+            (r.left, r.right, r.pair_count)
+            for r in _pair_counts(syms)
+            .orderBy(
+                F.col("pair_count").desc(), F.col("left"), F.col("right")
+            )
+            .limit(want * 4)
+            .collect()
+        ]
+        if not candidates:
+            break  # vocabulary ran dry
+        picked = select_disjoint(candidates, want)
+        for left, right, count in picked:
+            learned.append(
+                (
+                    len(learned) + 1,
+                    left,
+                    right,
+                    left + right,
+                    count,
+                    round_no,
+                )
+            )
+        syms = _apply_merge_batch(
+            syms, [(left, right) for left, right, _ in picked]
+        ).localCheckpoint()
+    return docs.sparkSession.createDataFrame(
+        learned,
+        "rank long, left string, right string, merged string, "
+        "pair_count long, round long",
+    )
+
+
 def merge_fold(syms_col, left: str, right: str):
     """One learned merge compiled into a fold expression over a
     symbol-array column — the trained artifact becomes plan parameters

@@ -3301,6 +3301,22 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(d, k=8)
 
 
+@register("text_bpe_merges_batched")
+def text_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE training at a realistic merge count: 64 merges in
+    ~4 counting rounds (16 symbol-disjoint winners per round) instead
+    of 64 one-merge jobs — the scale path past ``bpe_merges``'s k ≤ 50
+    plan-growth guard. Same no-oracle class as ``text_bpe_merges``
+    (iterative data-dependent argmax); pinned row-for-row against an
+    independent plain-Python implementation of the identical batched
+    schedule in tests/test_bpe.py, where the batched-vs-sequential
+    divergence semantics are documented."""
+    from ..operators.bpe import bpe_merges_batched
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_merges_batched(d, k=64, batch=16)
+
+
 @register("text_bpe_subwords")
 def text_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The train→apply round trip: learn 8 BPE merges, segment the

@@ -169,6 +169,7 @@ BACK: tuple[str, ...] = (
     # iterative vocabulary induction (python-reference-pinned, no SQL
     # oracle — data-dependent per-round argmax) + its apply round trip
     "text_bpe_merges",
+    "text_bpe_merges_batched",
     "text_bpe_subwords",
     # no-oracle approximation twins (tolerance-pinned in pytest)
     "corpus_profile_approx",

@@ -45,6 +45,133 @@ def _python_bpe(word_freqs: dict[str, int], k: int):
     return merges
 
 
+def _python_bpe_batched(word_freqs: dict[str, int], k: int, batch: int):
+    """Independent plain-Python implementation of the SAME batched
+    schedule as operators/bpe.py:bpe_merges_batched: per round, rank
+    pairs by (count desc, left, right) on one snapshot, greedily keep
+    up to `batch` symbol-disjoint pairs (skipping any whose left/right
+    was touched by an earlier keep, incl. merged outputs), apply all
+    kept merges in one leftmost-first fold pass.
+
+    Divergence from sequential BPE is inherent to batching: sequential
+    recounts after every merge, so a pair CREATED by merge i can
+    outrank round-snapshot pick i+1; the batch cannot see it. Both
+    implementations share that semantics, which is what this pin
+    checks."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    learned = []
+    round_no = 0
+    while len(learned) < k:
+        round_no += 1
+        want = min(batch, k - len(learned))
+        pairs: Counter = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        candidates = sorted(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[: want * 4]
+        used: set[str] = set()
+        picked = []
+        for (left, right), count in candidates:
+            if len(picked) >= want:
+                break
+            if left in used or right in used:
+                continue
+            picked.append((left, right, count))
+            used.update((left, right, left + right))
+        for left, right, count in picked:
+            learned.append(
+                (len(learned) + 1, left, right, left + right, count, round_no)
+            )
+        mapping = {(l, r): l + r for l, r, _ in picked}
+        new_vocab: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            out = []
+            for s in syms:
+                if out and (out[-1], s) in mapping:
+                    out[-1] = mapping[(out[-1], s)]
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return learned
+
+
+def _word_freqs(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    return {
+        r.w: r.freq
+        for r in docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .collect()
+    }
+
+
+def test_bpe_batched_matches_python_reference_k64(spark):
+    """VERDICT r6 item 5: k=64 (past the sequential k<=50 guard) in 4
+    counting rounds, pinned row-for-row to the plain-Python batched
+    reference."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.bpe import (
+        bpe_merges_batched,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    expected = _python_bpe_batched(_word_freqs(spark), k=64, batch=16)
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.pair_count, r.round)
+        for r in bpe_merges_batched(docs, k=64, batch=16)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert len(got) == 64
+    assert got == expected
+    assert max(r[5] for r in got) <= 8, "batched schedule ran too many rounds"
+
+
+def test_bpe_batched_batch1_equals_sequential(spark):
+    """batch=1 degenerates to exact sequential BPE — every round
+    recounts before the single pick, so the schedule must equal the
+    sequential operator's (and the sequential python reference)."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.bpe import (
+        bpe_merges_batched,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    expected = _python_bpe(_word_freqs(spark), 6)
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_merges_batched(docs, k=6, batch=1)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_select_disjoint_blocks_cascades():
+    """(a,b) keeps; (ab,c) must be skipped (left == earlier merged
+    output) or a single fold pass would cascade merges the snapshot
+    never counted; (c,d) disjoint keeps."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.bpe import (
+        select_disjoint,
+    )
+
+    picked = select_disjoint(
+        [("a", "b", 10), ("ab", "c", 9), ("b", "x", 8), ("c", "d", 7)],
+        batch=4,
+    )
+    assert picked == [("a", "b", 10), ("c", "d", 7)]
+
+
 def test_bpe_merges_match_python_reference(spark):
     docs = load_table(spark, SF_DIR, "documents")
     wf = {
