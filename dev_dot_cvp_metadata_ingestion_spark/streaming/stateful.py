@@ -23,9 +23,10 @@ from typing import Any
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     LongType,
     StringType,
@@ -196,6 +197,116 @@ def _emit_transitions(
 
     state.update((last_ts, last_event_id, last_type))
     yield pd.DataFrame(out, columns=["user_id", "from_type", "to_type"])
+
+
+WATERMARKED_TRANSITION_STATE = StructType(
+    [
+        StructField("buf_ts", ArrayType(LongType())),    # epoch micros
+        StructField("buf_id", ArrayType(LongType())),
+        StructField("buf_type", ArrayType(StringType())),
+        StructField("last_type", StringType()),          # last EMITTED event
+    ]
+)
+
+
+def _emit_transitions_watermarked(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    user_id = int(key[0])
+    wm_ms = state.getCurrentWatermarkMs()
+    if state.exists:
+        buf_ts, buf_id, buf_type, last_type = state.get
+        buf = list(zip(buf_ts, buf_id, buf_type))
+    else:
+        buf, last_type = [], None
+
+    # buffer arrivals, enforcing the watermark drop OURSELVES so the
+    # operator's late-row semantics are deterministic (Spark only
+    # guarantees rows later than the threshold are EVENTUALLY dropped;
+    # rows it lets through in the gray zone would otherwise emit or
+    # not depending on fetch timing)
+    for pdf in pdf_iter:
+        for row in pdf.itertuples(index=False):
+            ts = int(row.ts_micros)
+            if ts < wm_ms * 1000:
+                continue
+            buf.append((ts, int(row.event_id), str(row.event_type)))
+
+    # an event is safe to emit once no smaller event time can still
+    # arrive: strictly below the watermark
+    buf.sort()
+    ripe = [e for e in buf if e[0] < wm_ms * 1000]
+    keep = buf[len(ripe):]
+
+    out: list[dict[str, Any]] = []
+    for ts, eid, etype in ripe:
+        if last_type is not None:
+            out.append(
+                dict(user_id=user_id, from_type=last_type, to_type=etype)
+            )
+        last_type = etype
+
+    state.update(
+        (
+            [e[0] for e in keep],
+            [e[1] for e in keep],
+            [e[2] for e in keep],
+            last_type,
+        )
+    )
+    if keep:
+        # wake this group (even with no new data) once the watermark
+        # passes its oldest buffered event (timeout fires when the
+        # watermark moves strictly past this); must be > current wm
+        state.setTimeoutTimestamp(max(keep[0][0] // 1000, wm_ms + 1))
+    yield pd.DataFrame(out, columns=["user_id", "from_type", "to_type"])
+
+
+def stateful_event_transitions_watermarked(
+    events: DataFrame, lateness: str = "10 minutes"
+) -> DataFrame:
+    """Transition mining that survives OUT-OF-ORDER ARRIVAL — the
+    watermark-buffered form of ``stateful_event_transitions`` (which
+    requires per-user time-monotone batches). Events buffer in group
+    state until the watermark (max seen event time − ``lateness``)
+    passes them; only then do they join the emission chain, sorted by
+    (event time, event_id), so an event arriving batches late but
+    within the allowance still lands in its correct sequence position.
+    Events arriving after the watermark passed their timestamp are
+    dropped deterministically (the operator enforces the drop itself
+    rather than relying on Spark's eventual late-row filter).
+
+    ``events`` must be a STREAMING DataFrame with columns user_id
+    (long), event_id (long), ts (timestamp), event_type (string).
+    Output rows (user_id, from_type, to_type) appear once the later
+    event of each pair ripens; the tail inside the lateness horizon
+    stays buffered until the watermark advances past it (same
+    finalization contract as append-mode session windows). State per
+    user is the O(rate × lateness) ripening buffer plus one scalar —
+    bounded by the allowance, independent of stream length; event-time
+    timeouts re-invoke idle users so buffers drain without new data.
+    """
+    return (
+        events.withWatermark("ts", lateness)
+        # NB: the watermarked `ts` column must survive the projection —
+        # event-time timeout resolves the watermark from the plan, and
+        # projecting the column away severs it (AnalysisException)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.unix_micros(F.col("ts")).alias("ts_micros"),
+            "event_type",
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _emit_transitions_watermarked,
+            outputStructType=TRANSITION_OUTPUT,
+            stateStructType=WATERMARKED_TRANSITION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
 
 
 def stateful_event_transitions(events: DataFrame) -> DataFrame:

@@ -1,0 +1,197 @@
+"""Watermarked transition mining equals the batch computation over a
+SHUFFLED feed with late drops (VERDICT r6 item 6).
+
+The ordered-log form (stateful_event_transitions) requires per-user
+time-monotone batches; this suite feeds events OUT OF ORDER — a
+deterministic sample of each time chunk is displaced one chunk later
+(late but inside the allowance for most) and another sample two chunks
+later (beyond the allowance — dropped) — and checks the emitted
+transitions against an independently computed oracle:
+
+  survivors  = events whose ts >= the watermark in effect at their
+               ARRIVAL batch (watermark_N = max event-time of batches
+               < N minus the lateness allowance — Spark's definition,
+               recomputed here from the batch files, not taken from
+               the operator)
+  transitions = lead() pairs over survivors per user in (ts, id) order
+
+A far-future flush sentinel (its own user) pushes the final watermark
+past every real event so the tail drains through the event-time
+timeout path; the sentinel user emits nothing (single event).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import load_table
+from dev_dot_cvp_metadata_ingestion_spark.streaming.stateful import (
+    stateful_event_transitions_watermarked,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+LATENESS = "4 days"
+LATENESS_MS = 4 * 86400 * 1000
+N_CHUNKS = 4
+SENTINEL_USER = 99_999
+
+
+def test_watermarked_transitions_equal_batch_on_shuffled_feed(
+    spark, tmp_path
+):
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts"),
+            F.unix_micros(F.col("ts")).alias("ts_micros"),
+            "event_type",
+        )
+        .collect()
+    )
+    ev.sort(key=lambda r: (r.ts_micros, r.event_id))
+
+    # contiguous time chunks, then displace deterministic samples:
+    # %11 events jump two chunks (beyond the 4-day allowance against a
+    # ~7.5-day chunk span -> dropped), else %7 events jump one chunk
+    # (late, mostly inside the allowance -> reordered but kept)
+    chunk_of = {}
+    size = (len(ev) + N_CHUNKS - 1) // N_CHUNKS
+    for i, r in enumerate(ev):
+        c = i // size
+        if r.event_id % 11 == 0:
+            c = min(c + 2, N_CHUNKS - 1)
+        elif r.event_id % 7 == 0:
+            c = min(c + 1, N_CHUNKS - 1)
+        chunk_of[r.event_id] = c
+
+    batches = [[r for r in ev if chunk_of[r.event_id] == c]
+               for c in range(N_CHUNKS)]
+    assert all(batches)
+
+    # the independent oracle: replay Spark's watermark bookkeeping
+    wm_ms = 0
+    survivors = []
+    n_dropped = n_late_kept = 0
+    max_ms_seen = 0
+    for batch in batches:
+        for r in batch:
+            if r.ts_micros >= wm_ms * 1000:
+                survivors.append(r)
+                if r.ts_micros // 1000 < max_ms_seen:
+                    n_late_kept += 1  # out-of-order arrival, in allowance
+            else:
+                n_dropped += 1
+        max_ms_seen = max([max_ms_seen] + [r.ts_micros // 1000 for r in batch])
+        wm_ms = max(wm_ms, max_ms_seen - LATENESS_MS)
+    assert n_dropped > 0, "feed produced no beyond-allowance drops"
+    assert n_late_kept > 0, "feed produced no in-allowance late arrivals"
+
+    per_user = defaultdict(list)
+    for r in survivors:
+        per_user[r.user_id].append(r)
+    expected = []
+    for uid, rows in per_user.items():
+        rows.sort(key=lambda r: (r.ts_micros, r.event_id))
+        for a, b in zip(rows, rows[1:]):
+            expected.append((uid, a.event_type, b.event_type))
+
+    # write the batch files (mtime-ordered), plus the flush sentinel
+    src = tmp_path / "src"
+    src.mkdir()
+    base = time.time()
+    schema = "user_id long, event_id long, ts timestamp, event_type string"
+    import datetime as dt
+
+    max_ts = max(r.ts for r in ev)
+    flush_row = (
+        SENTINEL_USER,
+        10**9,
+        max_ts + dt.timedelta(days=30),
+        "flush",
+    )
+    for i, batch in enumerate(
+        [[(r.user_id, r.event_id, r.ts, r.event_type) for r in b]
+         for b in batches]
+        + [[flush_row]]
+    ):
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+            str(src / f"batch_{i}")
+        )
+        for f in (src / f"batch_{i}").rglob("*.parquet"):
+            os.utime(f, (base + 10 * i, base + 10 * i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    got: list[tuple] = []
+
+    def sink(df, batch_id):
+        got.extend((r.user_id, r.from_type, r.to_type) for r in df.collect())
+
+    q = (
+        stateful_event_transitions_watermarked(stream, lateness=LATENESS)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "availableNow drain exceeded 300s"
+
+    assert not any(u == SENTINEL_USER for u, _, _ in got)
+    assert sorted(got) == sorted(expected)
+
+
+def test_watermarked_transitions_withhold_unfinalized_tail(spark, tmp_path):
+    """Append-mode finalization: without a flush, transitions whose
+    later event is inside the lateness horizon of the final watermark
+    must NOT emit (they could still gain a predecessor)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (1, i, t0 + dt.timedelta(hours=i), f"e{i}") for i in range(1, 7)
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    base = time.time()
+    schema = "user_id long, event_id long, ts timestamp, event_type string"
+    for i, batch in enumerate([rows[:3], rows[3:]]):
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+            str(src / f"batch_{i}")
+        )
+        for f in (src / f"batch_{i}").rglob("*.parquet"):
+            os.utime(f, (base + 10 * i, base + 10 * i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    got: list[tuple] = []
+
+    def sink(df, batch_id):
+        got.extend((r.user_id, r.from_type, r.to_type) for r in df.collect())
+
+    q = (
+        stateful_event_transitions_watermarked(stream, lateness="2 hours")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    # final watermark = ts(e6) - 2h = ts(e4): e1..e3 are ripe (ts <
+    # wm), e4 (== wm, not strictly below) and later stay buffered, so
+    # exactly e1->e2 and e2->e3 emit
+    assert sorted(got) == [(1, "e1", "e2"), (1, "e2", "e3")]
