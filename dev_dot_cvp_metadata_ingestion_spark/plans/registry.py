@@ -50,128 +50,124 @@ def query_names() -> list[str]:
 
 # Driver-board curation: the correctness driver runs the FIRST 50
 # registered queries, so the surface is exposed in two explicit tiers.
-# BOARD (exactly 50) holds one representative of every operator family
-# in COVERAGE.md — every family gets an independent driver-verified
-# CORRECTNESS row each round. BACK holds within-family variants and
-# no-oracle approximation twins, each still hash-checked against DuckDB
-# locally by tests/test_oracle_parity.py. Membership is asserted
-# exhaustive (BOARD + BACK == registered, no dupes) in
+# BOARD (exactly 50) holds driver-verified CORRECTNESS rows; BACK holds
+# the rest, each still hash-checked against DuckDB locally by
+# tests/test_oracle_parity.py. Membership is asserted exhaustive
+# (BOARD + BACK == registered, no dupes) in
 # tests/test_registry_analyzes.py.
+#
+# ROTATION (round 7, VERDICT r6 item 7): 19 queries were swapped onto
+# the board — 16 variants that had never (or not recently) had an
+# independent driver row, plus the new documents_contamination_bloom /
+# documents_curation_funnel / documents_lm_score rows. The 19 reps
+# that yielded their slots (top of BACK below) each carried 2+
+# consecutive fully-green driver rounds and remain hash-checked
+# locally every pytest run. No-oracle queries (BPE, approximation
+# twins) deliberately stay in BACK so every board row keeps the
+# strongest (hash) check.
 BOARD: tuple[str, ...] = (
-    # relational core — one per §2 line item
+    # relational core
     "pricing_summary",
     "revenue_by_nation",
-    "top_orders_per_priority",
-    "customers_without_orders",
-    "order_priority_rollup",
-    "part_brand_setops",
-    "supplier_balance_running",
+    "suppliers_with_large_shipments",
+    "lineitem_status_cube",
+    "orders_grouping_sets",
+    "orders_status_pivot",
     # CVP reference-parity surface
     "cv_validation_results",
-    "cv_now_token_validation",
-    "cv_conditional_validation",
     "cv_validation_tallies",
-    "cv_message_metrics",
-    "cv_error_histogram",
     "cv_sequential_checks",
+    "cv_sequential_checks_gated",
     "file_metadata_docs",
     "file_metrics_counters",
-    "url_decoded_keys",
     "events_hourly_windows",
-    "events_props_map",
     "rules_catalog",
     "csv_rule_validation",
     "events_asof_last_signup",
-    # text analysis + model-inference-shaped scoring
+    # text analysis + model-derived scoring
     "text_stats",
     "documents_classifier_score",
-    "text_lang_id",
-    "text_fingerprints",
+    "documents_lm_score",
+    "text_tfidf_top_terms",
+    "text_token_counts",
     # corpus curation / profiling
     "documents_split",
     "corpus_profile",
     "documents_quality_filter",
     "documents_curated",
+    "documents_curation_funnel",
     "corpus_source_overlap",
     "documents_contamination_fuzzy",
-    "documents_length_histogram",
+    "documents_contamination_bloom",
+    "documents_chunked",
+    "documents_packed",
+    "documents_source_cap",
     "corpus_vocab_by_source",
     # dedup family
     "dedup_exact",
     "dedup_minhash_pairs",
+    "dedup_minhash_banded",
     "dedup_semantic_keep",
     "dedup_clusters",
-    "dedup_simhash",
+    "dedup_ngram_pairs",
+    "dedup_containment_pairs",
     "dedup_embedding_pairs",
-    # similarity / ANN
+    "corpus_dedup_report",
+    # similarity / ANN / embeddings
     "ann_bruteforce_topk",
-    "ann_lsh_topk",
     "ann_ivf_kmeans_topk",
     "ann_knn_join",
-    # embedding transforms
     "embedding_kmeans",
+    "embedding_zscore",
     # event sequences / sessions / sequence mining
     "events_top_transitions",
-    "events_funnel",
-    "events_sessionize_native",
-    "events_cohort_retention",
+    "events_range_join",
     # multimodal plumbing
     "multimodal_features",
 )
 
 BACK: tuple[str, ...] = (
-    # join/grouping variants of in-board families
-    "suppliers_with_large_shipments",
-    "lineitem_status_cube",
-    "orders_grouping_sets",
-    "orders_status_pivot",
-    "cv_sequential_checks_gated",
-    # text variants (fingerprints/tfidf family repped by text_fingerprints)
-    "text_tfidf_top_terms",
+    # --- rotated off the board in round 7 (2+ green driver rounds
+    # each; family coverage continues via the promoted variants and
+    # the local 87-query hash-parity suite) ---
+    "top_orders_per_priority",
+    "customers_without_orders",
+    "order_priority_rollup",
+    "part_brand_setops",
+    "supplier_balance_running",
+    "cv_now_token_validation",
+    "cv_conditional_validation",
+    "cv_message_metrics",
+    "cv_error_histogram",
+    "url_decoded_keys",
+    "events_props_map",
+    "text_lang_id",
+    "text_fingerprints",
+    "documents_length_histogram",
+    "dedup_simhash",
+    "ann_lsh_topk",
+    "events_funnel",
+    "events_sessionize_native",
+    "events_cohort_retention",
+    # --- within-family variants ---
     "text_fingerprint_overlap",
-    # LM estimation twin of the board's classifier-inference rep,
-    # and the train-then-score fluency gate built on it
     "text_bigram_lm",
-    "documents_lm_score",
-    # documents variants (curated composes dedup+repetition+quality+mixture)
-    "documents_chunked",
-    "documents_packed",
     "documents_mixture_sample",
     "documents_contamination",
-    "documents_contamination_bloom",
-    "documents_source_cap",
     "documents_rarity_score",
     "documents_repetition_filter",
-    # observability funnel over the curated pipeline's own stages
-    "documents_curation_funnel",
-    # dedup variants (blocked-verify and argmin-keeper forms)
-    "dedup_ngram_pairs",
-    "dedup_containment_pairs",
     "dedup_keep_best",
-    "dedup_minhash_banded",
-    # reporting rollup over the dedup structure
-    "corpus_dedup_report",
-    # demoted r6 for new-family board slots: token_counts is a
-    # text_stats variant, zscore an embedding-transform variant,
-    # repetition_filter a stage of documents_curated (above)
-    "text_token_counts",
-    # embedding variants
-    "embedding_zscore",
     "embedding_quantize",
     "embedding_centroids",
-    # events variants (lag-window sessionize kept for its distinct
-    # single-shuffle implementation and stream-parity tests)
-    "events_range_join",
     "events_sessionize",
-    # multimodal variants (same mapInPandas plumbing as _features)
     "multimodal_frames",
     "multimodal_resized",
-    # iterative vocabulary induction (python-reference-pinned, no SQL
-    # oracle — data-dependent per-round argmax) + its apply round trip
+    # --- iterative vocabulary induction (python-reference-pinned, no
+    # SQL oracle — data-dependent per-round argmax) ---
     "text_bpe_merges",
     "text_bpe_merges_batched",
     "text_bpe_subwords",
-    # no-oracle approximation twins (tolerance-pinned in pytest)
+    # --- no-oracle approximation twins (tolerance-pinned in pytest) ---
     "corpus_profile_approx",
     "corpus_vocab_by_source_approx",
     "corpus_source_overlap_approx",
