@@ -120,3 +120,75 @@ def write_sorted_layout(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def merge_latest_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    *,
+    key_cols: list[str],
+    order_cols: list[str],
+    partition_col: str,
+) -> list:
+    """Incremental last-writer-wins compaction into a Hive-partitioned
+    parquet table, rewriting ONLY the partitions the update batch
+    touches — the ingestion pattern that keeps a 100 TB metadata table
+    mergeable: cost scales with the update batch's partition footprint,
+    never with the table.
+
+    The reference's metadata sink appends one Elasticsearch document
+    per bucket event (bucket_event_lambda_handler.py:99, auto-id
+    ``es_client.index``), so re-put objects accumulate historical
+    docs and consumers must resolve "current metadata" at read time.
+    This operator is the table-side resolution: fold ``updates`` into
+    the table so exactly one row per ``key_cols`` survives — the one
+    with the greatest ``order_cols`` tuple (e.g. last_modified +
+    ingest sequence; the tuple must totally order versions of a key).
+
+    Contract: ``partition_col`` must be STABLE per key (derived from
+    the key, e.g. a hash prefix or the object's date prefix) — a key
+    that moved partitions would leave its stale row in the old
+    partition, which this operator never reads.
+
+    Mechanics: the touched-partition list is collected (config-scale,
+    one row per partition in the batch — the same move as reading a
+    rule file) and becomes a static ``isin`` partition filter on the
+    existing table, so the read PRUNES to the touched partitions
+    before any byte of data is scanned; the argmax is a ``max_by``
+    aggregate (no window over a possibly-skewed key); the result is
+    eagerly materialized (``localCheckpoint``) to break the
+    read-overwrite cycle, then written with dynamic partition
+    overwrite so untouched partitions' files are never rewritten
+    (asserted byte-stable in tests/test_incremental_merge.py).
+
+    Returns the touched-partition values (for observability).
+    """
+    from pyspark.sql import functions as F
+
+    touched = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]
+    existing = spark.read.parquet(path).filter(
+        F.col(partition_col).isin(touched)
+    )
+    both = existing.unionByName(updates.select(*existing.columns))
+    data_cols = [c for c in both.columns]
+    merged = (
+        both.groupBy(*key_cols)
+        .agg(
+            F.max_by(
+                F.struct(*data_cols), F.struct(*order_cols)
+            ).alias("_row")
+        )
+        .select("_row.*")
+    )
+    # eager materialization: the write overwrites files the plan reads
+    merged = merged.localCheckpoint(eager=True)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    return touched
