@@ -172,6 +172,44 @@ def test_bpe_select_disjoint_blocks_cascades():
     assert picked == [("a", "b", 10), ("c", "d", 7)]
 
 
+def test_bpe_select_disjoint_invariants_fuzz():
+    """Property fuzz over the greedy selector: (1) kept pairs are
+    symbol-disjoint including merged outputs — the precondition that
+    makes single-fold batch application order-free; (2) the first
+    candidate is always kept; (3) kept ⊆ candidates in order; (4) at
+    most `batch` kept; (5) determinism."""
+    from hypothesis import given, settings, strategies as st
+
+    from dev_dot_cvp_metadata_ingestion_spark.operators.bpe import (
+        select_disjoint,
+    )
+
+    sym = st.text(alphabet="abcd", min_size=1, max_size=3)
+    cand = st.lists(
+        st.tuples(sym, sym, st.integers(1, 100)), min_size=1, max_size=40
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(cand, st.integers(1, 10))
+    def check(candidates, batch):
+        picked = select_disjoint(candidates, batch)
+        assert picked == select_disjoint(candidates, batch)
+        assert len(picked) <= batch
+        assert picked[0] == candidates[0]
+        # order-preserving subsequence of the candidate list (a picked
+        # tuple's first occurrence is where it was selected: an equal
+        # earlier tuple would have been picked or be equally conflicted)
+        assert all(p in candidates for p in picked)
+        idxs = [candidates.index(p) for p in picked]
+        assert idxs == sorted(idxs)
+        used: set[str] = set()
+        for left, right, _ in picked:
+            assert left not in used and right not in used
+            used.update((left, right, left + right))
+
+    check()
+
+
 def test_bpe_merges_match_python_reference(spark):
     docs = load_table(spark, SF_DIR, "documents")
     wf = {
