@@ -148,6 +148,167 @@ def stateful_sequential_checks(records: DataFrame) -> DataFrame:
     )
 
 
+WATERMARKED_CHECK_STATE = StructType(
+    [
+        StructField("buf_sn", ArrayType(LongType())),
+        StructField("buf_rid", ArrayType(LongType())),
+        StructField("buf_bs", ArrayType(LongType())),
+        StructField("buf_gen", ArrayType(LongType())),   # epoch micros
+        StructField("buf_recv", ArrayType(LongType())),
+        StructField("last_sn", LongType()),
+        StructField("last_rid", LongType()),
+        StructField("last_gen", LongType()),             # epoch seconds
+        StructField("last_recv", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def _check_transitions_watermarked(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    bundle_key = "/".join(str(k) for k in key)
+    wm_ms = state.getCurrentWatermarkMs()
+    if state.exists:
+        (buf_sn, buf_rid, buf_bs, buf_gen, buf_recv,
+         last_sn, last_rid, last_gen, last_recv, n_seen) = state.get
+        buf = list(zip(buf_gen, buf_sn, buf_rid, buf_bs, buf_recv))
+    else:
+        buf = []
+        last_sn = last_rid = last_gen = last_recv = None
+        n_seen = 0
+
+    for pdf in pdf_iter:
+        for row in pdf.itertuples(index=False):
+            gen_us = int(row.gen_micros)
+            if gen_us < wm_ms * 1000:
+                continue  # deterministic operator-enforced late drop
+            buf.append(
+                (gen_us, int(row.sn), int(row.rid), int(row.bs),
+                 int(row.recv_epoch))
+            )
+
+    buf.sort()
+    ripe = [e for e in buf if e[0] < wm_ms * 1000]
+    keep = buf[len(ripe):]
+
+    # the reference validates in serial order, not arrival order: the
+    # ripened slice is re-sorted by (sn, rid) before chaining — this is
+    # what repairs in-allowance arrival reordering exactly
+    out: list[dict[str, Any]] = []
+    for gen_us, sn, rid, bs, recv in sorted(
+        ripe, key=lambda e: (e[1], e[2])
+    ):
+        gen = gen_us // 1_000_000
+        if last_sn is not None:
+            if bs > 1 and rid != last_rid + 1:
+                out.append(
+                    dict(
+                        bundle_key=bundle_key, serial_number=sn,
+                        field_path="metadata.serialId.recordId",
+                        valid=False,
+                        details=(
+                            "Detected incorrectly incremented recordId. "
+                            f"Expected recordId '{last_rid + 1}' but got '{rid}'"
+                        ),
+                    )
+                )
+            if sn != last_sn + 1:
+                out.append(
+                    dict(
+                        bundle_key=bundle_key, serial_number=sn,
+                        field_path="metadata.serialId.serialNumber",
+                        valid=False,
+                        details=(
+                            "Detected incorrectly incremented serialNumber. "
+                            f"Expected serialNumber '{last_sn + 1}' but got '{sn}'"
+                        ),
+                    )
+                )
+            if gen < last_gen:
+                out.append(
+                    dict(
+                        bundle_key=bundle_key, serial_number=sn,
+                        field_path="metadata.recordGeneratedAt",
+                        valid=False,
+                        details="Detected non-chronological recordGeneratedAt.",
+                    )
+                )
+            if recv < last_recv:
+                out.append(
+                    dict(
+                        bundle_key=bundle_key, serial_number=sn,
+                        field_path="metadata.odeReceivedAt",
+                        valid=False,
+                        details="Detected non-chronological odeReceivedAt.",
+                    )
+                )
+        last_sn, last_rid, last_gen, last_recv = sn, rid, gen, recv
+        n_seen += 1
+
+    state.update(
+        (
+            [e[1] for e in keep],
+            [e[2] for e in keep],
+            [e[3] for e in keep],
+            [e[0] for e in keep],
+            [e[4] for e in keep],
+            last_sn, last_rid, last_gen, last_recv, n_seen,
+        )
+    )
+    if keep:
+        state.setTimeoutTimestamp(max(keep[0][0] // 1000, wm_ms + 1))
+    yield pd.DataFrame(
+        out,
+        columns=[
+            "bundle_key", "serial_number", "field_path", "valid", "details",
+        ],
+    )
+
+
+def stateful_sequential_checks_watermarked(
+    records: DataFrame, lateness: str = "10 minutes"
+) -> DataFrame:
+    """Per-bundle monotonicity checks (W3-W5) that survive OUT-OF-ORDER
+    ARRIVAL — the watermark-buffered form of
+    ``stateful_sequential_checks`` (which replays an ordered log).
+    Records buffer in group state until the watermark passes their
+    recordGeneratedAt; the ripened slice is validated in the
+    reference's (serialNumber, recordId) order chained onto the
+    cross-batch state, so arrival reordering inside the allowance is
+    repaired exactly and genuinely non-monotone serials still raise
+    the reference's errors. Beyond-allowance arrivals drop
+    deterministically (operator-enforced, same contract as
+    ``stateful_event_transitions_watermarked``).
+
+    ``records`` must be a STREAMING DataFrame with columns stream_key
+    (string), bid, sn, rid, bs (long), ts (timestamp — the
+    recordGeneratedAt event time), recv_epoch (long, epoch seconds).
+    State per live bundle = the ripening buffer (rate × allowance)
+    plus five scalars."""
+    return (
+        records.withWatermark("ts", lateness)
+        .select(
+            "stream_key",
+            "bid",
+            "sn",
+            "rid",
+            "bs",
+            "ts",  # keep the watermarked column in-plan (timeout needs it)
+            F.unix_micros(F.col("ts")).alias("gen_micros"),
+            "recv_epoch",
+        )
+        .groupBy("stream_key", "bid")
+        .applyInPandasWithState(
+            _check_transitions_watermarked,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=WATERMARKED_CHECK_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 TRANSITION_OUTPUT = StructType(
     [
         StructField("user_id", LongType()),
