@@ -91,3 +91,79 @@ def test_stateful_transitions_equal_batch(spark, tmp_path):
     )
     expected = sorted((r.user_id, r.from_type, r.to_type) for r in batch)
     assert sorted(out_rows) == expected
+
+
+def test_state_survives_query_restart_from_checkpoint(spark, tmp_path):
+    """Kill-and-resume: a first query drains two micro-batches and
+    stops; a second query with the SAME checkpoint drains the two
+    batches added afterwards. The state store must restore each user's
+    last event across the restart — the boundary transition between
+    batch 2 and batch 3 exists ONLY if it did — and offset tracking
+    must prevent any replay duplicates."""
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_micros"),
+        "event_type",
+    )
+    qs = ev.approxQuantile("ts_micros", [0.25, 0.5, 0.75], 0.0)
+    src = tmp_path / "src"
+    src.mkdir()
+    bounds = [float("-inf"), *qs, float("inf")]
+    base_mtime = time.time()
+
+    def write_batch(i):
+        part = ev.filter(
+            (F.col("ts_micros") > F.lit(bounds[i]))
+            & (F.col("ts_micros") <= F.lit(bounds[i + 1]))
+        ).coalesce(1)
+        part.write.parquet(str(src / f"batch_{i}"))
+        for f in (src / f"batch_{i}").rglob("*.parquet"):
+            os.utime(f, (base_mtime + 10 * i, base_mtime + 10 * i))
+
+    out_rows: list[tuple] = []
+
+    def sink(df, batch_id):
+        out_rows.extend(
+            (r.user_id, r.from_type, r.to_type) for r in df.collect()
+        )
+
+    def run_available():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        q = (
+            stateful_event_transitions(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "availableNow drain exceeded 300s"
+
+    write_batch(0)
+    write_batch(1)
+    run_available()          # first incarnation: stops after draining
+    n_first = len(out_rows)
+    write_batch(2)
+    write_batch(3)
+    run_available()          # second incarnation: SAME checkpoint
+    assert n_first < len(out_rows)
+
+    w = W.partitionBy("user_id").orderBy("ts_micros", "event_id")
+    expected = sorted(
+        (r.user_id, r.from_type, r.to_type)
+        for r in ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .collect()
+    )
+    # equality implies BOTH no replay duplicates and the restored
+    # cross-restart boundary transitions
+    assert sorted(out_rows) == expected
