@@ -62,6 +62,23 @@ def test_contamination_bloom_matches_exact(spark):
     assert a == b
 
 
+def test_bitmap_broadcast_reused_across_probes(spark):
+    """Both semi-join probes hang off the SAME bitmap subtree, so the
+    executed (AQE-final) plan must broadcast it once and reuse it —
+    not rebuild the bitmap per hash function."""
+    from dev_dot_cvp_metadata_ingestion_spark.plans import registry
+
+    registry.load_all()
+    df = registry.QUERIES["documents_contamination_bloom"](spark, SF_SMOKE)
+    df.write.format("noop").mode("overwrite").save()
+    # re-execute on THIS DataFrame so its queryExecution holds the
+    # final adaptive plan
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 1, plan
+
+
 def _walk(node):
     yield node
     it = node.children().iterator()

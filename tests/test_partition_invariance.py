@@ -36,6 +36,8 @@ SENSITIVE = [
     "corpus_source_overlap", # posting-list pair sweep
     "text_bigram_lm",        # count shuffle + per-context rank
     "text_bpe_merges",       # iterative argmax rounds (tie-breaks!)
+    "text_bpe_merges_batched",  # snapshot-ranked greedy batch rounds
+    "documents_contamination_bloom",  # bitmap bit_or + semi-join probes
 ]
 
 
