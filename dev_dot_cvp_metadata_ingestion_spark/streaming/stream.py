@@ -161,3 +161,63 @@ def stream_file_metadata(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_upsert_sink(
+    path: str,
+    *,
+    key_cols: list[str],
+    order_cols: list[str],
+    partition_col: str,
+):
+    """foreachBatch sink that folds each micro-batch into a partitioned
+    parquet table via ``merge_latest_partitioned`` — streaming CDC-style
+    upsert: the table always holds the LATEST version of every key,
+    and each batch's merge cost scales with that batch's partition
+    footprint, not the table (static partition filter on read, dynamic
+    partition overwrite on write).
+
+    Replay-safe by construction: the merge is last-writer-wins on
+    ``order_cols``, so a re-delivered batch (failure between sink and
+    checkpoint commit — Spark's at-least-once foreachBatch contract)
+    re-merges to the identical table state. No batch_id bookkeeping
+    needed, unlike ``idempotent_parquet_sink``'s append-shaped
+    variant; the trade is that ``order_cols`` must totally order the
+    versions of a key across the whole stream.
+
+    The first batch bootstraps the table with a plain partitioned
+    write (there is nothing to merge into yet)."""
+    import os
+
+    from ..sources.catalog import merge_latest_partitioned
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        if not os.path.exists(path):
+            # bootstrap still needs the WITHIN-batch argmax — the first
+            # batch may already carry several versions of a key
+            latest = (
+                df.groupBy(*key_cols)
+                .agg(
+                    F.max_by(
+                        F.struct(*df.columns), F.struct(*order_cols)
+                    ).alias("_row")
+                )
+                .select("_row.*")
+            )
+            (
+                latest.write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(path)
+            )
+            return
+        merge_latest_partitioned(
+            spark,
+            path,
+            df,
+            key_cols=key_cols,
+            order_cols=order_cols,
+            partition_col=partition_col,
+        )
+
+    return sink
