@@ -1536,6 +1536,91 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_label_propagation",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    split AS (
+      SELECT *,
+             {_BASE_HASH.format(s="CAST(vec_id AS VARCHAR) || ':lp'")} % 100 < 80
+               AS is_labeled
+      FROM e
+    ),
+    lab AS (SELECT vec_id, label, v FROM split WHERE is_labeled),
+    unl AS (SELECT vec_id AS q_id, v AS qv FROM split WHERE NOT is_labeled),
+    scored AS (
+      SELECT q_id, lab.vec_id, lab.label, {_cos_sql("v", "qv")} AS cos
+      FROM lab, unl
+    ),
+    nn AS (
+      SELECT q_id, label FROM (
+        SELECT q_id, label,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM scored)
+      WHERE rank <= 5
+    ),
+    votes AS (
+      SELECT q_id, label, CAST(count(*) AS BIGINT) AS votes
+      FROM nn GROUP BY q_id, label
+    )
+    SELECT q_id AS vec_id, label AS predicted_label, votes FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY votes DESC, label) AS rk
+      FROM votes)
+    WHERE rk = 1 ORDER BY vec_id
+    """,
+)
+def embedding_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation — the auto-labeling step of a
+    training-data pipeline: each vector in the 20% "unlabeled" hash
+    split receives the majority label of its 5 nearest labeled
+    neighbors by cosine (ties: smallest label). Built ON the knn_join
+    operator (broadcast query side, salted two-phase ranking — every
+    window partition bounded), so the labeling pass inherits its scale
+    shape: one map-side scoring pass over the labeled corpus plus the
+    bounded top-k, then a |labels|-ary vote aggregate per query. The
+    argmax is a ``min_by`` over (-votes, label) — no window over the
+    vote relation."""
+    from ..operators.dedup import base_hash
+    from ..operators.similarity import knn_join
+
+    e = load_table(spark, sf_dir, "embeddings")
+    is_labeled = (
+        base_hash(F.concat(F.col("vec_id").cast("string"), F.lit(":lp")))
+        % 100
+        < 80
+    )
+    labeled = e.filter(is_labeled)
+    unlabeled = e.filter(~is_labeled)
+    nn = knn_join(labeled, unlabeled, k=5)
+    votes = (
+        nn.join(
+            labeled.select("vec_id", "label"), "vec_id"
+        )
+        .groupBy("q_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    return (
+        votes.groupBy("q_id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("label"), F.col("votes")),
+                F.struct((-F.col("votes")).alias("neg"), F.col("label")),
+            ).alias("_win")
+        )
+        .select(
+            F.col("q_id").alias("vec_id"),
+            F.col("_win.label").alias("predicted_label"),
+            F.col("_win.votes").alias("votes"),
+        )
+    )
+
+
+@register(
     "ann_lsh_topk",
     oracle=f"""
     WITH e AS (

@@ -159,6 +159,7 @@ BACK: tuple[str, ...] = (
     "dedup_keep_best",
     "embedding_quantize",
     "embedding_centroids",
+    "embedding_label_propagation",
     "events_sessionize",
     "multimodal_frames",
     "multimodal_resized",
