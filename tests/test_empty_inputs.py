@@ -1,0 +1,59 @@
+"""Every query must survive EMPTY input tables — no driver-side
+IndexError on a seed collect, no division blowing up on an empty
+percentile, no iterative loop assuming a first row. A full sweep of
+all 88 registered queries over empty mirrors passed on 2026-08-14
+(round 7); this test pins the structurally riskiest subset — the
+queries with driver-side collects, iterative loops, threshold
+aggregates feeding joins, or percentile gates — so the property can't
+silently regress without a 5-minute full sweep in the suite."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dev_dot_cvp_metadata_ingestion_spark.plans import registry
+
+from .conftest import SF_SMOKE
+
+registry.load_all()
+
+AT_RISK = [
+    "embedding_kmeans",            # iterative; seeds from corpus
+    "ann_ivf_kmeans_topk",         # learned quantizer + probe
+    "embedding_label_propagation", # knn join + vote argmax
+    "text_bpe_merges",             # per-round argmax collect loop
+    "text_bpe_merges_batched",     # candidate-window collect loop
+    "text_bpe_subwords",           # train->apply round trip
+    "dedup_clusters",              # iterative label propagation
+    "dedup_semantic_keep",         # kmeans blocking
+    "corpus_profile",              # percentiles per group
+    "documents_quality_filter",    # quartile threshold join
+    "documents_curated",           # threshold + min() rate table
+    "documents_curation_funnel",   # 4 counts over the above
+    "documents_length_histogram",  # percentile-derived bucket bounds
+    "documents_mixture_sample",    # min(tok) rate table
+    "documents_contamination_bloom",  # bitmap build on empty set
+    "cv_sequential_checks",        # window chains
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_sf")
+    for t in os.listdir(SF_SMOKE):
+        if t.endswith(".parquet"):
+            df = spark.read.parquet(os.path.join(SF_SMOKE, t))
+            df.limit(0).write.parquet(str(d / t))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", AT_RISK)
+def test_query_survives_empty_tables(spark, empty_sf, name):
+    rows = registry.QUERIES[name](spark, empty_sf).collect()
+    if name == "documents_curation_funnel":
+        # global count aggregates: four stage rows, all zero
+        assert [r.n_docs for r in rows] == [0, 0, 0, 0]
+    else:
+        assert rows == []
