@@ -252,6 +252,16 @@ def lsh_near_duplicates_banded(
 def _lsh_pairs_plan(
     hs: DataFrame, num_hashes: int, threshold: float, rows_per_band: int = 1
 ) -> DataFrame:
+    cands = _lsh_candidates(hs, num_hashes, rows_per_band)
+    return _verify_pairs(hs, cands, threshold)
+
+
+def _lsh_candidates(
+    hs: DataFrame, num_hashes: int, rows_per_band: int = 1
+) -> DataFrame:
+    """Distinct banded candidate pairs (doc_id_a < doc_id_b) — the
+    stage BEFORE exact verification, exposed separately so the quality
+    report can measure candidate precision."""
     if num_hashes % rows_per_band != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by rows_per_band "
@@ -320,6 +330,14 @@ def _lsh_pairs_plan(
         )
         .distinct()
     )
+    return cands
+
+
+def _verify_pairs(
+    hs: DataFrame, cands: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact shingle-hash Jaccard over candidate pairs, filtered at
+    ``threshold`` — (doc_id_a, doc_id_b, jaccard)."""
     a = hs.select(
         F.col("doc_id").alias("doc_id_a"),
         F.array_distinct("hs").alias("sh_a"),
@@ -344,6 +362,79 @@ def _lsh_pairs_plan(
         .filter(F.col("jaccard") >= threshold)
     )
     return out
+
+
+def lsh_quality_report(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """How good is this LSH banding config on THIS corpus: one row
+    (n_candidates, n_true_pairs, n_verified, candidate_precision,
+    recall) comparing the banded candidate set against exact ground
+    truth at ``threshold``.
+
+    Ground truth is EXACT for J > 0 pairs without an all-pairs join:
+    any pair with positive Jaccard shares a shingle, so the
+    shingle-hash posting-list self-join enumerates every true pair
+    (fan-out bounded by shingle document frequency — on a corpus with
+    pathological hot shingles, run the report on a sample, which is
+    how banding configs are tuned in practice anyway). Verified LSH
+    output is by construction candidates ∩ truth, so
+    candidate_precision = n_verified / n_candidates (how much verify
+    work the banding wastes) and recall = n_verified / n_true_pairs
+    (what the banding misses) — the two knobs the b×r operating point
+    trades (match prob 1-(1-J^r)^b)."""
+    hs = _shingle_hashes(
+        docs.filter(_has_n_tokens(text_col, n)), id_col, text_col, n
+    ).repartition(F.col("doc_id"))
+    cands = _lsh_candidates(hs, num_hashes, rows_per_band)
+    verified = _verify_pairs(hs, cands, threshold)
+    posting = hs.select(
+        "doc_id", F.explode(F.array_distinct("hs")).alias("h")
+    )
+    truth_cands = (
+        posting.alias("l")
+        .join(
+            posting.alias("r"),
+            (F.col("l.h") == F.col("r.h"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_id_a"),
+            F.col("r.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    truth = _verify_pairs(hs, truth_cands, threshold)
+    n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_ver = verified.agg(F.count(F.lit(1)).alias("n_verified"))
+    return (
+        n_cand.crossJoin(n_truth)
+        .crossJoin(n_ver)
+        .select(
+            "n_candidates",
+            "n_true_pairs",
+            "n_verified",
+            F.when(
+                F.col("n_candidates") > 0,
+                F.col("n_verified").cast("double") / F.col("n_candidates"),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("candidate_precision"),
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.col("n_verified").cast("double") / F.col("n_true_pairs"),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("recall"),
+        )
+    )
 
 
 def lsh_cross_near_duplicates(

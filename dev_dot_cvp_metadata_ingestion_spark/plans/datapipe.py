@@ -2762,6 +2762,74 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_lsh_quality_report",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents),
+    sh AS (SELECT doc_id, {_shingle_sql(3)} AS sh FROM toks),
+    hs AS (SELECT doc_id,
+                  list_transform(sh, s -> {_BASE_HASH.format(s="s")}) AS hs
+           FROM sh),
+    sig AS (SELECT doc_id, list_distinct(hs) AS sh, {", ".join(_MINHASH)} FROM hs),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {j} AS band, minh_{2 * j} AS v0, minh_{2 * j + 1} AS v1 FROM sig" for j in range(4))}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.v0 = r.v0 AND l.v1 = r.v1
+           AND l.doc_id < r.doc_id
+    ),
+    ver AS (
+      SELECT doc_id_a, doc_id_b
+      FROM cand
+      JOIN sig a ON a.doc_id = doc_id_a
+      JOIN sig b ON b.doc_id = doc_id_b
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+            >= 0.3
+    ),
+    posting AS (SELECT doc_id, unnest(list_distinct(hs)) AS h FROM hs),
+    tc AS (
+      SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b
+      FROM posting l JOIN posting r
+        ON l.h = r.h AND l.doc_id < r.doc_id
+    ),
+    truth AS (
+      SELECT doc_id_a, doc_id_b
+      FROM tc
+      JOIN sig a ON a.doc_id = doc_id_a
+      JOIN sig b ON b.doc_id = doc_id_b
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+            >= 0.3
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+      (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true_pairs,
+      (SELECT CAST(count(*) AS BIGINT) FROM ver) AS n_verified,
+      CASE WHEN (SELECT count(*) FROM cand) > 0 THEN
+        (SELECT count(*) FROM ver)::DOUBLE / (SELECT count(*) FROM cand)
+      ELSE 1.0 END AS candidate_precision,
+      CASE WHEN (SELECT count(*) FROM truth) > 0 THEN
+        (SELECT count(*) FROM ver)::DOUBLE / (SELECT count(*) FROM truth)
+      ELSE 1.0 END AS recall
+    """,
+)
+def dedup_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-config tuning report: candidate precision and recall of
+    the b=4/r=2 LSH operating point against exact ground truth at
+    J ≥ 0.3, computed without any all-pairs join (posting-list
+    enumeration is exact for J > 0; see
+    operators/dedup.py:lsh_quality_report)."""
+    from ..operators.dedup import lsh_quality_report
+
+    d = load_table(spark, sf_dir, "documents")
+    return lsh_quality_report(
+        d, "doc_id", "text", num_hashes=8, rows_per_band=2, n=3, threshold=0.3
+    )
+
+
+@register(
     "corpus_vocab_by_source",
     oracle=f"""
     WITH tok AS (

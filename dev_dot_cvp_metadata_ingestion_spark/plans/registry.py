@@ -157,6 +157,7 @@ BACK: tuple[str, ...] = (
     "documents_rarity_score",
     "documents_repetition_filter",
     "dedup_keep_best",
+    "dedup_lsh_quality_report",
     "embedding_quantize",
     "embedding_centroids",
     "embedding_label_propagation",
