@@ -624,6 +624,61 @@ def connected_components(
     )
 
 
+def clusters_with_exact_contraction(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    n: int = 3,
+    threshold: float = 0.3,
+    max_iters: int = 25,
+) -> DataFrame:
+    """``connected_components`` over the LSH pair graph with EXACT
+    duplicates contracted first — the dup-heavy-corpus scale path
+    (SCALE.md dedup scaling probe): a c-sized exact-dup group
+    contributes K_c = c(c-1)/2 pairs to the graph, so on web corpora
+    (where most duplicate mass is byte-identical) contraction removes
+    the quadratic bulk with one linear argmax before LSH runs at all.
+
+    PROVABLY the same output as running CC on the full graph: docs
+    with an identical token sequence have identical shingle sets,
+    hence identical minhash signatures, hence identical band keys and
+    identical verified pairs — contracting them onto their minimum
+    doc_id preserves the component structure, and the component's
+    min-rep label equals the component's min doc_id (each rep IS its
+    group's minimum). Asserted by equality test on a corpus with
+    injected exact-dup groups (tests/test_dedup_contraction.py).
+
+    Contraction key is the raw token sequence (not the lowercased
+    fingerprint ``dedup_exact`` reports on): the key must determine
+    the shingle set exactly, or contraction could merge docs whose LSH
+    behavior differs. Returns (id_col, cluster_id) for EVERY doc."""
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.md5(F.concat_ws("\x1f", tokens(F.col(text_col)))).alias("_ck"),
+    )
+    reps = keyed.groupBy("_ck").agg(F.min("doc_id").alias("rep"))
+    rep_docs = keyed.join(
+        reps.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
+    )
+    pairs = lsh_near_duplicates(
+        rep_docs, "doc_id", "text",
+        num_hashes=num_hashes, n=n, threshold=threshold,
+    )
+    cc = connected_components(
+        pairs, rep_docs.select("doc_id"), max_iters=max_iters
+    )
+    # expand each doc through its group's rep — no per-group arrays, so
+    # a million-copy exact-dup group stays a plain (shuffle-join) row set
+    return (
+        keyed.select("doc_id", "_ck")
+        .join(reps, "_ck")
+        .join(cc.withColumnRenamed("doc_id", "rep"), "rep")
+        .select(F.col("doc_id").alias(id_col), "cluster_id")
+    )
+
+
 def simhash16(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash: per-bit votes over token hashes (multiplicity
     kept), sign → bit. (doc_id, simhash)."""

@@ -1352,9 +1352,10 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_clusters",
-    oracle=f"""
+# Shared by dedup_clusters and its exact-contraction twin: contraction
+# provably preserves components (identical token sequences => identical
+# signatures => identical pairs), so both answer to one oracle.
+_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE {_LSH_PAIR_CTES},
     edges AS (
       SELECT doc_id_a AS src, doc_id_b AS dst FROM lsh_pairs
@@ -1369,8 +1370,10 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT node AS doc_id, min(label) AS cluster_id
     FROM reach GROUP BY node
     ORDER BY doc_id
-    """,
-)
+    """
+
+
+@register("dedup_clusters", oracle=_CLUSTERS_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components of the LSH pair
     graph, labelled by the component's min doc_id — the step that turns
@@ -1382,6 +1385,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", num_hashes=8, n=3, threshold=0.3
     )
     return connected_components(pairs, d.select("doc_id"))
+
+
+@register("dedup_clusters_contracted", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters_contracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_clusters`` with exact duplicates contracted before LSH —
+    the dup-heavy-corpus scale path measured in SCALE.md (a c-sized
+    exact-dup group contributes c(c-1)/2 pairs to the CC graph; web
+    corpora carry most duplicate mass as byte-identical copies, which
+    one linear argmax removes up front). Output provably identical to
+    the uncontracted form (identical token sequences have identical
+    signatures and pairs), hence the shared oracle; equality is also
+    pinned directly on a dup-injected corpus in
+    tests/test_dedup_contraction.py."""
+    from ..operators.dedup import clusters_with_exact_contraction
+
+    d = load_table(spark, sf_dir, "documents")
+    return clusters_with_exact_contraction(
+        d, "doc_id", "text", num_hashes=8, n=3, threshold=0.3
+    )
 
 
 _SIMHASH_VOTES = ", ".join(

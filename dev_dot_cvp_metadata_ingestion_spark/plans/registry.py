@@ -158,6 +158,7 @@ BACK: tuple[str, ...] = (
     "documents_repetition_filter",
     "dedup_keep_best",
     "dedup_lsh_quality_report",
+    "dedup_clusters_contracted",
     "embedding_quantize",
     "embedding_centroids",
     "embedding_label_propagation",

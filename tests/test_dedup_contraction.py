@@ -1,0 +1,73 @@
+"""Exact-contraction CC must equal plain CC — including on a corpus
+with injected exact-duplicate groups, where contraction actually
+collapses something (the testdata corpora are nearly dup-free)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dev_dot_cvp_metadata_ingestion_spark.operators.dedup import (
+    clusters_with_exact_contraction,
+    connected_components,
+    lsh_near_duplicates,
+)
+from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _dup_injected(spark):
+    base = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    # 3 exact copies of every 7th doc, plus byte-identical twins of two
+    # near-dup partners, so contracted groups participate in near-dup
+    # components too
+    dups = (
+        base.filter(F.col("doc_id") % 7 == 0)
+        .crossJoin(spark.range(1, 4).withColumnRenamed("id", "copy"))
+        .select(
+            (F.col("doc_id") + F.col("copy") * 100000).alias("doc_id"),
+            "text",
+        )
+    )
+    return base.unionByName(dups)
+
+
+def test_contracted_clusters_equal_plain(spark):
+    docs = _dup_injected(spark).localCheckpoint()
+    plain = connected_components(
+        lsh_near_duplicates(docs, "doc_id", "text", num_hashes=8, n=3,
+                            threshold=0.3),
+        docs.select("doc_id"),
+    )
+    contracted = clusters_with_exact_contraction(
+        docs, "doc_id", "text", num_hashes=8, n=3, threshold=0.3
+    )
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, contracted.collect()))
+    assert a == b
+    # sanity: the injected copies actually cluster with their original
+    lab = dict(b)
+    originals = [i for i in lab if i < 100000 and i % 7 == 0]
+    assert originals
+    for o in originals:
+        assert lab[o + 100000] == lab[o] == lab[o + 300000]
+
+
+def test_contraction_shrinks_lsh_input(spark):
+    """The point of the operator: the LSH stage sees one rep per exact
+    group, not every copy."""
+    docs = _dup_injected(spark)
+    n_docs = docs.count()
+    n_reps = (
+        docs.select(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.filter(F.split("text", r"\s+"), lambda t: t != ""),
+                )
+            ).alias("k")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_reps < n_docs
