@@ -624,6 +624,88 @@ def connected_components(
     )
 
 
+def ngram_jaccard_pairs_capped(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 2,
+    threshold: float = 0.05,
+    metric: str = "jaccard",
+    max_doc_freq: int = 50,
+) -> DataFrame:
+    """``ngram_jaccard_pairs`` with the stop-gram cap its docstring
+    promised: grams whose within-block document frequency exceeds
+    ``max_doc_freq`` generate NO candidates (their posting lists are
+    the Σ df(g)² skew bombs — one sentence shared by half a block
+    makes the uncapped join quadratic in the block), but every found
+    pair is still verified EXACTLY against the full shingle arrays, so
+    reported similarity values are never approximated. Semantics: a
+    pair is missed only if every gram it shares is ubiquitous
+    (df > cap) — precisely the pairs whose similarity rides on
+    boilerplate. Candidate work is bounded by Σ_{{df(g)≤cap}} df(g)²
+    ≤ cap × posting volume: linear in the corpus at fixed cap,
+    regardless of skew (measured in SCALE.md)."""
+    sh = docs.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), n).alias("sh"),
+    )
+    posts = sh.select("block", "doc_id", F.explode("sh").alias("gram"))
+    dfg = posts.groupBy("block", "gram").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    cold = posts.join(
+        dfg.filter(F.col("_df") <= max_doc_freq).select("block", "gram"),
+        ["block", "gram"],
+    )
+    a = cold.alias("a")
+    b = cold.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.block").alias("block"),
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    sa = sh.select(
+        "block", F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a")
+    )
+    sb = sh.select(
+        "block", F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    if metric == "jaccard":
+        denom = F.size("sh_a") + F.size("sh_b") - inter
+        score_name = "jaccard"
+    elif metric == "containment":
+        denom = F.least(F.size("sh_a"), F.size("sh_b"))
+        score_name = "containment"
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    score = F.when(denom > 0, inter.cast("double") / denom).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        cands.join(sa, ["block", "doc_id_a"])
+        .join(sb, ["block", "doc_id_b"])
+        .select(
+            "block",
+            "doc_id_a",
+            "doc_id_b",
+            score.alias(score_name),
+        )
+        .filter(F.col(score_name) >= threshold)
+    )
+
+
 def clusters_with_exact_contraction(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -71,3 +71,56 @@ def test_contraction_shrinks_lsh_input(spark):
         .count()
     )
     assert n_reps < n_docs
+
+
+def test_capped_ngram_pairs_semantics(spark):
+    """The stop-gram cap must (1) equal the uncapped form when no gram
+    exceeds the cap, (2) drop ONLY pairs whose every shared gram is
+    ubiquitous, while still reporting EXACT similarity for kept pairs
+    (full-array verify, not capped-posting counts)."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_capped,
+    )
+
+    hot = "common boiler plate sentence"
+    rows = [
+        # a near-dup pair sharing plenty of cold grams (plus the hot
+        # sentence, so its exact jaccard INCLUDES hot grams)
+        (1, hot + " unique alpha beta gamma delta", "s"),
+        (2, hot + " unique alpha beta gamma epsilon", "s"),
+        # docs related ONLY through the hot sentence — capped must drop
+        (3, hot + " zeta eta", "s"),
+        (4, hot + " theta iota", "s"),
+        (5, hot + " kappa lmbda", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    uncapped = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", "source", n=2, threshold=0.05
+        ).collect()
+    }
+    capped = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in ngram_jaccard_pairs_capped(
+            docs, "doc_id", "text", "source", n=2, threshold=0.05,
+            max_doc_freq=4,
+        ).collect()
+    }
+    # cap=4 makes the 5-doc hot bigrams ubiquitous: boilerplate-only
+    # pairs disappear, the real near-dup pair stays with its EXACT
+    # (hot-gram-inclusive) jaccard
+    assert (1, 2) in capped
+    assert capped[(1, 2)] == uncapped[(1, 2)]
+    assert all(a == 1 and b == 2 for (a, b) in capped)
+    assert (3, 4) in uncapped  # sanity: uncapped did pair them
+    # cap high enough -> identical output
+    relaxed = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in ngram_jaccard_pairs_capped(
+            docs, "doc_id", "text", "source", n=2, threshold=0.05,
+            max_doc_freq=100,
+        ).collect()
+    }
+    assert relaxed == uncapped
