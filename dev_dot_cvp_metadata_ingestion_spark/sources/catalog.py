@@ -192,3 +192,75 @@ def merge_latest_partitioned(
         .parquet(path)
     )
     return touched
+
+
+def zorder_key(col_a, col_b, lo_a, hi_a, lo_b, hi_b, bits: int = 16):
+    """Morton (Z-order) interleave of two numeric columns, each
+    min/max-normalized to ``bits`` bits. Pure Column expression —
+    2×bits shift-and-mask terms, all whole-stage-codegen."""
+    from pyspark.sql import functions as F
+
+    def norm(c, lo, hi):
+        span = max(hi - lo, 1)
+        scaled = (
+            (c.cast("double") - F.lit(float(lo)))
+            / F.lit(float(span))
+            * F.lit(float((1 << bits) - 1))
+        )
+        return F.least(
+            F.greatest(scaled.cast("long"), F.lit(0)),
+            F.lit((1 << bits) - 1),
+        )
+
+    a = norm(col_a, lo_a, hi_a)
+    b = norm(col_b, lo_b, hi_b)
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = (
+            out
+            + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return out
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 32,
+    bits: int = 16,
+) -> None:
+    """Persist with a TWO-dimensional data-skipping layout: rows are
+    range-partitioned and sorted by the Morton interleave of
+    (col_a, col_b), so each parquet file covers a small rectangle of
+    the 2-D key space and its footer carries narrow min/max envelopes
+    on BOTH columns — a selective predicate on EITHER dimension skips
+    most files, where a single-column sort (``write_sorted_layout``)
+    only skips on its own key and scatters the other dimension across
+    every file. The classic lakehouse Z-ORDER lever, as two extra
+    lines of plan: one tiny min/max aggregate (collected — 4 scalars)
+    to normalize the domains, then repartitionByRange + sort on the
+    interleave expression. Caveat: min/max normalization wastes bits
+    on heavily skewed domains — rank-normalize upstream if a column is
+    pathological. Skipping is proven from real footers in
+    tests/test_zorder_layout.py."""
+    from pyspark.sql import functions as F
+
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).collect()[0]
+    z = zorder_key(
+        F.col(col_a), F.col(col_b), lo_a, hi_a, lo_b, hi_b, bits
+    ).alias("_z")
+    (
+        df.select("*", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -1,0 +1,89 @@
+"""Z-order layout: footer envelopes must enable skipping on EITHER
+dimension, where a single-column sort only skips on its own key.
+
+Proof is from the real parquet footers (same method as
+test_layout_skipping): a file is provably skippable for a predicate
+when its [min, max] envelope on that column is disjoint from the
+slice. The single-sorted control pins the contrast — near-total
+skipping on its sort key, none on the other dimension — so the
+Z-order assertions can't pass vacuously."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import functions as F
+
+from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+    load_table,
+    write_sorted_layout,
+    write_zorder_layout,
+)
+
+N_FILES = 16
+
+
+def _envelopes(path, column):
+    out = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            for c in range(md.num_columns):
+                col = md.row_group(rg).column(c)
+                if col.path_in_schema == column and col.statistics:
+                    mins.append(col.statistics.min)
+                    maxs.append(col.statistics.max)
+        if mins:
+            out.append((min(mins), max(maxs)))
+    return out
+
+
+def _skippable(envs, lo, hi):
+    return sum(1 for a, b in envs if a > hi or b < lo)
+
+
+def test_zorder_skips_on_both_dimensions(spark, tmp_path):
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    zpath = str(tmp_path / "zorder")
+    spath = str(tmp_path / "single")
+    write_zorder_layout(ev, zpath, "user_id", "ts_us", n_files=N_FILES)
+    write_sorted_layout(ev, spath, ["user_id"], n_files=N_FILES)
+
+    # narrow slices: ~7% of the user domain, ~10% of the time domain
+    u_lo, u_hi = 10, 20
+    bounds = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    t_lo = bounds[0]
+    t_hi = t_lo + (bounds[1] - bounds[0]) // 10
+
+    zu = _skippable(_envelopes(zpath, "user_id"), u_lo, u_hi)
+    zt = _skippable(_envelopes(zpath, "ts_us"), t_lo, t_hi)
+    su = _skippable(_envelopes(spath, "user_id"), u_lo, u_hi)
+    st = _skippable(_envelopes(spath, "ts_us"), t_lo, t_hi)
+
+    # control: single sort skips its own key near-totally, the other
+    # dimension not at all
+    assert su >= N_FILES - 2, su
+    assert st == 0, st
+    # z-order: meaningful skipping on BOTH dimensions (each file is a
+    # rectangle; a 1-in-10 slice on either axis excludes most
+    # rectangles)
+    assert zu >= N_FILES // 2, (zu, _envelopes(zpath, "user_id"))
+    assert zt >= N_FILES // 2, (zt, _envelopes(zpath, "ts_us"))
+
+    # layouts agree row-for-row under both predicates
+    for pred in [
+        (F.col("user_id") >= u_lo) & (F.col("user_id") <= u_hi),
+        (F.col("ts_us") >= t_lo) & (F.col("ts_us") <= t_hi),
+    ]:
+        a = sorted(
+            tuple(r) for r in spark.read.parquet(zpath).filter(pred).collect()
+        )
+        b = sorted(
+            tuple(r) for r in spark.read.parquet(spath).filter(pred).collect()
+        )
+        assert a == b and a
