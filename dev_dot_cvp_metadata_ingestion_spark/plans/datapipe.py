@@ -1505,6 +1505,53 @@ def dedup_ngram_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment_pairs_capped",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS.format(c="text")} AS t FROM documents
+    ),
+    sh AS (SELECT doc_id, source AS block, {_shingle_sql(2)} AS sh FROM toks),
+    posts AS (SELECT block, doc_id, unnest(sh) AS gram FROM sh),
+    dfg AS (SELECT block, gram FROM posts GROUP BY block, gram
+            HAVING count(*) <= 50),
+    cold AS (SELECT p.block, p.doc_id, p.gram
+             FROM posts p JOIN dfg USING (block, gram)),
+    cand AS (
+      SELECT DISTINCT a.block, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM cold a JOIN cold b
+        ON a.block = b.block AND a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    ver AS (
+      SELECT c.block, c.doc_id_a, c.doc_id_b,
+             len(list_intersect(a.sh, b.sh)) AS i,
+             len(a.sh) AS la, len(b.sh) AS lb
+      FROM cand c
+      JOIN sh a ON a.block = c.block AND a.doc_id = c.doc_id_a
+      JOIN sh b ON b.block = c.block AND b.doc_id = c.doc_id_b
+    )
+    SELECT block, doc_id_a, doc_id_b,
+           i::DOUBLE / least(la, lb) AS containment
+    FROM ver WHERE i::DOUBLE / least(la, lb) >= 0.15
+    ORDER BY block, doc_id_a, doc_id_b
+    """,
+)
+def dedup_containment_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_containment_pairs`` under the same df ≤ 50 stop-gram
+    cap as ``dedup_ngram_pairs_capped`` — containment is the metric
+    MOST exposed to boilerplate skew (a short doc contained in a hot
+    template scores 1.0), so the capped operating point matters most
+    here. Found pairs verify exactly against full arrays; the cap is
+    encoded in the oracle."""
+    from ..operators.dedup import ngram_jaccard_pairs_capped
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs_capped(
+        d, "doc_id", "text", "source", n=2, threshold=0.15,
+        metric="containment", max_doc_freq=50,
+    )
+
+
+@register(
     "dedup_containment_pairs",
     oracle=f"""
     WITH toks AS (

@@ -160,6 +160,7 @@ BACK: tuple[str, ...] = (
     "dedup_lsh_quality_report",
     "dedup_clusters_contracted",
     "dedup_ngram_pairs_capped",
+    "dedup_containment_pairs_capped",
     "embedding_quantize",
     "embedding_centroids",
     "embedding_label_propagation",
