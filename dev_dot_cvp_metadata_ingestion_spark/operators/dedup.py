@@ -667,41 +667,68 @@ def ngram_jaccard_pairs_capped(
         shingles(F.col(text_col), n).alias("sh"),
     )
     posts = sh.select("block", "doc_id", F.explode("sh").alias("gram"))
-    dfg = posts.groupBy("block", "gram").agg(
-        F.count(F.lit(1)).alias("_df")
+    hot = (
+        posts.groupBy("block", "gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("block", "gram")
     )
-    cold = posts.join(
-        dfg.filter(F.col("_df") <= max_doc_freq).select("block", "gram"),
-        ["block", "gram"],
+    cold = posts.join(hot, ["block", "gram"], "left_anti")
+    # exact intersection without a full-array rejoin: cold collisions
+    # fall out of the pair aggregate (i_cold = #shared cold grams),
+    # hot grams rejoin as SMALL per-doc arrays (≤ the block's
+    # boilerplate vocabulary) whose pairwise overlap tops i back up —
+    # so the clean-corpus overhead shrinks to the df aggregate + the
+    # anti join (measured at sf0.1, unskewed: uncapped 4.7 s,
+    # array-verify capped form 8.3 s, this form 6.6 s — 1.4× for the
+    # skew insurance that is 15.6× the other way under boilerplate)
+    sizes = posts.groupBy("block", "doc_id").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    hot_arrays = (
+        posts.join(hot, ["block", "gram"])
+        .groupBy("block", "doc_id")
+        .agg(F.sort_array(F.collect_list("gram")).alias("hg"))
     )
     a = cold.alias("a")
     b = cold.alias("b")
-    cands = (
+    i_cold = (
         a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
             & (F.col("a.gram") == F.col("b.gram"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
+        .groupBy(
             F.col("a.block").alias("block"),
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("ic"))
     )
-    sa = sh.select(
-        "block", F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a")
+    empty = F.array().cast("array<string>")
+    ha = hot_arrays.select(
+        "block", F.col("doc_id").alias("doc_id_a"), F.col("hg").alias("hg_a")
     )
-    sb = sh.select(
-        "block", F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b")
+    hb = hot_arrays.select(
+        "block", F.col("doc_id").alias("doc_id_b"), F.col("hg").alias("hg_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    la = sizes.select(
+        "block", F.col("doc_id").alias("doc_id_a"), F.col("sz").alias("la")
+    )
+    lb = sizes.select(
+        "block", F.col("doc_id").alias("doc_id_b"), F.col("sz").alias("lb")
+    )
+    inter = F.col("ic") + F.size(
+        F.array_intersect(
+            F.coalesce("hg_a", empty), F.coalesce("hg_b", empty)
+        )
+    )
     if metric == "jaccard":
-        denom = F.size("sh_a") + F.size("sh_b") - inter
+        denom = F.col("la") + F.col("lb") - inter
         score_name = "jaccard"
     elif metric == "containment":
-        denom = F.least(F.size("sh_a"), F.size("sh_b"))
+        denom = F.least(F.col("la"), F.col("lb"))
         score_name = "containment"
     else:
         raise ValueError(f"unknown metric {metric!r}")
@@ -709,8 +736,10 @@ def ngram_jaccard_pairs_capped(
         F.lit(0.0)
     )
     return (
-        cands.join(sa, ["block", "doc_id_a"])
-        .join(sb, ["block", "doc_id_b"])
+        i_cold.join(la, ["block", "doc_id_a"])
+        .join(lb, ["block", "doc_id_b"])
+        .join(ha, ["block", "doc_id_a"], "left")
+        .join(hb, ["block", "doc_id_b"], "left")
         .select(
             "block",
             "doc_id_a",
