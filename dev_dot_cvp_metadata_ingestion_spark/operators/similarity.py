@@ -138,6 +138,17 @@ def knn_join(
             ).alias("cos"),
         )
     )
+    return _topk_per_query(scored, k, n_salts)
+
+
+def _topk_per_query(scored: DataFrame, k: int, n_salts: int) -> DataFrame:
+    """Salted two-phase per-query top-k over a (q_id, vec_id, cos)
+    relation — phase 1 bounds every window partition to
+    ~candidates/n_salts rows, phase 2 ranks the n_salts·k survivors.
+    Identical to a single-pass rank (tie-break by vec_id at the
+    boundary); NaN/NULL cos ordered as -inf."""
+    from pyspark.sql import Window
+
     ord_col = F.coalesce(
         F.nanvl(F.col("cos"), F.lit(float("-inf"))), F.lit(float("-inf"))
     )
@@ -154,6 +165,94 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .orderBy("q_id", "rank")
     )
+
+
+def ivf_knn_join(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_salts: int = 32,
+    scale: int = 10_000_000,
+) -> DataFrame:
+    """Batch k-NN join WITHOUT broadcasting either side — the 100 TB
+    escape from ``knn_join``'s broadcast-query contract: corpus
+    vectors live in their learned k-means cell (the IVF partition,
+    same quantizer as ``ann_ivf_kmeans_topk``), each query probes its
+    ``nprobe`` nearest centroids, and the candidate join is an
+    ordinary shuffle keyed on the CELL id — each side shuffles once,
+    cell work is |cell| × queries-probing-it, and a hot cell is an
+    AQE-splittable join partition, not a broadcast limit. Returns
+    (q_id, vec_id, cos, rank) like ``knn_join``.
+
+    Approximate with the standard IVF recall trade: a true neighbor in
+    an unprobed cell is missed; nprobe is the recall/cost knob. Pinned
+    in tests/test_ann_recall.py: recall@k vs the exact join is
+    monotone in nprobe, beats proportional random probing by a wide
+    margin at every point even on the near-uniform synthetic
+    embeddings (0.71 at nprobe=2 vs the 0.25 proportional floor; a
+    clustered real corpus does far better), and is EXACTLY equal to
+    ``knn_join`` at nprobe = n_cells (every pair surfaces; same
+    cosine, same tie-break)."""
+    assigned, cents = kmeans_assign(
+        emb,
+        k=n_cells,
+        iters=2,
+        id_col=id_col,
+        vec_col=vec_col,
+        scale=scale,
+        return_centroids=True,
+    )
+    from ..functions.vectors import _as_double, l2_norm
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        _as_double(F.col(vec_col)).alias("qd"),
+        l2_norm(F.col(vec_col)).alias("nq"),
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.floor(v.cast("double") * scale).cast("long"),
+        ).alias("qxf"),
+    )
+    qdist = F.aggregate(
+        F.zip_with(F.col("cf"), F.col("qxf"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    w_probe = Window.partitionBy("q_id").orderBy("qdist", "cluster")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("q_id", "qd", "nq", "cluster", qdist.alias("qdist"))
+        .withColumn("_pr", F.row_number().over(w_probe))
+        .filter(F.col("_pr") <= nprobe)
+        .select("q_id", "qd", "nq", "cluster")
+    )
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("vd"),
+        l2_norm(F.col(vec_col)).alias("na"),
+    ).join(assigned.select("vec_id", "cluster"), "vec_id")
+    scored = (
+        corpus.join(probes, "cluster")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                F.aggregate(
+                    F.zip_with("vd", "qd", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                / (F.col("na") * F.col("nq"))
+            ).alias("cos"),
+        )
+    )
+    return _topk_per_query(scored, k, n_salts)
 
 
 def hyperplane(j: int, dim: int) -> list[float]:
