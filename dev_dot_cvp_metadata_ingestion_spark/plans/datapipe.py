@@ -1698,7 +1698,10 @@ def embedding_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: one map-side scoring pass over the labeled corpus plus the
     bounded top-k, then a |labels|-ary vote aggregate per query. The
     argmax is a ``min_by`` over (-votes, label) — no window over the
-    vote relation."""
+    vote relation. When the unlabeled side outgrows a broadcast, swap
+    in ``ivf_knn_join`` (same output columns, cell join instead of
+    broadcast, recall knob nprobe) — the rest of the plan is
+    unchanged."""
     from ..operators.dedup import base_hash
     from ..operators.similarity import knn_join
 
