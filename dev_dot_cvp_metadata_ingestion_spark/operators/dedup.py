@@ -846,8 +846,9 @@ def ngram_jaccard_pairs(
     Measured at sf0.1 (20 blocks × 250 docs): all-pairs array-intersect
     44.7 s → 4.2 s. At 100 TB this is also the shape that survives: the
     shuffles key on (block, gram) and (block, a, b) — both linear in
-    posting volume — and a stop-gram cap (as in
-    ``text_fingerprint_overlap``) bolts on if gram skew demands it."""
+    posting volume — and when gram skew demands it, the stop-gram cap
+    is :func:`ngram_jaccard_pairs_capped` (measured flat under a
+    50%-boilerplate skew that makes THIS form quadratic; SCALE.md)."""
     sh = docs.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("doc_id"),
