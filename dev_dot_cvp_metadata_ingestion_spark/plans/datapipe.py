@@ -1057,8 +1057,10 @@ def documents_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hot grams (stopword runs) skew the join, which AQE's skew-join
     splits at runtime — the reason this is a join, not a
     gram-partitioned window (AQE cannot split a window partition).
-    At 100 TB you'd additionally bloom-filter the eval side against
-    the train gram set before the shuffle; semantics unchanged."""
+    At 100 TB the bloom pre-join form is
+    ``documents_contamination_bloom`` (same oracle — a bloom cannot
+    change the result — with the eval side screened before this
+    join's shuffle; measured trade in SCALE.md)."""
     from ..operators.dedup import base_hash
 
     d = load_table(spark, sf_dir, "documents")
