@@ -36,6 +36,10 @@ AT_RISK = [
     "documents_mixture_sample",    # min(tok) rate table
     "documents_contamination_bloom",  # bitmap build on empty set
     "cv_sequential_checks",        # window chains
+    "dedup_ngram_pairs_capped",    # df aggregate + hot arrays on empty
+    "dedup_containment_pairs_capped",
+    "dedup_clusters_contracted",   # contraction + CC on empty graph
+    "dedup_lsh_quality_report",    # global counts -> one all-zero row
 ]
 
 
@@ -55,5 +59,11 @@ def test_query_survives_empty_tables(spark, empty_sf, name):
     if name == "documents_curation_funnel":
         # global count aggregates: four stage rows, all zero
         assert [r.n_docs for r in rows] == [0, 0, 0, 0]
+    elif name == "dedup_lsh_quality_report":
+        # global counts: one row, zero pairs, vacuous ratios = 1.0
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.n_candidates, r.n_true_pairs, r.n_verified) == (0, 0, 0)
+        assert r.candidate_precision == 1.0 and r.recall == 1.0
     else:
         assert rows == []
