@@ -1740,6 +1740,72 @@ def embedding_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_contamination_semantic",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    split AS (
+      SELECT *,
+             {_BASE_HASH.format(s="CAST(vec_id AS VARCHAR) || ':lp'")} % 100 < 80
+               AS is_train
+      FROM e
+    ),
+    tr AS (SELECT vec_id, v FROM split WHERE is_train),
+    ev AS (SELECT vec_id AS q_id, v AS qv FROM split WHERE NOT is_train),
+    scored AS (
+      SELECT q_id, tr.vec_id, {_cos_sql("v", "qv")} AS cos
+      FROM tr, ev
+    ),
+    nn AS (
+      SELECT q_id, vec_id, cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, vec_id) AS rk
+        FROM scored)
+      WHERE rk = 1
+    )
+    SELECT q_id AS vec_id, vec_id AS nn_vec_id, cos AS max_cos,
+           cos >= 0.42 AS contaminated
+    FROM nn ORDER BY vec_id
+    """,
+)
+def embedding_contamination_semantic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEMANTIC decontamination — the third member of the trio
+    (``documents_contamination`` exact n-grams,
+    ``documents_contamination_fuzzy`` MinHash near-dup, this one
+    embedding similarity): every eval-split vector reports its nearest
+    train-split vector by cosine and whether that similarity crosses
+    the contamination threshold — the screen that catches paraphrased
+    benchmark leakage token-level methods miss. Composed from
+    ``knn_join`` (k=1; broadcast eval side, cached-norm dot); at scale
+    swap in ``ivf_knn_join`` exactly as in
+    ``embedding_label_propagation``. Threshold 0.42 sits at ~p90 of
+    the max-cosine distribution on this corpus (near-uniform synthetic
+    vectors; real text embeddings concentrate near 1.0 for true
+    leaks)."""
+    from ..operators.dedup import base_hash
+    from ..operators.similarity import knn_join
+
+    e = load_table(spark, sf_dir, "embeddings")
+    is_train = (
+        base_hash(F.concat(F.col("vec_id").cast("string"), F.lit(":lp")))
+        % 100
+        < 80
+    )
+    nn = knn_join(e.filter(is_train), e.filter(~is_train), k=1)
+    return nn.select(
+        F.col("q_id").alias("vec_id"),
+        F.col("vec_id").alias("nn_vec_id"),
+        F.col("cos").alias("max_cos"),
+        (F.col("cos") >= 0.42).alias("contaminated"),
+    )
+
+
+@register(
     "ann_lsh_topk",
     oracle=f"""
     WITH e AS (

@@ -164,6 +164,7 @@ BACK: tuple[str, ...] = (
     "embedding_quantize",
     "embedding_centroids",
     "embedding_label_propagation",
+    "embedding_contamination_semantic",
     "events_sessionize",
     "multimodal_frames",
     "multimodal_resized",
