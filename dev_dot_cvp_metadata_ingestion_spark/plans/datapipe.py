@@ -678,6 +678,98 @@ def curation_funnel_scoped(d: DataFrame):
             h.unpersist()
 
 
+@register(
+    "documents_training_examples",
+    oracle=f"""
+    WITH {_CURATED_CTES},
+    cur_docs AS (
+      SELECT d.doc_id, d.source, d.text
+      FROM documents d JOIN curated c ON c.doc_id = d.doc_id
+    ),
+    toks2 AS (
+      SELECT doc_id, source, {_TOKS.format(c="text")} AS t FROM cur_docs
+    ),
+    starts AS (
+      SELECT doc_id, source, t,
+             unnest(CASE WHEN len(t) > 0 THEN
+               generate_series(0, len(t) - 1, 24) ELSE [] END) AS start_pos
+      FROM toks2
+    ),
+    chunks AS (
+      SELECT doc_id, source, start_pos // 24 AS chunk_id,
+             len(list_slice(t, start_pos + 1, start_pos + 32))
+               AS n_chunk_tokens,
+             array_to_string(list_slice(t, start_pos + 1, start_pos + 32),
+                             ' ') AS chunk_text
+      FROM starts
+    )
+    SELECT doc_id, chunk_id, source, n_chunk_tokens, chunk_text,
+           CAST(coalesce(sum(n_chunk_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id, chunk_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS offset,
+           CAST(floor(coalesce(sum(n_chunk_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id, chunk_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 64.0)
+             AS BIGINT) AS seq_id
+    FROM chunks
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def documents_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's TERMINAL artifact, end to end in one declarative
+    plan: raw corpus → full curation (dedup keepers → repetition →
+    quality quartile → mixture rebalance, the flagship
+    ``documents_curated`` subtree) → 32/24 sliding-window chunking of
+    the survivors' text → per-source-shard sequence packing (running
+    offset + 64-token seq_id per chunk). What a training run actually
+    consumes — one query from object store to packed examples. Every
+    stage keeps its standalone operator's scale shape: broadcast
+    gates, map-side chunk generator, cumsum window PARTITIONED by the
+    shard key (state bounded by the largest shard, never global).
+    Oracle composes the curated CTE block verbatim with the
+    chunk/pack SQL, so the composition can't drift from the pieces."""
+    d = load_table(spark, sf_dir, "documents")
+    cur = _curated_plan(d).select("doc_id")
+    docs = d.join(cur, "doc_id").select(
+        "doc_id", "source", tokens(F.col("text")).alias("t")
+    )
+    starts = docs.select(
+        "doc_id",
+        "source",
+        "t",
+        F.explode(
+            F.when(
+                F.size("t") > 0,
+                F.sequence(F.lit(0), F.size("t") - 1, F.lit(24)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("start_pos"),
+    )
+    chunk = F.slice("t", F.col("start_pos") + 1, 32)
+    chunks = starts.select(
+        "doc_id",
+        (F.col("start_pos") / 24).cast("long").alias("chunk_id"),
+        "source",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("n_chunk_tokens").over(w), F.lit(0).cast("long"))
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "source",
+        "n_chunk_tokens",
+        "chunk_text",
+        offset.alias("offset"),
+        F.floor(offset / 64.0).cast("long").alias("seq_id"),
+    )
+
+
 def _curated_plan(d: DataFrame, pin=lambda df: df) -> DataFrame:
     """Curation pipeline plan over a documents frame. ``pin`` is
     applied at the diamond-shared stage boundaries (scored, clean,

@@ -154,6 +154,7 @@ BACK: tuple[str, ...] = (
     "text_bigram_lm",
     "documents_mixture_sample",
     "documents_contamination",
+    "documents_training_examples",
     "documents_rarity_score",
     "documents_repetition_filter",
     "dedup_keep_best",
