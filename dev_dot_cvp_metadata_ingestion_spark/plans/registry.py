@@ -89,8 +89,8 @@ BOARD: tuple[str, ...] = (
     "documents_classifier_score",
     "documents_lm_score",
     "text_tfidf_top_terms",
-    "text_token_counts",
     # corpus curation / profiling
+    "documents_training_examples",
     "documents_split",
     "corpus_profile",
     "documents_quality_filter",
@@ -143,6 +143,7 @@ BACK: tuple[str, ...] = (
     "events_props_map",
     "text_lang_id",
     "text_fingerprints",
+    "text_token_counts",
     "documents_length_histogram",
     "dedup_simhash",
     "ann_lsh_topk",
@@ -154,7 +155,6 @@ BACK: tuple[str, ...] = (
     "text_bigram_lm",
     "documents_mixture_sample",
     "documents_contamination",
-    "documents_training_examples",
     "documents_rarity_score",
     "documents_repetition_filter",
     "dedup_keep_best",
