@@ -56,10 +56,11 @@ def query_names() -> list[str]:
 # (BOARD + BACK == registered, no dupes) in
 # tests/test_registry_analyzes.py.
 #
-# ROTATION (round 7, VERDICT r6 item 7): 19 queries were swapped onto
+# ROTATION (round 7, VERDICT r6 item 7): 20 queries were swapped onto
 # the board — 16 variants that had never (or not recently) had an
 # independent driver row, plus the new documents_contamination_bloom /
-# documents_curation_funnel / documents_lm_score rows. The 19 reps
+# documents_curation_funnel / documents_lm_score rows and the
+# end-to-end documents_training_examples terminal query. The 20 reps
 # that yielded their slots (top of BACK below) each carried 2+
 # consecutive fully-green driver rounds and remain hash-checked
 # locally every pytest run. No-oracle queries (BPE, approximation
