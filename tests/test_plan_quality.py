@@ -305,7 +305,8 @@ PER_ROW_OUTPUT = [
     "documents_repetition_filter", "documents_contamination",
     "documents_contamination_fuzzy", "documents_contamination_bloom",
     "dedup_ngram_pairs_capped", "dedup_clusters_contracted",
-    "embedding_label_propagation",
+    "dedup_containment_pairs_capped", "embedding_label_propagation",
+    "embedding_contamination_semantic", "documents_training_examples",
     "dedup_exact", "dedup_minhash_pairs",
     "dedup_clusters", "dedup_simhash", "dedup_ngram_pairs",
     "dedup_containment_pairs", "dedup_keep_best", "embedding_quantize",
