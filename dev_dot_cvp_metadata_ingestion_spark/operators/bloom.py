@@ -100,6 +100,13 @@ def bloom_probe(
 
     One broadcast semi-join per hash function; the bitmap exchange is
     identical across probes, so Spark reuses one broadcast."""
+    clash = {"_bloom_widx", "_bloom_mask"} & set(df.columns)
+    if clash:
+        # withColumn would silently REPLACE same-named caller columns
+        # and then drop them — fail loudly instead (ADVICE r7)
+        raise ValueError(
+            f"bloom_probe working columns collide with input: {sorted(clash)}"
+        )
     out = df
     for seed in range(num_hashes):
         p = _bit_position(F.col(col), seed, num_bits)

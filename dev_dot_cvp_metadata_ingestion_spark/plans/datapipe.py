@@ -1743,9 +1743,11 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(e, e.filter(F.col("vec_id") < 5), k=5)
 
 
-@register(
-    "embedding_label_propagation",
-    oracle=f"""
+# shared by embedding_label_propagation and its _ivf twin: at
+# nprobe = n_cells the IVF join surfaces every (query, corpus) pair
+# exactly once, so both plans compute the identical relation and the
+# one exact oracle certifies both
+_LABEL_PROP_ORACLE = f"""
     WITH e AS (
       SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1780,8 +1782,10 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY votes DESC, label) AS rk
       FROM votes)
     WHERE rk = 1 ORDER BY vec_id
-    """,
-)
+    """
+
+
+@register("embedding_label_propagation", oracle=_LABEL_PROP_ORACLE)
 def embedding_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-supervised label propagation — the auto-labeling step of a
     training-data pipeline: each vector in the 20% "unlabeled" hash
@@ -1792,10 +1796,13 @@ def embedding_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: one map-side scoring pass over the labeled corpus plus the
     bounded top-k, then a |labels|-ary vote aggregate per query. The
     argmax is a ``min_by`` over (-votes, label) — no window over the
-    vote relation. When the unlabeled side outgrows a broadcast, swap
-    in ``ivf_knn_join`` (same output columns, cell join instead of
-    broadcast, recall knob nprobe) — the rest of the plan is
-    unchanged."""
+    vote relation.
+
+    SMALL-QUERY SPECIAL CASE: the broadcast-query contract means the
+    unlabeled split must fit in a broadcast. The scale form is
+    ``embedding_label_propagation_ivf`` — identical output (same
+    oracle), built on ``ivf_knn_join`` which broadcasts NEITHER side;
+    prefer it whenever the query split is corpus-sized."""
     from ..operators.dedup import base_hash
     from ..operators.similarity import knn_join
 
@@ -1831,9 +1838,7 @@ def embedding_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_contamination_semantic",
-    oracle=f"""
+_SEMANTIC_CONTAM_ORACLE = f"""
     WITH e AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1861,8 +1866,10 @@ def embedding_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT q_id AS vec_id, vec_id AS nn_vec_id, cos AS max_cos,
            cos >= 0.42 AS contaminated
     FROM nn ORDER BY vec_id
-    """,
-)
+    """
+
+
+@register("embedding_contamination_semantic", oracle=_SEMANTIC_CONTAM_ORACLE)
 def embedding_contamination_semantic(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1873,9 +1880,10 @@ def embedding_contamination_semantic(
     train-split vector by cosine and whether that similarity crosses
     the contamination threshold — the screen that catches paraphrased
     benchmark leakage token-level methods miss. Composed from
-    ``knn_join`` (k=1; broadcast eval side, cached-norm dot); at scale
-    swap in ``ivf_knn_join`` exactly as in
-    ``embedding_label_propagation``. Threshold 0.42 sits at ~p90 of
+    ``knn_join`` (k=1; broadcast eval side, cached-norm dot) — the
+    SMALL-query special case; the scale form is
+    ``embedding_contamination_semantic_ivf`` (same oracle, broadcasts
+    neither side). Threshold 0.42 sits at ~p90 of
     the max-cosine distribution on this corpus (near-uniform synthetic
     vectors; real text embeddings concentrate near 1.0 for true
     leaks)."""
@@ -1889,6 +1897,92 @@ def embedding_contamination_semantic(
         < 80
     )
     nn = knn_join(e.filter(is_train), e.filter(~is_train), k=1)
+    return nn.select(
+        F.col("q_id").alias("vec_id"),
+        F.col("vec_id").alias("nn_vec_id"),
+        F.col("cos").alias("max_cos"),
+        (F.col("cos") >= 0.42).alias("contaminated"),
+    )
+
+
+_IVF_CELLS = 8
+
+
+def _lp_split(e):
+    """The 80/20 labeled/unlabeled hash split shared by the label-
+    propagation and semantic-decontamination queries (both forms)."""
+    from ..operators.dedup import base_hash
+
+    is_labeled = (
+        base_hash(F.concat(F.col("vec_id").cast("string"), F.lit(":lp")))
+        % 100
+        < 80
+    )
+    return e.filter(is_labeled), e.filter(~is_labeled)
+
+
+@register("embedding_label_propagation_ivf", oracle=_LABEL_PROP_ORACLE)
+def embedding_label_propagation_ivf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB form of ``embedding_label_propagation`` — identical
+    output (it shares the exact oracle), but the k-NN step is
+    ``ivf_knn_join``, which broadcasts NEITHER side: corpus vectors
+    shuffle once into their learned k-means cell, queries shuffle once
+    to the cells they probe, and the candidate join is an ordinary
+    AQE-splittable shuffle join on the cell key. At nprobe = n_cells
+    every pair still surfaces exactly once (same cosine, same
+    tie-break — pinned in tests/test_ann_recall.py), so the plan is
+    exact here while carrying the recall/cost knob (lower nprobe) a
+    real 100 TB run would turn. The broadcast ``knn_join`` form
+    remains registered as the small-query special case.
+    tests/test_plan_quality.py asserts this plan's knn joins are
+    shuffle joins (no corpus-sized broadcast) with hints-only
+    broadcasting disabled."""
+    from ..operators.similarity import ivf_knn_join
+
+    e = load_table(spark, sf_dir, "embeddings")
+    labeled, unlabeled = _lp_split(e)
+    nn = ivf_knn_join(
+        labeled, unlabeled, k=5, n_cells=_IVF_CELLS, nprobe=_IVF_CELLS
+    )
+    votes = (
+        nn.join(labeled.select("vec_id", "label"), "vec_id")
+        .groupBy("q_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    return (
+        votes.groupBy("q_id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("label"), F.col("votes")),
+                F.struct((-F.col("votes")).alias("neg"), F.col("label")),
+            ).alias("_win")
+        )
+        .select(
+            F.col("q_id").alias("vec_id"),
+            F.col("_win.label").alias("predicted_label"),
+            F.col("_win.votes").alias("votes"),
+        )
+    )
+
+
+@register("embedding_contamination_semantic_ivf", oracle=_SEMANTIC_CONTAM_ORACLE)
+def embedding_contamination_semantic_ivf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB form of ``embedding_contamination_semantic`` — same
+    output and oracle, but the nearest-train-neighbor search is
+    ``ivf_knn_join`` (cell-keyed shuffle join, neither side broadcast;
+    exact at nprobe = n_cells, recall knob below that). An eval split
+    at real scale is itself corpus-sized — benchmark suites plus
+    held-out shards — which is exactly the population the broadcast
+    form cannot carry."""
+    from ..operators.similarity import ivf_knn_join
+
+    e = load_table(spark, sf_dir, "embeddings")
+    train, ev = _lp_split(e)
+    nn = ivf_knn_join(train, ev, k=1, n_cells=_IVF_CELLS, nprobe=_IVF_CELLS)
     return nn.select(
         F.col("q_id").alias("vec_id"),
         F.col("vec_id").alias("nn_vec_id"),

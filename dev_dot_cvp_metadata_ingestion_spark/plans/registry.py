@@ -56,16 +56,21 @@ def query_names() -> list[str]:
 # (BOARD + BACK == registered, no dupes) in
 # tests/test_registry_analyzes.py.
 #
-# ROTATION (round 7, VERDICT r6 item 7): 20 queries were swapped onto
-# the board — 16 variants that had never (or not recently) had an
-# independent driver row, plus the new documents_contamination_bloom /
-# documents_curation_funnel / documents_lm_score rows and the
-# end-to-end documents_training_examples terminal query. The 20 reps
-# that yielded their slots (top of BACK below) each carried 2+
-# consecutive fully-green driver rounds and remain hash-checked
-# locally every pytest run. No-oracle queries (BPE, approximation
-# twins) deliberately stay in BACK so every board row keeps the
-# strongest (hash) check.
+# ROTATION (round 8, VERDICT r7 item 6): 14 queries swapped onto the
+# board — the 12 within-family variants that had never had a driver
+# row (text_fingerprint_overlap, text_bigram_lm,
+# documents_mixture_sample, documents_contamination,
+# documents_rarity_score, documents_repetition_filter,
+# dedup_keep_best, embedding_quantize, embedding_centroids,
+# events_sessionize, multimodal_frames, multimodal_resized) plus the
+# two NEW ivf_knn_join-composed twins (VERDICT r7 item 1:
+# embedding_label_propagation_ivf,
+# embedding_contamination_semantic_ivf — the 100 TB-safe forms now
+# carry the driver's hash check). The 14 reps that yielded (top of
+# BACK) each carried 2+ consecutive fully-green driver rounds (r6+r7)
+# and remain hash-checked locally every pytest run. No-oracle queries
+# (BPE, approximation twins) deliberately stay in BACK so every board
+# row keeps the strongest (hash) check.
 BOARD: tuple[str, ...] = (
     # relational core
     "pricing_summary",
@@ -86,30 +91,27 @@ BOARD: tuple[str, ...] = (
     "csv_rule_validation",
     "events_asof_last_signup",
     # text analysis + model-derived scoring
-    "text_stats",
+    "text_fingerprint_overlap",
+    "text_bigram_lm",
     "documents_classifier_score",
     "documents_lm_score",
     "text_tfidf_top_terms",
     # corpus curation / profiling
     "documents_training_examples",
-    "documents_split",
-    "corpus_profile",
-    "documents_quality_filter",
-    "documents_curated",
+    "documents_mixture_sample",
+    "documents_rarity_score",
+    "documents_repetition_filter",
     "documents_curation_funnel",
     "corpus_source_overlap",
-    "documents_contamination_fuzzy",
+    "documents_contamination",
     "documents_contamination_bloom",
     "documents_chunked",
     "documents_packed",
     "documents_source_cap",
     "corpus_vocab_by_source",
     # dedup family
-    "dedup_exact",
-    "dedup_minhash_pairs",
+    "dedup_keep_best",
     "dedup_minhash_banded",
-    "dedup_semantic_keep",
-    "dedup_clusters",
     "dedup_ngram_pairs",
     "dedup_containment_pairs",
     "dedup_embedding_pairs",
@@ -117,20 +119,38 @@ BOARD: tuple[str, ...] = (
     # similarity / ANN / embeddings
     "ann_bruteforce_topk",
     "ann_ivf_kmeans_topk",
-    "ann_knn_join",
-    "embedding_kmeans",
+    "embedding_label_propagation_ivf",
+    "embedding_contamination_semantic_ivf",
+    "embedding_quantize",
+    "embedding_centroids",
     "embedding_zscore",
     # event sequences / sessions / sequence mining
-    "events_top_transitions",
+    "events_sessionize",
     "events_range_join",
     # multimodal plumbing
-    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_resized",
 )
 
 BACK: tuple[str, ...] = (
-    # --- rotated off the board in round 7 (2+ green driver rounds
-    # each; family coverage continues via the promoted variants and
-    # the local 87-query hash-parity suite) ---
+    # --- rotated off the board in round 8 (2+ green driver rounds
+    # each — r6+r7; family coverage continues via the promoted
+    # variants and the local hash-parity suite) ---
+    "text_stats",
+    "documents_split",
+    "corpus_profile",
+    "documents_quality_filter",
+    "documents_curated",
+    "documents_contamination_fuzzy",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_semantic_keep",
+    "dedup_clusters",
+    "ann_knn_join",
+    "embedding_kmeans",
+    "events_top_transitions",
+    "multimodal_features",
+    # --- rotated off in round 7 ---
     "top_orders_per_priority",
     "customers_without_orders",
     "order_priority_rollup",
@@ -152,24 +172,12 @@ BACK: tuple[str, ...] = (
     "events_sessionize_native",
     "events_cohort_retention",
     # --- within-family variants ---
-    "text_fingerprint_overlap",
-    "text_bigram_lm",
-    "documents_mixture_sample",
-    "documents_contamination",
-    "documents_rarity_score",
-    "documents_repetition_filter",
-    "dedup_keep_best",
     "dedup_lsh_quality_report",
     "dedup_clusters_contracted",
     "dedup_ngram_pairs_capped",
     "dedup_containment_pairs_capped",
-    "embedding_quantize",
-    "embedding_centroids",
     "embedding_label_propagation",
     "embedding_contamination_semantic",
-    "events_sessionize",
-    "multimodal_frames",
-    "multimodal_resized",
     # --- iterative vocabulary induction (python-reference-pinned, no
     # SQL oracle — data-dependent per-round argmax) ---
     "text_bpe_merges",

@@ -75,6 +75,27 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` holds at least one committed parquet data
+    file, resolved through the Hadoop FileSystem API (works for
+    file://, s3a://, hdfs:// — anywhere the session's
+    hadoopConfiguration can reach; ``os.path`` only sees the driver's
+    local disk). A directory that exists but carries no data file — a
+    partially-written bootstrap that died before commit — counts as
+    absent, so callers re-bootstrap instead of merging into garbage."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return False
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            return True
+    return False
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,
@@ -201,10 +222,19 @@ def zorder_key(col_a, col_b, lo_a, hi_a, lo_b, hi_b, bits: int = 16):
     from pyspark.sql import functions as F
 
     def norm(c, lo, hi):
-        span = max(hi - lo, 1)
+        # hi == lo (constant column) → every row maps to bucket 0; any
+        # positive span is used AS-IS so sub-unit domains (doubles in
+        # [0, 0.05]) still spread across all 2^bits buckets instead of
+        # collapsing to a few low bits (ADVICE r7: the old
+        # max(span, 1) clamp silently degraded 2-D skipping for
+        # domains narrower than 1.0 — the clamp was only ever needed
+        # for the degenerate hi == lo case).
+        span = float(hi) - float(lo)
+        if span <= 0.0:
+            return F.lit(0).cast("long")
         scaled = (
             (c.cast("double") - F.lit(float(lo)))
-            / F.lit(float(span))
+            / F.lit(span)
             * F.lit(float((1 << bits) - 1))
         )
         return F.least(
@@ -253,6 +283,14 @@ def write_zorder_layout(
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).collect()[0]
+    if lo_a is None or lo_b is None:
+        # empty input (or an all-NULL key column): there is nothing to
+        # lay out — write the frame as-is instead of crashing on
+        # float(None), matching the empty-input contract the sibling
+        # writers and every registered query are pinned to
+        # (tests/test_empty_inputs.py; ADVICE r7)
+        df.write.mode("overwrite").parquet(path)
+        return
     z = zorder_key(
         F.col(col_a), F.col(col_b), lo_a, hi_a, lo_b, hi_b, bits
     ).alias("_z")

@@ -178,11 +178,30 @@ def _check_transitions_watermarked(
         last_sn = last_rid = last_gen = last_recv = None
         n_seen = 0
 
+    # beyond-allowance arrivals drop deterministically, but NOT
+    # silently: each drop emits its own violation row, because the
+    # dropped population is exactly the one the W4 time-regression
+    # check exists to flag — a bare continue would make beyond-
+    # allowance anomalies invisible (ADVICE r7)
+    dropped: list[dict[str, Any]] = []
     for pdf in pdf_iter:
         for row in pdf.itertuples(index=False):
             gen_us = int(row.gen_micros)
             if gen_us < wm_ms * 1000:
-                continue  # deterministic operator-enforced late drop
+                dropped.append(
+                    dict(
+                        bundle_key=bundle_key,
+                        serial_number=int(row.sn),
+                        field_path="operator.watermarkLateDrop",
+                        valid=False,
+                        details=(
+                            "Dropped record beyond lateness allowance: "
+                            f"recordGeneratedAt {gen_us // 1_000_000} is "
+                            f"behind watermark {wm_ms // 1000}"
+                        ),
+                    )
+                )
+                continue
             buf.append(
                 (gen_us, int(row.sn), int(row.rid), int(row.bs),
                  int(row.recv_epoch))
@@ -195,7 +214,7 @@ def _check_transitions_watermarked(
     # the reference validates in serial order, not arrival order: the
     # ripened slice is re-sorted by (sn, rid) before chaining — this is
     # what repairs in-allowance arrival reordering exactly
-    out: list[dict[str, Any]] = []
+    out: list[dict[str, Any]] = dropped
     for gen_us, sn, rid, bs, recv in sorted(
         ripe, key=lambda e: (e[1], e[2])
     ):
@@ -279,7 +298,9 @@ def stateful_sequential_checks_watermarked(
     repaired exactly and genuinely non-monotone serials still raise
     the reference's errors. Beyond-allowance arrivals drop
     deterministically (operator-enforced, same contract as
-    ``stateful_event_transitions_watermarked``).
+    ``stateful_event_transitions_watermarked``) — and each drop emits
+    an ``operator.watermarkLateDrop`` violation row so beyond-allowance
+    time regressions stay observable instead of vanishing.
 
     ``records`` must be a STREAMING DataFrame with columns stream_key
     (string), bid, sn, rid, bs (long), ts (timestamp — the

@@ -186,14 +186,19 @@ def merge_upsert_sink(
     versions of a key across the whole stream.
 
     The first batch bootstraps the table with a plain partitioned
-    write (there is nothing to merge into yet)."""
-    import os
-
-    from ..sources.catalog import merge_latest_partitioned
+    write (there is nothing to merge into yet). Existence is detected
+    through the Hadoop FileSystem API resolved from the session's
+    hadoopConfiguration — NOT ``os.path`` — so the sink behaves
+    identically for local, s3a:// and hdfs:// table paths (ADVICE r7:
+    an os.path check is false forever on object stores, which would
+    silently turn every micro-batch into a truncating overwrite). A
+    directory with no committed parquet data file (a partially-written
+    bootstrap) also counts as absent."""
+    from ..sources.catalog import merge_latest_partitioned, table_exists
 
     def sink(df: DataFrame, batch_id: int) -> None:
         spark = df.sparkSession
-        if not os.path.exists(path):
+        if not table_exists(spark, path):
             # bootstrap still needs the WITHIN-batch argmax — the first
             # batch may already carry several versions of a key
             latest = (

@@ -114,3 +114,16 @@ def test_bloom_probe_sits_below_gram_join(spark):
     assert len(semi_below) >= 2, (
         "expected both bloom semi-join probes below the exact gram join"
     )
+
+
+def test_bloom_probe_rejects_colliding_working_columns(spark):
+    """ADVICE r7: an input already carrying _bloom_widx/_bloom_mask
+    must fail loudly — withColumn would silently replace and then drop
+    the caller's columns."""
+    import pytest as _pytest
+
+    values = spark.range(10).select(F.col("id").cast("string").alias("g"))
+    bitmap = bloom_build(values, "g", num_bits=NUM_BITS)
+    poisoned = values.withColumn("_bloom_widx", F.lit(1))
+    with _pytest.raises(ValueError, match="_bloom_widx"):
+        bloom_probe(poisoned, "g", bitmap, num_bits=NUM_BITS)

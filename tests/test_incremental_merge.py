@@ -232,3 +232,24 @@ def test_merge_upsert_sink_streaming_cdc(spark, tmp_path):
 
     run("ckpt2")  # full replay from scratch: table must not change
     assert table_rows() == got
+
+
+def test_table_exists_hadoop_fs(spark, tmp_path):
+    """ADVICE r7: existence detection goes through the Hadoop
+    FileSystem API, and a directory with no committed parquet data
+    file (a partially-written bootstrap) counts as absent."""
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+        table_exists,
+    )
+
+    path = str(tmp_path / "t")
+    assert not table_exists(spark, path)
+    # directory exists but holds no committed data file → still absent
+    import os
+
+    os.makedirs(path)
+    open(os.path.join(path, "_SUCCESS"), "w").close()
+    open(os.path.join(path, ".part-000.parquet.crc"), "w").close()
+    assert not table_exists(spark, path)
+    spark.range(3).write.mode("overwrite").parquet(path)
+    assert table_exists(spark, path)

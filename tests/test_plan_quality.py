@@ -306,7 +306,9 @@ PER_ROW_OUTPUT = [
     "documents_contamination_fuzzy", "documents_contamination_bloom",
     "dedup_ngram_pairs_capped", "dedup_clusters_contracted",
     "dedup_containment_pairs_capped", "embedding_label_propagation",
-    "embedding_contamination_semantic", "documents_training_examples",
+    "embedding_contamination_semantic", "embedding_label_propagation_ivf",
+    "embedding_contamination_semantic_ivf", "ann_knn_join",
+    "documents_training_examples",
     "dedup_exact", "dedup_minhash_pairs",
     "dedup_clusters", "dedup_simhash", "dedup_ngram_pairs",
     "dedup_containment_pairs", "dedup_keep_best", "embedding_quantize",
@@ -343,6 +345,51 @@ def test_no_topmost_global_sort_on_per_row_outputs(spark):
             f"{name}: topmost global Sort on a corpus-sized output — "
             "presentational, drop it"
         )
+
+
+def test_ivf_twins_broadcast_neither_knn_side(spark):
+    """VERDICT r7 item 1: the registered IVF-composed twins must get
+    their k-NN candidates through SHUFFLE joins on the learned cell
+    key — neither the corpus nor the query split rides a broadcast.
+    With auto-broadcast disabled, only explicit hints broadcast, so
+    the plan shape is unambiguous: the broadcast knn_join control
+    plans ZERO shuffle joins (its hint carries the whole query split),
+    while the IVF form's only broadcasts are the k-row centroid
+    relation and its corpus/probe joins are SortMergeJoin."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name in (
+            "embedding_label_propagation_ivf",
+            "embedding_contamination_semantic_ivf",
+        ):
+            plan = plan_of(name, spark)
+            assert plan.count("SortMergeJoin") >= 2, (
+                f"{name}: knn candidate join is not a shuffle join"
+            )
+        # A/B control: the broadcast form has no shuffle join at all —
+        # its F.broadcast(q) hint IS the scale-killer the IVF twin
+        # removes (if this ever grows an SMJ, the contrast is void)
+        control = plan_of("embedding_contamination_semantic", spark)
+        assert "SortMergeJoin" not in control
+        assert "BroadcastNestedLoopJoin" in control
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_knn_join_no_topmost_global_sort(spark):
+    """VERDICT r7 item 5: _topk_per_query returns UNORDERED output —
+    the terminal global sort moved to presentation call sites, so the
+    operator composes mid-plan without Catalyst having to eliminate
+    it. (ann_knn_join + the ivf twins are also in PER_ROW_OUTPUT.)"""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.similarity import (
+        knn_join,
+    )
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    df = knn_join(e, e.filter(F.col("vec_id") < 3), k=3)
+    assert not _is_global_sort(df._jdf.queryExecution().optimizedPlan())
 
 
 def test_minhash_pin_reuses_exchange(spark):

@@ -78,8 +78,16 @@ def test_watermarked_sequential_checks_shuffled_feed(spark, tmp_path):
     assert q.awaitTermination(300), "availableNow drain exceeded 300s"
 
     # survivors are 0,1,2,3,5..9 (sn=4 dropped beyond allowance): the
-    # ONLY errors are the rid+sn gap at sn=5; the late-but-in-allowance
-    # sn=2 and the swapped 9/7 arrivals are repaired silently
+    # ONLY check errors are the rid+sn gap at sn=5; the
+    # late-but-in-allowance sn=2 and the swapped 9/7 arrivals are
+    # repaired silently. The beyond-allowance drop itself must be
+    # OBSERVABLE: exactly one operator.watermarkLateDrop row for sn=4
+    # (ADVICE r7 — a silent drop hides precisely the time-regression
+    # population W4 exists to flag).
+    drops = [r for r in got if r.field_path == "operator.watermarkLateDrop"]
+    assert [r.serial_number for r in drops] == [4], [tuple(r) for r in got]
+    assert not drops[0].valid and "behind watermark" in drops[0].details
+    got = [r for r in got if r.field_path != "operator.watermarkLateDrop"]
     assert len(got) == 2, [tuple(r) for r in got]
     by_field = {r.field_path: r for r in got}
     sn_err = by_field["metadata.serialId.serialNumber"]

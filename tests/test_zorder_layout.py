@@ -87,3 +87,56 @@ def test_zorder_skips_on_both_dimensions(spark, tmp_path):
             tuple(r) for r in spark.read.parquet(spath).filter(pred).collect()
         )
         assert a == b and a
+
+
+def test_zorder_empty_input_writes_empty_table(spark, tmp_path):
+    """ADVICE r7: an empty input must write an empty table (same
+    empty-input contract as every registered query), not crash on the
+    NULL min/max aggregate."""
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
+        .filter(F.lit(False))
+    )
+    path = str(tmp_path / "empty_z")
+    write_zorder_layout(ev, path, "user_id", "ts_us", n_files=4)
+    out = spark.read.parquet(path)
+    assert out.count() == 0
+    assert set(out.columns) == {"user_id", "event_id", "ts_us"}
+
+
+def test_zorder_subunit_domain_still_buckets(spark, tmp_path):
+    """ADVICE r7: a numeric domain narrower than 1.0 (doubles in
+    [0, 0.05]) must still spread across the Morton buckets — the old
+    max(span, 1) clamp collapsed it to a handful of low bits. Pinned
+    on the interleave expression itself: sub-unit domains must produce
+    (essentially) as many distinct z-keys as an integer-domain
+    control, and a constant column must not crash (span == 0 path)."""
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import zorder_key
+
+    n = 1024
+    base = spark.range(n)
+    sub = base.select(
+        zorder_key(
+            (F.col("id") / (n / 0.05)),  # doubles in [0, 0.05)
+            (F.pmod(F.col("id") * 37, F.lit(n)) / (n / 0.05)),
+            0.0, 0.05, 0.0, 0.05,
+        ).alias("z")
+    )
+    ctl = base.select(
+        zorder_key(
+            F.col("id"),
+            F.pmod(F.col("id") * 37, F.lit(n)),
+            0, n - 1, 0, n - 1,
+        ).alias("z")
+    )
+    n_sub = sub.select("z").distinct().count()
+    n_ctl = ctl.select("z").distinct().count()
+    assert n_sub >= n_ctl * 0.9, (n_sub, n_ctl)
+    # degenerate constant domain: all rows map to one bucket, no crash
+    const = base.select(
+        zorder_key(F.lit(0.02), F.col("id"), 0.02, 0.02, 0, n - 1).alias("z")
+    )
+    assert const.select("z").distinct().count() == base.select(
+        F.col("id")
+    ).distinct().count() > 0
