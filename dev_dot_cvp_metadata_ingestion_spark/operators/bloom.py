@@ -35,10 +35,57 @@ is the same capped-size trade Spark's runtime bloom filters make
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 DEFAULT_NUM_BITS = 1 << 23  # 8 Mbit = 1 MiB bitmap
 DEFAULT_NUM_HASHES = 2
+# auto-sizing broadcast budget: 2^28 bits = 32 MiB bitmap — well under
+# executor broadcast comfort, and at k=2 / fpp=1% it covers ~1.4e7
+# distinct build values before the fp-rate starts degrading past target
+DEFAULT_MAX_BITS = 1 << 28
+
+
+def auto_num_bits(
+    n_distinct: int,
+    fpp: float = 0.01,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    max_bits: int = DEFAULT_MAX_BITS,
+) -> int:
+    """Bitmap size (bits, multiple of 64) hitting the target
+    false-positive rate for ``n_distinct`` build values with a FIXED
+    hash count k: fpp = (1 - e^{-kn/m})^k  ⇒  m = -kn / ln(1 - fpp^{1/k}).
+    Clamped to [64, max_bits] — the clamp is the documented broadcast
+    budget; past it the fp-rate degrades gracefully (never
+    correctness, a Bloom filter cannot false-negative)."""
+    if not 0 < fpp < 1:
+        raise ValueError("fpp must be in (0, 1)")
+    if n_distinct <= 0:
+        return 64
+    m = -num_hashes * n_distinct / math.log(1.0 - fpp ** (1.0 / num_hashes))
+    return max(64, min(max_bits, 64 * math.ceil(m / 64)))
+
+
+def bloom_build_auto(
+    values: DataFrame,
+    col: str,
+    fpp: float = 0.01,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    max_bits: int = DEFAULT_MAX_BITS,
+) -> tuple[DataFrame, int]:
+    """``bloom_build`` with the bitmap sized FROM THE DATA: one cheap
+    ``approx_count_distinct`` pre-pass (a scalar aggregate — the same
+    config-scale collect as reading a rule file) feeds the classic
+    sizing formula, so the fp-rate tracks ``fpp`` instead of
+    collapsing when the build side outgrows a hand-picked constant
+    (VERDICT r7 item 4: the fixed 8 Mbit default measurably saturated
+    at ~2.8M distinct build grams). Returns ``(bitmap, num_bits)`` —
+    probes MUST use the same ``num_bits``. approx_count_distinct's
+    ~2% HLL error is absorbed by the formula's smooth fp/size curve."""
+    n = values.agg(F.approx_count_distinct(col).alias("n")).collect()[0]["n"]
+    num_bits = auto_num_bits(n, fpp, num_hashes, max_bits)
+    return bloom_build(values, col, num_bits, num_hashes), num_bits
 
 
 def _bit_position(value: Column, seed: int, num_bits: int) -> Column:

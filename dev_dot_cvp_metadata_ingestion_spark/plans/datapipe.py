@@ -1207,9 +1207,10 @@ def documents_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("documents_contamination_bloom", oracle=_CONTAMINATION_ORACLE)
 def documents_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``documents_contamination`` with the 100 TB pre-join that
-    SCALE.md promised: eval-side grams are screened against a
-    fixed-size Bloom bitmap of the train gram set BEFORE the exact
-    gram join, so the join's shuffle carries only grams that might be
+    SCALE.md promised: eval-side grams are screened against a Bloom
+    bitmap of the train gram set — auto-sized from an
+    approx_count_distinct pre-pass to hold a 1% fp-rate, clamped to
+    the documented broadcast budget — BEFORE the exact gram join, so the join's shuffle carries only grams that might be
     contaminated (plus the bitmap's small false-positive tail) instead
     of every eval gram. Identical result to the exact form — a Bloom
     filter cannot false-negative, and the surviving false positives
@@ -1226,7 +1227,7 @@ def documents_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame
     the gram shuffle dominates: at 100 TB the eval gram relation is
     ~20% of a corpus-scale explode, and typically ≳95% of eval grams
     are clean and never leave their map task here."""
-    from ..operators.bloom import bloom_build, bloom_probe
+    from ..operators.bloom import bloom_build_auto, bloom_probe
     from ..operators.dedup import base_hash
 
     d = load_table(spark, sf_dir, "documents")
@@ -1251,9 +1252,13 @@ def documents_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame
     # per-doc totals must be counted BEFORE the bloom drops clean grams
     # (count("gram") skips the explode_outer NULL of zero-gram docs)
     base = ev.groupBy("doc_id").agg(F.count("gram").alias("n_grams"))
-    bitmap = bloom_build(train, "gram")
+    # bitmap sized from the data (approx_count_distinct pre-pass) so
+    # the fp-rate tracks the 1% target at any corpus size instead of
+    # saturating past a hand-picked constant (VERDICT r7 item 4)
+    bitmap, num_bits = bloom_build_auto(train, "gram", fpp=0.01)
     ev_maybe = bloom_probe(
-        ev.filter(F.col("gram").isNotNull()), "gram", bitmap
+        ev.filter(F.col("gram").isNotNull()), "gram", bitmap,
+        num_bits=num_bits,
     )
     hits = (
         ev_maybe.join(train.select("gram").distinct(), "gram")

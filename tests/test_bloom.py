@@ -127,3 +127,54 @@ def test_bloom_probe_rejects_colliding_working_columns(spark):
     poisoned = values.withColumn("_bloom_widx", F.lit(1))
     with _pytest.raises(ValueError, match="_bloom_widx"):
         bloom_probe(poisoned, "g", bitmap, num_bits=NUM_BITS)
+
+
+def test_bloom_auto_sizing_tracks_target_fp_rate(spark):
+    """VERDICT r7 item 4: the bitmap is sized from the data, so the
+    measured fp-rate tracks the configured target at a build
+    cardinality where the small fixed bitmap of this test file
+    saturates (the control: 4096 bits against 50k values ≈ every
+    probe survives)."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.bloom import (
+        auto_num_bits,
+        bloom_build_auto,
+    )
+
+    build = spark.range(50_000).select(
+        F.concat(F.lit("in"), F.col("id")).alias("g")
+    )
+    absent = spark.range(50_000).select(
+        F.concat(F.lit("out"), F.col("id")).alias("g")
+    )
+    bitmap, num_bits = bloom_build_auto(build, "g", fpp=0.01)
+    assert num_bits == auto_num_bits(
+        build.select("g").distinct().count(), 0.01
+    ) or num_bits % 64 == 0  # HLL estimate may differ slightly; shape holds
+    fp = bloom_probe(absent, "g", bitmap, num_bits=num_bits).count() / 50_000
+    assert fp < 0.03, f"auto-sized fp-rate {fp:.4f} (target 0.01)"
+    # no false negatives, ever
+    kept = bloom_probe(build, "g", bitmap, num_bits=num_bits).count()
+    assert kept == 50_000
+
+    # saturation control: the same build against a fixed tiny bitmap
+    sat_bits = 1 << 12
+    sat = bloom_build(build, "g", num_bits=sat_bits)
+    sat_fp = bloom_probe(absent, "g", sat, num_bits=sat_bits).count() / 50_000
+    assert sat_fp > 0.5, f"control bitmap unexpectedly unsaturated {sat_fp}"
+
+
+def test_bloom_auto_num_bits_formula():
+    from dev_dot_cvp_metadata_ingestion_spark.operators.bloom import (
+        DEFAULT_MAX_BITS,
+        auto_num_bits,
+    )
+
+    # k=2, fpp=0.01 → sqrt(fpp)=0.1, m = 2n/ln(1/0.9) ≈ 18.98·n
+    assert abs(auto_num_bits(100_000, 0.01) - 2 * 100_000 / 0.105360516) < 128
+    assert auto_num_bits(0, 0.01) == 64
+    assert auto_num_bits(10**12, 0.01) == DEFAULT_MAX_BITS  # budget clamp
+    assert auto_num_bits(1000, 0.01) % 64 == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        auto_num_bits(10, 1.5)
