@@ -45,7 +45,13 @@ def _python_bpe(word_freqs: dict[str, int], k: int):
     return merges
 
 
-def _python_bpe_batched(word_freqs: dict[str, int], k: int, batch: int):
+def _python_bpe_batched(
+    word_freqs: dict[str, int],
+    k: int,
+    batch: int,
+    max_batch: int | None = None,
+    window_mult: int = 4,
+):
     """Independent plain-Python implementation of the SAME batched
     schedule as operators/bpe.py:bpe_merges_batched: per round, rank
     pairs by (count desc, left, right) on one snapshot, greedily keep
@@ -63,7 +69,12 @@ def _python_bpe_batched(word_freqs: dict[str, int], k: int, batch: int):
     round_no = 0
     while len(learned) < k:
         round_no += 1
-        want = min(batch, k - len(learned))
+        cur_batch = (
+            min(batch << (round_no - 1), max_batch)
+            if max_batch is not None
+            else batch
+        )
+        want = min(cur_batch, k - len(learned))
         pairs: Counter = Counter()
         for syms, f in vocab.items():
             for i in range(len(syms) - 1):
@@ -72,7 +83,7 @@ def _python_bpe_batched(word_freqs: dict[str, int], k: int, batch: int):
             break
         candidates = sorted(
             pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )[: want * 4]
+        )[: want * window_mult]
         used: set[str] = set()
         picked = []
         for (left, right), count in candidates:
@@ -136,6 +147,56 @@ def test_bpe_batched_matches_python_reference_k64(spark):
     assert len(got) == 64
     assert got == expected
     assert max(r[5] for r in got) <= 8, "batched schedule ran too many rounds"
+
+
+def _rich_word_freqs(n_words: int = 3000) -> dict[str, int]:
+    """Deterministic synthetic vocabulary: the driver-generated
+    documents table holds only 31 distinct words (~107 possible
+    merges), far short of a realistic tokenizer run, so the k=1024
+    pin trains on a generated vocabulary of n_words distinct words
+    over a 7-letter alphabet with a skewed frequency profile."""
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    wf: dict[str, int] = {}
+    for i in range(n_words):
+        x = (i * 2654435761) % (26**12)
+        w = "".join(
+            alpha[(x // 26**j + j * i) % 26] for j in range(6 + i % 6)
+        )
+        wf[w] = wf.get(w, 0) + 1 + (i * 37) % 23
+    return wf
+
+
+def test_bpe_batched_adaptive_k1024(spark):
+    """VERDICT r7 item 3: a realistic vocabulary size — k=1024 merges
+    — learned with BOUNDED driver round-trips via adaptive batch
+    growth (16 → 256 doubling per round) plus a 16-deep candidate
+    window (the round-count lever past the hot-symbol conflict zone),
+    pinned row-for-row to the plain-Python reference implementing the
+    same schedule. 25 rounds measured on this adversarially-uniform
+    vocabulary — vs 1024 for sequential BPE. Wall-time recorded in
+    SCALE.md."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.bpe import (
+        bpe_merges_batched,
+    )
+
+    wf = _rich_word_freqs()
+    docs = spark.createDataFrame(
+        [(" ".join([w] * f),) for w, f in wf.items()], ["text"]
+    )
+    expected = _python_bpe_batched(
+        wf, k=1024, batch=16, max_batch=256, window_mult=16
+    )
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.pair_count, r.round)
+        for r in bpe_merges_batched(
+            docs, k=1024, batch=16, max_batch=256, window_mult=16
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    assert len(got) == 1024, len(got)
+    assert got == expected
+    assert max(r[5] for r in got) <= 28, "adaptive schedule ran too many rounds"
 
 
 def test_bpe_batched_batch1_equals_sequential(spark):
