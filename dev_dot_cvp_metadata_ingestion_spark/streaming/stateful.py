@@ -155,28 +155,106 @@ WATERMARKED_CHECK_STATE = StructType(
         StructField("buf_bs", ArrayType(LongType())),
         StructField("buf_gen", ArrayType(LongType())),   # epoch micros
         StructField("buf_recv", ArrayType(LongType())),
+        StructField("buf_logf", ArrayType(BooleanType())),
         StructField("last_sn", LongType()),
         StructField("last_rid", LongType()),
         StructField("last_gen", LongType()),             # epoch seconds
         StructField("last_recv", LongType()),
         StructField("n_seen", LongType()),
+        # W6 close-time summary: first validated record's (rid, bs),
+        # max event time ever accepted (micros), and the per-validated-
+        # record (bs, has_logf) sequence — O(bundle), the same memory
+        # class as the batch window partition that computes W6
+        StructField("first_rid", LongType()),
+        StructField("first_bs", LongType()),
+        StructField("max_gen", LongType()),
+        StructField("val_bs", ArrayType(LongType())),
+        StructField("val_logf", ArrayType(BooleanType())),
     ]
 )
 
 
+def _w6_close_rows(
+    bundle_key: str,
+    n_seen: int,
+    first_rid: int | None,
+    first_bs: int | None,
+    last_rid: int | None,
+    last_sn: int | None,
+    val_bs: list[int],
+    val_logf: list[bool],
+) -> list[dict[str, Any]]:
+    """Bundle-size consistency (W6) verdicts at bundle close — the
+    reference's full-bundle and tail-of-partial checks
+    (odevalidator/sequential.py:61-86), one error per run of equal
+    bundleSize among qualifying records, exactly the batch window
+    form's last-qualifying-bs dedup (operators/sequential.py:145-179).
+    Runs over the validated-record summary, so it needs the CLOSED
+    bundle: streaming closes a bundle when the watermark passes its
+    max accepted event time."""
+    out: list[dict[str, Any]] = []
+    if n_seen == 0:
+        return out
+    is_full_shape = first_rid == 0 and last_rid == first_bs - 1
+    prev_qf: int | None = None
+    prev_qt: int | None = None
+    for bs_i, logf_i in zip(val_bs, val_logf):
+        if is_full_shape and logf_i and n_seen != bs_i:
+            if prev_qf is None or prev_qf != bs_i:
+                out.append(
+                    dict(
+                        bundle_key=bundle_key, serial_number=last_sn,
+                        field_path="metadata.serialId.bundleSize",
+                        valid=False,
+                        details=(
+                            "bundleSize doesn't match number of records. "
+                            f"Number of records: '{n_seen}' != "
+                            f"bundlSize: '{bs_i}'"
+                        ),
+                    )
+                )
+            prev_qf = bs_i
+        if first_rid != 0 and last_rid != bs_i - 1:
+            if prev_qt is None or prev_qt != bs_i:
+                out.append(
+                    dict(
+                        bundle_key=bundle_key, serial_number=last_sn,
+                        field_path="metadata.serialId.bundleSize",
+                        valid=False,
+                        details=(
+                            "bundleSize doesn't match last recordId. "
+                            f"Last recordId: '{last_rid}' != "
+                            f"(bundleSize-1: '{bs_i - 1}')"
+                        ),
+                    )
+                )
+            prev_qt = bs_i
+    return out
+
+
 def _check_transitions_watermarked(
-    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+    w6: bool = False,
 ) -> Iterator[pd.DataFrame]:
     bundle_key = "/".join(str(k) for k in key)
     wm_ms = state.getCurrentWatermarkMs()
     if state.exists:
-        (buf_sn, buf_rid, buf_bs, buf_gen, buf_recv,
-         last_sn, last_rid, last_gen, last_recv, n_seen) = state.get
-        buf = list(zip(buf_gen, buf_sn, buf_rid, buf_bs, buf_recv))
+        (buf_sn, buf_rid, buf_bs, buf_gen, buf_recv, buf_logf,
+         last_sn, last_rid, last_gen, last_recv, n_seen,
+         first_rid, first_bs, max_gen, val_bs, val_logf) = state.get
+        buf = list(zip(buf_gen, buf_sn, buf_rid, buf_bs, buf_recv, buf_logf))
+        val_bs = list(val_bs)
+        val_logf = list(val_logf)
     else:
         buf = []
         last_sn = last_rid = last_gen = last_recv = None
         n_seen = 0
+        first_rid = first_bs = None
+        max_gen = 0
+        val_bs = []
+        val_logf = []
 
     # beyond-allowance arrivals drop deterministically, but NOT
     # silently: each drop emits its own violation row, because the
@@ -204,8 +282,9 @@ def _check_transitions_watermarked(
                 continue
             buf.append(
                 (gen_us, int(row.sn), int(row.rid), int(row.bs),
-                 int(row.recv_epoch))
+                 int(row.recv_epoch), bool(getattr(row, "has_logf", True)))
             )
+            max_gen = max(max_gen, gen_us)
 
     buf.sort()
     ripe = [e for e in buf if e[0] < wm_ms * 1000]
@@ -215,7 +294,7 @@ def _check_transitions_watermarked(
     # ripened slice is re-sorted by (sn, rid) before chaining — this is
     # what repairs in-allowance arrival reordering exactly
     out: list[dict[str, Any]] = dropped
-    for gen_us, sn, rid, bs, recv in sorted(
+    for gen_us, sn, rid, bs, recv, logf in sorted(
         ripe, key=lambda e: (e[1], e[2])
     ):
         gen = gen_us // 1_000_000
@@ -263,7 +342,33 @@ def _check_transitions_watermarked(
                     )
                 )
         last_sn, last_rid, last_gen, last_recv = sn, rid, gen, recv
+        if first_rid is None:
+            first_rid, first_bs = rid, bs
+        val_bs.append(bs)
+        val_logf.append(logf)
         n_seen += 1
+
+    if w6 and not keep and wm_ms * 1000 > max_gen:
+        # bundle CLOSED: the watermark passed every accepted event
+        # time, so no record can still join it (a later arrival would
+        # be beyond-allowance by definition) — emit the bundle-size
+        # verdicts and drop the state
+        out.extend(
+            _w6_close_rows(
+                bundle_key, n_seen, first_rid, first_bs,
+                last_rid, last_sn, val_bs, val_logf,
+            )
+        )
+        if state.exists:
+            state.remove()
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "bundle_key", "serial_number", "field_path", "valid",
+                "details",
+            ],
+        )
+        return
 
     state.update(
         (
@@ -272,11 +377,17 @@ def _check_transitions_watermarked(
             [e[3] for e in keep],
             [e[0] for e in keep],
             [e[4] for e in keep],
+            [e[5] for e in keep],
             last_sn, last_rid, last_gen, last_recv, n_seen,
+            first_rid, first_bs, max_gen, val_bs, val_logf,
         )
     )
     if keep:
         state.setTimeoutTimestamp(max(keep[0][0] // 1000, wm_ms + 1))
+    elif w6 and n_seen > 0:
+        # nothing buffered but the bundle is still open: wake up when
+        # the watermark passes its max accepted event time to close it
+        state.setTimeoutTimestamp(max(max_gen // 1000 + 1, wm_ms + 1))
     yield pd.DataFrame(
         out,
         columns=[
@@ -286,7 +397,9 @@ def _check_transitions_watermarked(
 
 
 def stateful_sequential_checks_watermarked(
-    records: DataFrame, lateness: str = "10 minutes"
+    records: DataFrame,
+    lateness: str = "10 minutes",
+    bundle_size_checks: bool = False,
 ) -> DataFrame:
     """Per-bundle monotonicity checks (W3-W5) that survive OUT-OF-ORDER
     ARRIVAL — the watermark-buffered form of
@@ -306,22 +419,47 @@ def stateful_sequential_checks_watermarked(
     (string), bid, sn, rid, bs (long), ts (timestamp — the
     recordGeneratedAt event time), recv_epoch (long, epoch seconds).
     State per live bundle = the ripening buffer (rate × allowance)
-    plus five scalars."""
+    plus scalars (plus, under W6, the per-validated-record (bs,
+    has_logf) summary — O(bundle), the batch form's memory class).
+
+    ``bundle_size_checks=True`` adds the reference's W6 bundle-size
+    consistency verdicts (full-bundle count mismatch +
+    tail-of-partial last-recordId mismatch, reference
+    odevalidator/sequential.py:61-86): a bundle CLOSES when the
+    watermark passes its max accepted event time (enforced via
+    event-time timeout), at which point the close-time verdicts are
+    emitted exactly as the batch window form computes them — proven
+    stream-equals-batch over out-of-order feeds with mid-bundle
+    micro-batch splits in tests/test_watermarked_sequential.py. An
+    optional boolean ``has_logf`` input column gates the full-bundle
+    check (defaults to true when absent, matching records whose
+    metadata carries logFileName)."""
+    import functools
+
+    cols = [
+        F.col("stream_key"),
+        F.col("bid"),
+        F.col("sn"),
+        F.col("rid"),
+        F.col("bs"),
+        F.col("ts"),  # keep the watermarked column in-plan (timeout needs it)
+        F.unix_micros(F.col("ts")).alias("gen_micros"),
+        F.col("recv_epoch"),
+    ]
+    if bundle_size_checks:
+        cols.append(
+            F.col("has_logf").cast("boolean")
+            if "has_logf" in records.columns
+            else F.lit(True).alias("has_logf")
+        )
     return (
         records.withWatermark("ts", lateness)
-        .select(
-            "stream_key",
-            "bid",
-            "sn",
-            "rid",
-            "bs",
-            "ts",  # keep the watermarked column in-plan (timeout needs it)
-            F.unix_micros(F.col("ts")).alias("gen_micros"),
-            "recv_epoch",
-        )
+        .select(*cols)
         .groupBy("stream_key", "bid")
         .applyInPandasWithState(
-            _check_transitions_watermarked,
+            functools.partial(
+                _check_transitions_watermarked, w6=bundle_size_checks
+            ),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=WATERMARKED_CHECK_STATE,
             outputMode="append",
