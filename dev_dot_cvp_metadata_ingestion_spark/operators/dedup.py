@@ -566,6 +566,7 @@ def connected_components(
     a_col: str = "doc_id_a",
     b_col: str = "doc_id_b",
     max_iters: int = 25,
+    rounds_out: list | None = None,
 ) -> DataFrame:
     """Duplicate CLUSTERS from pairwise candidates: connected
     components of the (a, b) pair graph over ``nodes``, labelled by
@@ -596,7 +597,9 @@ def connected_components(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint()
 
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         # min label among neighbours
         nbr = (
             edges.join(labels, edges.src == labels.node)
@@ -634,8 +637,130 @@ def connected_components(
         raise RuntimeError(
             f"connected_components: no fixpoint in {max_iters} rounds"
         )
+    if rounds_out is not None:
+        rounds_out.append(rounds)
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
+def connected_components_twostar(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+    max_iters: int = 50,
+    rounds_out: list | None = None,
+) -> DataFrame:
+    """``connected_components`` via the alternating large-star /
+    small-star algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) — the O(log n)-round form whose
+    per-round work is two groupBy-min shuffles over the EDGE relation,
+    with no per-node label table joined back every round. (The
+    pointer-jumping sibling is also O(log n) rounds thanks to its
+    path-halving step; the trade is state shape, not round count —
+    see SCALE.md for measured rounds/wall on chain and star
+    fixtures.)
+
+    Each round rewrites the edge set:
+
+    * large-star — for every node u with min-incident-label
+      m(u) = min({u} ∪ N(u)), each strictly-larger neighbour v > u is
+      re-pointed at m(u).  Connectivity is preserved (v—u—m becomes
+      v—m with u—m retained via v's own large-star emit or the
+      small-star step) and edges only ever point "downhill".
+    * small-star — edges are kept canonical (bigger, smaller); every
+      bigger endpoint u re-points itself and all its smaller
+      neighbours at m(u) = min of those neighbours.
+
+    The fixpoint is a star forest: every non-root node holds exactly
+    one edge to its component's minimum id, which IS the cluster
+    label, so no separate label-propagation table is ever
+    materialised.  Convergence is detected by an edge-set fingerprint
+    (count + sum of per-edge xxhash64) staying fixed across a round —
+    one aggregate action per round, vs the label-table join + count of
+    the pointer-jumping form.  ``rounds_out`` (a list, appended with
+    the round count) lets tests pin the measured O(log n) behaviour.
+
+    Output identical to ``connected_components`` (same (id, cluster_id)
+    relation, min-id labels, singletons label themselves) — pinned in
+    tests/test_dedup_twostar.py and via the shared recursive-CTE
+    oracle of ``dedup_clusters``.
+    """
+    # canonical undirected edges: (u, v) with u > v, self-loops dropped
+    a, b = F.col(a_col), F.col(b_col)
+    edges = (
+        pairs.select(
+            F.greatest(a, b).alias("u"), F.least(a, b).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def fingerprint(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("c"),
+            # bit_xor, not sum: order-insensitive over the distinct edge
+            # set and immune to ANSI-mode long overflow
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        return (row["c"], row["h"])
+
+    prev = fingerprint(edges)
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        # --- large-star: symmetrize, group by centre u, re-point the
+        # strictly-larger neighbours at m(u) = min(u, min N(u)).
+        sym = edges.select("u", "v").unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least(F.col("u"), F.col("_mn")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # --- small-star: edges are (bigger u, smaller v); every u
+        # re-points itself and its smaller neighbours at min(N_small).
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = fingerprint(small)
+        edges = small
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components_twostar: no fixpoint in {max_iters} rounds"
+        )
+    if rounds_out is not None:
+        rounds_out.append(rounds)
+
+    # star forest: every non-root points straight at its component min
+    labels = nodes.select(F.col(id_col).alias("node")).join(
+        edges.select(F.col("u").alias("node"), F.col("v").alias("root")),
+        "node",
+        "left",
+    )
+    return labels.select(
+        F.col("node").alias(id_col),
+        F.coalesce(F.col("root"), F.col("node")).alias("cluster_id"),
     )
 
 

@@ -1486,6 +1486,32 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, d.select("doc_id"))
 
 
+@register("dedup_clusters_twostar", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_clusters`` via alternating large-star/small-star edge
+    rewriting (Kiveris et al., SoCC'14) instead of pointer-jumping
+    label propagation. Round counts are comparable (both O(log n) —
+    the pointer-jumping form path-halves); the difference is the
+    per-round STATE: two-star carries only the edge relation, which
+    SHRINKS toward one star edge per non-root node, while
+    pointer-jumping joins a |V|-row label table three times every
+    round — at 100 TB corpus scale with a sparse pair graph,
+    |edges| ≪ |V| and the label table is the dominant per-round
+    shuffle. Measured round/wall numbers for both forms on chain and
+    star-heavy fixtures are in SCALE.md. Identical output by
+    construction (components labelled by min doc_id), hence the
+    shared recursive-CTE oracle; direct equality with the
+    pointer-jumping form is pinned on adversarial graph shapes in
+    tests/test_dedup_twostar.py."""
+    from ..operators.dedup import connected_components_twostar
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = lsh_near_duplicates(
+        d, "doc_id", "text", num_hashes=8, n=3, threshold=0.3
+    )
+    return connected_components_twostar(pairs, d.select("doc_id"))
+
+
 @register("dedup_clusters_contracted", oracle=_CLUSTERS_ORACLE)
 def dedup_clusters_contracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dedup_clusters`` with exact duplicates contracted before LSH —

@@ -174,6 +174,7 @@ BACK: tuple[str, ...] = (
     # --- within-family variants ---
     "dedup_lsh_quality_report",
     "dedup_clusters_contracted",
+    "dedup_clusters_twostar",
     "dedup_ngram_pairs_capped",
     "dedup_containment_pairs_capped",
     "embedding_label_propagation",
