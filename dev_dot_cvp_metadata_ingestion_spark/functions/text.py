@@ -121,3 +121,47 @@ def lang_id(text: Column) -> Column:
         cond = (c == best) & (best > 0)
         chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
     return chain.otherwise(result)
+
+
+# --- PII redaction (training-data hygiene pass) -----------------------
+# Patterns restricted to constructs with identical semantics in Java
+# regex (Spark executors) and Python `re` (the test oracle): character
+# classes, bounded repetition, non-capturing groups, \b. No lookaround,
+# no \p classes. Applied email -> IPv4 -> phone so the later, looser
+# digit patterns never eat into an already-redacted placeholder.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE_RE = r"\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b"
+
+_PII_PASSES = (
+    (PII_EMAIL_RE, "<EMAIL>"),
+    (PII_IPV4_RE, "<IP>"),
+    (PII_PHONE_RE, "<PHONE>"),
+)
+
+
+def pii_counts(text: Column) -> Column:
+    """struct(n_emails, n_ips, n_phones) — match counts BEFORE
+    scrubbing, counted in the same email->ip->phone pass order on the
+    progressively-scrubbed text so overlapping patterns are attributed
+    exactly once, mirroring ``pii_scrub``."""
+    n_emails = F.regexp_count(text, F.lit(PII_EMAIL_RE))
+    after_email = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    n_ips = F.regexp_count(after_email, F.lit(PII_IPV4_RE))
+    after_ip = F.regexp_replace(after_email, PII_IPV4_RE, "<IP>")
+    n_phones = F.regexp_count(after_ip, F.lit(PII_PHONE_RE))
+    return F.struct(
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_phones.cast("long").alias("n_phones"),
+    )
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact emails, IPv4 addresses, and phone numbers with typed
+    placeholders — pure JVM-side regexp_replace chain (map-side, no
+    shuffle, no UDF), the standard pre-training hygiene pass."""
+    out = text
+    for pat, repl in _PII_PASSES:
+        out = F.regexp_replace(out, pat, repl)
+    return out

@@ -764,6 +764,85 @@ def connected_components_twostar(
     )
 
 
+def segment_boilerplate_removal(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_tokens: int = 10,
+    max_df: int = 2,
+) -> DataFrame:
+    """Corpus-level repeated-segment removal — the C4 / RefinedWeb
+    boilerplate pass generalized from lines/paragraphs to fixed
+    ``seg_tokens``-token windows (this corpus has no newlines; a real
+    web corpus would segment on them instead, same plan). A segment
+    whose distinct-document frequency exceeds ``max_df`` is boilerplate
+    (navigation, license headers, templated sentences) and is dropped
+    from EVERY document; survivors are reassembled in order.
+
+    Scale shape: one explode to (doc, pos, segment), a two-phase
+    distinct+count to find the HOT segments only (by construction a
+    tiny relation — boilerplate is rare among distinct segments), then
+    a BROADCAST anti-join against the hot set and a groupBy-doc
+    reassembly. The full segment relation is shuffled once (the
+    distinct); the anti-join moves no data. Same
+    small-hot-set-broadcast assumption as the stop-gram cap — an
+    adversarial corpus where MOST distinct segments are hot would need
+    the capped-join fallback, and the honest failure is an oversized
+    broadcast, not wrong output.
+
+    Output: (id, text_clean, n_segments, n_removed); docs whose every
+    segment was boilerplate (or with no tokens) come back with
+    ``text_clean = ''``.
+    """
+    toks = tokens(F.col(text_col))
+    nseg = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("long")
+    seg_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.slice(toks, i * seg_tokens + 1, seg_tokens)
+    )
+    segs = F.when(
+        nseg > 0,
+        F.transform(F.sequence(F.lit(0), (nseg - 1).cast("int")), seg_at),
+    ).otherwise(F.array().cast("array<string>"))
+
+    base = docs.select(
+        F.col(id_col).alias("_sid"), nseg.alias("n_segments"), segs.alias("_segs")
+    )
+    exploded = base.select(
+        "_sid", F.posexplode("_segs").alias("pos", "seg")
+    )
+    hot = (
+        exploded.select("seg", "_sid")
+        .distinct()
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("seg")
+    )
+    kept = exploded.join(F.broadcast(hot), "seg", "left_anti")
+    clean = kept.groupBy("_sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    return (
+        base.select("_sid", "n_segments")
+        .join(clean, "_sid", "left")
+        .select(
+            F.col("_sid").alias(id_col),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            F.col("n_segments"),
+            (
+                F.col("n_segments") - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).alias("n_removed"),
+        )
+    )
+
+
 def ngram_jaccard_pairs_capped(
     docs: DataFrame,
     id_col: str,

@@ -1531,6 +1531,56 @@ def dedup_clusters_contracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "documents_boilerplate_removed",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents),
+    base AS (
+      SELECT doc_id, t, CAST(ceil(len(t) / 10.0) AS BIGINT) AS n_segments
+      FROM toks
+    ),
+    seg AS (
+      SELECT doc_id, g.i AS pos,
+             array_to_string(list_slice(t, g.i * 10 + 1, g.i * 10 + 10), ' ') AS seg
+      FROM base,
+           unnest(CASE WHEN n_segments = 0 THEN []
+                       ELSE generate_series(0, CAST(n_segments AS INT) - 1)
+                  END) AS g(i)
+    ),
+    hot AS (
+      SELECT seg FROM (
+        SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY seg
+      ) WHERE df > 2
+    ),
+    kept AS (SELECT s.* FROM seg s ANTI JOIN hot h USING (seg)),
+    clean AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_clean,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id, coalesce(c.text_clean, '') AS text_clean,
+           b.n_segments, b.n_segments - coalesce(c.n_kept, 0) AS n_removed
+    FROM base b LEFT JOIN clean c USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+)
+def documents_boilerplate_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated-segment (boilerplate) removal — the
+    C4/RefinedWeb pass over 10-token windows: any segment shared by
+    more than 2 distinct documents is dropped from every document,
+    survivors reassembled in order. The hot-segment set is found with
+    one distinct+count shuffle and applied as a BROADCAST anti-join,
+    so the corpus text itself is never re-shuffled — the plan that
+    holds when the corpus is 100 TB but boilerplate is (by definition)
+    a small distinct set."""
+    from ..operators.dedup import segment_boilerplate_removal
+
+    d = load_table(spark, sf_dir, "documents")
+    return segment_boilerplate_removal(
+        d, "doc_id", "text", seg_tokens=10, max_df=2
+    )
+
+
 _SIMHASH_VOTES = ", ".join(
     f"sum(CASE WHEN (x >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
     for i in range(16)

@@ -175,6 +175,7 @@ BACK: tuple[str, ...] = (
     "dedup_lsh_quality_report",
     "dedup_clusters_contracted",
     "dedup_clusters_twostar",
+    "documents_boilerplate_removed",
     "dedup_ngram_pairs_capped",
     "dedup_containment_pairs_capped",
     "embedding_label_propagation",

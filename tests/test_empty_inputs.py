@@ -40,6 +40,8 @@ AT_RISK = [
     "dedup_containment_pairs_capped",
     "dedup_clusters_contracted",   # contraction + CC on empty graph
     "dedup_lsh_quality_report",    # global counts -> one all-zero row
+    "dedup_clusters_twostar",      # edge-fingerprint loop on empty graph
+    "documents_boilerplate_removed",  # hot-set broadcast on empty corpus
 ]
 
 
