@@ -779,12 +779,17 @@ def segment_boilerplate_removal(
     (navigation, license headers, templated sentences) and is dropped
     from EVERY document; survivors are reassembled in order.
 
-    Scale shape: one explode to (doc, pos, segment), a two-phase
-    distinct+count to find the HOT segments only (by construction a
-    tiny relation — boilerplate is rare among distinct segments), then
-    a BROADCAST anti-join against the hot set and a groupBy-doc
-    reassembly. The full segment relation is shuffled once (the
-    distinct); the anti-join moves no data. Same
+    Scale shape: explode to (doc, pos, segment) — with
+    ``posexplode_outer`` so zero-token docs keep a carrier row and no
+    second pass over the doc relation is ever needed — then a
+    two-phase distinct+count finds the HOT segments only (by
+    construction a tiny relation — boilerplate is rare among distinct
+    segments), a BROADCAST left join marks hotness, and ONE
+    groupBy-doc conditional aggregation reassembles survivors and
+    counts removals in the same shuffle. Total motion: the corpus is
+    scanned twice (hot build + reassembly; scans are cheap, shuffles
+    are not), the segment relation is shuffled once per purpose, and
+    nothing doc-sized is ever broadcast or joined. Same
     small-hot-set-broadcast assumption as the stop-gram cap — an
     adversarial corpus where MOST distinct segments are hot would need
     the capped-join fallback, and the honest failure is an oversized
@@ -804,41 +809,45 @@ def segment_boilerplate_removal(
         F.transform(F.sequence(F.lit(0), (nseg - 1).cast("int")), seg_at),
     ).otherwise(F.array().cast("array<string>"))
 
-    base = docs.select(
-        F.col(id_col).alias("_sid"), nseg.alias("n_segments"), segs.alias("_segs")
-    )
-    exploded = base.select(
-        "_sid", F.posexplode("_segs").alias("pos", "seg")
-    )
+    exploded = docs.select(
+        F.col(id_col).alias("_sid"), segs.alias("_segs")
+    ).select("_sid", F.posexplode_outer("_segs").alias("pos", "seg"))
+
     hot = (
-        exploded.select("seg", "_sid")
+        exploded.filter(F.col("seg").isNotNull())
+        .select("seg", "_sid")
         .distinct()
         .groupBy("seg")
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") > max_df)
-        .select("seg")
+        .select("seg", F.lit(True).alias("_hot"))
     )
-    kept = exploded.join(F.broadcast(hot), "seg", "left_anti")
-    clean = kept.groupBy("_sid").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
-                lambda x: x["seg"],
-            ),
-            " ",
-        ).alias("text_clean"),
-        F.count(F.lit(1)).alias("_n_kept"),
-    )
+    is_kept = F.col("_hot").isNull() & F.col("seg").isNotNull()
     return (
-        base.select("_sid", "n_segments")
-        .join(clean, "_sid", "left")
+        exploded.join(F.broadcast(hot), "seg", "left")
+        .groupBy("_sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(  # collect_list drops NULLs
+                            F.when(is_kept, F.struct("pos", "seg"))
+                        )
+                    ),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("text_clean"),
+            F.count("seg").alias("n_segments"),
+            F.sum(F.coalesce(F.col("_hot").cast("long"), F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
         .select(
             F.col("_sid").alias(id_col),
-            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
-            F.col("n_segments"),
-            (
-                F.col("n_segments") - F.coalesce(F.col("_n_kept"), F.lit(0))
-            ).alias("n_removed"),
+            "text_clean",
+            "n_segments",
+            "n_removed",
         )
     )
 

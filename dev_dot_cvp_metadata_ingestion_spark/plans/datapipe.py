@@ -1569,8 +1569,10 @@ def documents_boilerplate_removed(spark: SparkSession, sf_dir: str) -> DataFrame
     C4/RefinedWeb pass over 10-token windows: any segment shared by
     more than 2 distinct documents is dropped from every document,
     survivors reassembled in order. The hot-segment set is found with
-    one distinct+count shuffle and applied as a BROADCAST anti-join,
-    so the corpus text itself is never re-shuffled — the plan that
+    one distinct+count shuffle and applied as a BROADCAST mark join;
+    posexplode_outer keeps zero-token docs alive so reassembly,
+    segment counts, and removal counts all ride ONE groupBy — the only
+    join in the plan is against the tiny hot set (plan-pinned), which
     holds when the corpus is 100 TB but boilerplate is (by definition)
     a small distinct set."""
     from ..operators.dedup import segment_boilerplate_removal

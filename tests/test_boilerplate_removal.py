@@ -79,10 +79,17 @@ def test_partial_tail_segment_and_order(spark):
     assert out[0]["n_segments"] == 3 and out[0]["n_removed"] == 1
 
 
-def test_hot_set_is_broadcast(spark):
-    df = spark.createDataFrame(
-        [(i, f"{UNIQUE[i % 4]} {BOILER}") for i in range(8)],
-        "doc_id long, text string",
+def test_hot_set_is_broadcast_and_no_doc_join(spark, sf_dir):
+    """The ONLY join in the plan is the broadcast hot-set mark join;
+    reassembly and removal counts ride one groupBy, so nothing
+    doc-sized is ever joined or broadcast, and the corpus parquet is
+    scanned exactly twice (hot build + reassembly)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        segment_boilerplate_removal(d, "doc_id", "text", 10, 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
     )
-    plan = segment_boilerplate_removal(df, "doc_id", "text", 10, 2)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert plan.count("Join") == 1 and "BroadcastHashJoin" in plan
+    assert plan.count("Scan parquet") == 2
