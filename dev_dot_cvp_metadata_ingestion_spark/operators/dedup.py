@@ -852,6 +852,106 @@ def segment_boilerplate_removal(
     )
 
 
+def segment_first_occurrence_dedup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_tokens: int = 10,
+) -> DataFrame:
+    """Corpus-level FIRST-OCCURRENCE segment dedup — the C4 "three-
+    sentence span" rule (Raffel et al. 2020 §2.2, public) generalized
+    to fixed ``seg_tokens``-token windows: every distinct segment
+    survives exactly once corpus-wide, at its first occurrence in
+    (doc_id, pos) order; later occurrences are removed and survivors
+    reassembled in order. Complements ``segment_boilerplate_removal``
+    (which drops hot segments from EVERYONE): here singleton segments
+    are untouched and a twice-seen segment keeps its first copy.
+
+    Scale shape: explode to (doc, pos, segment) with posexplode_outer
+    (zero-token docs keep a carrier row), then ONE groupBy on the
+    segment finds each segment's first occurrence via ``min_by`` over
+    the (doc_id, pos) struct — map-side partial aggregation combines
+    the duplicate mass before the shuffle, so a segment repeated a
+    million times moves one row per input partition, never a
+    million-row window group. The firsts relation (≤ one row per
+    DISTINCT segment) shuffle-joins back on the segment key — both
+    sides hash-partitioned by segment, AQE skew-split eligible —
+    and reassembly + removal counts ride one groupBy-doc shuffle.
+    Nothing is broadcast (the firsts relation is corpus-sized by
+    construction, unlike the boilerplate hot set).
+
+    Output: (id, text_clean, n_segments, n_removed); a doc whose every
+    segment appeared earlier elsewhere comes back ``text_clean = ''``.
+    """
+    toks = tokens(F.col(text_col))
+    nseg = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("long")
+    seg_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.slice(toks, i * seg_tokens + 1, seg_tokens)
+    )
+    segs = F.when(
+        nseg > 0,
+        F.transform(F.sequence(F.lit(0), (nseg - 1).cast("int")), seg_at),
+    ).otherwise(F.array().cast("array<string>"))
+
+    exploded = docs.select(
+        F.col(id_col).alias("_sid"), segs.alias("_segs")
+    ).select("_sid", F.posexplode_outer("_segs").alias("pos", "seg"))
+
+    firsts = (
+        exploded.filter(F.col("seg").isNotNull())
+        .groupBy("seg")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("_sid").alias("fid"), F.col("pos").alias("fpos")
+                ),
+                F.struct(
+                    F.col("_sid").alias("oid"), F.col("pos").alias("opos")
+                ),
+            ).alias("_first")
+        )
+        .select("seg", "_first.fid", "_first.fpos")
+    )
+    is_kept = (
+        F.col("seg").isNotNull()
+        & (F.col("_sid") == F.col("fid"))
+        & (F.col("pos") == F.col("fpos"))
+    )
+    # merge-join pin: firsts has one row per DISTINCT segment —
+    # corpus-sized by construction, never broadcast-safe; the local
+    # planner's size estimate at test scale would happily broadcast it
+    # and hide the 100 TB hazard (pin: tests/test_paragraph_dedup.py)
+    return (
+        exploded.join(firsts.hint("shuffle_merge"), "seg", "left")
+        .groupBy("_sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(  # collect_list drops NULLs
+                            F.when(is_kept, F.struct("pos", "seg"))
+                        )
+                    ),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("text_clean"),
+            F.count("seg").alias("n_segments"),
+            F.sum(
+                F.when(F.col("seg").isNotNull() & ~is_kept, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+            ).alias("n_removed"),
+        )
+        .select(
+            F.col("_sid").alias(id_col),
+            "text_clean",
+            "n_segments",
+            "n_removed",
+        )
+    )
+
+
 def ngram_jaccard_pairs_capped(
     docs: DataFrame,
     id_col: str,

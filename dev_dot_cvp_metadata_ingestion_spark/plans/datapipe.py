@@ -450,6 +450,56 @@ def documents_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "documents_shuffled_shards",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || ':epoch0') AS shuffle_key,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch0'), 1, 8))::BIGINT % 16
+               AS shard_id
+      FROM documents
+    )
+    SELECT doc_id, shard_id, shuffle_key,
+           CAST(row_number() OVER (
+             PARTITION BY shard_id ORDER BY shuffle_key, doc_id) - 1
+             AS BIGINT) AS position
+    FROM keyed
+    ORDER BY shard_id, position
+    """,
+)
+def documents_shuffled_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global-shuffle shard manifest — the epoch-order
+    artifact a training run consumes: each example keyed by the md5
+    digest of (doc_id, seed), sharded by the digest's top 32 bits mod
+    16, ordered within its shard by the digest. The permutation is
+    decorrelated from ingest order (no crawl-domain runs in a batch),
+    byte-reproducible across retries and restarts (md5 of stable
+    inputs — unlike ``orderBy(rand())``, which Spark documents as
+    nondeterministic under task retry), and re-seedable per epoch.
+    Scale shape: the ONLY motion is one hash shuffle on the shard id;
+    within-shard order is a bounded per-shard sort (position via
+    row_number PARTITIONED by shard — state O(n/n_shards), uniform by
+    md5), never a global sort or a range-sampling job. The companion
+    writer ``write_shuffled_shards`` (sources/catalog.py) persists the
+    same layout with sortWithinPartitions + partitionBy."""
+    from ..sources.catalog import shard_of, shuffle_key
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        shuffle_key(F.col("doc_id"), "epoch0").alias("shuffle_key"),
+        shard_of(F.col("doc_id"), "epoch0", 16).alias("shard_id"),
+    )
+    w = W.partitionBy("shard_id").orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard_id",
+        "shuffle_key",
+        (F.row_number().over(w) - 1).cast("long").alias("position"),
+    )
+
+
+@register(
     "documents_packed",
     oracle="""
     WITH t AS (
@@ -1580,6 +1630,61 @@ def documents_boilerplate_removed(spark: SparkSession, sf_dir: str) -> DataFrame
     d = load_table(spark, sf_dir, "documents")
     return segment_boilerplate_removal(
         d, "doc_id", "text", seg_tokens=10, max_df=2
+    )
+
+
+@register(
+    "documents_paragraph_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents),
+    base AS (
+      SELECT doc_id, t, CAST(ceil(len(t) / 10.0) AS BIGINT) AS n_segments
+      FROM toks
+    ),
+    seg AS (
+      SELECT doc_id, g.i AS pos,
+             array_to_string(list_slice(t, g.i * 10 + 1, g.i * 10 + 10), ' ') AS seg
+      FROM base,
+           unnest(CASE WHEN n_segments = 0 THEN []
+                       ELSE generate_series(0, CAST(n_segments AS INT) - 1)
+                  END) AS g(i)
+    ),
+    ranked AS (
+      SELECT doc_id, pos, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+      FROM seg
+    ),
+    kept AS (SELECT doc_id, pos, seg FROM ranked WHERE rn = 1),
+    clean AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_clean,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id, coalesce(c.text_clean, '') AS text_clean,
+           b.n_segments, b.n_segments - coalesce(c.n_kept, 0) AS n_removed
+    FROM base b LEFT JOIN clean c USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+)
+def documents_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level first-occurrence segment dedup — the C4
+    three-sentence-span rule over 10-token windows: every distinct
+    segment survives exactly once corpus-wide (at its min-(doc_id,pos)
+    occurrence), later copies removed, docs reassembled in order.
+    Complements ``documents_boilerplate_removed`` (hot segments
+    dropped from everyone): here the first copy always survives. The
+    firsts relation is found by ONE groupBy-min_by on the segment key
+    (map-side combine absorbs repeated-segment skew before the
+    shuffle) and applied as a shuffle join on the same key — nothing
+    corpus-sized is broadcast, both join sides hash-partition on the
+    segment, AQE skew-split eligible. At 100 TB this is the plan:
+    linear shuffles keyed by segment and by doc, no windows over
+    unbounded groups."""
+    from ..operators.dedup import segment_first_occurrence_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return segment_first_occurrence_dedup(
+        d, "doc_id", "text", seg_tokens=10
     )
 
 

@@ -176,6 +176,8 @@ BACK: tuple[str, ...] = (
     "dedup_clusters_contracted",
     "dedup_clusters_twostar",
     "documents_boilerplate_removed",
+    "documents_paragraph_dedup",
+    "documents_shuffled_shards",
     "dedup_ngram_pairs_capped",
     "dedup_containment_pairs_capped",
     "embedding_label_propagation",

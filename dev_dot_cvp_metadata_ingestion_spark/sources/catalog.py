@@ -302,3 +302,78 @@ def write_zorder_layout(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def shuffle_key(id_col, seed: str):
+    """Deterministic per-row shuffle key: the md5 hex digest of
+    ``"<id>:<seed>"``. Uniform, engine-identical (Spark and DuckDB
+    both implement standard md5), and reproducible from (id, seed)
+    alone — re-running the job yields byte-identical shard contents,
+    changing the seed yields an independent permutation. Lexicographic
+    order on the hex string IS the shuffled order."""
+    from pyspark.sql import functions as F
+
+    return F.md5(F.concat_ws(":", id_col.cast("string"), F.lit(seed)))
+
+
+def shard_of(id_col, seed: str, n_shards: int):
+    """Deterministic shard assignment from the same keyed digest:
+    first 8 hex chars as uint32 mod ``n_shards``. Uniform because md5
+    is, so expected shard size is n/n_shards with binomial
+    concentration — no range statistics, no sampling job, no skew."""
+    from pyspark.sql import functions as F
+
+    h = F.conv(F.substring(shuffle_key(id_col, seed), 1, 8), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(n_shards))
+
+
+def write_shuffled_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int = 16,
+    seed: str = "0",
+) -> None:
+    """Persist a DETERMINISTIC global shuffle of ``df`` into
+    ``n_shards`` hash shards — what a training run reads: example
+    order decorrelated from ingest order (a training batch must not
+    be one crawl domain), yet fully reproducible from the seed for
+    restartable epochs. The standard alternative — ``orderBy(rand())``
+    — is neither (rand() is nondeterministic across retries of a
+    failed task, a silent-corruption hazard Spark documents).
+
+    Scale shape: ONE hash repartition on the shard id (no global sort,
+    no range-boundary sampling job), per-shard order established by
+    ``sortWithinPartitions`` on the md5 key — sort state is bounded by
+    the shard, and shards are uniform by construction, so sizing
+    ``n_shards`` so n/n_shards fits an executor is the only knob.
+    ``partitionBy`` then writes each shard to its own directory.
+    """
+    from pyspark.sql import functions as F
+
+    for c in ("_skey", "shard"):
+        if c in df.columns:
+            raise ValueError(
+                f"write_shuffled_shards working column {c!r} collides "
+                "with an input column; rename it first"
+            )
+    keyed = df.select(
+        "*",
+        shuffle_key(F.col(id_col), seed).alias("_skey"),
+        shard_of(F.col(id_col), seed, n_shards).alias("shard"),
+    )
+    if df.isEmpty():
+        # a zero-row partitionBy write emits no parquet footer at all,
+        # so the table would be unreadable (UNABLE_TO_INFER_SCHEMA);
+        # write one empty footer instead — same empty-input contract
+        # as the sibling layout writers (tests/test_shuffled_shards.py)
+        keyed.drop("_skey").write.mode("overwrite").parquet(path)
+        return
+    (
+        keyed.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "_skey")
+        .drop("_skey")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -42,6 +42,8 @@ AT_RISK = [
     "dedup_lsh_quality_report",    # global counts -> one all-zero row
     "dedup_clusters_twostar",      # edge-fingerprint loop on empty graph
     "documents_boilerplate_removed",  # hot-set broadcast on empty corpus
+    "documents_paragraph_dedup",   # firsts aggregate + merge join on empty
+    "documents_shuffled_shards",   # window over zero shards
 ]
 
 
