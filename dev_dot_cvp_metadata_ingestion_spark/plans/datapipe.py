@@ -4199,6 +4199,166 @@ def documents_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "documents_importance_resampled",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_TOKS.format(c="text")} AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang,
+             unnest([t[i] || ' ' || t[i+1]
+                     for i in generate_series(1, len(t) - 1)]) AS gram
+      FROM toks WHERE len(t) >= 2
+    ),
+    feats AS (
+      SELECT doc_id, lang, {_BASE_HASH.format(s="gram")} % 1024 AS bucket
+      FROM bg
+    ),
+    counts AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS c_raw,
+             CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS c_t
+      FROM feats GROUP BY bucket
+    ),
+    totals AS (
+      SELECT CAST(sum(c_raw) AS BIGINT) AS t_raw,
+             CAST(sum(c_t) AS BIGINT) AS t_t
+      FROM counts
+    ),
+    ratios AS (
+      SELECT bucket,
+             CASE WHEN CAST(1000000 AS HUGEINT) * (c_t + 1) * (t_raw + 1024)
+                       >= CAST(1000000000 AS HUGEINT)
+                          * (c_raw + 1) * (t_t + 1024)
+                  THEN CAST(1000000000 AS BIGINT)
+                  ELSE CAST((CAST(1000000 AS HUGEINT) * (c_t + 1)
+                             * (t_raw + 1024))
+                            // (CAST(c_raw + 1 AS HUGEINT) * (t_t + 1024))
+                            AS BIGINT)
+             END AS ratio_ppm
+      FROM counts, totals
+    ),
+    scored AS (
+      SELECT f.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(r.ratio_ppm) AS BIGINT) AS weight_ppm
+      FROM feats f JOIN ratios r USING (bucket)
+      GROUP BY f.doc_id
+    )
+    SELECT d.doc_id, d.lang,
+           coalesce(s.n_bigrams, 0) AS n_bigrams,
+           coalesce(s.weight_ppm, 0) AS weight_ppm,
+           CASE WHEN coalesce(s.n_bigrams, 0) > 0
+                THEN coalesce(s.weight_ppm, 0) // s.n_bigrams
+                ELSE CAST(0 AS BIGINT) END AS mean_ratio_ppm,
+           (coalesce(s.n_bigrams, 0) > 0 AND
+            coalesce(s.weight_ppm, 0) // s.n_bigrams >= 1000000) AS kept
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def documents_importance_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped data selection with importance resampling (Xie et
+    al., NeurIPS 2023, arXiv 2302.03169, public): score every raw
+    document by how much its hashed-bigram feature distribution looks
+    like a TARGET domain (here lang='en', the pretraining-target
+    stand-in) versus the raw corpus, and keep the docs whose mean
+    per-feature likelihood ratio favors the target. Faithful to the
+    paper's structure — hashed n-gram features, bag-of-buckets
+    generative model under target and raw, per-doc product of ratios
+    — with two published knobs made explicit: Laplace (+1) smoothing,
+    and weight CLIPPING at 1000x (the paper clips importance weights
+    too); the per-doc aggregate is the SUM of fixed-point per-bucket
+    ratios rather than the log-product (libm log is not bit-portable
+    across engines — registry determinism rules), a monotone-in-spirit
+    surrogate documented here.
+
+    Scale shape, 100 TB story: ONE corpus scan feeds an explode whose
+    bucket aggregate map-side-combines into exactly 1024 rows — the
+    entire "model" (target + raw distributions) is a 1024-row
+    broadcast, never a shuffle of anything corpus-sized. Per-doc
+    scoring is the exploded frame joined to that broadcast and one
+    groupBy(doc_id) with map-side partial sums; the final left join
+    keeps featureless docs. All arithmetic is exact integer fixed
+    point (ppm): DECIMAL(38,0) intermediates (peak ~1e6*T_t*T_r ~
+    1e34 at 100 TB, inside 38 digits), division only taken when the
+    clamp guarantees the quotient fits int64 — Spark's decimal `div`
+    silently wraps past 2^63, so the CASE tests the bound FIRST."""
+    d = load_table(spark, sf_dir, "documents")
+    B = 1024
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    bigrams = (
+        F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(t, 1, n - 1),
+                F.slice(t, 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+    )
+    from ..operators.dedup import base_hash
+
+    feats = d.select(
+        "doc_id", "lang", F.explode(bigrams).alias("gram")
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(base_hash(F.col("gram")), F.lit(B)).alias("bucket"),
+    )
+    counts = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_t"),
+    )
+    totals = counts.agg(
+        F.sum("c_raw").alias("t_raw"), F.sum("c_t").alias("t_t")
+    )
+    num = (
+        "CAST(1000000 AS DECIMAL(38,0)) * CAST(c_t + 1 AS DECIMAL(38,0))"
+        f" * CAST(t_raw + {B} AS DECIMAL(38,0))"
+    )
+    den = (
+        "CAST(c_raw + 1 AS DECIMAL(38,0))"
+        f" * CAST(t_t + {B} AS DECIMAL(38,0))"
+    )
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.expr(
+            f"CASE WHEN {num} >= CAST(1000000000 AS DECIMAL(38,0)) * ({den})"
+            "      THEN CAST(1000000000 AS BIGINT)"
+            f"     ELSE CAST(({num}) div ({den}) AS BIGINT) END"
+        ).alias("ratio_ppm"),
+    )
+    scored = (
+        feats.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("ratio_ppm").alias("weight_ppm"),
+        )
+    )
+    nb = F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+    wp = F.coalesce(F.col("weight_ppm"), F.lit(0)).cast("long")
+    mean = F.when(nb > 0, F.expr("weight_ppm div n_bigrams")).otherwise(
+        F.lit(0)
+    ).cast("long")
+    return (
+        d.select("doc_id", "lang")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            nb.alias("n_bigrams"),
+            wp.alias("weight_ppm"),
+            mean.alias("mean_ratio_ppm"),
+            ((nb > 0) & (mean >= 1_000_000)).alias("kept"),
+        )
+    )
+
+
+@register(
     "events_top_transitions",
     oracle="""
     WITH o AS (

@@ -178,6 +178,7 @@ BACK: tuple[str, ...] = (
     "documents_boilerplate_removed",
     "documents_paragraph_dedup",
     "documents_shuffled_shards",
+    "documents_importance_resampled",
     "dedup_ngram_pairs_capped",
     "dedup_containment_pairs_capped",
     "embedding_label_propagation",

@@ -44,6 +44,7 @@ AT_RISK = [
     "documents_boilerplate_removed",  # hot-set broadcast on empty corpus
     "documents_paragraph_dedup",   # firsts aggregate + merge join on empty
     "documents_shuffled_shards",   # window over zero shards
+    "documents_importance_resampled",  # 0-bucket model, totals row
 ]
 
 
