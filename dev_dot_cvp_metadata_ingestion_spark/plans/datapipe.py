@@ -820,6 +820,83 @@ def documents_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "documents_training_shards",
+    oracle=f"""
+    WITH {_CURATED_CTES},
+    cur_docs AS (
+      SELECT d.doc_id, d.source, d.text
+      FROM documents d JOIN curated c ON c.doc_id = d.doc_id
+    ),
+    toks2 AS (
+      SELECT doc_id, source, {_TOKS.format(c="text")} AS t FROM cur_docs
+    ),
+    starts AS (
+      SELECT doc_id, source, t,
+             unnest(CASE WHEN len(t) > 0 THEN
+               generate_series(0, len(t) - 1, 24) ELSE [] END) AS start_pos
+      FROM toks2
+    ),
+    chunks AS (
+      SELECT doc_id, start_pos // 24 AS chunk_id,
+             len(list_slice(t, start_pos + 1, start_pos + 32))
+               AS n_chunk_tokens
+      FROM starts
+    ),
+    keyed AS (
+      SELECT doc_id, chunk_id, n_chunk_tokens,
+             md5(CAST(doc_id AS VARCHAR) || ':' ||
+                 CAST(chunk_id AS VARCHAR) || ':epoch0') AS shuffle_key,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                 CAST(chunk_id AS VARCHAR) || ':epoch0'), 1, 8))::BIGINT % 16
+               AS shard_id
+      FROM chunks
+    )
+    SELECT doc_id, chunk_id, n_chunk_tokens, shard_id,
+           CAST(row_number() OVER (
+             PARTITION BY shard_id ORDER BY shuffle_key, doc_id, chunk_id) - 1
+             AS BIGINT) AS position
+    FROM keyed
+    ORDER BY shard_id, position
+    """,
+)
+def documents_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The terminal artifact SHUFFLED: ``documents_training_examples``
+    (raw corpus → full curation → chunking) composed with the
+    deterministic epoch shuffle — per-example md5(doc_id:chunk_id:seed)
+    keys, 16 uniform hash shards, bounded per-shard positions. This is
+    the manifest an epoch of training reads: curation decides WHAT is
+    trained on, the shuffle decides in what ORDER, and both are one
+    declarative plan from the object store. Adds exactly one hash
+    shuffle (the shard id) on top of the curation subtree — no global
+    sort, no rand(); identical examples land in identical shards on
+    every retry, restart, and re-run, which is what makes mid-epoch
+    restart reproducible. Oracle composes the curated CTE block with
+    the chunk and shuffle SQL verbatim, so the composition cannot
+    drift from its pieces."""
+    from ..sources.catalog import shard_of, shuffle_key
+
+    ex = documents_training_examples(spark, sf_dir)
+    ekey = F.concat_ws(
+        ":", F.col("doc_id").cast("string"), F.col("chunk_id").cast("string")
+    )
+    keyed = ex.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        shuffle_key(ekey, "epoch0").alias("shuffle_key"),
+        shard_of(ekey, "epoch0", 16).alias("shard_id"),
+    )
+    w = W.partitionBy("shard_id").orderBy("shuffle_key", "doc_id", "chunk_id")
+    return keyed.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        "shard_id",
+        (F.row_number().over(w) - 1).cast("long").alias("position"),
+    )
+
+
 def _curated_plan(d: DataFrame, pin=lambda df: df) -> DataFrame:
     """Curation pipeline plan over a documents frame. ``pin`` is
     applied at the diamond-shared stage boundaries (scored, clean,

@@ -179,6 +179,7 @@ BACK: tuple[str, ...] = (
     "documents_paragraph_dedup",
     "documents_shuffled_shards",
     "documents_importance_resampled",
+    "documents_training_shards",
     "dedup_ngram_pairs_capped",
     "dedup_containment_pairs_capped",
     "embedding_label_propagation",

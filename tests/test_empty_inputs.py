@@ -45,6 +45,7 @@ AT_RISK = [
     "documents_paragraph_dedup",   # firsts aggregate + merge join on empty
     "documents_shuffled_shards",   # window over zero shards
     "documents_importance_resampled",  # 0-bucket model, totals row
+    "documents_training_shards",   # full curation subtree on empty
 ]
 
 
