@@ -308,7 +308,9 @@ PER_ROW_OUTPUT = [
     "dedup_containment_pairs_capped", "embedding_label_propagation",
     "embedding_contamination_semantic", "embedding_label_propagation_ivf",
     "embedding_contamination_semantic_ivf", "ann_knn_join",
-    "documents_training_examples",
+    "documents_training_examples", "documents_training_shards",
+    "documents_paragraph_dedup", "documents_shuffled_shards",
+    "documents_importance_resampled",
     "dedup_exact", "dedup_minhash_pairs",
     "dedup_clusters", "dedup_simhash", "dedup_ngram_pairs",
     "dedup_containment_pairs", "dedup_keep_best", "embedding_quantize",
