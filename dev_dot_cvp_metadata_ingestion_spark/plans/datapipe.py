@@ -551,6 +551,16 @@ def documents_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The full curation pipeline as DuckDB CTEs — shared by the
 # documents_curated oracle and the documents_curation_funnel stage
 # counts, so the two can never drift apart.
+# the SQL twin of functions.text.quality_score over a CTE exposing the
+# raw `text` column and its token list as `t` — shared by the curated
+# CTE block and the budget-selection oracle so the two can't drift
+_QUALITY_SQL = f"""least(len(t) / 100.0, 1.0) * 0.3
+               + (CASE WHEN len(t) > 0 THEN {_stop_hits("en")}::DOUBLE / len(t)
+                  ELSE 0.0 END) * 0.5
+               + (CASE WHEN (CASE WHEN length(text) > 0 THEN
+                    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+                      / length(text) ELSE 0.0 END) < 0.1 THEN 1.0 ELSE 0.0 END) * 0.2"""
+
 _CURATED_CTES = f"""
     toks AS (
       SELECT doc_id, lang, source, text,
@@ -562,12 +572,7 @@ _CURATED_CTES = f"""
       SELECT doc_id, lang, source, len(t) AS n_tokens,
              md5(array_to_string(tl, ' ')) AS fingerprint,
              least(len(t) / 100.0, 1.0) AS len_term,
-             least(len(t) / 100.0, 1.0) * 0.3
-               + (CASE WHEN len(t) > 0 THEN {_stop_hits("en")}::DOUBLE / len(t)
-                  ELSE 0.0 END) * 0.5
-               + (CASE WHEN (CASE WHEN length(text) > 0 THEN
-                    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
-                      / length(text) ELSE 0.0 END) < 0.1 THEN 1.0 ELSE 0.0 END) * 0.2
+             {_QUALITY_SQL}
                AS quality,
              CASE WHEN len(t) > 0 THEN
                (len(t) - len(list_distinct(t)))::DOUBLE / len(t)
@@ -4433,6 +4438,144 @@ def documents_importance_resampled(spark: SparkSession, sf_dir: str) -> DataFram
             ((nb > 0) & (mean >= 1_000_000)).alias("kept"),
         )
     )
+
+
+@register(
+    "documents_budget_selected",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text, {_TOKS.format(c="text")} AS t FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(floor(({_QUALITY_SQL}) * 1000000) AS BIGINT) AS quality_fp
+      FROM toks
+    ),
+    tot AS (SELECT coalesce(sum(n_tokens), 0) // 2 AS budget FROM scored),
+    r AS (
+      SELECT doc_id, n_tokens, quality_fp,
+             coalesce(sum(n_tokens) OVER (
+               ORDER BY quality_fp DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM scored
+    )
+    SELECT r.doc_id, r.n_tokens, r.quality_fp,
+           (r.cum_before < tot.budget) AS kept
+    FROM r, tot
+    ORDER BY r.doc_id
+    """,
+)
+def documents_budget_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token-budget corpus selection: rank every document by
+    (quality DESC, doc_id) and keep the maximal prefix whose
+    cumulative token count stays under a budget (here half the corpus'
+    tokens) — the "take the best B tokens" step every mixture builder
+    runs after scoring. The oracle states the semantics as one global
+    cumulative-sum window; the Spark plan computes the IDENTICAL keep
+    set without any global window or global sort, because a corpus-
+    wide ordered cumsum is the canonical 100 TB anti-pattern (every
+    row through one task).
+
+    Plan: quality is quantized to fixed-point ppm (the ranking is
+    DEFINED on the quantized value, so engines agree bit-for-bit).
+    One aggregate builds the per-quality-value token histogram (≤ 1e6
+    rows — model-sized, like the DSIR bucket table, bounded regardless
+    of corpus size); its exclusive running totals come from a
+    ~1000-row coarse-bucket self-join plus a window PARTITIONED by
+    coarse bucket (state ≤ 1024 rows per partition — never a global
+    window). That stat table is broadcast onto the corpus once; every
+    quality group is then fully-kept or fully-cut except the SINGLE
+    group the budget line crosses, whose doc_id-ordered prefix is
+    resolved by a window partitioned by the group (state bounded by
+    the tie group, which ppm quantization keeps small). Driver
+    collects nothing. The pure declarative form re-derives the
+    3-column scored projection per consumer branch (the same
+    documented trade as ``documents_curated``'s diamonds — persist
+    the projection in production via the scoped pattern); everything
+    that moves in a shuffle is histogram-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.floor(quality_score(F.col("text")) * 1_000_000)
+        .cast("long")
+        .alias("quality_fp"),
+    )
+    # per-quality-value histogram: the entire selection "model"
+    qhist = (
+        scored.groupBy("quality_fp")
+        .agg(F.sum("n_tokens").alias("qtok"))
+        .select("quality_fp", "qtok", F.expr("quality_fp div 1024").alias("cb"))
+    )
+    chist = qhist.groupBy("cb").agg(F.sum("qtok").alias("btok"))
+    c2 = chist.select(F.col("cb").alias("cb2"), F.col("btok").alias("btok2"))
+    ccum = (
+        chist.join(F.broadcast(c2), F.col("cb2") > F.col("cb"), "left")
+        .groupBy("cb", "btok")
+        .agg(F.coalesce(F.sum("btok2"), F.lit(0)).alias("cum_above_c"))
+    )
+    # budget from the same tiny relation: max over (cum_above + btok)
+    # is the corpus total (reached at the lowest bucket)
+    budget = ccum.agg(
+        F.expr(
+            "coalesce(max(cum_above_c + btok), 0) div 2"
+        ).alias("budget")
+    )
+    wq = (
+        W.partitionBy("cb")
+        .orderBy(F.col("quality_fp").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    qstat = (
+        qhist.select(
+            "quality_fp",
+            "qtok",
+            "cb",
+            F.coalesce(F.sum("qtok").over(wq), F.lit(0)).alias("within"),
+        )
+        .join(F.broadcast(ccum.select("cb", "cum_above_c")), "cb")
+        .crossJoin(F.broadcast(budget))
+        .select(
+            "quality_fp",
+            (F.col("cum_above_c") + F.col("within")).alias("qcum"),
+            "qtok",
+            "budget",
+        )
+    )
+    out = scored.join(F.broadcast(qstat), "quality_fp")
+    keep_all = F.col("qcum") + F.col("qtok") <= F.col("budget")
+    cut_all = F.col("qcum") >= F.col("budget")
+    direct = out.filter(keep_all | cut_all).select(
+        "doc_id", "n_tokens", "quality_fp", keep_all.alias("kept")
+    )
+    # the one quality group the budget line crosses: doc_id-ordered
+    # prefix of its remaining allowance
+    wtie = (
+        W.partitionBy("quality_fp")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    tie = (
+        out.filter(~keep_all & ~cut_all)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality_fp",
+            (F.col("budget") - F.col("qcum")).alias("r"),
+            F.coalesce(F.sum("n_tokens").over(wtie), F.lit(0)).alias(
+                "cum_tie"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality_fp",
+            (F.col("cum_tie") < F.col("r")).alias("kept"),
+        )
+    )
+    return direct.union(tie)
 
 
 @register(

@@ -180,6 +180,7 @@ BACK: tuple[str, ...] = (
     "documents_shuffled_shards",
     "documents_importance_resampled",
     "documents_training_shards",
+    "documents_budget_selected",
     "dedup_ngram_pairs_capped",
     "dedup_containment_pairs_capped",
     "embedding_label_propagation",

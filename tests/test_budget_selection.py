@@ -1,0 +1,104 @@
+"""Global token-budget selection: the histogram-refinement plan must
+reproduce the global-cumsum semantics exactly — including when the
+budget boundary lands inside a tie group of identical qualities — and
+must plan no global window and no global sort."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from dev_dot_cvp_metadata_ingestion_spark.plans import registry
+
+registry.load_all()
+
+Q = "documents_budget_selected"
+
+
+def _run(spark, rows, tmp_path):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "sf")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return {r["doc_id"]: r for r in registry.QUERIES[Q](spark, d).collect()}
+
+
+def _oracle_keep(rows):
+    """Reference: global cumsum over (quality_fp DESC, doc_id)."""
+    import math
+
+    def toks(s):
+        return [w for w in s.split() if w]
+
+    def quality_fp(s):
+        t = toks(s)
+        n = len(t)
+        len_term = min(n / 100.0, 1.0)
+        # must mirror functions.text.STOPWORDS["en"] exactly
+        stop = {"the", "a", "of", "and", "to", "in", "is", "it", "for", "on"}
+        stop_term = (sum(1 for w in t if w.lower() in stop) / n) if n else 0.0
+        if len(s) > 0:
+            punct = sum(1 for c in s if c in ".,!?;:") / len(s)
+        else:
+            punct = 0.0
+        punct_term = 1.0 if punct < 0.1 else 0.0
+        q = len_term * 0.3 + stop_term * 0.5 + punct_term * 0.2
+        return math.floor(q * 1_000_000)
+
+    scored = [(d, len(toks(s)), quality_fp(s)) for d, s, *_ in rows]
+    budget = sum(n for _, n, _ in scored) // 2
+    order = sorted(scored, key=lambda x: (-x[2], x[0]))
+    kept, cum = set(), 0
+    for d, n, _ in order:
+        if cum < budget:
+            kept.add(d)
+        cum += n
+    return kept
+
+
+def test_matches_global_cumsum_with_tie_crossing(spark, tmp_path):
+    # 3 high-quality distinct docs, then a 6-doc TIE GROUP of identical
+    # text that straddles the budget line, then junk. The boundary
+    # resolution must pick the tie group's doc_id prefix.
+    hi = "the cat sat on the mat and it is a fine day for all of us here"
+    tie = "a plain middle document with the same words in it for a tie"
+    junk = "zzz!!!,,,"
+    rows = (
+        [(i, hi + f" extra{i}", "en", "s", 1) for i in range(3)]
+        + [(10 + i, tie, "en", "s", 1) for i in range(6)]
+        + [(100 + i, junk, "en", "s", 1) for i in range(4)]
+    )
+    out = _run(spark, rows, tmp_path)
+    expect = _oracle_keep(rows)
+    got = {d for d, r in out.items() if r["kept"]}
+    assert got == expect
+    # the tie group must be split by doc_id order: whichever tie docs
+    # are kept must be a prefix of 10..15
+    tie_kept = sorted(d for d in got if 10 <= d < 16)
+    assert tie_kept == list(range(10, 10 + len(tie_kept)))
+
+
+def test_budget_is_half_the_corpus_tokens(spark, tmp_path):
+    rows = [(i, "word " * 10, "en", "s", 1) for i in range(10)]
+    out = _run(spark, rows, tmp_path)
+    kept_tokens = sum(r["n_tokens"] for r in out.values() if r["kept"])
+    total = sum(r["n_tokens"] for r in out.values())
+    # identical docs: ties resolved by doc_id until the budget crosses;
+    # the crossing doc is included, so kept mass is budget + ≤ one doc
+    assert total // 2 <= kept_tokens <= total // 2 + 10
+
+
+def test_all_docs_flagged_none_lost(spark, tmp_path):
+    rows = [(i, f"doc {i} text here", "en", "s", 1) for i in range(7)]
+    out = _run(spark, rows, tmp_path)
+    assert len(out) == 7
+    assert all(isinstance(r["kept"], bool) for r in out.values())
+
+
+def test_no_global_window_or_sort_in_plan(spark, sf_dir):
+    df = registry.QUERIES[Q](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "No Partition Defined" not in plan
+    # windows in the plan must all be partitioned (the tie resolver)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()

@@ -46,6 +46,7 @@ AT_RISK = [
     "documents_shuffled_shards",   # window over zero shards
     "documents_importance_resampled",  # 0-bucket model, totals row
     "documents_training_shards",   # full curation subtree on empty
+    "documents_budget_selected",   # zero-row histogram, null budget
 ]
 
 
