@@ -38,6 +38,11 @@ SENSITIVE = [
     "text_bpe_merges",       # iterative argmax rounds (tie-breaks!)
     "text_bpe_merges_batched",  # snapshot-ranked greedy batch rounds
     "documents_contamination_bloom",  # bitmap bit_or + semi-join probes
+    "documents_budget_selected",   # histogram refinement + tie window
+    "documents_paragraph_dedup",   # min_by firsts + merge join
+    "documents_shuffled_shards",   # hash shards + per-shard positions
+    "documents_importance_resampled",  # bucket model + clipped ratios
+    "documents_training_shards",   # curation subtree + epoch shuffle
 ]
 
 
