@@ -73,7 +73,6 @@ def query_names() -> list[str]:
 # row keeps the strongest (hash) check.
 BOARD: tuple[str, ...] = (
     # relational core
-    "pricing_summary",
     "revenue_by_nation",
     "suppliers_with_large_shipments",
     "lineitem_status_cube",
@@ -108,16 +107,21 @@ BOARD: tuple[str, ...] = (
     "documents_chunked",
     "documents_packed",
     "documents_source_cap",
-    "corpus_vocab_by_source",
+    # round-8 additions: genuinely new operator families, promoted to
+    # the board in the mid-round swap (4 two-round-green reps yielded:
+    # pricing_summary, corpus_vocab_by_source, dedup_embedding_pairs,
+    # ann_bruteforce_topk — each family keeps other board reps)
+    "documents_paragraph_dedup",
+    "documents_importance_resampled",
+    "documents_budget_selected",
+    "documents_training_shards",
     # dedup family
     "dedup_keep_best",
     "dedup_minhash_banded",
     "dedup_ngram_pairs",
     "dedup_containment_pairs",
-    "dedup_embedding_pairs",
     "corpus_dedup_report",
     # similarity / ANN / embeddings
-    "ann_bruteforce_topk",
     "ann_ivf_kmeans_topk",
     "embedding_label_propagation_ivf",
     "embedding_contamination_semantic_ivf",
@@ -150,6 +154,11 @@ BACK: tuple[str, ...] = (
     "embedding_kmeans",
     "events_top_transitions",
     "multimodal_features",
+    # --- rotated off mid-round-8 for the new-family promotions ---
+    "pricing_summary",
+    "corpus_vocab_by_source",
+    "dedup_embedding_pairs",
+    "ann_bruteforce_topk",
     # --- rotated off in round 7 ---
     "top_orders_per_priority",
     "customers_without_orders",
@@ -176,11 +185,7 @@ BACK: tuple[str, ...] = (
     "dedup_clusters_contracted",
     "dedup_clusters_twostar",
     "documents_boilerplate_removed",
-    "documents_paragraph_dedup",
     "documents_shuffled_shards",
-    "documents_importance_resampled",
-    "documents_training_shards",
-    "documents_budget_selected",
     "dedup_ngram_pairs_capped",
     "dedup_containment_pairs_capped",
     "embedding_label_propagation",
