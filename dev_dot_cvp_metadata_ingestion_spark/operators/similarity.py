@@ -213,6 +213,43 @@ def ivf_knn_join(
         scale=scale,
         return_centroids=True,
     )
+    corpus = emb.select(F.col(id_col).alias("vec_id"), vec_col).join(
+        assigned.select("vec_id", "cluster"), "vec_id"
+    )
+    return ivf_probe_join(
+        corpus,
+        cents,
+        queries,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_salts=n_salts,
+        scale=scale,
+    )
+
+
+def ivf_probe_join(
+    corpus: DataFrame,
+    cents: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_salts: int = 32,
+    scale: int = 10_000_000,
+) -> DataFrame:
+    """The PROBE phase of ``ivf_knn_join``, decoupled from quantizer
+    training: ``corpus`` already carries its cell assignment (columns
+    ``vec_id``, ``vec_col``, ``cluster``) and ``cents`` is the trained
+    centroid relation (``cluster``, ``cf`` fixed-point arrays). This is
+    the steady-state production path — train once, persist the
+    assignment as the table's partition column (``write_ivf_layout``),
+    and every batch of queries pays only this function: an nprobe-cell
+    candidate join whose corpus side is pruned to the probed cells'
+    partitions. Same scoring lineage as the in-query form, so given
+    the same centroids the results are identical row-for-row."""
     from ..functions.vectors import _as_double, l2_norm
     from pyspark.sql import Window
 
@@ -238,13 +275,14 @@ def ivf_knn_join(
         .filter(F.col("_pr") <= nprobe)
         .select("q_id", "qd", "nq", "cluster")
     )
-    corpus = emb.select(
-        F.col(id_col).alias("vec_id"),
+    proj = corpus.select(
+        F.col("vec_id"),
         _as_double(F.col(vec_col)).alias("vd"),
         l2_norm(F.col(vec_col)).alias("na"),
-    ).join(assigned.select("vec_id", "cluster"), "vec_id")
+        "cluster",
+    )
     scored = (
-        corpus.join(probes, "cluster")
+        proj.join(probes, "cluster")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",

@@ -377,3 +377,58 @@ def write_shuffled_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def write_ivf_layout(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    iters: int = 2,
+    scale: int = 10_000_000,
+) -> None:
+    """Persist an embedding table in its IVF layout — the FAISS
+    index-build step as a storage decision: train the deterministic
+    k-means coarse quantizer ONCE, then write vectors parquet-
+    partitioned by their learned cell (plus the centroid relation as a
+    k-row sidecar table). Every later query batch pays only the probe
+    phase (`ivf_probe_join`): the candidate join's corpus side prunes
+    to the probed cells' partitions at the FILE level — with nprobe=2
+    of 64 cells, ~97% of the corpus bytes are never read. Same
+    pay-the-build-once trade as ``write_bucketed`` / the Z-order
+    layout, applied to ANN."""
+    from ..operators.similarity import kmeans_assign
+    from pyspark.sql import functions as F
+
+    assigned, cents = kmeans_assign(
+        emb,
+        k=n_cells,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        scale=scale,
+        return_centroids=True,
+    )
+    (
+        emb.select(F.col(id_col).alias("vec_id"), vec_col)
+        .join(assigned.select("vec_id", "cluster"), "vec_id")
+        .repartition(F.col("cluster"))
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{path}/cells")
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def read_ivf_layout(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Load a persisted IVF layout: (cells, centroids). ``cells`` has
+    (vec_id, embedding, cluster) with ``cluster`` as the on-disk
+    partition column, so a probe join's cluster predicate reaches the
+    scan as a partition filter (dynamic partition pruning)."""
+    return (
+        spark.read.parquet(f"{path}/cells"),
+        spark.read.parquet(f"{path}/centroids"),
+    )
