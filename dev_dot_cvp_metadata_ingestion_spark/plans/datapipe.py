@@ -1604,6 +1604,106 @@ _CLUSTERS_ORACLE = f"""
     """
 
 
+@register(
+    "dedup_cluster_representatives",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_PAIR_CTES},
+    edges AS (
+      SELECT doc_id_a AS src, doc_id_b AS dst FROM lsh_pairs
+      UNION
+      SELECT doc_id_b, doc_id_a FROM lsh_pairs
+    ),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(label) AS cluster_id
+      FROM reach GROUP BY node
+    ),
+    toksq AS (
+      SELECT doc_id, text, {_TOKS.format(c="text")} AS t FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             CAST(floor(({_QUALITY_SQL}) * 1000000) AS BIGINT)
+               AS quality_fp
+      FROM toksq
+    ),
+    j AS (
+      SELECT c.cluster_id, c.doc_id, q.quality_fp
+      FROM comp c JOIN q USING (doc_id)
+    ),
+    r AS (
+      SELECT cluster_id, doc_id, quality_fp,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY quality_fp DESC, doc_id) AS rn
+      FROM j
+    ),
+    m AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+      FROM j GROUP BY cluster_id
+    )
+    SELECT r.cluster_id, r.doc_id AS rep_id,
+           r.quality_fp AS rep_quality_fp, m.n_members
+    FROM r JOIN m USING (cluster_id)
+    WHERE rn = 1
+    ORDER BY r.cluster_id
+    """,
+)
+def dedup_cluster_representatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The near-dup removal TERMINAL: LSH pair graph → connected
+    components → per-cluster representative selection, keeping each
+    cluster's highest-quality member (ties to the smaller doc_id).
+    This is the row a dedup pass actually emits — "of these 40
+    near-identical crawls, train on THIS one" — completing the
+    pairs → clusters → keepers chain the same way ``dedup_keep_best``
+    does for exact duplicates. Representative selection is a
+    skew-safe ``min_by`` aggregate (a cluster of a million mirrors
+    collapses map-side in the partial aggregate — never a window over
+    the cluster), member counts ride the same shuffle, and quality is
+    the fixed-point ppm score so engines rank identically. The oracle
+    extends the shared recursive-CTE components oracle with the same
+    argmax."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = lsh_near_duplicates(
+        d, "doc_id", "text", num_hashes=8, n=3, threshold=0.3
+    )
+    comp = connected_components(pairs, d.select("doc_id"))
+    q = d.select(
+        "doc_id",
+        F.floor(quality_score(F.col("text")) * 1_000_000)
+        .cast("long")
+        .alias("quality_fp"),
+    )
+    return (
+        comp.join(q, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("doc_id").alias("rid"),
+                    F.col("quality_fp").alias("rq"),
+                ),
+                F.struct(
+                    (-F.col("quality_fp")).alias("nq"),
+                    F.col("doc_id").alias("tie"),
+                ),
+            ).alias("rep"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            F.col("rep.rid").alias("rep_id"),
+            F.col("rep.rq").alias("rep_quality_fp"),
+            "n_members",
+        )
+    )
+
+
 @register("dedup_clusters", oracle=_CLUSTERS_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components of the LSH pair

@@ -47,6 +47,7 @@ AT_RISK = [
     "documents_importance_resampled",  # 0-bucket model, totals row
     "documents_training_shards",   # full curation subtree on empty
     "documents_budget_selected",   # zero-row histogram, null budget
+    "dedup_cluster_representatives",  # CC fixpoint + argmax on empty
 ]
 
 
