@@ -1,0 +1,118 @@
+"""Seeded randomized differential tests: the budget-selection and
+paragraph-dedup plans vs independent plain-Python references over
+generated corpora. Catches boundary cases hand-planted fixtures miss
+(budget exactly at a bucket edge, all-tie corpora, empty segments)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from dev_dot_cvp_metadata_ingestion_spark.plans import registry
+
+registry.load_all()
+
+WORDS = [
+    "the", "a", "of", "and", "to", "in", "is", "it", "for", "on",
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+    "theta", "wolf", "stone", "river", "cloud", "ember", "frost",
+]
+STOP = {"the", "a", "of", "and", "to", "in", "is", "it", "for", "on"}
+
+
+def _gen_corpus(seed: int, n_docs: int):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        n = rng.choice([0, 1, 3, 9, 10, 11, 20, 35])
+        toks = [rng.choice(WORDS) for _ in range(n)]
+        if rng.random() < 0.3 and i > 0 and rows[-1][1]:
+            # repeat the previous doc's text exactly (tie pressure)
+            text = rows[-1][1]
+        else:
+            text = " ".join(toks)
+        rows.append((i, text, rng.choice(["en", "de"]), "s", len(text)))
+    return rows
+
+
+def _write(spark, rows, tmp_path, tag):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / tag)
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def _toks(s):
+    return [w for w in s.split() if w]
+
+
+def _quality_fp(s):
+    t = _toks(s)
+    n = len(t)
+    len_term = min(n / 100.0, 1.0)
+    stop_term = (sum(1 for w in t if w.lower() in STOP) / n) if n else 0.0
+    punct = (sum(1 for c in s if c in ".,!?;:") / len(s)) if s else 0.0
+    punct_term = 1.0 if punct < 0.1 else 0.0
+    q = len_term * 0.3 + stop_term * 0.5 + punct_term * 0.2
+    return math.floor(q * 1_000_000)
+
+
+def _budget_reference(rows):
+    scored = [(d, len(_toks(s)), _quality_fp(s)) for d, s, *_ in rows]
+    budget = sum(n for _, n, _ in scored) // 2
+    kept, cum = set(), 0
+    for d, n, _ in sorted(scored, key=lambda x: (-x[2], x[0])):
+        if cum < budget:
+            kept.add(d)
+        cum += n
+    return kept
+
+
+def _paragraph_reference(rows, seg_tokens=10):
+    """First-occurrence segment dedup in plain Python."""
+    seen = set()
+    out = {}
+    for d, s, *_ in sorted(rows):
+        t = _toks(s)
+        nseg = math.ceil(len(t) / seg_tokens)
+        kept_segs, removed = [], 0
+        for i in range(nseg):
+            seg = " ".join(t[i * seg_tokens:(i + 1) * seg_tokens])
+            if seg in seen:
+                removed += 1
+            else:
+                seen.add(seg)
+                kept_segs.append(seg)
+        out[d] = (" ".join(kept_segs), nseg, removed)
+    return out
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_budget_selection_differential(spark, tmp_path, seed):
+    rows = _gen_corpus(seed, 60)
+    d = _write(spark, rows, tmp_path, f"b{seed}")
+    got = {
+        r["doc_id"]
+        for r in registry.QUERIES["documents_budget_selected"](spark, d)
+        .collect()
+        if r["kept"]
+    }
+    assert got == _budget_reference(rows)
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_paragraph_dedup_differential(spark, tmp_path, seed):
+    rows = _gen_corpus(seed, 40)
+    d = _write(spark, rows, tmp_path, f"p{seed}")
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_segments"], r["n_removed"])
+        for r in registry.QUERIES["documents_paragraph_dedup"](spark, d)
+        .collect()
+    }
+    # reference dedups in (doc_id, pos) order, which is exactly the
+    # operator's min-(doc_id, pos) first-occurrence rule
+    assert got == _paragraph_reference(rows)
