@@ -226,3 +226,49 @@ def merge_upsert_sink(
         )
 
     return sink
+
+
+def stream_corpus_ingest(
+    docs: DataFrame,
+    quality_threshold: float = 0.2,
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """Incremental training-corpus ingestion: the streaming front half
+    of the batch curation pipeline, built entirely from bounded-state
+    built-ins. Per-document hygiene (PII scrub, quality/language
+    scoring) is map-side; a fixed quality gate drops junk (the batch
+    pipeline's per-language QUARTILE gate needs corpus-wide statistics
+    and stays batch — the documented divergence, exactly the
+    stream-vs-batch split a production ingest runs); exact dedup keeps
+    each content fingerprint's FIRST arrival via
+    ``dropDuplicatesWithinWatermark``, whose state is bounded by the
+    watermark horizon, not stream history.
+
+    ``docs`` must be a STREAMING frame with (doc_id long, text string,
+    lang string, source string, ingest_ts timestamp). Returns the
+    curated append stream; sink it with ``merge_upsert_sink`` (keyed
+    on fingerprint) for a continuously-current corpus table or
+    ``idempotent_parquet_sink`` for an append log. At 100 TB/day the
+    plan is one watermarked dedup shuffle on the 16-byte fingerprint;
+    everything else rides the scan."""
+    from ..functions.text import (
+        content_fingerprint,
+        lang_id,
+        pii_scrub,
+        quality_score,
+    )
+
+    scrubbed = pii_scrub(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        scrubbed.alias("text"),
+        "source",
+        "ingest_ts",
+        content_fingerprint(scrubbed).alias("fingerprint"),
+        quality_score(scrubbed).alias("quality"),
+        lang_id(scrubbed).alias("lang_detected"),
+    )
+    gated = scored.filter(F.col("quality") >= quality_threshold)
+    return gated.withWatermark(
+        "ingest_ts", lateness
+    ).dropDuplicatesWithinWatermark(["fingerprint"])
