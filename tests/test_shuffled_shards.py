@@ -123,3 +123,34 @@ def test_manifest_plan_has_no_global_sort(spark, sf_dir):
         .toString()
     )
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_writer_layout_matches_training_shards_manifest(spark, sf_dir, tmp_path):
+    """Writing the terminal training examples through
+    write_shuffled_shards (keyed on doc_id:chunk_id, same seed) must
+    land every example in exactly the shard the
+    documents_training_shards manifest assigns — the query IS the
+    writer's layout, stated once."""
+    from dev_dot_cvp_metadata_ingestion_spark.plans import registry
+
+    registry.load_all()
+    ex = registry.QUERIES["documents_training_examples"](spark, sf_dir).select(
+        "doc_id",
+        "chunk_id",
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.col("chunk_id").cast("string")
+        ).alias("example_id"),
+    )
+    p = str(tmp_path / "ts")
+    write_shuffled_shards(ex, p, "example_id", n_shards=16, seed="epoch0")
+    written = {
+        (r["doc_id"], r["chunk_id"]): r["shard"]
+        for r in spark.read.parquet(p).collect()
+    }
+    manifest = {
+        (r["doc_id"], r["chunk_id"]): r["shard_id"]
+        for r in registry.QUERIES["documents_training_shards"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert written == manifest
