@@ -2308,7 +2308,11 @@ def embedding_label_propagation_ivf(
     remains registered as the small-query special case.
     tests/test_plan_quality.py asserts this plan's knn joins are
     shuffle joins (no corpus-sized broadcast) with hints-only
-    broadcasting disabled."""
+    broadcasting disabled. In-query quantizer training dominates this
+    form's wall time; a production deployment amortizes it with
+    ``write_ivf_layout`` + ``ivf_probe_join`` (sources/catalog.py) —
+    train once, persist the cell layout, and every batch pays only
+    the dynamic-partition-pruned probe (13.6× measured, SCALE.md)."""
     from ..operators.similarity import ivf_knn_join
 
     e = load_table(spark, sf_dir, "embeddings")
