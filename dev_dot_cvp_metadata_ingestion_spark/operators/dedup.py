@@ -1139,6 +1139,84 @@ def simhash16(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
 
 
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs via the Charikar/Manku banded scheme
+    (Manku et al., WWW'07, public): split the 16-bit hash into 4
+    4-bit bands; any pair within ``max_hamming`` ≤ 3 differs in at
+    most 3 bit positions, so by pigeonhole at least one band matches
+    exactly — candidates come from equality self-joins on (band,
+    value), never an all-pairs hamming scan. Each candidate is then
+    verified EXACTLY (bit_count of the xor), so reported distances
+    are never approximate and false candidates cost only the verify
+    expression.
+
+    Scale shape: the simhash aggregate is one map-side-combined
+    shuffle on doc_id (8 bytes of hash per doc regardless of length);
+    the candidate join shuffles (band, value, doc_id, simhash) tuples
+    — the join key has 4 × 16 possible values per band position,
+    so band-bucket sizes are corpus/64 in expectation and the join is
+    AQE-splittable under skew (a degenerate corpus where every doc
+    hashes alike is by definition near-duplicate-saturated, the same
+    honest exposure as the LSH band join). Output: (doc_id_a,
+    doc_id_b, hamming), each pair exactly once."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming={max_hamming}: the 4-band scheme guarantees "
+            "recall only for hamming <= 3 (pigeonhole over 16 bits)"
+        )
+    sim = simhash16(docs, id_col, text_col)
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", 4 * i)
+                        .bitwiseAND(F.lit(15))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band", "b.val")
+    a = bands
+    b = bands.select(
+        F.col("band").alias("band2"),
+        F.col("val").alias("val2"),
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("simhash").alias("simhash_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band2"))
+            & (F.col("val") == F.col("val2"))
+            & (F.col("doc_id") < F.col("doc_id_b")),
+        )
+        .select(
+            F.col("doc_id").alias("doc_id_a"),
+            "doc_id_b",
+            "simhash",
+            "simhash_b",
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("simhash").bitwiseXOR(F.col("simhash_b"))
+    ).cast("long")
+    return cand.select(
+        "doc_id_a", "doc_id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str,

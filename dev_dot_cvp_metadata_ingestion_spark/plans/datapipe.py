@@ -1898,6 +1898,47 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents),
+    tok AS (SELECT doc_id, {_BASE_HASH.format(s="tok.x")} AS x
+            FROM toks, unnest(t) AS tok(x)),
+    votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM tok GROUP BY doc_id),
+    sim AS (SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash
+            FROM votes),
+    bands AS (
+      SELECT doc_id, simhash, b.i AS band,
+             (simhash >> (4 * b.i)) & 15 AS val
+      FROM sim, unnest(generate_series(0, 3)) AS b(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_id_a, doc_id_b,
+           CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= 3
+    ORDER BY doc_id_a, doc_id_b
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Manku et al. WWW'07 banding): 4-bit
+    bands of the 16-bit hash generate candidates by equality self-join
+    — pigeonhole guarantees every pair within hamming ≤ 3 shares a
+    band — then the exact xor/bit_count verify reports true distances.
+    Completes the simhash family (hash → pairs) the way the MinHash
+    family pairs its signatures; candidate volume rides band-bucket
+    equality, never an all-pairs hamming scan."""
+    from ..operators.dedup import simhash_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+@register(
     "dedup_ngram_pairs",
     oracle=f"""
     WITH toks AS (

@@ -182,6 +182,7 @@ BACK: tuple[str, ...] = (
     "events_cohort_retention",
     # --- within-family variants ---
     "dedup_lsh_quality_report",
+    "dedup_simhash_pairs",
     "dedup_cluster_representatives",
     "dedup_clusters_contracted",
     "dedup_clusters_twostar",

@@ -48,6 +48,7 @@ AT_RISK = [
     "documents_training_shards",   # full curation subtree on empty
     "documents_budget_selected",   # zero-row histogram, null budget
     "dedup_cluster_representatives",  # CC fixpoint + argmax on empty
+    "dedup_simhash_pairs",         # band self-join on empty
 ]
 
 

@@ -311,7 +311,7 @@ PER_ROW_OUTPUT = [
     "documents_training_examples", "documents_training_shards",
     "documents_paragraph_dedup", "documents_shuffled_shards",
     "documents_importance_resampled", "documents_budget_selected",
-    "dedup_cluster_representatives",
+    "dedup_cluster_representatives", "dedup_simhash_pairs",
     "dedup_exact", "dedup_minhash_pairs",
     "dedup_clusters", "dedup_simhash", "dedup_ngram_pairs",
     "dedup_containment_pairs", "dedup_keep_best", "embedding_quantize",
