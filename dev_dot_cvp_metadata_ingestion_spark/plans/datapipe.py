@@ -1897,18 +1897,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash16(d, "doc_id", "text")
 
 
+_SIMHASH60_VOTES = ", ".join(
+    f"sum(CASE WHEN (x >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+    for i in range(60)
+)
+_SIMHASH60_BITS = " + ".join(
+    f"CASE WHEN v{i} >= 0 THEN {1 << i} ELSE 0 END" for i in range(60)
+)
+
+
 @register(
     "dedup_simhash_pairs",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents),
-    tok AS (SELECT doc_id, {_BASE_HASH.format(s="tok.x")} AS x
+    tok AS (SELECT doc_id,
+                   ('0x' || substr(md5(tok.x), 1, 15))::BIGINT AS x
             FROM toks, unnest(t) AS tok(x)),
-    votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM tok GROUP BY doc_id),
-    sim AS (SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash
+    votes AS (SELECT doc_id, {_SIMHASH60_VOTES} FROM tok GROUP BY doc_id),
+    sim AS (SELECT doc_id, CAST({_SIMHASH60_BITS} AS BIGINT) AS simhash
             FROM votes),
     bands AS (
       SELECT doc_id, simhash, b.i AS band,
-             (simhash >> (4 * b.i)) & 15 AS val
+             (simhash >> (15 * b.i)) & 32767 AS val
       FROM sim, unnest(generate_series(0, 3)) AS b(i)
     ),
     cand AS (
@@ -1925,13 +1935,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Manku et al. WWW'07 banding): 4-bit
-    bands of the 16-bit hash generate candidates by equality self-join
-    — pigeonhole guarantees every pair within hamming ≤ 3 shares a
-    band — then the exact xor/bit_count verify reports true distances.
-    Completes the simhash family (hash → pairs) the way the MinHash
-    family pairs its signatures; candidate volume rides band-bucket
-    equality, never an all-pairs hamming scan."""
+    """SimHash near-dup pairs (Manku et al. WWW'07 banding): 15-bit
+    bands of a 60-bit simhash generate candidates by equality
+    self-join — pigeonhole guarantees every pair within hamming ≤ 3
+    shares a band — then the exact xor/bit_count verify reports true
+    distances. The hash is 60-bit (not the family's 16-bit per-doc
+    form) because banding a 16-bit hash has only 16 bucket values per
+    band and the pair join degenerates quadratic — measured 7.6 s vs
+    ~1 s at sf0.1 (SCALE.md); 60 bits is the widest md5 prefix whose
+    value fits int64 in both engines. Completes the simhash family
+    (hash → pairs) the way MinHash's banding pairs its signatures."""
     from ..operators.dedup import simhash_pairs
 
     d = load_table(spark, sf_dir, "documents")

@@ -11,7 +11,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from dev_dot_cvp_metadata_ingestion_spark.operators.dedup import (
-    simhash16,
+    simhash60,
     simhash_pairs,
 )
 
@@ -20,7 +20,7 @@ def test_matches_brute_force_over_corpus(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     hashes = {
         r["doc_id"]: r["simhash"]
-        for r in simhash16(d, "doc_id", "text").collect()
+        for r in simhash60(d, "doc_id", "text").collect()
     }
     expect = {
         (a, b): bin(hashes[a] ^ hashes[b]).count("1")
