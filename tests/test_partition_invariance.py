@@ -43,6 +43,8 @@ SENSITIVE = [
     "documents_shuffled_shards",   # hash shards + per-shard positions
     "documents_importance_resampled",  # bucket model + clipped ratios
     "documents_training_shards",   # curation subtree + epoch shuffle
+    "dedup_cluster_representatives",  # CC iterations + argmax
+    "dedup_simhash_pairs",         # band self-join + bit votes
 ]
 
 
