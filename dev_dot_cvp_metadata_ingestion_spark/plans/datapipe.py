@@ -902,6 +902,97 @@ def documents_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "documents_training_shards_packed",
+    oracle=f"""
+    WITH {_CURATED_CTES},
+    cur_docs AS (
+      SELECT d.doc_id, d.source, d.text
+      FROM documents d JOIN curated c ON c.doc_id = d.doc_id
+    ),
+    toks2 AS (
+      SELECT doc_id, source, {_TOKS.format(c="text")} AS t FROM cur_docs
+    ),
+    starts AS (
+      SELECT doc_id, source, t,
+             unnest(CASE WHEN len(t) > 0 THEN
+               generate_series(0, len(t) - 1, 24) ELSE [] END) AS start_pos
+      FROM toks2
+    ),
+    chunks AS (
+      SELECT doc_id, start_pos // 24 AS chunk_id,
+             len(list_slice(t, start_pos + 1, start_pos + 32))
+               AS n_chunk_tokens
+      FROM starts
+    ),
+    keyed AS (
+      SELECT doc_id, chunk_id, n_chunk_tokens,
+             md5(CAST(doc_id AS VARCHAR) || ':' ||
+                 CAST(chunk_id AS VARCHAR) || ':epoch0') AS shuffle_key,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                 CAST(chunk_id AS VARCHAR) || ':epoch0'), 1, 8))::BIGINT % 16
+               AS shard_id
+      FROM chunks
+    )
+    SELECT doc_id, chunk_id, n_chunk_tokens, shard_id,
+           CAST(row_number() OVER w - 1 AS BIGINT) AS position,
+           CAST(coalesce(sum(n_chunk_tokens) OVER (
+             PARTITION BY shard_id ORDER BY shuffle_key, doc_id, chunk_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS offset,
+           CAST(floor(coalesce(sum(n_chunk_tokens) OVER (
+             PARTITION BY shard_id ORDER BY shuffle_key, doc_id, chunk_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 64.0)
+             AS BIGINT) AS seq_id
+    FROM keyed
+    WINDOW w AS (PARTITION BY shard_id
+                 ORDER BY shuffle_key, doc_id, chunk_id)
+    ORDER BY shard_id, position
+    """,
+)
+def documents_training_shards_packed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``documents_training_shards`` made directly consumable: the
+    epoch-shuffled manifest PLUS per-shard running token offsets and
+    64-token sequence ids in shuffled order — what the data loader
+    actually indexes into (shard file, byte/token offset, sequence
+    boundary). Sequences never cross shards (each shard is an
+    independent token stream, the standard per-shard packing contract),
+    so the cumulative sum rides the SAME shard-partitioned window as
+    the position column — state still bounded by n/n_shards, still no
+    global sort, one extra aggregate expression over an exchange the
+    plan already pays for."""
+    from ..sources.catalog import shard_of, shuffle_key
+
+    ex = documents_training_examples(spark, sf_dir)
+    ekey = F.concat_ws(
+        ":", F.col("doc_id").cast("string"), F.col("chunk_id").cast("string")
+    )
+    keyed = ex.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        shuffle_key(ekey, "epoch0").alias("shuffle_key"),
+        shard_of(ekey, "epoch0", 16).alias("shard_id"),
+    )
+    order = [F.col("shuffle_key"), F.col("doc_id"), F.col("chunk_id")]
+    w = W.partitionBy("shard_id").orderBy(*order)
+    wcum = w.rowsBetween(W.unboundedPreceding, -1)
+    offset = F.coalesce(
+        F.sum("n_chunk_tokens").over(wcum), F.lit(0).cast("long")
+    )
+    return keyed.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        "shard_id",
+        (F.row_number().over(w) - 1).cast("long").alias("position"),
+        offset.cast("long").alias("offset"),
+        F.floor(offset / 64.0).cast("long").alias("seq_id"),
+    )
+
+
 def _curated_plan(d: DataFrame, pin=lambda df: df) -> DataFrame:
     """Curation pipeline plan over a documents frame. ``pin`` is
     applied at the diamond-shared stage boundaries (scored, clean,

@@ -188,6 +188,7 @@ BACK: tuple[str, ...] = (
     "dedup_clusters_twostar",
     "documents_boilerplate_removed",
     "documents_shuffled_shards",
+    "documents_training_shards_packed",
     "dedup_ngram_pairs_capped",
     "dedup_containment_pairs_capped",
     "embedding_label_propagation",

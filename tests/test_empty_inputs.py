@@ -49,6 +49,7 @@ AT_RISK = [
     "documents_budget_selected",   # zero-row histogram, null budget
     "dedup_cluster_representatives",  # CC fixpoint + argmax on empty
     "dedup_simhash_pairs",         # band self-join on empty
+    "documents_training_shards_packed",  # packed windows on empty
 ]
 
 
