@@ -4828,6 +4828,103 @@ def documents_budget_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "documents_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS.format(c="text")} AS tk FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]')))
+               AS BIGINT) AS n_alpha_words,
+             CAST(len(list_filter(tk,
+               x -> lower(x) IN ('the','a','of','and','to','in','is','it',
+                                 'for','on'))) AS BIGINT) AS n_stop_hits,
+             CAST(length(array_to_string(tk, '')) AS BIGINT) AS n_chars,
+             CAST(length(text) - length(regexp_replace(text, '[#…]|\\.\\.\\.',
+               '', 'g')) AS BIGINT) AS n_symbols
+      FROM t
+    )
+    SELECT doc_id, n_words,
+           (n_words BETWEEN 50 AND 100000) AS rule_word_count,
+           (n_words > 0 AND 3 * n_words <= n_chars
+            AND n_chars <= 10 * n_words) AS rule_mean_word_length,
+           (10 * n_symbols <= n_words) AS rule_symbol_ratio,
+           (n_words > 0 AND 5 * n_alpha_words >= 4 * n_words)
+             AS rule_alpha_fraction,
+           (n_stop_hits >= 2) AS rule_stopwords,
+           ((n_words BETWEEN 50 AND 100000)
+            AND (n_words > 0 AND 3 * n_words <= n_chars
+                 AND n_chars <= 10 * n_words)
+            AND (10 * n_symbols <= n_words)
+            AND (n_words > 0 AND 5 * n_alpha_words >= 4 * n_words)
+            AND (n_stop_hits >= 2)) AS gopher_pass
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def documents_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021, Table A1,
+    public) as explicit per-document flags: word count in [50, 1e5],
+    mean word length in [3, 10], symbol-to-word ratio (#/ellipsis)
+    ≤ 0.1, ≥ 80% of words containing an alphabetic character, and ≥ 2
+    stopword hits. The line-based rules (bullet/ellipsis line
+    fractions) are omitted — this corpus is newline-less; on a real
+    web corpus they are the same map-side shape over a split on
+    newlines. Every threshold is evaluated in EXACT integer
+    arithmetic via cross-multiplication (3·n ≤ chars ≤ 10·n instead
+    of a floating mean), so both engines agree bit-for-bit and the
+    plan is a pure zero-shuffle projection — the battery runs at scan
+    throughput next to any other pass, which is why production
+    pipelines run it FIRST."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    alpha = F.size(F.filter(tk, lambda x: x.rlike("[a-zA-Z]")))
+    stop_hits = F.size(
+        F.filter(
+            tk,
+            lambda x: F.lower(x).isin(
+                ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+            ),
+        )
+    )
+    n_chars = F.length(F.array_join(tk, ""))
+    n_symbols = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), r"[#…]|\.\.\.", "")
+    )
+    m = d.select(
+        "doc_id",
+        F.size(tk).cast("long").alias("n_words"),
+        alpha.cast("long").alias("n_alpha_words"),
+        stop_hits.cast("long").alias("n_stop_hits"),
+        n_chars.cast("long").alias("n_chars"),
+        n_symbols.cast("long").alias("n_symbols"),
+    )
+    r_wc = F.col("n_words").between(50, 100000)
+    r_mwl = (
+        (F.col("n_words") > 0)
+        & (3 * F.col("n_words") <= F.col("n_chars"))
+        & (F.col("n_chars") <= 10 * F.col("n_words"))
+    )
+    r_sym = 10 * F.col("n_symbols") <= F.col("n_words")
+    r_alpha = (F.col("n_words") > 0) & (
+        5 * F.col("n_alpha_words") >= 4 * F.col("n_words")
+    )
+    r_stop = F.col("n_stop_hits") >= 2
+    return m.select(
+        "doc_id",
+        "n_words",
+        r_wc.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_word_length"),
+        r_sym.alias("rule_symbol_ratio"),
+        r_alpha.alias("rule_alpha_fraction"),
+        r_stop.alias("rule_stopwords"),
+        (r_wc & r_mwl & r_sym & r_alpha & r_stop).alias("gopher_pass"),
+    )
+
+
+@register(
     "events_top_transitions",
     oracle="""
     WITH o AS (

@@ -189,6 +189,7 @@ BACK: tuple[str, ...] = (
     "documents_boilerplate_removed",
     "documents_shuffled_shards",
     "documents_training_shards_packed",
+    "documents_gopher_rules",
     "dedup_ngram_pairs_capped",
     "dedup_containment_pairs_capped",
     "embedding_label_propagation",

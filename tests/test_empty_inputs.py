@@ -50,6 +50,7 @@ AT_RISK = [
     "dedup_cluster_representatives",  # CC fixpoint + argmax on empty
     "dedup_simhash_pairs",         # band self-join on empty
     "documents_training_shards_packed",  # packed windows on empty
+    "documents_gopher_rules",      # pure projection on empty
 ]
 
 

@@ -309,7 +309,7 @@ PER_ROW_OUTPUT = [
     "embedding_contamination_semantic", "embedding_label_propagation_ivf",
     "embedding_contamination_semantic_ivf", "ann_knn_join",
     "documents_training_examples", "documents_training_shards",
-    "documents_training_shards_packed",
+    "documents_training_shards_packed", "documents_gopher_rules",
     "documents_paragraph_dedup", "documents_shuffled_shards",
     "documents_importance_resampled", "documents_budget_selected",
     "dedup_cluster_representatives", "dedup_simhash_pairs",
