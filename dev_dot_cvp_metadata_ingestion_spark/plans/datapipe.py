@@ -4740,17 +4740,27 @@ def documents_budget_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tie group, which ppm quantization keeps small). Driver
     collects nothing. The pure declarative form re-derives the
     3-column scored projection per consumer branch (the same
-    documented trade as ``documents_curated``'s diamonds — persist
-    the projection in production via the scoped pattern); everything
-    that moves in a shuffle is histogram-sized."""
+    documented trade as ``documents_curated``'s diamonds —
+    ``budget_select_scoped`` persists the projection for production
+    callers); everything that moves in a shuffle is histogram-sized."""
     d = load_table(spark, sf_dir, "documents")
+    return _budget_plan(d)
+
+
+def _budget_plan(d: DataFrame, pin=lambda df: df) -> DataFrame:
+    """Budget-selection plan over a documents frame; ``pin`` is applied
+    to the scored projection — the one diamond every downstream branch
+    re-derives in the pure form (12 pruned scans at last audit).
+    ``budget_select_scoped`` persists it (one corpus scan total)."""
     t = tokens(F.col("text"))
-    scored = d.select(
-        "doc_id",
-        F.size(t).cast("long").alias("n_tokens"),
-        F.floor(quality_score(F.col("text")) * 1_000_000)
-        .cast("long")
-        .alias("quality_fp"),
+    scored = pin(
+        d.select(
+            "doc_id",
+            F.size(t).cast("long").alias("n_tokens"),
+            F.floor(quality_score(F.col("text")) * 1_000_000)
+            .cast("long")
+            .alias("quality_fp"),
+        )
     )
     # per-quality-value histogram: the entire selection "model"
     qhist = (
@@ -4825,6 +4835,30 @@ def documents_budget_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return direct.union(tie)
+
+
+@contextmanager
+def budget_select_scoped(d: DataFrame):
+    """Materialized budget selection: persists the scored (doc_id,
+    n_tokens, quality_fp) projection so every histogram/classify/tie
+    branch reads the InMemoryRelation instead of re-deriving
+    tokenize+quality from parquet (the pure registered form pays 12
+    pruned scans for declarative purity — the same trade, and the
+    same escape, as ``curate_documents_scoped``). Unpersists on exit;
+    run your actions inside the block. Same rows as the registered
+    ``documents_budget_selected`` (asserted in tests)."""
+    handles: list[DataFrame] = []
+
+    def pin(df: DataFrame) -> DataFrame:
+        h = df.persist()
+        handles.append(h)
+        return h
+
+    try:
+        yield _budget_plan(d, pin)
+    finally:
+        for h in handles:
+            h.unpersist()
 
 
 @register(

@@ -102,3 +102,36 @@ def test_no_global_window_or_sort_in_plan(spark, sf_dir):
     # windows in the plan must all be partitioned (the tie resolver)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_scoped_form_same_rows_single_scan(spark, sf_dir):
+    """budget_select_scoped must return the registered query's exact
+    rows while reading parquet ONCE (the scored projection is
+    persisted; every branch reads the InMemoryRelation)."""
+    from dev_dot_cvp_metadata_ingestion_spark.plans.datapipe import (
+        budget_select_scoped,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pure = sorted(
+        tuple(r) for r in registry.QUERIES[Q](spark, sf_dir).collect()
+    )
+    with budget_select_scoped(d) as scoped:
+        rows = sorted(tuple(r) for r in scoped.collect())
+        # every LEAF of the optimized plan must be the cached scored
+        # projection — no branch re-derives from parquet (the physical
+        # string re-prints the cached subtree per reference, so count
+        # leaves on the tree, not scan substrings)
+        leaves = []
+        stack = [scoped._jdf.queryExecution().optimizedPlan()]
+        while stack:
+            node = stack.pop()
+            it = node.children().iterator()
+            n = 0
+            while it.hasNext():
+                stack.append(it.next())
+                n += 1
+            if n == 0:
+                leaves.append(node.nodeName())
+    assert rows == pure
+    assert leaves and all(l == "InMemoryRelation" for l in leaves), leaves
