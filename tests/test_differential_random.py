@@ -116,3 +116,53 @@ def test_paragraph_dedup_differential(spark, tmp_path, seed):
     # reference dedups in (doc_id, pos) order, which is exactly the
     # operator's min-(doc_id, pos) first-occurrence rule
     assert got == _paragraph_reference(rows)
+
+
+def _importance_reference(rows, B=1024):
+    """Exact replica of the DSIR plan in plain Python: md5-prefix
+    bucket hashing, Laplace smoothing, clamped integer ppm ratios."""
+    import hashlib
+
+    def bucket(gram):
+        return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16) % B
+
+    feats = []  # (doc_id, lang, bucket)
+    for d, s, lang, *_ in rows:
+        t = _toks(s)
+        for a, b in zip(t, t[1:]):
+            feats.append((d, lang, bucket(a + " " + b)))
+    c_raw, c_t = {}, {}
+    for _, lang, bk in feats:
+        c_raw[bk] = c_raw.get(bk, 0) + 1
+        if lang == "en":
+            c_t[bk] = c_t.get(bk, 0) + 1
+    t_raw = sum(c_raw.values())
+    t_t = sum(c_t.values())
+    ratio = {}
+    for bk in c_raw:
+        num = 1_000_000 * (c_t.get(bk, 0) + 1) * (t_raw + B)
+        den = (c_raw[bk] + 1) * (t_t + B)
+        ratio[bk] = min(num // den, 1_000_000_000)
+    out = {}
+    for d, s, lang, *_ in rows:
+        bks = [bk for dd, _, bk in feats if dd == d]
+        n = len(bks)
+        w = sum(ratio[bk] for bk in bks)
+        mean = w // n if n else 0
+        out[d] = (n, w, mean, n > 0 and mean >= 1_000_000)
+    return out
+
+
+@pytest.mark.parametrize("seed", [7, 31])
+def test_importance_resampling_differential(spark, tmp_path, seed):
+    rows = _gen_corpus(seed, 50)
+    d = _write(spark, rows, tmp_path, f"i{seed}")
+    got = {
+        r["doc_id"]: (
+            r["n_bigrams"], r["weight_ppm"], r["mean_ratio_ppm"], r["kept"]
+        )
+        for r in registry.QUERIES["documents_importance_resampled"](
+            spark, d
+        ).collect()
+    }
+    assert got == _importance_reference(rows)
