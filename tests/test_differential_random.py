@@ -166,3 +166,30 @@ def test_importance_resampling_differential(spark, tmp_path, seed):
         ).collect()
     }
     assert got == _importance_reference(rows)
+
+
+def test_shuffled_shards_differential(spark, tmp_path):
+    """Exact Python replica of the epoch-shuffle manifest: md5 keys,
+    top-32-bit shard assignment, lexicographic within-shard order."""
+    import hashlib
+
+    rows = _gen_corpus(97, 45)
+    d = _write(spark, rows, tmp_path, "sh")
+    expect = {}
+    keyed = []
+    for doc_id, *_ in rows:
+        k = hashlib.md5(f"{doc_id}:epoch0".encode()).hexdigest()
+        keyed.append((int(k[:8], 16) % 16, k, doc_id))
+    for shard in {s for s, _, _ in keyed}:
+        members = sorted(
+            (k, doc_id) for s, k, doc_id in keyed if s == shard
+        )
+        for pos, (k, doc_id) in enumerate(members):
+            expect[doc_id] = (shard, k, pos)
+    got = {
+        r["doc_id"]: (r["shard_id"], r["shuffle_key"], r["position"])
+        for r in registry.QUERIES["documents_shuffled_shards"](
+            spark, d
+        ).collect()
+    }
+    assert got == expect
