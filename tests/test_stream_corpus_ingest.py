@@ -118,3 +118,68 @@ def test_pii_scrubbed_before_fingerprinting(spark, tmp_path):
     rows = spark.sql("select * from pii_ingest").collect()
     assert len(rows) == 1 and rows[0]["doc_id"] == 0
     assert "alice@example.com" not in rows[0]["text"]
+
+
+def test_ingest_to_continuously_current_table(spark, tmp_path):
+    """End to end: the curated append stream folds into a CDC-upserted
+    parquet table keyed by fingerprint — the continuously-current
+    corpus a training run reads. A re-delivered (duplicate-fingerprint)
+    doc in a later batch must not create a second row."""
+    from dev_dot_cvp_metadata_ingestion_spark.streaming.stream import (
+        merge_upsert_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "f1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                _doc(0, GOOD, "2026-01-01T00:00:00"),
+                _doc(1, GOOD + " more words here now", "2026-01-01T00:01:00"),
+            ]
+        )
+    )
+    (src / "f2.json").write_text(
+        json.dumps(_doc(5, GOOD + " a third distinct document text",
+                        "2026-01-01T00:02:00"))
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    curated = stream_corpus_ingest(stream, quality_threshold=0.25)
+    table = str(tmp_path / "corpus_table")
+    sink = merge_upsert_sink(
+        table,
+        key_cols=["fingerprint"],
+        order_cols=["ingest_ts"],
+        partition_col="shard",
+    )
+
+    def sink_with_shard(df, batch_id):
+        sink(
+            df.withColumn(
+                "shard",
+                F.pmod(
+                    F.conv(F.substring("fingerprint", 1, 4), 16, 10).cast(
+                        "long"
+                    ),
+                    F.lit(4),
+                ),
+            ),
+            batch_id,
+        )
+
+    q = (
+        curated.writeStream.foreachBatch(sink_with_shard)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    final = spark.read.parquet(table)
+    assert final.count() == 3
+    assert final.select("fingerprint").distinct().count() == 3
+    assert {r["doc_id"] for r in final.collect()} == {0, 1, 5}
