@@ -410,14 +410,22 @@ def write_ivf_layout(
         scale=scale,
         return_centroids=True,
     )
-    (
-        emb.select(F.col(id_col).alias("vec_id"), vec_col)
-        .join(assigned.select("vec_id", "cluster"), "vec_id")
-        .repartition(F.col("cluster"))
-        .write.mode("overwrite")
-        .partitionBy("cluster")
-        .parquet(f"{path}/cells")
+    keyed = emb.select(F.col(id_col).alias("vec_id"), vec_col).join(
+        assigned.select("vec_id", "cluster"), "vec_id"
     )
+    if emb.isEmpty():
+        # a zero-row partitionBy write emits no parquet footer, leaving
+        # the cells table unreadable (UNABLE_TO_INFER_SCHEMA) — write
+        # one empty footer instead, same empty-input contract as
+        # write_shuffled_shards (tests/test_ivf_layout.py)
+        keyed.write.mode("overwrite").parquet(f"{path}/cells")
+    else:
+        (
+            keyed.repartition(F.col("cluster"))
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(f"{path}/cells")
+        )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
 
 

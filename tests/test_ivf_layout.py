@@ -65,3 +65,17 @@ def test_probe_scan_is_partition_pruned(spark, emb, layout):
     pre = ivf_probe_join(cells, cents, queries, k=3, nprobe=1)
     plan = pre._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_empty_corpus_layout_roundtrips(spark, tmp_path):
+    """An empty embeddings table must still produce a READABLE layout
+    (zero-row partitionBy writes no footer; the writer falls back to a
+    plain empty write, same contract as write_shuffled_shards)."""
+    empty = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(0)
+    p = str(tmp_path / "ivf")
+    write_ivf_layout(empty, p, n_cells=4)
+    cells, cents = read_ivf_layout(spark, p)
+    assert cells.count() == 0
+    assert "cluster" in cells.columns
