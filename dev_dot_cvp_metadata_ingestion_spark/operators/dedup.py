@@ -452,6 +452,38 @@ def lsh_quality_report(
     )
 
 
+def _band_frame(hs: DataFrame, num_hashes: int) -> DataFrame:
+    """(doc_id, band, value): the 1-row-band LSH keys of a shingle-hash
+    frame — the SAME permutation family as every other LSH form here
+    (``_perm(2j+3, 7919j+1)``), factored out so the cross-corpus join
+    and the persisted index (``sources/catalog.py:write_lsh_index``)
+    key identically and a probe against a prebuilt index returns
+    exactly what the in-query cross join would."""
+    sigs = hs.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform("hs", _perm(2 * j + 3, 7919 * j + 1))
+            ).alias(f"minh_{j}")
+            for j in range(num_hashes)
+        ],
+    )
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.col(f"minh_{j}").alias("value"),
+                    )
+                    for j in range(num_hashes)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.value")
+
+
 def lsh_cross_near_duplicates(
     left_docs: DataFrame,
     right_docs: DataFrame,
@@ -480,36 +512,11 @@ def lsh_cross_near_duplicates(
         right_docs.filter(_has_n_tokens(text_col, n)), id_col, text_col, n
     ).repartition(F.col("doc_id"))
 
-    def bands_of(hs: DataFrame) -> DataFrame:
-        sigs = hs.select(
-            "doc_id",
-            *[
-                F.array_min(
-                    F.transform("hs", _perm(2 * j + 3, 7919 * j + 1))
-                ).alias(f"minh_{j}")
-                for j in range(num_hashes)
-            ],
-        )
-        return sigs.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("band"),
-                            F.col(f"minh_{j}").alias("value"),
-                        )
-                        for j in range(num_hashes)
-                    ]
-                )
-            ).alias("b"),
-        ).select("doc_id", "b.band", "b.value")
-
     cands = (
-        bands_of(lh)
+        _band_frame(lh, num_hashes)
         .alias("l")
         .join(
-            bands_of(rh).alias("r"),
+            _band_frame(rh, num_hashes).alias("r"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.value") == F.col("r.value")),
         )
@@ -532,6 +539,73 @@ def lsh_cross_near_duplicates(
         cands.join(a, "doc_id_left")
         .join(b, "doc_id_right")
         .select("doc_id_left", "doc_id_right", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def lsh_probe_index(
+    index_bands: DataFrame,
+    index_shingles: DataFrame,
+    probe_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """The PROBE phase of cross-corpus near-dup detection, decoupled
+    from corpus signature computation: ``index_bands`` (band, value,
+    doc_id) and ``index_shingles`` (doc_id, shd) come from a persisted
+    LSH index (``sources/catalog.py:write_lsh_index``), and only the
+    PROBE documents are tokenized/minhashed here. Returns
+    (doc_id_probe, doc_id_index, jaccard) — row-for-row what
+    ``lsh_cross_near_duplicates(probe_docs, index_docs, ...)`` with
+    the index's (num_hashes, n) would return (pinned in
+    tests/test_lsh_index.py).
+
+    This is the steady-state production shape for deduplicating or
+    decontaminating each NEW shard against a 100 TB corpus: the corpus
+    text is never re-read and never re-minhashed — only its index rows
+    (tens of bytes per doc vs KB of text) are scanned — and the
+    corpus-sized relations never shuffle: the candidate join
+    broadcasts the probe-side band keys so index bands stream
+    map-side, and the verify joins broadcast the candidate list and
+    the probe shingle sets so index shingles stream map-side too. The
+    only shuffle in the plan is the distinct over the (small)
+    candidate pair set. Growing the corpus is ``append_lsh_index`` —
+    no rebuild."""
+    ph = _shingle_hashes(
+        probe_docs.filter(_has_n_tokens(text_col, n)), id_col, text_col, n
+    )
+    pshd = ph.select(
+        F.col("doc_id").alias("doc_id_probe"),
+        F.array_distinct("hs").alias("sh_b"),
+    )
+    pb = _band_frame(ph, num_hashes).select(
+        F.col("doc_id").alias("doc_id_probe"), "band", "value"
+    )
+    cands = (
+        index_bands.alias("i")
+        .join(F.broadcast(pb).alias("p"), ["band", "value"])
+        .select(
+            F.col("i.doc_id").alias("doc_id_index"),
+            F.col("p.doc_id_probe").alias("doc_id_probe"),
+        )
+        .distinct()
+    )
+    a = index_shingles.select(
+        F.col("doc_id").alias("doc_id_index"), F.col("shd").alias("sh_a")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jaccard = F.when(union > 0, inter.cast("double") / union).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        F.broadcast(cands)
+        .join(a, "doc_id_index")
+        .join(F.broadcast(pshd), "doc_id_probe")
+        .select("doc_id_probe", "doc_id_index", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -1569,7 +1569,16 @@ def documents_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame
     Per eval doc: how many train docs it near-matches (Jaccard >= 0.3)
     and the strongest match. Eval docs with no LSH candidates (or too
     short to shingle) surface with zero matches via the left join —
-    the full-sweep contract every decontamination report needs."""
+    the full-sweep contract every decontamination report needs.
+
+    In-query minhashing of BOTH splits is right for a one-shot sweep;
+    a production pipeline screening every incoming shard against a
+    standing corpus amortizes the corpus side with ``write_lsh_index``
+    + ``lsh_probe_index`` (sources/catalog.py, operators/dedup.py) —
+    build the band/shingle sidecar once, append per shard, and each
+    probe streams the index map-side without re-reading corpus text
+    (probe pinned row-for-row to this cross join;
+    tests/test_lsh_index.py, SCALE.md)."""
     from ..operators.dedup import base_hash, lsh_cross_near_duplicates
 
     d = load_table(spark, sf_dir, "documents")

@@ -440,3 +440,121 @@ def read_ivf_layout(
         spark.read.parquet(f"{path}/cells"),
         spark.read.parquet(f"{path}/centroids"),
     )
+
+
+def _write_lsh_index_frames(
+    docs: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    n: int,
+    mode: str,
+) -> None:
+    """Write (or append) the bands/ and shingles/ tables of an LSH
+    index. The shingle-hash frame (tokenize→shingle→md5 — the
+    expensive pass over corpus TEXT) feeds both output tables, and the
+    two writes are separate jobs, so it is persisted for the scope of
+    the build instead of being re-derived per table; the handle is
+    released before returning."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import _band_frame, _has_n_tokens, _shingle_hashes
+
+    hs = _shingle_hashes(
+        docs.filter(_has_n_tokens(text_col, n)), id_col, text_col, n
+    ).persist()
+    try:
+        bands = _band_frame(hs, num_hashes)
+        shingles = hs.select("doc_id", F.array_distinct("hs").alias("shd"))
+        if docs.isEmpty():
+            if mode == "append":
+                return
+            # an empty clustered write can emit no footer at all,
+            # leaving the table unreadable (UNABLE_TO_INFER_SCHEMA) —
+            # write plain empty tables instead, same contract as the
+            # sibling layout writers
+            bands.write.mode(mode).parquet(f"{path}/bands")
+            shingles.write.mode(mode).parquet(f"{path}/shingles")
+            return
+        (
+            bands.repartition(F.col("band"), F.col("value"))
+            .sortWithinPartitions("band", "value")
+            .write.mode(mode)
+            .parquet(f"{path}/bands")
+        )
+        shingles.write.mode(mode).parquet(f"{path}/shingles")
+    finally:
+        hs.unpersist()
+
+
+def write_lsh_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    n: int = 3,
+) -> None:
+    """Persist a corpus's MinHash-LSH index — the near-dup analog of
+    ``write_ivf_layout``'s build-once trade: pay the corpus
+    tokenize→shingle→minhash pass ONCE, then dedup/decontaminate every
+    future shard with ``operators/dedup.py:lsh_probe_index``, which
+    reads only the index (tens of bytes per doc, not the KB of text)
+    and never shuffles it. At 100 TB this is the difference between
+    re-minhashing the whole corpus per incoming shard and a
+    broadcast-probe over a ~0.5% -sized sidecar.
+
+    Layout: ``bands/`` (band, value, doc_id) clustered on (band,
+    value) — co-locates each band bucket's rows and gives parquet
+    row-group stats a future static-probe path; ``shingles/``
+    (doc_id, shd) — the distinct shingle-hash sets the exact-Jaccard
+    verify intersects; ``meta/`` — one row recording (num_hashes, n)
+    so probes and appends key with the index's own parameters instead
+    of trusting callers to repeat them."""
+    spark = docs.sparkSession
+    _write_lsh_index_frames(
+        docs, path, id_col, text_col, num_hashes, n, mode="overwrite"
+    )
+    spark.createDataFrame(
+        [(num_hashes, n)], "num_hashes int, n int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def append_lsh_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Grow a persisted LSH index with a new shard's documents — no
+    rebuild, no rewrite of existing files: the shard's band keys and
+    shingle sets (computed with the INDEX's recorded num_hashes/n, so
+    a parameter drift between build and append is impossible) are
+    appended as new parquet files. Callers own id uniqueness across
+    shards, same as every append sink here."""
+    spark = docs.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    _write_lsh_index_frames(
+        docs,
+        path,
+        id_col,
+        text_col,
+        meta["num_hashes"],
+        meta["n"],
+        mode="append",
+    )
+
+
+def read_lsh_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Load a persisted LSH index: (bands, shingles, params) with
+    ``params`` the build-time ``{"num_hashes": ..., "n": ...}`` a
+    probe must minhash its own side with."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    return (
+        spark.read.parquet(f"{path}/bands"),
+        spark.read.parquet(f"{path}/shingles"),
+        {"num_hashes": meta["num_hashes"], "n": meta["n"]},
+    )

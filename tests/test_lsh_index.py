@@ -1,0 +1,147 @@
+"""Persisted MinHash-LSH index: a probe against the prebuilt index
+must return EXACTLY the rows the in-query cross join
+(``lsh_cross_near_duplicates``) computes from raw text — the
+build-once/probe-per-shard trade made real — and the probe plan must
+never shuffle a corpus-sized relation (index bands and shingles both
+stream map-side against broadcast probe-side builds)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from dev_dot_cvp_metadata_ingestion_spark.operators.dedup import (
+    base_hash,
+    lsh_cross_near_duplicates,
+    lsh_probe_index,
+)
+from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+    append_lsh_index,
+    read_lsh_index,
+    write_lsh_index,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def split(docs):
+    """(corpus, probe): the same deterministic 80/20 hash split the
+    registered decontamination queries use."""
+    is_corpus = (
+        base_hash(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
+        % 100
+        < 80
+    )
+    return docs.filter(is_corpus), docs.filter(~is_corpus)
+
+
+@pytest.fixture(scope="module")
+def index_path(split, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("lsh") / "index")
+    corpus, _ = split
+    write_lsh_index(corpus, p, num_hashes=8, n=3)
+    return p
+
+
+def _rows(df):
+    return sorted(
+        (r[0], r[1], round(r[2], 9)) for r in df.collect()
+    )
+
+
+def test_probe_equals_in_query_cross_join(spark, split, index_path):
+    corpus, probe = split
+    bands, shingles, params = read_lsh_index(spark, index_path)
+    assert params == {"num_hashes": 8, "n": 3}
+    got = lsh_probe_index(
+        bands, shingles, probe, "doc_id", "text", threshold=0.3, **params
+    )
+    ref = lsh_cross_near_duplicates(
+        probe, corpus, "doc_id", "text", num_hashes=8, n=3, threshold=0.3
+    )
+    got_rows = _rows(got)
+    assert got_rows == _rows(ref)
+    assert got_rows  # the split is known to contain near-dup pairs
+
+
+def test_append_grows_index_without_rebuild(spark, split, tmp_path):
+    """Index(first half) + append(second half) ≡ Index(all) under the
+    same probe — incremental corpus growth, no rewrite of old files."""
+    corpus, probe = split
+    first = corpus.filter(F.col("doc_id") % 2 == 0)
+    second = corpus.filter(F.col("doc_id") % 2 == 1)
+    p = str(tmp_path / "grown")
+    write_lsh_index(first, p, num_hashes=8, n=3)
+    pre_files = {
+        f.name
+        for f in (tmp_path / "grown" / "bands").iterdir()
+        if f.name.endswith(".parquet")
+    }
+    append_lsh_index(second, p)
+    # old band files were not rewritten
+    assert pre_files <= {
+        f.name
+        for f in (tmp_path / "grown" / "bands").iterdir()
+        if f.name.endswith(".parquet")
+    }
+    bands, shingles, params = read_lsh_index(spark, p)
+    got = lsh_probe_index(
+        bands, shingles, probe, "doc_id", "text", threshold=0.3, **params
+    )
+    ref = lsh_cross_near_duplicates(
+        probe, corpus, "doc_id", "text", num_hashes=8, n=3, threshold=0.3
+    )
+    assert _rows(got) == _rows(ref)
+
+
+def test_probe_never_shuffles_the_index(spark, split, index_path):
+    """The corpus-sized relations (bands, shingles) must stream: every
+    join is a BroadcastHashJoin with the probe-derived side as build,
+    and the only hash exchange in the plan is the distinct over the
+    small candidate pair set."""
+    _, probe = split
+    bands, shingles, params = read_lsh_index(spark, index_path)
+    df = lsh_probe_index(
+        bands, shingles, probe, "doc_id", "text", threshold=0.3, **params
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 3  # cands, verify ×2
+    # the candidate distinct is the plan's only hash shuffle — nothing
+    # corpus-sized ever repartitions
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_empty_corpus_index_is_readable_and_probeable(spark, split, tmp_path):
+    _, probe = split
+    p = str(tmp_path / "empty")
+    write_lsh_index(probe.limit(0), p)
+    bands, shingles, params = read_lsh_index(spark, p)
+    assert bands.count() == 0 and shingles.count() == 0
+    out = lsh_probe_index(
+        bands, shingles, probe, "doc_id", "text", **params
+    )
+    assert out.count() == 0
+    # and an append into the empty bootstrap makes it probeable
+    corpus, _ = split
+    append_lsh_index(corpus, p)
+    bands, shingles, params = read_lsh_index(spark, p)
+    got = lsh_probe_index(
+        bands, shingles, probe, "doc_id", "text", threshold=0.3, **params
+    )
+    assert got.count() == lsh_cross_near_duplicates(
+        probe, corpus, "doc_id", "text", num_hashes=8, n=3, threshold=0.3
+    ).count()
+
+
+def test_empty_probe_is_a_noop(spark, split, index_path):
+    _, probe = split
+    bands, shingles, params = read_lsh_index(spark, index_path)
+    out = lsh_probe_index(
+        bands, shingles, probe.limit(0), "doc_id", "text", **params
+    )
+    assert out.count() == 0
