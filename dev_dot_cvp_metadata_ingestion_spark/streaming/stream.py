@@ -272,3 +272,116 @@ def stream_corpus_ingest(
     return gated.withWatermark(
         "ingest_ts", lateness
     ).dropDuplicatesWithinWatermark(["fingerprint"])
+
+
+def lsh_dedup_ingest_sink(
+    index_path: str,
+    corpus_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    n: int = 3,
+    threshold: float = 0.3,
+):
+    """foreachBatch sink for continuous NEAR-dup-gated corpus
+    ingestion over a persisted LSH index: each micro-batch is (1)
+    self-deduplicated — any doc with a near-dup of smaller id in the
+    batch is dropped (the deterministic min-id-neighbor rule, NOT a
+    connected-components representative: a batch is small enough that
+    the simpler rule's extra drops on chains are acceptable and
+    replay-stable); (2) probed against the index with
+    ``lsh_probe_index`` and dropped if it near-matches ANYTHING
+    previously admitted; (3) survivors are appended to the corpus
+    (per-``batch_id`` dynamic-partition overwrite) and to the index
+    (``append_lsh_index``). The streaming complement of
+    ``stream_corpus_ingest``'s exact-fingerprint dedup: state is the
+    INDEX TABLE, not stream state, so it is unbounded-horizon (no
+    watermark cutoff) yet costs no executor memory.
+
+    Replay-safe without batch bookkeeping: every step is a
+    deterministic function of (batch, index-before-this-batch), and a
+    re-delivered batch whose index append already committed sees its
+    OWN rows in the index only as self-pairs, which the gate excludes
+    (``doc_id_index != doc_id_probe`` — ids must be globally unique
+    across shards, the standing append contract), so it recomputes the
+    identical survivor set and overwrites its corpus partition with
+    identical content. The one replay artifact is a duplicated index
+    append for that batch — harmless to correctness (the probe's
+    candidate set is distinct and the gate is an anti-join) and
+    bounded at one batch per failure; compact by rebuilding with
+    ``write_lsh_index`` if it ever matters.
+
+    At 100 TB the per-batch cost is: minhash the BATCH (not the
+    corpus), one broadcast-probe over the index's fixed-width rows,
+    and appends sized by the batch — the corpus is never re-read."""
+    from ..operators.dedup import lsh_near_duplicates, lsh_probe_index
+    from ..sources.catalog import (
+        append_lsh_index,
+        read_lsh_index,
+        table_exists,
+        write_lsh_index,
+    )
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        batch = df.persist()
+        try:
+            pairs = lsh_near_duplicates(
+                batch, id_col, text_col, num_hashes, n, threshold
+            )
+            losers = pairs.select(
+                F.col("doc_id_b").alias(id_col)
+            ).distinct()
+            survivors = batch.join(losers, [id_col], "left_anti")
+            bootstrap = not table_exists(spark, f"{index_path}/meta")
+            if bootstrap:
+                novel = survivors.persist()
+            else:
+                bands, shingles, params = read_lsh_index(spark, index_path)
+                hits = (
+                    lsh_probe_index(
+                        bands,
+                        shingles,
+                        survivors,
+                        id_col,
+                        text_col,
+                        threshold=threshold,
+                        **params,
+                    )
+                    .filter(F.col("doc_id_index") != F.col("doc_id_probe"))
+                    .select(F.col("doc_id_probe").alias(id_col))
+                    .distinct()
+                )
+                novel = survivors.join(hits, [id_col], "left_anti").persist()
+            try:
+                # corpus first, index second: a failure in between
+                # replays to an identical overwrite of this partition
+                # (index unchanged => same novel set); the reverse
+                # order would replay novel as empty and wipe it
+                (
+                    novel.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(corpus_path)
+                )
+                if bootstrap:
+                    # meta/ is written last inside write_lsh_index, so
+                    # a half-written bootstrap re-runs as bootstrap
+                    write_lsh_index(
+                        novel,
+                        index_path,
+                        id_col=id_col,
+                        text_col=text_col,
+                        num_hashes=num_hashes,
+                        n=n,
+                    )
+                else:
+                    append_lsh_index(novel, index_path, id_col, text_col)
+            finally:
+                novel.unpersist()
+        finally:
+            batch.unpersist()
+
+    return sink
