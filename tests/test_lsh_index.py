@@ -138,6 +138,37 @@ def test_empty_corpus_index_is_readable_and_probeable(spark, split, tmp_path):
     ).count()
 
 
+def test_probe_is_partition_count_invariant(spark, split, index_path):
+    """Same contract as tests/test_partition_invariance.py for the
+    registered queries: the probe's output is a pure function of
+    content, not of how either side is physically sharded."""
+    _, probe = split
+    bands, shingles, params = read_lsh_index(spark, index_path)
+
+    def run():
+        return _rows(
+            lsh_probe_index(
+                bands.repartition(3),
+                shingles,
+                probe.repartition(5),
+                "doc_id",
+                "text",
+                threshold=0.3,
+                **params,
+            )
+        )
+
+    base = run()
+    assert base
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        alt = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert base == alt
+
+
 def test_empty_probe_is_a_noop(spark, split, index_path):
     _, probe = split
     bands, shingles, params = read_lsh_index(spark, index_path)
