@@ -355,17 +355,27 @@ def lsh_dedup_ingest_sink(
                 )
                 novel = survivors.join(hits, [id_col], "left_anti").persist()
             try:
+                # a zero-survivor batch before the corpus exists would
+                # bootstrap it as a footer-less directory (unreadable
+                # until the first real batch); in dynamic mode an empty
+                # frame touches no partitions anyway, so skipping is
+                # exactly equivalent — same empty-input contract as the
+                # layout writers
+                skip_corpus = novel.isEmpty() and not table_exists(
+                    spark, corpus_path
+                )
                 # corpus first, index second: a failure in between
                 # replays to an identical overwrite of this partition
                 # (index unchanged => same novel set); the reverse
                 # order would replay novel as empty and wipe it
-                (
-                    novel.withColumn("batch_id", F.lit(batch_id))
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("batch_id")
-                    .parquet(corpus_path)
-                )
+                if not skip_corpus:
+                    (
+                        novel.withColumn("batch_id", F.lit(batch_id))
+                        .write.mode("overwrite")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .partitionBy("batch_id")
+                        .parquet(corpus_path)
+                    )
                 if bootstrap:
                     # meta/ is written last inside write_lsh_index, so
                     # a half-written bootstrap re-runs as bootstrap

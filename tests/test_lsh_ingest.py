@@ -136,6 +136,22 @@ def test_stream_equals_batch_replay_and_full_replay(
     assert _ids(spark.read.parquet(corpus)) == want_ids
 
 
+def test_empty_first_batch_does_not_poison_the_corpus(
+    spark, batches, tmp_path
+):
+    """An empty micro-batch before the corpus exists must not
+    bootstrap a footer-less (unreadable) directory; ingestion then
+    proceeds normally."""
+    index = str(tmp_path / "index")
+    corpus = str(tmp_path / "corpus")
+    sink = lsh_dedup_ingest_sink(index, corpus, threshold=0.3)
+    sink(batches[0].limit(0), 0)
+    sink(batches[0], 1)
+    got = spark.read.parquet(corpus)  # readable, not schema-less
+    assert got.count() > 0
+    assert _ids(got) == _ids(_batch_replay([batches[0]]))
+
+
 def test_redelivered_single_batch_is_idempotent(spark, batches, tmp_path):
     index = str(tmp_path / "index")
     corpus = str(tmp_path / "corpus")
