@@ -130,8 +130,20 @@ def lang_id(text: Column) -> Column:
 # no \p classes. Applied email -> IPv4 -> phone so the later, looser
 # digit patterns never eat into an already-redacted placeholder.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
-PII_PHONE_RE = r"\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b"
+# Octets bounded to 0-255 (no leading zeros), so version-like strings
+# (1.2.3.4567) and big dotted numbers (310.555.862.999) are not eaten
+# as IPs (ADVICE r8 — overscrubbing skews downstream token stats).
+_OCTET = r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+PII_IPV4_RE = rf"\b(?:{_OCTET}\.){{3}}{_OCTET}\b"
+# A match must carry explicit phone SHAPE — a +country-code prefix, a
+# parenthesized area code, or a separator after the area-code group —
+# so bare 10-13 digit runs (ids, timestamps) survive (ADVICE r8). The
+# old form made every separator optional, redacting any such run.
+PII_PHONE_RE = (
+    r"(?:\+\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}"  # +1 555 123 4567, +15551234567
+    r"|\(\d{3}\)[-. ]?\d{3}[-. ]?\d{4}"  # (555) 123-4567
+    r"|\b\d{3}[-. ]\d{3}[-. ]?\d{4})\b"  # 555-123-4567, 555 123 4567
+)
 
 _PII_PASSES = (
     (PII_EMAIL_RE, "<EMAIL>"),

@@ -604,6 +604,15 @@ def lsh_probe_index(
     return (
         F.broadcast(cands)
         .join(a, "doc_id_index")
+        # A replayed ingest batch whose append_lsh_index already
+        # committed leaves duplicate (identical) index rows per doc —
+        # the sink's first-seen gate tolerates them, but without this
+        # dedup every OTHER probe consumer would emit duplicate
+        # (probe, index, jaccard) rows (ADVICE r8). Deduping HERE —
+        # after the broadcast candidate join — keeps the relation
+        # candidate-pair-sized; a dropDuplicates on index_shingles
+        # itself would be a corpus-sized shuffle.
+        .dropDuplicates(["doc_id_probe", "doc_id_index"])
         .join(F.broadcast(pshd), "doc_id_probe")
         .select("doc_id_probe", "doc_id_index", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)

@@ -2629,25 +2629,35 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
              sqrt({_FOLD_DOT.format(a="v", b="v")}) AS norm,
              list_max(list_transform(v, x -> abs(x))) AS maxabs
       FROM e
+    ),
+    x AS (
+      SELECT vec_id, norm, maxabs,
+             unnest(v) AS val, generate_subscripts(v, 1) AS dim
+      FROM m
     )
-    SELECT vec_id, norm,
-           CASE WHEN norm > 0 THEN list_transform(v, x -> x / norm)
-                ELSE v END AS unit,
-           maxabs AS scale_max,
-           CASE WHEN maxabs > 0 THEN
-             list_transform(v, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT))
-           ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q127
-    FROM m
-    ORDER BY vec_id
+    SELECT vec_id, dim, norm, maxabs AS scale_max,
+           CASE WHEN norm > 0 THEN val / norm ELSE val END AS unit,
+           CASE WHEN maxabs > 0
+                THEN CAST(floor(val * 127.0 / maxabs + 0.5) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS q127
+    FROM x
     """,
 )
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 normalization + symmetric int8 quantization per vector — the
     standard pre-ANN / storage-compression pass. Everything is
-    map-side array HOFs (fold-based norm, per-vector max-abs scale,
-    explicit floor(x+0.5) rounding so both engines round identically —
-    round() itself differs in half-even vs half-up across engines).
-    Zero vectors pass through unscaled rather than dividing by 0."""
+    map-side (fold-based norm, per-vector max-abs scale, explicit
+    floor(x+0.5) rounding so both engines round identically — round()
+    itself differs in half-even vs half-up across engines). Zero
+    vectors pass through unscaled rather than dividing by 0.
+
+    Registered surface is LONG form ``(vec_id, dim, norm, scale_max,
+    unit, q127)`` — one row per vector component, like
+    ``embedding_centroids`` — because the driver's pandas-based
+    canonicalizer cannot factorize array-typed columns (round-8
+    finding: ``TypeError: unhashable type: 'list'``). Consumers that
+    want the packed vectors regroup with ``collect_list`` ordered by
+    ``dim``; the explode is map-side and adds no shuffle."""
     from ..functions.vectors import l2_norm
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -2664,23 +2674,27 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "norm",
-            F.when(
-                F.col("norm") > 0,
-                F.transform(F.col("v"), lambda x: x / F.col("norm")),
-            )
-            .otherwise(F.col("v"))
-            .alias("unit"),
+            "scale_max",
+            F.posexplode("v").alias("dim0", "val"),
+        )
+        .select(
+            "vec_id",
+            (F.col("dim0") + 1).cast("long").alias("dim"),
+            "norm",
             "scale_max",
             F.when(
+                F.col("norm") > 0, F.col("val") / F.col("norm")
+            )
+            .otherwise(F.col("val"))
+            .alias("unit"),
+            F.when(
                 F.col("scale_max") > 0,
-                F.transform(
-                    F.col("v"),
-                    lambda x: F.floor(x * 127.0 / F.col("scale_max") + 0.5),
+                F.floor(
+                    F.col("val") * 127.0 / F.col("scale_max") + 0.5
                 ),
             )
-            .otherwise(
-                F.transform(F.col("v"), lambda x: F.lit(0).cast("long"))
-            )
+            .otherwise(F.lit(0))
+            .cast("long")
             .alias("q127"),
         )
     )
@@ -4771,6 +4785,14 @@ def _budget_plan(d: DataFrame, pin=lambda df: df) -> DataFrame:
             .alias("quality_fp"),
         )
     )
+    return _budget_from_scored(scored)
+
+
+def _budget_from_scored(scored: DataFrame) -> DataFrame:
+    """Selection core over a ``(doc_id, n_tokens, quality_fp)`` frame —
+    split out so the exact-boundary regression test can feed a
+    hand-built histogram (ADVICE r8: zero-token doc at the tail of a
+    group whose cumulative total lands exactly on the budget)."""
     # per-quality-value histogram: the entire selection "model"
     qhist = (
         scored.groupBy("quality_fp")
@@ -4813,7 +4835,13 @@ def _budget_plan(d: DataFrame, pin=lambda df: df) -> DataFrame:
         )
     )
     out = scored.join(F.broadcast(qstat), "quality_fp")
-    keep_all = F.col("qcum") + F.col("qtok") <= F.col("budget")
+    # keep_all is STRICT: a group whose cumulative total lands exactly
+    # on the budget routes through the tie branch, whose exclusive
+    # prefix test (cum_tie < r) matches the oracle's strict-< exclusive
+    # cumsum for every doc — an inclusive <= here kept a zero-token doc
+    # ordered at the tail of an exact-boundary group that the oracle
+    # drops (ADVICE r8).
+    keep_all = F.col("qcum") + F.col("qtok") < F.col("budget")
     cut_all = F.col("qcum") >= F.col("budget")
     direct = out.filter(keep_all | cut_all).select(
         "doc_id", "n_tokens", "quality_fp", keep_all.alias("kept")

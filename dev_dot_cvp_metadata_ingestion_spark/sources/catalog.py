@@ -366,8 +366,16 @@ def write_shuffled_shards(
         # a zero-row partitionBy write emits no parquet footer at all,
         # so the table would be unreadable (UNABLE_TO_INFER_SCHEMA);
         # write one empty footer instead — same empty-input contract
-        # as the sibling layout writers (tests/test_shuffled_shards.py)
-        keyed.drop("_skey").write.mode("overwrite").parquet(path)
+        # as the sibling layout writers (tests/test_shuffled_shards.py).
+        # The shard key is cast to int to match the non-empty table's
+        # partition-inferred type, so consumers see ONE read-back
+        # schema regardless of input size (ADVICE r8).
+        (
+            keyed.drop("_skey")
+            .withColumn("shard", F.col("shard").cast("int"))
+            .write.mode("overwrite")
+            .parquet(path)
+        )
         return
     (
         keyed.repartition(n_shards, F.col("shard"))
@@ -417,8 +425,14 @@ def write_ivf_layout(
         # a zero-row partitionBy write emits no parquet footer, leaving
         # the cells table unreadable (UNABLE_TO_INFER_SCHEMA) — write
         # one empty footer instead, same empty-input contract as
-        # write_shuffled_shards (tests/test_ivf_layout.py)
-        keyed.write.mode("overwrite").parquet(f"{path}/cells")
+        # write_shuffled_shards (tests/test_ivf_layout.py). cluster is
+        # cast to int to match the non-empty table's partition-inferred
+        # type — one read-back schema either way (ADVICE r8).
+        (
+            keyed.withColumn("cluster", F.col("cluster").cast("int"))
+            .write.mode("overwrite")
+            .parquet(f"{path}/cells")
+        )
     else:
         (
             keyed.repartition(F.col("cluster"))

@@ -135,3 +135,27 @@ def test_scoped_form_same_rows_single_scan(spark, sf_dir):
                 leaves.append(node.nodeName())
     assert rows == pure
     assert leaves and all(l == "InMemoryRelation" for l in leaves), leaves
+
+
+def test_exact_boundary_group_with_zero_token_tail(spark):
+    """ADVICE r8: a zero-token doc ordered at the tail of a quality
+    group whose cumulative total lands EXACTLY on the budget must be
+    dropped (the oracle's exclusive cumsum is strictly < budget). The
+    old inclusive keep_all (qcum + qtok <= budget) kept it; the strict
+    keep_all routes exact-boundary groups through the tie branch,
+    whose exclusive prefix test matches the oracle for every doc."""
+    from dev_dot_cvp_metadata_ingestion_spark.plans.datapipe import (
+        _budget_from_scored,
+    )
+
+    # quality 100: 4 tokens | quality 75: a zero-token doc (kept: its
+    # exclusive cumsum 4 < 6) | quality 50: (2 tokens, then a
+    # zero-token tail) — group ends EXACTLY on budget 6 = 12 // 2, so
+    # the tail's exclusive cumsum == budget -> dropped | quality 10:
+    # past the line.
+    scored = spark.createDataFrame(
+        [(1, 4, 100), (5, 0, 75), (2, 2, 50), (3, 0, 50), (4, 6, 10)],
+        "doc_id long, n_tokens long, quality_fp long",
+    )
+    out = {r["doc_id"]: r["kept"] for r in _budget_from_scored(scored).collect()}
+    assert out == {1: True, 5: True, 2: True, 3: False, 4: False}

@@ -79,3 +79,21 @@ def test_empty_corpus_layout_roundtrips(spark, tmp_path):
     cells, cents = read_ivf_layout(spark, p)
     assert cells.count() == 0
     assert "cluster" in cells.columns
+
+
+def test_empty_and_nonempty_cells_schemas_match(spark, emb, tmp_path):
+    """ADVICE r8: the empty fallback must write `cluster` with the
+    same (partition-inferred int) type the partitionBy path yields, so
+    the read-back schema is identical regardless of input size."""
+    pe, pn = str(tmp_path / "e"), str(tmp_path / "n")
+    write_ivf_layout(emb.limit(0), pe, n_cells=4)
+    write_ivf_layout(emb, pn, n_cells=4)
+    se = {
+        f.name: f.dataType
+        for f in read_ivf_layout(spark, pe)[0].schema.fields
+    }
+    sn = {
+        f.name: f.dataType
+        for f in read_ivf_layout(spark, pn)[0].schema.fields
+    }
+    assert se == sn

@@ -101,8 +101,10 @@ def test_append_grows_index_without_rebuild(spark, split, tmp_path):
 def test_probe_never_shuffles_the_index(spark, split, index_path):
     """The corpus-sized relations (bands, shingles) must stream: every
     join is a BroadcastHashJoin with the probe-derived side as build,
-    and the only hash exchange in the plan is the distinct over the
-    small candidate pair set."""
+    and the only hash exchanges in the plan are over the small
+    candidate pair set (the candidate distinct, plus the ADVICE-r8
+    duplicate-index-row dedup that runs after the broadcast candidate
+    join — candidate-sized by construction)."""
     _, probe = split
     bands, shingles, params = read_lsh_index(spark, index_path)
     df = lsh_probe_index(
@@ -111,9 +113,9 @@ def test_probe_never_shuffles_the_index(spark, split, index_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 3  # cands, verify ×2
-    # the candidate distinct is the plan's only hash shuffle — nothing
-    # corpus-sized ever repartitions
-    assert plan.count("Exchange hashpartitioning") == 1
+    # candidate distinct + candidate-pair dedup are the plan's only
+    # hash shuffles — nothing corpus-sized ever repartitions
+    assert plan.count("Exchange hashpartitioning") == 2
 
 
 def test_empty_corpus_index_is_readable_and_probeable(spark, split, tmp_path):
@@ -176,3 +178,26 @@ def test_empty_probe_is_a_noop(spark, split, index_path):
         bands, shingles, probe.limit(0), "doc_id", "text", **params
     )
     assert out.count() == 0
+
+
+def test_probe_tolerates_duplicate_index_rows(spark, split, index_path):
+    """ADVICE r8: a replayed ingest batch whose append_lsh_index
+    already committed leaves duplicate (identical) bands/shingles rows
+    per doc. The probe must still return EXACTLY the cross-join rows —
+    the dedup happens candidate-pair-sized, after the broadcast
+    candidate join, never as a corpus-sized shuffle."""
+    corpus, probe = split
+    bands, shingles, params = read_lsh_index(spark, index_path)
+    doubled = lsh_probe_index(
+        bands.union(bands),
+        shingles.union(shingles),
+        probe,
+        "doc_id",
+        "text",
+        threshold=0.3,
+        **params,
+    )
+    ref = lsh_cross_near_duplicates(
+        probe, corpus, "doc_id", "text", num_hashes=8, n=3, threshold=0.3
+    )
+    assert _rows(doubled) == _rows(ref)

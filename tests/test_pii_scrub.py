@@ -23,6 +23,15 @@ EMAILS = ["a.user+tag@example.com", "X9@sub.domain.org", "ops_1@a.io"]
 IPS = ["10.0.0.1", "192.168.255.3", "8.8.8.8"]
 PHONES = ["+1 415 555 2671", "415-555-2671", "(415) 555 2671", "+44-202-555-0199"]
 NEAR_MISSES = ["not@an", "1.2.3", "12345", "user@@x.com", "ver1.2.3.4beta"]
+# ADVICE r8 overscrub classes that must SURVIVE: bare digit runs
+# (ids/timestamps) and dotted numbers with out-of-range octets
+MUST_SURVIVE = [
+    "4155552671",  # bare 10-digit id — no separators, no prefix
+    "1734567890123",  # epoch-millis-like 13-digit run
+    "id 9999999999 end",
+    "310.555.862.999",  # dotted, octets > 255 — not an IP
+    "1.2.3.4567",  # version-like
+]
 
 
 def _py_scrub(s: str) -> tuple[str, int, int, int]:
@@ -82,3 +91,36 @@ def test_pii_scrub_clean_corpus_is_identity(spark, sf_dir):
         | (F.col("p.n_emails") + F.col("p.n_ips") + F.col("p.n_phones") > 0)
     )
     assert bad.count() == 0
+
+
+def test_bare_digit_runs_and_bad_octets_survive(spark):
+    """ADVICE r8: ids, timestamps, and version-ish dotted numbers must
+    NOT be redacted — the phone pattern needs explicit phone shape
+    (+CC, parens, or a separator) and IPv4 octets are bounded to 255.
+    Checked against both engines so the Java/Python parity holds for
+    the negative space too."""
+    import pyspark.sql.functions as F
+
+    rows = [(i, s) for i, s in enumerate(MUST_SURVIVE)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["clean"]
+        for r in df.select(
+            "id", pii_scrub(F.col("text")).alias("clean")
+        ).collect()
+    }
+    for i, s in rows:
+        assert got[i] == s, f"spark redacted {s!r} -> {got[i]!r}"
+        assert _py_scrub(s)[0] == s, f"python re redacted {s!r}"
+
+
+def test_real_phone_shapes_still_redact(spark):
+    """The tightened pattern must keep catching actual phone formats."""
+    import pyspark.sql.functions as F
+
+    rows = [(i, f"call {p} now") for i, p in enumerate(PHONES)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    for r in df.select(
+        "id", pii_scrub(F.col("text")).alias("clean")
+    ).collect():
+        assert r["clean"] == "call <PHONE> now", r["clean"]

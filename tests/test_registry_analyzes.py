@@ -39,3 +39,27 @@ def test_board_curation_in_sync():
     assert len(tiers) == len(set(tiers)), "duplicate name across tiers"
     assert set(tiers) == set(registry.QUERIES)
     assert list(registry.ordered_queries()) == list(tiers)
+
+
+@pytest.mark.parametrize("name", registry.query_names())
+def test_registered_schemas_scalar_only(spark, name):
+    """Every registered query's output schema must be scalar-only at
+    the top level. The driver canonicalizes results via pandas
+    sort_values over all columns, which crashes on Python lists/dicts
+    (round-8 finding: embedding_quantize's array<double> columns
+    shipped green locally — tools/check_oracle.py stringified lists —
+    then failed the driver with "unhashable type: 'list'"). Schema-only
+    check: Catalyst analysis, zero execution. Queries with naturally
+    vector-valued results register a long form (one row per component,
+    e.g. embedding_centroids / embedding_quantize) or a deterministic
+    string serialization instead."""
+    df = registry.QUERIES[name](spark, SF_SMOKE)
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("array", "struct", "map")
+    ]
+    assert not complex_cols, (
+        f"{name} outputs driver-unhashable complex columns {complex_cols}; "
+        "register a scalar surface (long form or serialized strings)"
+    )

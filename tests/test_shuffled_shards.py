@@ -109,6 +109,20 @@ def test_empty_input_writes_empty_table(spark, docs, tmp_path):
     assert spark.read.parquet(p).count() == 0
 
 
+def test_empty_and_nonempty_readback_schemas_match(spark, docs, tmp_path):
+    """ADVICE r8: the empty branch writes `shard` as a regular column
+    while the non-empty branch makes it a partition column whose type
+    is partition-inferred (int) — consumers must see ONE read-back
+    schema regardless of input size, or downstream unions/pruning
+    logic drifts."""
+    pe, pn = str(tmp_path / "e"), str(tmp_path / "n")
+    write_shuffled_shards(docs.limit(0), pe, "doc_id", n_shards=4, seed="s")
+    write_shuffled_shards(docs, pn, "doc_id", n_shards=4, seed="s")
+    se = {f.name: f.dataType for f in spark.read.parquet(pe).schema.fields}
+    sn = {f.name: f.dataType for f in spark.read.parquet(pn).schema.fields}
+    assert se == sn
+
+
 def test_manifest_plan_has_no_global_sort(spark, sf_dir):
     """The manifest's position column rides a window PARTITIONED by
     shard — one hash exchange, no range exchange (global sort) and no

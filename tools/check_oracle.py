@@ -76,6 +76,26 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            # The driver canonicalizes via pandas sort_values over all
+            # columns, which crashes on Python lists/dicts (round-8
+            # finding: embedding_quantize's array columns shipped green
+            # locally because _norm stringifies lists, then failed the
+            # driver with "unhashable type: 'list'"). Replicate the
+            # driver's intolerance: any top-level complex type fails.
+            complex_cols = [
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "struct", "map")
+            ]
+            if complex_cols:
+                print(
+                    f"FAIL {name}: complex-typed output columns "
+                    f"{complex_cols} — the driver's pandas canonicalizer "
+                    "cannot hash these; register a scalar surface "
+                    "(long form or serialized strings)"
+                )
+                n_fail += 1
+                continue
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
