@@ -56,46 +56,34 @@ def query_names() -> list[str]:
 # (BOARD + BACK == registered, no dupes) in
 # tests/test_registry_analyzes.py.
 #
-# ROTATION (round 8, VERDICT r7 item 6): 14 queries swapped onto the
-# board — the 12 within-family variants that had never had a driver
-# row (text_fingerprint_overlap, text_bigram_lm,
-# documents_mixture_sample, documents_contamination,
-# documents_rarity_score, documents_repetition_filter,
-# dedup_keep_best, embedding_quantize, embedding_centroids,
-# events_sessionize, multimodal_frames, multimodal_resized) plus the
-# two NEW ivf_knn_join-composed twins (VERDICT r7 item 1:
-# embedding_label_propagation_ivf,
-# embedding_contamination_semantic_ivf — the 100 TB-safe forms now
-# carry the driver's hash check). The 14 reps that yielded (top of
-# BACK) each carried 2+ consecutive fully-green driver rounds (r6+r7)
-# and remain hash-checked locally every pytest run. No-oracle queries
+# Rotation policy: a board slot yields after 2+ consecutive fully
+# green driver rounds (its family coverage continues via the local
+# hash-parity suite); never-driver-checked variants rotate in. The
+# round-9 swap is annotated at the top of BOARD. No-oracle queries
 # (BPE, approximation twins) deliberately stay in BACK so every board
-# row keeps the strongest (hash) check.
+# row keeps the strongest (hash) check. embedding_quantize stays for
+# its first green row after the r8 surface fix (long form).
 BOARD: tuple[str, ...] = (
-    # relational core
-    "revenue_by_nation",
+    # ROTATION (round 9, VERDICT r8 item 3): 12 never-driver-checked
+    # within-family variants swapped in (simhash pairs, cluster
+    # representatives, contracted/two-star CC, boilerplate removal,
+    # shuffled shards, packed shards, gopher rules, lsh quality report,
+    # capped ngram/containment twins, kmeans); the 12 reps that yielded
+    # each carried 2+ consecutive fully-green driver rounds (r7+r8) and
+    # remain hash-checked locally every pytest run.
     "suppliers_with_large_shipments",
-    "lineitem_status_cube",
     "orders_grouping_sets",
     "orders_status_pivot",
-    # CVP reference-parity surface
     "cv_validation_results",
-    "cv_validation_tallies",
     "cv_sequential_checks",
-    "cv_sequential_checks_gated",
     "file_metadata_docs",
-    "file_metrics_counters",
     "events_hourly_windows",
     "rules_catalog",
     "csv_rule_validation",
-    "events_asof_last_signup",
-    # text analysis + model-derived scoring
     "text_fingerprint_overlap",
     "text_bigram_lm",
     "documents_classifier_score",
     "documents_lm_score",
-    "text_tfidf_top_terms",
-    # corpus curation / profiling
     "documents_training_examples",
     "documents_mixture_sample",
     "documents_rarity_score",
@@ -104,42 +92,53 @@ BOARD: tuple[str, ...] = (
     "corpus_source_overlap",
     "documents_contamination",
     "documents_contamination_bloom",
-    "documents_chunked",
-    "documents_packed",
-    "documents_source_cap",
-    # round-8 additions: genuinely new operator families, promoted to
-    # the board in the mid-round swap (4 two-round-green reps yielded:
-    # pricing_summary, corpus_vocab_by_source, dedup_embedding_pairs,
-    # ann_bruteforce_topk — each family keeps other board reps)
     "documents_paragraph_dedup",
     "documents_importance_resampled",
     "documents_budget_selected",
     "documents_training_shards",
-    # dedup family
     "dedup_keep_best",
     "dedup_minhash_banded",
-    "dedup_ngram_pairs",
-    "dedup_containment_pairs",
     "corpus_dedup_report",
-    # similarity / ANN / embeddings
     "ann_ivf_kmeans_topk",
     "embedding_label_propagation_ivf",
     "embedding_contamination_semantic_ivf",
     "embedding_quantize",
     "embedding_centroids",
     "embedding_zscore",
-    # event sequences / sessions / sequence mining
     "events_sessionize",
     "events_range_join",
-    # multimodal plumbing
     "multimodal_frames",
     "multimodal_resized",
+    "dedup_simhash_pairs",
+    "dedup_cluster_representatives",
+    "dedup_clusters_twostar",
+    "dedup_clusters_contracted",
+    "documents_boilerplate_removed",
+    "documents_shuffled_shards",
+    "documents_training_shards_packed",
+    "documents_gopher_rules",
+    "dedup_lsh_quality_report",
+    "dedup_ngram_pairs_capped",
+    "dedup_containment_pairs_capped",
+    "embedding_kmeans",
 )
 
 BACK: tuple[str, ...] = (
-    # --- rotated off the board in round 8 (2+ green driver rounds
-    # each — r6+r7; family coverage continues via the promoted
-    # variants and the local hash-parity suite) ---
+    # --- rotated off the board in round 9 (2+ green driver rounds
+    # each — r7+r8; family coverage continues via the promoted variants
+    # and the local hash-parity suite) ---
+    "revenue_by_nation",
+    "lineitem_status_cube",
+    "cv_validation_tallies",
+    "cv_sequential_checks_gated",
+    "file_metrics_counters",
+    "events_asof_last_signup",
+    "text_tfidf_top_terms",
+    "documents_chunked",
+    "documents_packed",
+    "documents_source_cap",
+    "dedup_ngram_pairs",
+    "dedup_containment_pairs",
     "text_stats",
     "documents_split",
     "corpus_profile",
@@ -151,15 +150,12 @@ BACK: tuple[str, ...] = (
     "dedup_semantic_keep",
     "dedup_clusters",
     "ann_knn_join",
-    "embedding_kmeans",
     "events_top_transitions",
     "multimodal_features",
-    # --- rotated off mid-round-8 for the new-family promotions ---
     "pricing_summary",
     "corpus_vocab_by_source",
     "dedup_embedding_pairs",
     "ann_bruteforce_topk",
-    # --- rotated off in round 7 ---
     "top_orders_per_priority",
     "customers_without_orders",
     "order_priority_rollup",
@@ -180,26 +176,11 @@ BACK: tuple[str, ...] = (
     "events_funnel",
     "events_sessionize_native",
     "events_cohort_retention",
-    # --- within-family variants ---
-    "dedup_lsh_quality_report",
-    "dedup_simhash_pairs",
-    "dedup_cluster_representatives",
-    "dedup_clusters_contracted",
-    "dedup_clusters_twostar",
-    "documents_boilerplate_removed",
-    "documents_shuffled_shards",
-    "documents_training_shards_packed",
-    "documents_gopher_rules",
-    "dedup_ngram_pairs_capped",
-    "dedup_containment_pairs_capped",
     "embedding_label_propagation",
     "embedding_contamination_semantic",
-    # --- iterative vocabulary induction (python-reference-pinned, no
-    # SQL oracle — data-dependent per-round argmax) ---
     "text_bpe_merges",
     "text_bpe_merges_batched",
     "text_bpe_subwords",
-    # --- no-oracle approximation twins (tolerance-pinned in pytest) ---
     "corpus_profile_approx",
     "corpus_vocab_by_source_approx",
     "corpus_source_overlap_approx",
