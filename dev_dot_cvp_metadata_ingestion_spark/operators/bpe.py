@@ -130,6 +130,41 @@ def bpe_merges(
 _BATCH_SEP = "\x00"  # never inside a symbol: tokens are split on \s+
 
 
+def _merge_fold_expr(merges: list[tuple[str, str]]):
+    """The one-pass left-fold that applies a SET of symbol-disjoint
+    merges to the ``s`` column, leftmost-first, via a constant
+    (acc tail, next symbol) -> merged lookup map."""
+    mapping = F.create_map(
+        *[
+            F.lit(s)
+            for left, right in merges
+            for s in (left + _BATCH_SEP + right, left + right)
+        ]
+    )
+    return F.aggregate(
+        "s",
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & F.element_at(
+                mapping,
+                F.concat(F.element_at(acc, -1), F.lit(_BATCH_SEP), x),
+            ).isNotNull(),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.element_at(
+                        mapping,
+                        F.concat(
+                            F.element_at(acc, -1), F.lit(_BATCH_SEP), x
+                        ),
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
 def _apply_merge_batch(
     syms: DataFrame, merges: list[tuple[str, str]]
 ) -> DataFrame:
@@ -138,39 +173,7 @@ def _apply_merge_batch(
     left/right/merged output, so a single left-fold that looks up
     (acc tail, next symbol) in a constant map applies all of them with
     the same leftmost-first semantics as applying each alone."""
-    mapping = F.create_map(
-        *[
-            F.lit(s)
-            for left, right in merges
-            for s in (left + _BATCH_SEP + right, left + right)
-        ]
-    )
-    return syms.select(
-        "w",
-        "freq",
-        F.aggregate(
-            "s",
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & F.element_at(
-                    mapping,
-                    F.concat(F.element_at(acc, -1), F.lit(_BATCH_SEP), x),
-                ).isNotNull(),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(
-                        F.element_at(
-                            mapping,
-                            F.concat(
-                                F.element_at(acc, -1), F.lit(_BATCH_SEP), x
-                            ),
-                        )
-                    ),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        ).alias("s"),
-    )
+    return syms.select("w", "freq", _merge_fold_expr(merges).alias("s"))
 
 
 def select_disjoint(
@@ -194,6 +197,41 @@ def select_disjoint(
     return out
 
 
+def _picked_pair_lookup(picked: list[tuple[str, str, int]]):
+    """Constant map {left\\x00right -> merged} for a round's picks."""
+    return F.create_map(
+        *[
+            F.lit(s)
+            for left, right, _ in picked
+            for s in (left + _BATCH_SEP + right, left + right)
+        ]
+    )
+
+
+def _word_touches_picked(picked: list[tuple[str, str, int]]):
+    """Predicate: the word's symbol array contains an adjacent
+    occurrence of ANY picked pair — i.e. this round's merges can
+    change it. Pure map-side expression (zip of shifted slices + a
+    constant-map lookup), so the affected/unaffected split costs one
+    codegen scan, no shuffle."""
+    m = _picked_pair_lookup(picked)
+    n = F.size("s")
+    pairs = F.zip_with(
+        F.slice("s", 1, n - 1),
+        F.slice("s", 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(_BATCH_SEP), b),
+    )
+    return (n >= 2) & F.exists(
+        pairs, lambda p: F.element_at(m, p).isNotNull()
+    )
+
+
+def _signed_pairs(syms: DataFrame, sign: int) -> DataFrame:
+    return _pair_counts(syms).select(
+        "left", "right", (F.lit(sign) * F.col("pair_count")).alias("d")
+    )
+
+
 def bpe_merges_batched(
     docs: DataFrame,
     k: int = 64,
@@ -201,6 +239,7 @@ def bpe_merges_batched(
     text_col: str = "text",
     max_batch: int | None = None,
     window_mult: int = 4,
+    incremental: bool = False,
 ) -> DataFrame:
     """Batched BPE training: learn up to ``batch`` symbol-disjoint
     merges per counting round, so ``k`` merges cost O(k/batch) Spark
@@ -250,7 +289,29 @@ def bpe_merges_batched(
     is two bare letters): k=1024 takes 53 rounds at mult=4, 25 at
     mult=16, 17 at mult=64. Pinned row-for-row at k=1024 against the
     plain-Python reference implementing this same schedule
-    (tests/test_bpe.py)."""
+    (tests/test_bpe.py).
+
+    ``incremental=True`` (VERDICT r8 item 4 — the production-
+    vocabulary escape) maintains the (left, right, pair_count)
+    relation ACROSS rounds instead of re-exploding every word every
+    round: after applying a merge batch, only the words that CONTAIN a
+    picked pair (a map-side predicate scan) are re-counted — their old
+    adjacencies enter the maintained relation negated, their rewritten
+    adjacencies positive, and a delta-sized full-outer join updates
+    the state (zero-count pairs dropped, so the relation stays exactly
+    equal to a from-scratch recount — the candidate windows, and
+    therefore the learned schedule, are IDENTICAL to
+    incremental=False; pinned in tests/test_bpe.py). In the long tail
+    of a big vocabulary each round touches a shrinking fraction of
+    words, so per-round shuffle volume is O(affected pairs) instead of
+    O(all adjacencies) — at a 100M-word web vocabulary that is the
+    difference between a corpus-vocabulary-scale shuffle per round and
+    a model-scale one. Rounds are bounded by the disjoint-selection
+    inventory (~|symbol inventory|/2 picks/round), not by k/max_batch:
+    k=8192 measured in 101 counting rounds, ~66 s of round work
+    (SCALE.md). The affected/unaffected union rides a narrow coalesce
+    back to the input partition count — without it the union DOUBLES
+    syms' partitions every round (measured: 32k tasks by round 13)."""
     if not 1 <= k <= 100_000:
         raise ValueError("k must be in [1, 100000]")
     if not 1 <= batch <= 1024:
@@ -265,6 +326,9 @@ def bpe_merges_batched(
         "freq",
         F.array_remove(F.split("w", r"(?!^)"), "").alias("s"),
     ).localCheckpoint()
+    # incremental state: the maintained pair-count relation, kept
+    # exactly equal to _pair_counts(syms) after every round
+    pc = _pair_counts(syms).localCheckpoint() if incremental else None
 
     learned: list[tuple[int, str, str, str, int, int]] = []
     round_no = 0
@@ -276,10 +340,10 @@ def bpe_merges_batched(
             else batch
         )
         want = min(cur_batch, k - len(learned))
+        counts = pc if incremental else _pair_counts(syms)
         candidates = [
             (r.left, r.right, r.pair_count)
-            for r in _pair_counts(syms)
-            .orderBy(
+            for r in counts.orderBy(
                 F.col("pair_count").desc(), F.col("left"), F.col("right")
             )
             .limit(want * window_mult)
@@ -299,9 +363,50 @@ def bpe_merges_batched(
                     round_no,
                 )
             )
-        syms = _apply_merge_batch(
-            syms, [(left, right) for left, right, _ in picked]
+        pairs = [(left, right) for left, right, _ in picked]
+        if not incremental:
+            syms = _apply_merge_batch(syms, pairs).localCheckpoint()
+            continue
+        # incremental recount: ONE conditional projection applies the
+        # merge fold only to rows matching the map-side "touches a
+        # picked pair" predicate and keeps the flag, so the round pays
+        # a single vocab-wide materialization (same as the batched
+        # path) — the first cut split affected/unaffected and unioned
+        # them back, which cost two extra vocab materializations per
+        # round and measured SLOWER than full recount at a 30k-word
+        # vocabulary (64.6 s vs 35.7 s; restructured form in SCALE.md)
+        prev = syms
+        touches = _word_touches_picked(picked)
+        syms = prev.select(
+            "w",
+            "freq",
+            F.when(touches, _merge_fold_expr(pairs)).otherwise(
+                F.col("s")
+            ).alias("s"),
+            touches.alias("_hit"),
         ).localCheckpoint()
+        affected_old = prev.filter(_word_touches_picked(picked))
+        rewritten = syms.filter("_hit")
+        syms = syms.drop("_hit")
+        delta = (
+            _signed_pairs(affected_old, -1)
+            .unionByName(_signed_pairs(rewritten, 1))
+            .groupBy("left", "right")
+            .agg(F.sum("d").alias("d"))
+        )
+        pc = (
+            pc.join(delta, ["left", "right"], "full_outer")
+            .select(
+                "left",
+                "right",
+                (
+                    F.coalesce(F.col("pair_count"), F.lit(0))
+                    + F.coalesce(F.col("d"), F.lit(0))
+                ).alias("pair_count"),
+            )
+            .filter(F.col("pair_count") > 0)
+            .localCheckpoint()
+        )
     return docs.sparkSession.createDataFrame(
         learned,
         "rank long, left string, right string, merged string, "

@@ -878,28 +878,18 @@ def documents_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     every retry, restart, and re-run, which is what makes mid-epoch
     restart reproducible. Oracle composes the curated CTE block with
     the chunk and shuffle SQL verbatim, so the composition cannot
-    drift from its pieces."""
-    from ..sources.catalog import shard_of, shuffle_key
+    drift from its pieces.
+
+    The seed-dependent shuffle half is ``epoch_shard_manifest``; a
+    multi-epoch run persists the seed-INDEPENDENT curation+chunking
+    half once via ``sources.catalog.write_training_examples`` and
+    pays only the manifest per epoch (probe ≡ this query pinned in
+    tests/test_training_examples_layout.py; measured amortization in
+    SCALE.md)."""
+    from ..sources.catalog import epoch_shard_manifest
 
     ex = documents_training_examples(spark, sf_dir)
-    ekey = F.concat_ws(
-        ":", F.col("doc_id").cast("string"), F.col("chunk_id").cast("string")
-    )
-    keyed = ex.select(
-        "doc_id",
-        "chunk_id",
-        "n_chunk_tokens",
-        shuffle_key(ekey, "epoch0").alias("shuffle_key"),
-        shard_of(ekey, "epoch0", 16).alias("shard_id"),
-    )
-    w = W.partitionBy("shard_id").orderBy("shuffle_key", "doc_id", "chunk_id")
-    return keyed.select(
-        "doc_id",
-        "chunk_id",
-        "n_chunk_tokens",
-        "shard_id",
-        (F.row_number().over(w) - 1).cast("long").alias("position"),
-    )
+    return epoch_shard_manifest(ex, "epoch0", 16)
 
 
 @register(
@@ -963,34 +953,10 @@ def documents_training_shards_packed(
     the position column — state still bounded by n/n_shards, still no
     global sort, one extra aggregate expression over an exchange the
     plan already pays for."""
-    from ..sources.catalog import shard_of, shuffle_key
+    from ..sources.catalog import epoch_shard_manifest
 
     ex = documents_training_examples(spark, sf_dir)
-    ekey = F.concat_ws(
-        ":", F.col("doc_id").cast("string"), F.col("chunk_id").cast("string")
-    )
-    keyed = ex.select(
-        "doc_id",
-        "chunk_id",
-        "n_chunk_tokens",
-        shuffle_key(ekey, "epoch0").alias("shuffle_key"),
-        shard_of(ekey, "epoch0", 16).alias("shard_id"),
-    )
-    order = [F.col("shuffle_key"), F.col("doc_id"), F.col("chunk_id")]
-    w = W.partitionBy("shard_id").orderBy(*order)
-    wcum = w.rowsBetween(W.unboundedPreceding, -1)
-    offset = F.coalesce(
-        F.sum("n_chunk_tokens").over(wcum), F.lit(0).cast("long")
-    )
-    return keyed.select(
-        "doc_id",
-        "chunk_id",
-        "n_chunk_tokens",
-        "shard_id",
-        (F.row_number().over(w) - 1).cast("long").alias("position"),
-        offset.cast("long").alias("offset"),
-        F.floor(offset / 64.0).cast("long").alias("seq_id"),
-    )
+    return epoch_shard_manifest(ex, "epoch0", 16, packed=True)
 
 
 def _curated_plan(d: DataFrame, pin=lambda df: df) -> DataFrame:

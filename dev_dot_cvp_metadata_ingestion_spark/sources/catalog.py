@@ -327,6 +327,73 @@ def shard_of(id_col, seed: str, n_shards: int):
     return F.pmod(h.cast("long"), F.lit(n_shards))
 
 
+def epoch_shard_manifest(
+    ex: DataFrame,
+    seed: str,
+    n_shards: int = 16,
+    packed: bool = False,
+) -> DataFrame:
+    """The per-epoch shuffle manifest over a training-examples
+    relation ``(doc_id, chunk_id, n_chunk_tokens, ...)``: per-example
+    md5(doc_id:chunk_id:seed) keys, ``n_shards`` uniform hash shards,
+    per-shard positions from a window PARTITIONED by shard (state
+    bounded by n/n_shards, never global). ``packed=True`` adds the
+    running token offset and 64-token seq_id in shuffled order over
+    the SAME shard window. This is the seed-dependent HALF of
+    ``documents_training_shards(_packed)`` factored out so the
+    seed-independent half (curation + chunking) can be persisted once
+    via ``write_training_examples`` and re-sharded per epoch
+    (tests/test_training_examples_layout.py pins probe ≡ in-query)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    ekey = F.concat_ws(
+        ":", F.col("doc_id").cast("string"), F.col("chunk_id").cast("string")
+    )
+    keyed = ex.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        shuffle_key(ekey, seed).alias("shuffle_key"),
+        shard_of(ekey, seed, n_shards).alias("shard_id"),
+    )
+    w = W.partitionBy("shard_id").orderBy("shuffle_key", "doc_id", "chunk_id")
+    cols = [
+        F.col("doc_id"),
+        F.col("chunk_id"),
+        F.col("n_chunk_tokens"),
+        F.col("shard_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("position"),
+    ]
+    if packed:
+        wcum = w.rowsBetween(W.unboundedPreceding, -1)
+        offset = F.coalesce(
+            F.sum("n_chunk_tokens").over(wcum), F.lit(0).cast("long")
+        )
+        cols += [
+            offset.cast("long").alias("offset"),
+            F.floor(offset / 64.0).cast("long").alias("seq_id"),
+        ]
+    return keyed.select(*cols)
+
+
+def write_training_examples(ex: DataFrame, path: str) -> None:
+    """Persist the curated+chunked training-examples relation — the
+    SEED-INDEPENDENT half of the shard pipeline (curation decides WHAT
+    is trained on; it does not change between epochs). Training runs
+    then pay only ``epoch_shard_manifest`` per epoch seed — one scan
+    of this compact relation plus one hash shuffle — instead of
+    re-running dedup→quality→mixture→chunking from the raw corpus
+    every epoch (measured amortization in SCALE.md). Same
+    build-once/probe-per-use trade as ``write_ivf_layout`` /
+    ``write_lsh_index``, applied to curation."""
+    ex.write.mode("overwrite").parquet(path)
+
+
+def read_training_examples(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 def write_shuffled_shards(
     df: DataFrame,
     path: str,

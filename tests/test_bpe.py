@@ -359,3 +359,64 @@ def test_bpe_subword_vocabulary_matches_python(spark):
         .collect()
     ]
     assert got == expected
+
+
+def test_bpe_incremental_pair_counts_k8192(spark):
+    """VERDICT r8 item 4: production-vocabulary scale via INCREMENTAL
+    pair-count maintenance — the (left, right, count) relation is
+    carried across rounds and only words containing a picked pair are
+    re-counted (map-side split + delta-sized full-outer update), so
+    per-round shuffle volume follows the affected set, not the
+    vocabulary. The maintained relation stays exactly equal to a
+    from-scratch recount, so the learned schedule is IDENTICAL to
+    incremental=False — pinned here row-for-row at k=8192 against the
+    plain-Python reference of the same schedule. 101 counting rounds
+    measured (~66 s of round work on local[32]; SCALE.md), vs 8192
+    driver round-trips sequentially."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.bpe import (
+        bpe_merges_batched,
+    )
+
+    wf = _rich_word_freqs()
+    docs = spark.createDataFrame(
+        [(" ".join([w] * f),) for w, f in wf.items()], ["text"]
+    )
+    expected = _python_bpe_batched(
+        wf, k=8192, batch=16, max_batch=1024, window_mult=16
+    )
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.pair_count, r.round)
+        for r in bpe_merges_batched(
+            docs,
+            k=8192,
+            batch=16,
+            max_batch=1024,
+            window_mult=16,
+            incremental=True,
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    assert len(got) == 8192, len(got)
+    assert got == expected
+    assert max(r[5] for r in got) <= 110, "incremental schedule ran long"
+
+
+def test_bpe_incremental_equals_batched_k64(spark):
+    """The incremental counter is an OPTIMIZATION, not a semantics
+    change: same corpus, same schedule params, identical rows."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.bpe import (
+        bpe_merges_batched,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+
+    def rows(inc):
+        return [
+            (r.rank, r.left, r.right, r.merged, r.pair_count, r.round)
+            for r in bpe_merges_batched(docs, k=64, batch=16, incremental=inc)
+            .orderBy("rank")
+            .collect()
+        ]
+
+    assert rows(True) == rows(False)

@@ -193,3 +193,89 @@ def test_shuffled_shards_differential(spark, tmp_path):
         ).collect()
     }
     assert got == expect
+
+
+# --- segment-heavy adversarial corpora (VERDICT r8 item 5) -----------
+# Docs are concatenations of exact 10-token units drawn from a SMALL
+# shared pool, so cross-document segment sharing is massive and exact
+# (the worst case for both segment operators); ~50% of docs open with
+# the SAME boilerplate segment — the skew pattern the ngram cap was
+# proven against. A random 3-token tail exercises the partial-segment
+# path.
+
+
+def _gen_segment_corpus(seed: int, n_docs: int, dup_frac: float = 0.5):
+    rng = random.Random(seed)
+    pool = [
+        " ".join(rng.choice(WORDS) for _ in range(10)) for _ in range(30)
+    ]
+    boiler = pool[0]
+    rows = []
+    for i in range(n_docs):
+        nseg = rng.randrange(0, 6)
+        segs = [
+            rng.choice(pool)
+            if rng.random() < 0.7
+            else " ".join(rng.choice(WORDS) for _ in range(10))
+            for _ in range(nseg)
+        ]
+        if segs and rng.random() < dup_frac:
+            segs[0] = boiler
+        text = " ".join(segs)
+        if segs and rng.random() < 0.2:
+            text += " " + " ".join(rng.choice(WORDS) for _ in range(3))
+        rows.append((i, text, "en", "s", len(text)))
+    return rows
+
+
+def _boilerplate_reference(rows, seg_tokens=10, max_df=2):
+    """Plain-Python hot-segment removal (df > max_df over distinct
+    docs), independent of both the Spark plan and the DuckDB oracle."""
+    segs_by_doc, df = {}, {}
+    for d, s, *_ in rows:
+        t = _toks(s)
+        nseg = math.ceil(len(t) / seg_tokens)
+        lst = [
+            " ".join(t[i * seg_tokens:(i + 1) * seg_tokens])
+            for i in range(nseg)
+        ]
+        segs_by_doc[d] = lst
+        for seg in set(lst):
+            df.setdefault(seg, set()).add(d)
+    hot = {seg for seg, ds in df.items() if len(ds) > max_df}
+    return {
+        d: (
+            " ".join(s for s in lst if s not in hot),
+            len(lst),
+            sum(1 for s in lst if s in hot),
+        )
+        for d, lst in segs_by_doc.items()
+    }
+
+
+@pytest.mark.parametrize("seed", [3, 29, 71])
+def test_boilerplate_removal_differential_segment_heavy(
+    spark, tmp_path, seed
+):
+    rows = _gen_segment_corpus(seed, 80)
+    d = _write(spark, rows, tmp_path, f"sb{seed}")
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_segments"], r["n_removed"])
+        for r in registry.QUERIES["documents_boilerplate_removed"](
+            spark, d
+        ).collect()
+    }
+    assert got == _boilerplate_reference(rows)
+
+
+@pytest.mark.parametrize("seed", [7, 31])
+def test_paragraph_dedup_differential_segment_heavy(spark, tmp_path, seed):
+    rows = _gen_segment_corpus(seed, 80)
+    d = _write(spark, rows, tmp_path, f"sp{seed}")
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_segments"], r["n_removed"])
+        for r in registry.QUERIES["documents_paragraph_dedup"](
+            spark, d
+        ).collect()
+    }
+    assert got == _paragraph_reference(rows)
