@@ -309,9 +309,13 @@ def bpe_merges_batched(
     a model-scale one. Rounds are bounded by the disjoint-selection
     inventory (~|symbol inventory|/2 picks/round), not by k/max_batch:
     k=8192 measured in 101 counting rounds, ~66 s of round work
-    (SCALE.md). The affected/unaffected union rides a narrow coalesce
-    back to the input partition count — without it the union DOUBLES
-    syms' partitions every round (measured: 32k tasks by round 13)."""
+    (SCALE.md). Honest crossover: the win requires the AFFECTED
+    FRACTION to be small — in head rounds (hot letter pairs touching
+    most words) incremental does recount-sized work plus maintenance
+    and measures slower; the tail (where a production vocabulary
+    spends most rounds — affected fell 468 → 17 words/round in the
+    k=8192 probe) is where delta maintenance pays. Both measured
+    corpora and the per-round hybrid escape are in SCALE.md."""
     if not 1 <= k <= 100_000:
         raise ValueError("k must be in [1, 100000]")
     if not 1 <= batch <= 1024:

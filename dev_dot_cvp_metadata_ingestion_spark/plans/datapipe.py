@@ -4268,6 +4268,362 @@ def documents_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "documents_perplexity_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS.format(c="lower(text)")} AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest([{{'w1': t[i], 'w2': t[i+1]}}
+                     for i in generate_series(1, len(t) - 1)]) AS z
+      FROM toks WHERE len(t) >= 2
+    ),
+    db AS (SELECT doc_id, z.w1 AS w1, z.w2 AS w2 FROM bg),
+    c12 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM db GROUP BY w1, w2
+    ),
+    c1 AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1
+    ),
+    q AS (
+      SELECT w1, w2, (1000000 * c12) // c1.c1 AS q
+      FROM c12 JOIN c1 USING (w1)
+    ),
+    per_doc AS (
+      SELECT db.doc_id,
+             CAST(sum(q.q) // count(*) AS BIGINT) AS score_fp
+      FROM db JOIN q USING (w1, w2)
+      GROUP BY db.doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang,
+             CAST(coalesce(p.score_fp, -1) AS BIGINT) AS score_fp
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ),
+    hist AS (
+      SELECT lang, score_fp, CAST(count(*) AS BIGINT) AS cnt
+      FROM scored GROUP BY lang, score_fp
+    ),
+    cum AS (
+      SELECT lang, score_fp,
+             CAST(coalesce(sum(cnt) OVER (
+               PARTITION BY lang ORDER BY score_fp DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS better,
+             CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+      FROM hist
+    )
+    SELECT s.doc_id, s.lang, s.score_fp,
+           CASE WHEN 3 * c.better < c.n_lang THEN 'head'
+                WHEN 3 * c.better < 2 * c.n_lang THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s JOIN cum c USING (lang, score_fp)
+    ORDER BY s.doc_id
+    """,
+)
+def documents_perplexity_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020, public): every document lands in the head / middle / tail
+    third of its LANGUAGE's fluency distribution under the corpus's
+    own bigram LM — the split CCNet uses to keep head+middle and
+    judge tail. Scoring reuses the ``documents_lm_score`` fixed-point
+    model (ppm integer mean conditional probability; scoreless docs
+    sink to a -1 sentinel, deterministically 'tail'); bucket
+    boundaries are TIE-SAFE — the bucket is a function of the score
+    VALUE (3·|strictly better| vs |lang|), so equal scores always
+    share a bucket and no per-doc ordering exists anywhere.
+
+    The oracle states the semantics with per-lang histogram windows;
+    the Spark plan computes the identical 'strictly better' counts
+    with NO per-lang unbounded window (a language is corpus-sized —
+    the same anti-pattern ``documents_budget_selected`` avoids): the
+    (lang, score_fp) histogram's exclusive running totals come from a
+    coarse-bucket (score div 1024 — ≤ ~1000 values) self-join plus a
+    window partitioned by (lang, coarse), state ≤ 1024 rows; the
+    model-scale stat relation then broadcasts onto the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("t")
+    ).filter(F.size("t") >= 2)
+    n = F.size("t")
+    db = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, n - 1).alias("w1"),
+                F.slice("t", 2, n - 1).alias("w2"),
+            )
+        ).alias("z"),
+    ).select("doc_id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+    c12 = db.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    q = c12.join(c1, "w1").select(
+        "w1", "w2", F.expr("(1000000 * c12) div c1").alias("q")
+    )
+    per_doc = (
+        db.join(q, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.expr("sum(q) div count(*)").alias("score_fp"))
+    )
+    scored = d.select("doc_id", "lang").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce(F.col("score_fp"), F.lit(-1)).cast("long").alias(
+            "score_fp"
+        ),
+    )
+    hist = (
+        scored.groupBy("lang", "score_fp")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "lang", "score_fp", "cnt",
+            F.expr("score_fp div 1024").alias("cb"),
+        )
+    )
+    chist = hist.groupBy("lang", "cb").agg(F.sum("cnt").alias("bcnt"))
+    c2 = chist.select(
+        F.col("lang").alias("lang2"),
+        F.col("cb").alias("cb2"),
+        F.col("bcnt").alias("bcnt2"),
+    )
+    ccum = (
+        chist.join(
+            F.broadcast(c2),
+            (F.col("lang2") == F.col("lang")) & (F.col("cb2") > F.col("cb")),
+            "left",
+        )
+        .groupBy("lang", "cb", "bcnt")
+        .agg(F.coalesce(F.sum("bcnt2"), F.lit(0)).alias("above"))
+    )
+    n_lang = hist.groupBy("lang").agg(F.sum("cnt").alias("n_lang"))
+    wq = (
+        W.partitionBy("lang", "cb")
+        .orderBy(F.col("score_fp").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    stat = (
+        hist.select(
+            "lang",
+            "score_fp",
+            "cb",
+            F.coalesce(F.sum("cnt").over(wq), F.lit(0)).alias("within"),
+        )
+        .join(F.broadcast(ccum.select("lang", "cb", "above")), ["lang", "cb"])
+        .join(F.broadcast(n_lang), "lang")
+        .select(
+            "lang",
+            "score_fp",
+            (F.col("above") + F.col("within")).alias("better"),
+            "n_lang",
+        )
+    )
+    bucket = (
+        F.when(3 * F.col("better") < F.col("n_lang"), F.lit("head"))
+        .when(3 * F.col("better") < 2 * F.col("n_lang"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.join(F.broadcast(stat), ["lang", "score_fp"]).select(
+        "doc_id", "lang", "score_fp", bucket.alias("bucket")
+    )
+
+
+@register(
+    "documents_repeated_substrings",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, g.i - 1 AS pos,
+             md5(array_to_string(list_slice(t, g.i, g.i + 7), ' ')) AS shd
+      FROM toks,
+           unnest(CASE WHEN len(t) >= 8
+                       THEN generate_series(1, len(t) - 7)
+                       ELSE [] END) AS g(i)
+    ),
+    dup AS (SELECT shd FROM sh GROUP BY shd HAVING count(*) >= 2),
+    m AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (shd)),
+    r AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (
+               PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS start_pos,
+           CAST(max(pos) AS BIGINT) AS last_pos,
+           CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens
+    FROM r GROUP BY doc_id, grp
+    HAVING max(pos) - min(pos) + 8 >= 12
+    ORDER BY doc_id, start_pos
+    """,
+)
+def documents_repeated_substrings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact repeated-SUBSTRING detection at token granularity — the
+    suffix-array dedup of Lee et al. 2021 ("Deduplicating Training
+    Data Makes Language Models Better", public) re-expressed as the
+    Spark-native shingle-run form: a maximal run of consecutive token
+    positions whose 8-token shingles each occur ≥ 2 times corpus-wide
+    marks a span (≥ 12 tokens reported) that is repeated somewhere —
+    finer than ``documents_paragraph_dedup``'s fixed segment grid,
+    which misses duplicates that straddle segment boundaries. (Run
+    form is the standard over-approximation of true duplicated spans:
+    each shingle's second occurrence may be in different places; a
+    span's removal candidacy is confirmed/consumed downstream.)
+
+    Scale shape: shingle hashes are a map-side generate (positions
+    from ``sequence``, md5 per 8-token window — 16-byte keys move, not
+    text); the duplicate set is ONE groupBy(shd) whose map-side
+    combine absorbs hot-shingle mass (same argument, and the same
+    measured flat-factor, as the segment operators in SCALE.md); the
+    mark join is shuffle-on-shingle with NOTHING broadcast (the dup
+    relation is corpus-sized by construction — merge-join pinned like
+    paragraph dedup's firsts join); maximal runs ride a window
+    partitioned by doc (state bounded by document length) and one
+    groupBy(doc, run)."""
+    d = load_table(spark, sf_dir, "documents")
+    return _dup_substring_runs(d).filter(
+        F.col("span_tokens") >= 12
+    ).drop("grp")
+
+
+def _dup_substring_runs(d: DataFrame) -> DataFrame:
+    """Shared subtree of the repeated-substring family: maximal runs
+    (doc_id, grp, start_pos, last_pos, span_tokens) of consecutive
+    positions whose 8-token shingle occurs ≥ 2 times corpus-wide."""
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    shingles = F.transform(
+        F.sequence(F.lit(1), n - 7),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, F.lit(8)))),
+    )
+    sh = toks.filter(n >= 8).select(
+        "doc_id", F.posexplode(shingles).alias("pos", "shd")
+    )
+    dup = (
+        sh.groupBy("shd")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("shd")
+    )
+    marked = sh.join(dup.hint("shuffle_merge"), "shd").select("doc_id", "pos")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    runs = marked.select(
+        "doc_id", "pos", (F.col("pos") - F.row_number().over(w)).alias("grp")
+    )
+    return runs.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("long").alias("start_pos"),
+        F.max("pos").cast("long").alias("last_pos"),
+        (F.max("pos") - F.min("pos") + 8).cast("long").alias("span_tokens"),
+    )
+
+
+@register(
+    "documents_substring_dup_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, g.i - 1 AS pos,
+             md5(array_to_string(list_slice(t, g.i, g.i + 7), ' ')) AS shd
+      FROM toks,
+           unnest(CASE WHEN len(t) >= 8
+                       THEN generate_series(1, len(t) - 7)
+                       ELSE [] END) AS g(i)
+    ),
+    dup AS (SELECT shd FROM sh GROUP BY shd HAVING count(*) >= 2),
+    m AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (shd)),
+    r AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (
+               PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM m
+    ),
+    runs AS (
+      SELECT doc_id,
+             max(pos) - min(pos) + 1 AS n_pos,
+             max(pos) - min(pos) + 8 AS span_tokens
+      FROM r GROUP BY doc_id, grp
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(n_pos) AS BIGINT) AS n_dup_positions,
+             CAST(count(*) FILTER (span_tokens >= 12) AS BIGINT) AS n_spans,
+             CAST(max(span_tokens) AS BIGINT) AS max_span_tokens
+      FROM runs GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(greatest(len(t.t) - 7, 0) AS BIGINT) AS n_positions,
+           CAST(coalesce(p.n_dup_positions, 0) AS BIGINT) AS n_dup_positions,
+           CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(p.max_span_tokens, 0) AS BIGINT) AS max_span_tokens,
+           CASE WHEN len(t.t) >= 8
+                THEN CAST(coalesce(p.n_dup_positions, 0) AS DOUBLE)
+                     / (len(t.t) - 7)
+                ELSE CAST(0.0 AS DOUBLE) END AS dup_frac
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def documents_substring_dup_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document repeated-substring pressure — the quality signal a
+    curation gate consumes from the ``documents_repeated_substrings``
+    subtree: how many shingle positions sit inside corpus-duplicated
+    runs, how many reportable (≥ 12-token) spans, the longest span,
+    and the duplicated-position fraction (exact IEEE division of two
+    integers — engine-identical). Docs with no duplicated material
+    (or < 8 tokens) report zeros via the left join, so the output is
+    corpus-shaped and joinable with the other per-doc scores. Same
+    plan shape as the span query plus one per-doc aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    runs = _dup_substring_runs(d)
+    per_doc = runs.groupBy("doc_id").agg(
+        F.sum(F.col("last_pos") - F.col("start_pos") + 1)
+        .cast("long")
+        .alias("n_dup_positions"),
+        F.sum((F.col("span_tokens") >= 12).cast("long"))
+        .cast("long")
+        .alias("n_spans"),
+        F.max("span_tokens").cast("long").alias("max_span_tokens"),
+    )
+    nt = F.size(tokens(F.col("text")))
+    base = d.select(
+        "doc_id",
+        nt.cast("long").alias("n_tokens"),
+        F.greatest(nt - 7, F.lit(0)).cast("long").alias("n_positions"),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_positions",
+        F.coalesce("n_dup_positions", F.lit(0)).cast("long").alias(
+            "n_dup_positions"
+        ),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("max_span_tokens", F.lit(0)).cast("long").alias(
+            "max_span_tokens"
+        ),
+        F.when(
+            F.col("n_positions") > 0,
+            F.coalesce("n_dup_positions", F.lit(0)).cast("double")
+            / F.col("n_positions"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )
+
+
+@register(
     "corpus_dedup_report",
     oracle="""
     WITH f AS (

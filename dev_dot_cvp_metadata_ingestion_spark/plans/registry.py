@@ -184,6 +184,10 @@ BACK: tuple[str, ...] = (
     "corpus_profile_approx",
     "corpus_vocab_by_source_approx",
     "corpus_source_overlap_approx",
+    # --- round-9 additions (first driver row next rotation) ---
+    "documents_perplexity_buckets",
+    "documents_repeated_substrings",
+    "documents_substring_dup_stats",
 )
 
 

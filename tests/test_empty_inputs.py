@@ -51,6 +51,9 @@ AT_RISK = [
     "dedup_simhash_pairs",         # band self-join on empty
     "documents_training_shards_packed",  # packed windows on empty
     "documents_gopher_rules",      # pure projection on empty
+    "documents_perplexity_buckets",  # per-lang histogram on empty
+    "documents_repeated_substrings",  # dup set + run window on empty
+    "documents_substring_dup_stats",  # zero-row runs, left-join zeros
 ]
 
 

@@ -45,6 +45,9 @@ SENSITIVE = [
     "documents_training_shards",   # curation subtree + epoch shuffle
     "dedup_cluster_representatives",  # CC iterations + argmax
     "dedup_simhash_pairs",         # band self-join + bit votes
+    "documents_perplexity_buckets",  # coarse-bucket better-counts
+    "documents_repeated_substrings",  # dup groupBy + run windows
+    "documents_substring_dup_stats",  # runs + per-doc aggregate
 ]
 
 

@@ -326,6 +326,8 @@ PER_ROW_OUTPUT = [
     "cv_error_histogram", "file_metadata_docs", "file_metrics_counters",
     "url_decoded_keys", "events_hourly_windows", "events_asof_last_signup",
     "cv_message_metrics", "csv_rule_validation", "cv_sequential_checks",
+    "documents_perplexity_buckets", "documents_repeated_substrings",
+    "documents_substring_dup_stats",
 ]
 
 
@@ -411,3 +413,31 @@ def test_minhash_pin_reuses_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert plan.count("ReusedExchange") >= 3, plan.count("ReusedExchange")
+
+
+def test_repeated_substrings_never_broadcasts_the_dup_set(spark):
+    """The duplicate-shingle relation is corpus-sized by construction
+    (every shingle occurring twice anywhere); the mark join must be a
+    shuffle merge join — a broadcast here is the local planner's
+    size-estimate trap that dies at 100 TB (same pin as paragraph
+    dedup's firsts join). The run-grouping window must be partitioned
+    (by doc), never global."""
+    plan = plan_of("documents_repeated_substrings", spark)
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_perplexity_buckets_stat_relation_broadcasts(spark):
+    """The per-(lang, score) 'strictly better' stat relation is
+    model-scale (bounded by distinct scores) and must BROADCAST onto
+    the corpus; the corpus itself must never sort-merge. The better
+    counts come from coarse-bucket windows, never a per-lang unbounded
+    window (a language is corpus-sized)."""
+    plan = plan_of("documents_perplexity_buckets", spark)
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    # every window spec in the plan must carry a partition key list
+    # that includes the coarse bucket (cb) — no per-lang-only windows
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "cb" in spec, f"window not coarse-bucketed: {spec}"
