@@ -239,7 +239,7 @@ def bpe_merges_batched(
     text_col: str = "text",
     max_batch: int | None = None,
     window_mult: int = 4,
-    incremental: bool = False,
+    incremental: bool | str = False,
 ) -> DataFrame:
     """Batched BPE training: learn up to ``batch`` symbol-disjoint
     merges per counting round, so ``k`` merges cost O(k/batch) Spark
@@ -315,7 +315,12 @@ def bpe_merges_batched(
     and measures slower; the tail (where a production vocabulary
     spends most rounds — affected fell 468 → 17 words/round in the
     k=8192 probe) is where delta maintenance pays. Both measured
-    corpora and the per-round hybrid escape are in SCALE.md."""
+    corpora are in SCALE.md. ``incremental="auto"`` is the per-round
+    hybrid: plain recount while the picked pairs carry > 5% of total
+    adjacency mass (head), delta maintenance after (tail) — the
+    schedule is identical in every mode (pinned)."""
+    if not (isinstance(incremental, bool) or incremental == "auto"):
+        raise ValueError("incremental must be a bool or 'auto'")
     if not 1 <= k <= 100_000:
         raise ValueError("k must be in [1, 100000]")
     if not 1 <= batch <= 1024:
@@ -371,6 +376,22 @@ def bpe_merges_batched(
         if not incremental:
             syms = _apply_merge_batch(syms, pairs).localCheckpoint()
             continue
+        if incremental == "auto":
+            # hybrid escape (SCALE.md): while the picked pairs carry a
+            # large fraction of total adjacency mass (head rounds —
+            # most words affected), delta maintenance does
+            # recount-sized work PLUS bookkeeping, so do the plain
+            # recount round; once the mass fraction falls (the tail,
+            # where production vocabularies spend most rounds), switch
+            # to delta updates. Both totals are driver-side scalars:
+            # picked mass from the candidate window, total from a
+            # one-row aggregate over the model-scale pc relation.
+            total_mass = pc.agg(F.sum("pair_count")).collect()[0][0] or 0
+            picked_mass = sum(c for _, _, c in picked)
+            if picked_mass * 20 > total_mass:  # > 5% of adjacency mass
+                syms = _apply_merge_batch(syms, pairs).localCheckpoint()
+                pc = _pair_counts(syms).localCheckpoint()
+                continue
         # incremental recount: ONE conditional projection applies the
         # merge fold only to rows matching the map-side "touches a
         # picked pair" predicate and keeps the flag, so the round pays

@@ -420,3 +420,24 @@ def test_bpe_incremental_equals_batched_k64(spark):
         ]
 
     assert rows(True) == rows(False)
+
+
+def test_bpe_auto_hybrid_equals_batched_k64(spark):
+    """incremental='auto' (recount in head rounds, delta in the tail)
+    must learn the identical schedule — the mode only changes HOW the
+    counts are produced, never what they are."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.bpe import (
+        bpe_merges_batched,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+
+    def rows(inc):
+        return [
+            (r.rank, r.left, r.right, r.merged, r.pair_count, r.round)
+            for r in bpe_merges_batched(docs, k=64, batch=16, incremental=inc)
+            .orderBy("rank")
+            .collect()
+        ]
+
+    assert rows("auto") == rows(False)
