@@ -338,6 +338,13 @@ def bpe_merges_batched(
     # incremental state: the maintained pair-count relation, kept
     # exactly equal to _pair_counts(syms) after every round
     pc = _pair_counts(syms).localCheckpoint() if incremental else None
+    # freq-weighted word count for the auto-hybrid switch (constant
+    # for the whole training run — one tiny job at init)
+    total_words = (
+        syms.agg(F.sum("freq")).collect()[0][0] or 0
+        if incremental == "auto"
+        else 0
+    )
 
     learned: list[tuple[int, str, str, str, int, int]] = []
     round_no = 0
@@ -377,18 +384,23 @@ def bpe_merges_batched(
             syms = _apply_merge_batch(syms, pairs).localCheckpoint()
             continue
         if incremental == "auto":
-            # hybrid escape (SCALE.md): while the picked pairs carry a
-            # large fraction of total adjacency mass (head rounds —
-            # most words affected), delta maintenance does
-            # recount-sized work PLUS bookkeeping, so do the plain
-            # recount round; once the mass fraction falls (the tail,
-            # where production vocabularies spend most rounds), switch
-            # to delta updates. Both totals are driver-side scalars:
-            # picked mass from the candidate window, total from a
-            # one-row aggregate over the model-scale pc relation.
-            total_mass = pc.agg(F.sum("pair_count")).collect()[0][0] or 0
+            # hybrid escape (SCALE.md): while this round's picks touch
+            # a material fraction of the vocabulary (head rounds),
+            # delta maintenance does recount-sized work PLUS
+            # bookkeeping, so do the plain recount round; in the tail
+            # (where production vocabularies spend most rounds) switch
+            # to delta updates. The affected-word count is bounded
+            # above by the picked pairs' total occurrence mass (each
+            # occurrence lives in one word), so picked_mass vs the
+            # freq-weighted word count is a driver-side upper-bound
+            # test — no extra job per round. The first cut compared
+            # against total ADJACENCY mass at 5%, which under-switched
+            # (measured 205 s vs 76 s recount at the 3M uniform
+            # corpus): occurrences per affected word are few, so a
+            # small share of adjacency mass can still touch half the
+            # vocabulary.
             picked_mass = sum(c for _, _, c in picked)
-            if picked_mass * 20 > total_mass:  # > 5% of adjacency mass
+            if picked_mass * 8 > total_words:  # >= ~12% of words may hit
                 syms = _apply_merge_batch(syms, pairs).localCheckpoint()
                 pc = _pair_counts(syms).localCheckpoint()
                 continue

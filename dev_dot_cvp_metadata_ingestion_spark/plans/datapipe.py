@@ -4344,8 +4344,22 @@ def documents_perplexity_buckets(
     (lang, score_fp) histogram's exclusive running totals come from a
     coarse-bucket (score div 1024 — ≤ ~1000 values) self-join plus a
     window partitioned by (lang, coarse), state ≤ 1024 rows; the
-    model-scale stat relation then broadcasts onto the corpus."""
+    model-scale stat relation then broadcasts onto the corpus.
+
+    The pure declarative form re-derives the scored projection and
+    histogram per consumer branch (the same documented diamond trade
+    as ``documents_curated`` / ``documents_budget_selected``);
+    ``perplexity_buckets_scoped`` persists both for production
+    callers — one LM-scoring pass total."""
     d = load_table(spark, sf_dir, "documents")
+    return _perplexity_plan(d)
+
+
+def _perplexity_plan(d: DataFrame, pin=lambda df: df) -> DataFrame:
+    """Perplexity-bucket plan over a documents frame; ``pin`` is
+    applied to the scored projection and the (lang, score) histogram —
+    the two diamonds every downstream branch re-derives in the pure
+    form (20 pruned scans at last audit)."""
     toks = d.select(
         "doc_id", tokens(F.lower(F.col("text"))).alias("t")
     ).filter(F.size("t") >= 2)
@@ -4369,14 +4383,18 @@ def documents_perplexity_buckets(
         .groupBy("doc_id")
         .agg(F.expr("sum(q) div count(*)").alias("score_fp"))
     )
-    scored = d.select("doc_id", "lang").join(per_doc, "doc_id", "left").select(
-        "doc_id",
-        "lang",
-        F.coalesce(F.col("score_fp"), F.lit(-1)).cast("long").alias(
-            "score_fp"
-        ),
+    scored = pin(
+        d.select("doc_id", "lang")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("score_fp"), F.lit(-1)).cast("long").alias(
+                "score_fp"
+            ),
+        )
     )
-    hist = (
+    hist = pin(
         scored.groupBy("lang", "score_fp")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
@@ -4429,6 +4447,30 @@ def documents_perplexity_buckets(
     return scored.join(F.broadcast(stat), ["lang", "score_fp"]).select(
         "doc_id", "lang", "score_fp", bucket.alias("bucket")
     )
+
+
+@contextmanager
+def perplexity_buckets_scoped(d: DataFrame):
+    """Materialized perplexity bucketing: persists the LM-scored
+    projection and the (lang, score) histogram so the coarse-bucket /
+    n_lang / stat branches read InMemoryRelations instead of
+    re-deriving the bigram-LM join from parquet (the pure registered
+    form pays ~20 pruned scans for declarative purity — same trade
+    and same escape as ``budget_select_scoped``). Unpersists on exit;
+    run your actions inside the block. Same rows as the registered
+    ``documents_perplexity_buckets`` (asserted in tests)."""
+    handles: list[DataFrame] = []
+
+    def pin(df: DataFrame) -> DataFrame:
+        h = df.persist()
+        handles.append(h)
+        return h
+
+    try:
+        yield _perplexity_plan(d, pin)
+    finally:
+        for h in handles:
+            h.unpersist()
 
 
 @register(
