@@ -4567,6 +4567,176 @@ def _dup_substring_runs(d: DataFrame) -> DataFrame:
 
 
 @register(
+    "documents_substring_scrubbed",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, g.i - 1 AS pos,
+             md5(array_to_string(list_slice(t, g.i, g.i + 7), ' ')) AS shd
+      FROM toks,
+           unnest(CASE WHEN len(t) >= 8
+                       THEN generate_series(1, len(t) - 7)
+                       ELSE [] END) AS g(i)
+    ),
+    firsts AS (
+      SELECT shd, CAST(count(*) AS BIGINT) AS c,
+             min(struct_pack(doc_id := doc_id, pos := pos)) AS f
+      FROM sh GROUP BY shd
+    ),
+    nonfirst AS (
+      SELECT s.doc_id, s.pos
+      FROM sh s JOIN firsts x USING (shd)
+      WHERE x.c >= 2
+        AND NOT (s.doc_id = x.f.doc_id AND s.pos = x.f.pos)
+    ),
+    cover AS (
+      SELECT doc_id, pos + g.o AS tok,
+             CAST(count(*) AS BIGINT) AS n_bad
+      FROM nonfirst, unnest(generate_series(0, 7)) AS g(o)
+      GROUP BY doc_id, pos + g.o
+    ),
+    tok_rows AS (
+      SELECT doc_id, t, len(t) AS n, g.i - 1 AS tok, t[g.i] AS w
+      FROM toks, unnest(CASE WHEN len(t) > 0
+                             THEN generate_series(1, len(t))
+                             ELSE [] END) AS g(i)
+    ),
+    marked AS (
+      SELECT r.doc_id, r.tok, r.w,
+             CASE WHEN r.n >= 8 THEN
+               least(r.tok, r.n - 8) - greatest(r.tok - 7, 0) + 1
+             ELSE 0 END AS n_cover,
+             coalesce(c.n_bad, 0) AS n_bad
+      FROM tok_rows r LEFT JOIN cover c
+        ON c.doc_id = r.doc_id AND c.tok = r.tok
+    ),
+    kept AS (
+      SELECT doc_id, tok, w,
+             (n_cover = 0 OR n_bad < n_cover) AS keep
+      FROM marked
+    )
+    SELECT t.doc_id,
+           coalesce(string_agg(k.w, ' ' ORDER BY k.tok)
+                      FILTER (k.keep), '') AS text_clean,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(coalesce(count(*) FILTER (NOT k.keep), 0) AS BIGINT)
+             AS n_removed
+    FROM toks t LEFT JOIN kept k USING (doc_id)
+    GROUP BY t.doc_id, t.t
+    ORDER BY t.doc_id
+    """,
+)
+def documents_substring_scrubbed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The repeated-substring family's TERMINAL — Lee et al. 2021's
+    "keep one occurrence" applied at token granularity: for every
+    duplicated 8-token shingle, its corpus-FIRST occurrence (min
+    (doc_id, pos)) survives; a token is removed iff it is covered by
+    at least one shingle position and EVERY position covering it is a
+    duplicated-non-first occurrence. Tokens under any novel or
+    first-occurrence shingle stay, so the first copy of a repeated
+    passage keeps its text and later copies lose exactly the repeated
+    span (minus the boundary tokens a novel neighbor still vouches
+    for). Survivors are reassembled in order; docs scrubbed empty
+    come back ``text_clean = ''``.
+
+    Plan shape — NO windows anywhere: firsts ride the same one-shuffle
+    min_by groupBy as ``documents_paragraph_dedup`` (map-side combine
+    absorbs hot-shingle mass); the non-first mark join shuffles on the
+    16-byte shingle hash (never broadcast — corpus-sized relation);
+    coverage is a map-side 8-way explode of MARKED positions only
+    (duplicate mass, not corpus mass); the keep decision is pure
+    per-token arithmetic (covering-interval size from n and t); and
+    reassembly + removal counts ride one groupBy-doc aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    shingles = F.transform(
+        F.sequence(F.lit(1), n - 7),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, F.lit(8)))),
+    )
+    sh = toks.filter(n >= 8).select(
+        "doc_id", F.posexplode(shingles).alias("pos", "shd")
+    )
+    firsts = sh.groupBy("shd").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min(F.struct("doc_id", "pos")).alias("f"),
+    )
+    nonfirst = (
+        sh.join(firsts.hint("shuffle_merge"), "shd")
+        .filter(
+            (F.col("c") >= 2)
+            & ~(
+                (F.col("doc_id") == F.col("f.doc_id"))
+                & (F.col("pos") == F.col("f.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    cover = (
+        nonfirst.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias(
+                "tok"
+            ),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+    )
+    tok_rows = toks.select(
+        "doc_id", n.alias("n"), F.posexplode("t").alias("tok", "w")
+    )
+    n_cover = F.when(
+        F.col("n") >= 8,
+        F.least(F.col("tok"), F.col("n") - 8)
+        - F.greatest(F.col("tok") - 7, F.lit(0))
+        + 1,
+    ).otherwise(F.lit(0))
+    marked = (
+        tok_rows.join(cover, ["doc_id", "tok"], "left")
+        .select(
+            "doc_id",
+            "tok",
+            "w",
+            n_cover.alias("n_cover"),
+            F.coalesce("n_bad", F.lit(0)).alias("n_bad"),
+        )
+        .select(
+            "doc_id",
+            "tok",
+            "w",
+            (
+                (F.col("n_cover") == 0) | (F.col("n_bad") < F.col("n_cover"))
+            ).alias("keep"),
+        )
+    )
+    base = toks.select("doc_id", n.cast("long").alias("n_tokens"))
+    agg = marked.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("tok", "w"))
+                    )
+                ),
+                lambda x: x["w"],
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_removed"),
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        "n_tokens",
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+    )
+
+
+@register(
     "documents_substring_dup_stats",
     oracle=f"""
     WITH toks AS (

@@ -188,6 +188,7 @@ BACK: tuple[str, ...] = (
     "documents_perplexity_buckets",
     "documents_repeated_substrings",
     "documents_substring_dup_stats",
+    "documents_substring_scrubbed",
 )
 
 

@@ -279,3 +279,48 @@ def test_paragraph_dedup_differential_segment_heavy(spark, tmp_path, seed):
         ).collect()
     }
     assert got == _paragraph_reference(rows)
+
+
+def _scrub_reference(rows, k=8):
+    """Plain-Python first-occurrence substring scrub: for every
+    duplicated k-shingle the min-(doc,pos) occurrence survives; a
+    token is removed iff covered by >= 1 shingle position and every
+    covering position is duplicated-non-first."""
+    occ, toks_by = {}, {}
+    for d, s, *_ in rows:
+        t = _toks(s)
+        toks_by[d] = t
+        for p in range(len(t) - k + 1):
+            occ.setdefault(" ".join(t[p:p + k]), []).append((d, p))
+    nonfirst = set()
+    for lst in occ.values():
+        if len(lst) >= 2:
+            first = min(lst)
+            nonfirst.update(o for o in lst if o != first)
+    out = {}
+    for d, t in toks_by.items():
+        n = len(t)
+        kept, removed = [], 0
+        for tok in range(n):
+            lo, hi = max(tok - (k - 1), 0), min(tok, n - k)
+            if n >= k and hi >= lo and all(
+                (d, p) in nonfirst for p in range(lo, hi + 1)
+            ):
+                removed += 1
+            else:
+                kept.append(t[tok])
+        out[d] = (" ".join(kept), n, removed)
+    return out
+
+
+@pytest.mark.parametrize("seed", [13, 59])
+def test_substring_scrub_differential_segment_heavy(spark, tmp_path, seed):
+    rows = _gen_segment_corpus(seed, 60)
+    d = _write(spark, rows, tmp_path, f"ss{seed}")
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_removed"])
+        for r in registry.QUERIES["documents_substring_scrubbed"](
+            spark, d
+        ).collect()
+    }
+    assert got == _scrub_reference(rows)

@@ -54,6 +54,7 @@ AT_RISK = [
     "documents_perplexity_buckets",  # per-lang histogram on empty
     "documents_repeated_substrings",  # dup set + run window on empty
     "documents_substring_dup_stats",  # zero-row runs, left-join zeros
+    "documents_substring_scrubbed",  # firsts/cover joins on empty
 ]
 
 

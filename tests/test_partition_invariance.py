@@ -48,6 +48,7 @@ SENSITIVE = [
     "documents_perplexity_buckets",  # coarse-bucket better-counts
     "documents_repeated_substrings",  # dup groupBy + run windows
     "documents_substring_dup_stats",  # runs + per-doc aggregate
+    "documents_substring_scrubbed",  # firsts min_by + coverage counts
 ]
 
 

@@ -327,7 +327,7 @@ PER_ROW_OUTPUT = [
     "url_decoded_keys", "events_hourly_windows", "events_asof_last_signup",
     "cv_message_metrics", "csv_rule_validation", "cv_sequential_checks",
     "documents_perplexity_buckets", "documents_repeated_substrings",
-    "documents_substring_dup_stats",
+    "documents_substring_dup_stats", "documents_substring_scrubbed",
 ]
 
 
