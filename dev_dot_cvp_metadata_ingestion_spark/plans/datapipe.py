@@ -4652,6 +4652,13 @@ def documents_substring_scrubbed(
     per-token arithmetic (covering-interval size from n and t); and
     reassembly + removal counts ride one groupBy-doc aggregate."""
     d = load_table(spark, sf_dir, "documents")
+    return _scrub_plan_over(d)
+
+
+def _scrub_plan_over(d: DataFrame) -> DataFrame:
+    """Substring-scrub plan over a documents frame (doc_id, text) —
+    split out so the skew bench (tools/bench_segment_skew.py) can run
+    it over generated corpora."""
     toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
     n = F.size("t")
     shingles = F.transform(

@@ -50,21 +50,33 @@ def main() -> None:
         segment_boilerplate_removal,
         segment_first_occurrence_dedup,
     )
+    from dev_dot_cvp_metadata_ingestion_spark.plans.datapipe import (
+        _scrub_plan_over,
+    )
     from dev_dot_cvp_metadata_ingestion_spark.session import get_spark
 
     sizes = [int(s) for s in sys.argv[1:]] or [5_000, 20_000, 80_000]
     spark = get_spark("segment-skew", shuffle_partitions=32)
-    results: dict[str, list[float]] = {"first_occurrence": [], "boilerplate": []}
+    results: dict[str, list[float]] = {
+        "first_occurrence": [],
+        "boilerplate": [],
+        "substring_scrub": [],
+    }
     for n in sizes:
         docs = skewed_corpus(spark, n).localCheckpoint()  # gen cost excluded
         for name, fn in (
             ("first_occurrence", segment_first_occurrence_dedup),
             ("boilerplate", segment_boilerplate_removal),
+            ("substring_scrub", None),
         ):
             t0 = time.time()
+            frame = (
+                _scrub_plan_over(docs)
+                if fn is None
+                else fn(docs, "doc_id", "text", seg_tokens=10)
+            )
             out = (
-                fn(docs, "doc_id", "text", seg_tokens=10)
-                .agg(
+                frame.agg(
                     F.count(F.lit(1)).alias("docs"),
                     F.sum("n_removed").alias("removed"),
                 )
