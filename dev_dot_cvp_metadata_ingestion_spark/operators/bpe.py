@@ -314,11 +314,17 @@ def bpe_merges_batched(
     most words) incremental does recount-sized work plus maintenance
     and measures slower; the tail (where a production vocabulary
     spends most rounds — affected fell 468 → 17 words/round in the
-    k=8192 probe) is where delta maintenance pays. Both measured
-    corpora are in SCALE.md. ``incremental="auto"`` is the per-round
-    hybrid: plain recount while the picked pairs carry > 5% of total
-    adjacency mass (head), delta maintenance after (tail) — the
-    schedule is identical in every mode (pinned)."""
+    k=8192 probe) is where delta maintenance pays. ``"auto"`` is the
+    log-structured form: immutable word-partitioned base +
+    rewritten-words overlay with LSM-style compaction on heavy rounds,
+    so tail rounds materialize O(words-ever-touched) and only SCAN the
+    base. The schedule is identical in every mode (pinned). HONEST
+    DEFAULT GUIDANCE: the full three-mode × three-corpus matrix in
+    SCALE.md shows plain recount (incremental=False) winning at every
+    locally-testable scale — the maintenance modes' 2-3 extra jobs
+    per round dominate until a round's recount is genuinely expensive
+    (~100M-word vocabularies); pick them for that regime, not for
+    single-node speed."""
     if not (isinstance(incremental, bool) or incremental == "auto"):
         raise ValueError("incremental must be a bool or 'auto'")
     if not 1 <= k <= 100_000:
@@ -345,6 +351,24 @@ def bpe_merges_batched(
         if incremental == "auto"
         else 0
     )
+    # "auto" is LOG-STRUCTURED state: an immutable word-partitioned
+    # base relation plus an overlay holding the CURRENT form of every
+    # word ever rewritten. Tail rounds append to the overlay (per-round
+    # materialization = O(words-ever-touched), the base is only
+    # predicate-SCANNED, never rewritten); head rounds — picks touching
+    # a material vocab fraction — COMPACT: fold the whole current state
+    # into a fresh base and clear the overlay, exactly an LSM tree's
+    # merge. The single-relation incremental=True form materializes the
+    # whole vocabulary every round regardless of how few words changed,
+    # which measurement showed to be the binding cost (SCALE.md).
+    n_parts = max(syms.rdd.getNumPartitions(), 1) if incremental else 1
+    if incremental == "auto":
+        base = (
+            syms.repartition(n_parts, "w")
+            .sortWithinPartitions("w")
+            .localCheckpoint()
+        )
+        overlay = base.limit(0).localCheckpoint()
 
     learned: list[tuple[int, str, str, str, int, int]] = []
     round_no = 0
@@ -384,26 +408,68 @@ def bpe_merges_batched(
             syms = _apply_merge_batch(syms, pairs).localCheckpoint()
             continue
         if incremental == "auto":
-            # hybrid escape (SCALE.md): while this round's picks touch
-            # a material fraction of the vocabulary (head rounds),
-            # delta maintenance does recount-sized work PLUS
-            # bookkeeping, so do the plain recount round; in the tail
-            # (where production vocabularies spend most rounds) switch
-            # to delta updates. The affected-word count is bounded
-            # above by the picked pairs' total occurrence mass (each
-            # occurrence lives in one word), so picked_mass vs the
-            # freq-weighted word count is a driver-side upper-bound
-            # test — no extra job per round. The first cut compared
-            # against total ADJACENCY mass at 5%, which under-switched
-            # (measured 205 s vs 76 s recount at the 3M uniform
-            # corpus): occurrences per affected word are few, so a
-            # small share of adjacency mass can still touch half the
-            # vocabulary.
+            touches = _word_touches_picked(picked)
+            # affected-word count is bounded above by the picked
+            # pairs' occurrence mass (each occurrence lives in one
+            # word) — a driver-side upper-bound test, no extra job
             picked_mass = sum(c for _, _, c in picked)
-            if picked_mass * 8 > total_words:  # >= ~12% of words may hit
-                syms = _apply_merge_batch(syms, pairs).localCheckpoint()
-                pc = _pair_counts(syms).localCheckpoint()
+            over_words = overlay.select("w")
+            if picked_mass * 8 > total_words:
+                # COMPACTION round (head): fold the current state —
+                # base minus superseded rows, plus the overlay — into
+                # a fresh word-partitioned base; overlay resets, pc is
+                # rebuilt from scratch (the one full recount this
+                # round already implies)
+                cur = base.join(over_words, "w", "left_anti").unionByName(
+                    overlay
+                )
+                base = (
+                    _apply_merge_batch(cur, pairs)
+                    .repartition(n_parts, "w")
+                    .sortWithinPartitions("w")
+                    .localCheckpoint()
+                )
+                overlay = base.limit(0).localCheckpoint()
+                pc = _pair_counts(base).localCheckpoint()
                 continue
+            # overlay round (tail): the base is only SCANNED by the
+            # touches predicate — the affected set (checkpointed, its
+            # size follows the picks) is the only thing materialized
+            # besides the overlay itself and the pc delta
+            affected = (
+                base.filter(touches)
+                .join(over_words, "w", "left_anti")
+                .unionByName(overlay.filter(touches))
+                .localCheckpoint()
+            )
+            rewritten = _apply_merge_batch(affected, pairs)
+            overlay = (
+                overlay.filter(~_word_touches_picked(picked))
+                .unionByName(rewritten)
+                .repartition(n_parts, "w")
+                .sortWithinPartitions("w")
+                .localCheckpoint()
+            )
+            delta = (
+                _signed_pairs(affected, -1)
+                .unionByName(_signed_pairs(rewritten, 1))
+                .groupBy("left", "right")
+                .agg(F.sum("d").alias("d"))
+            )
+            pc = (
+                pc.join(delta, ["left", "right"], "full_outer")
+                .select(
+                    "left",
+                    "right",
+                    (
+                        F.coalesce(F.col("pair_count"), F.lit(0))
+                        + F.coalesce(F.col("d"), F.lit(0))
+                    ).alias("pair_count"),
+                )
+                .filter(F.col("pair_count") > 0)
+                .localCheckpoint()
+            )
+            continue
         # incremental recount: ONE conditional projection applies the
         # merge fold only to rows matching the map-side "touches a
         # picked pair" predicate and keeps the flag, so the round pays

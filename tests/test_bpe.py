@@ -441,3 +441,32 @@ def test_bpe_auto_hybrid_equals_batched_k64(spark):
         ]
 
     assert rows("auto") == rows(False)
+
+
+def test_bpe_auto_overlay_equals_batched_k256_adaptive(spark):
+    """The log-structured auto mode across a schedule that mixes
+    compaction rounds (head) and overlay rounds (tail): identical
+    merges to the plain batched recount under adaptive growth."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.bpe import (
+        bpe_merges_batched,
+    )
+
+    wf = _rich_word_freqs(1000)
+    docs = spark.createDataFrame(
+        [(" ".join([w] * f),) for w, f in wf.items()], ["text"]
+    )
+
+    def rows(inc):
+        return [
+            (r.rank, r.left, r.right, r.merged, r.pair_count, r.round)
+            for r in bpe_merges_batched(
+                docs, k=256, batch=16, max_batch=128,
+                window_mult=16, incremental=inc,
+            )
+            .orderBy("rank")
+            .collect()
+        ]
+
+    got = rows("auto")
+    assert len(got) == 256
+    assert got == rows(False)
