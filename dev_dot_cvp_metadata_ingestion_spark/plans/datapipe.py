@@ -5610,3 +5610,143 @@ def events_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_x._row.n_users",
         (F.col("_pos") + 1).cast("long").alias("rank"),
     )
+
+
+# ------------------------------------------------- distribution drift
+
+
+@register(
+    "corpus_source_drift",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS.format(c="text")}) AS word
+      FROM documents
+    ),
+    sc AS (
+      SELECT source, word, CAST(count(*) AS BIGINT) AS c_sw
+      FROM toks GROUP BY source, word
+    ),
+    gw AS (
+      SELECT word, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sc GROUP BY word
+    ),
+    ns AS (
+      SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM sc GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(c_w) AS BIGINT) AS n_total,
+             CAST(sum(c_w * 1000000 // (SELECT sum(c_w) FROM gw))
+                  AS BIGINT) AS g_mass
+      FROM gw
+    ),
+    j AS (
+      SELECT sc.source,
+             sc.word,
+             sc.c_sw * 1000000 // ns.n_s AS p_ppm,
+             gw.c_w * 1000000 // tot.n_total AS g_ppm
+      FROM sc JOIN gw USING (word) JOIN ns USING (source), tot
+    ),
+    per_source AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(abs(p_ppm - g_ppm)) AS BIGINT) AS present_drift,
+             CAST(sum(g_ppm) AS BIGINT) AS present_g_mass,
+             (min(struct_pack(nd := -abs(p_ppm - g_ppm), w := word))).w
+               AS top_word,
+             CAST(max(abs(p_ppm - g_ppm)) AS BIGINT) AS top_word_drift_ppm
+      FROM j GROUP BY source
+    )
+    SELECT p.source,
+           ns.n_s AS n_tokens,
+           p.n_words,
+           CAST((p.present_drift + (tot.g_mass - p.present_g_mass)) // 2
+                AS BIGINT) AS tv_ppm,
+           p.top_word,
+           p.top_word_drift_ppm
+    FROM per_source p JOIN ns USING (source), tot
+    ORDER BY source
+    """,
+)
+def corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-audit operator: per-source unigram distribution drift —
+    the total-variation distance between each source's word
+    distribution and the whole-corpus distribution, in EXACT ppm
+    integers (no libm, no float summation order), plus the single most
+    over/under-represented word per source. This is the monitoring
+    primitive behind "did src3's crawl shift this month" and "which
+    source is skewing the mixture" questions a training-data pipeline
+    asks before re-weighting (cf. the DSIR resampler, which needs
+    exactly this kind of proportion audit as its sanity check).
+
+    TV needs |p(w) − q(w)| over ALL words including those ABSENT from
+    a source; the absent mass is recovered without any source×vocab
+    cross join via the identity
+        Σ_{{w∉s}} q(w) = Q_total − Σ_{{w∈s}} q(w)
+    so everything stays vocab-sized. Scale shape: one (source, word)
+    count with map-side combine (a hot word collapses to one row per
+    input partition), one vocab-sized re-aggregate to global counts,
+    one vocab-keyed shuffle join between them (never broadcast — the
+    vocabulary grows with the corpus), and two config-scale broadcast
+    relations (per-source totals; the single-row corpus total). Final
+    output is |sources| rows. Integer-division ppm on both engines
+    (Spark ``div`` ≡ DuckDB ``//`` on positives) makes the hash
+    exact; ties for the top word break to the lexicographically
+    smallest via ``min_by`` over a (−drift, word) struct — a skew-safe
+    aggregate, not a window."""
+    d = load_table(spark, sf_dir, "documents")
+    sc = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c_sw"))
+    )
+    gw = sc.groupBy("word").agg(F.sum("c_sw").alias("c_w"))
+    ns = sc.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    # g_mass needs the global total BEFORE the per-word division; two
+    # tiny single-row steps keep the arithmetic identical to the oracle.
+    n_total_row = gw.agg(F.sum("c_w").alias("n_total"))
+    g_mass_row = (
+        gw.crossJoin(F.broadcast(n_total_row))
+        .select(F.expr("c_w * 1000000L div n_total").alias("g_ppm"))
+        .agg(F.sum("g_ppm").alias("g_mass"))
+    )
+    tot = n_total_row.crossJoin(g_mass_row)
+    j = (
+        sc.join(gw, "word")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "word",
+            F.expr("c_sw * 1000000L div n_s").alias("p_ppm"),
+            F.expr("c_w * 1000000L div n_total").alias("g_ppm"),
+        )
+    )
+    per_source = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.abs(F.col("p_ppm") - F.col("g_ppm"))).alias("present_drift"),
+        F.sum("g_ppm").alias("present_g_mass"),
+        F.min_by(
+            "word",
+            F.struct(
+                (-F.abs(F.col("p_ppm") - F.col("g_ppm"))).alias("nd"),
+                F.col("word").alias("w"),
+            ),
+        ).alias("top_word"),
+        F.max(F.abs(F.col("p_ppm") - F.col("g_ppm"))).alias(
+            "top_word_drift_ppm"
+        ),
+    )
+    return (
+        per_source.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            "n_words",
+            F.expr(
+                "(present_drift + (g_mass - present_g_mass)) div 2"
+            ).alias("tv_ppm"),
+            "top_word",
+            "top_word_drift_ppm",
+        )
+        .orderBy("source")
+    )

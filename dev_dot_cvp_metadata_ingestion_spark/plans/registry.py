@@ -189,6 +189,7 @@ BACK: tuple[str, ...] = (
     "documents_repeated_substrings",
     "documents_substring_dup_stats",
     "documents_substring_scrubbed",
+    "corpus_source_drift",
 )
 
 

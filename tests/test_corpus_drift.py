@@ -1,0 +1,133 @@
+"""corpus_source_drift: hand-computed TV fixture, exact-ppm replica
+parity, single-source zero property, and the vocab-join plan shape."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyspark.sql.functions as F
+import pytest
+
+from dev_dot_cvp_metadata_ingestion_spark.plans import registry
+
+registry.load_all()
+
+SF = "/root/testdata/sf0.001"
+Q = "corpus_source_drift"
+
+
+def _replica(docs):
+    """Exact integer-ppm replica of the registered semantics.
+
+    docs: list of (source, text). Returns {source: (n_tokens, n_words,
+    tv_ppm, top_word, top_word_drift_ppm)}.
+    """
+    sc: Counter = Counter()
+    for source, text in docs:
+        for w in text.split():
+            sc[(source, w)] += 1
+    gw: Counter = Counter()
+    ns: Counter = Counter()
+    for (source, w), c in sc.items():
+        gw[w] += c
+        ns[source] += c
+    n_total = sum(gw.values())
+    g_ppm = {w: c * 1_000_000 // n_total for w, c in gw.items()}
+    g_mass = sum(g_ppm.values())
+    out = {}
+    for source in ns:
+        present = [(w, c) for (s, w), c in sc.items() if s == source]
+        p_ppm = {w: c * 1_000_000 // ns[source] for w, c in present}
+        drifts = {w: abs(p_ppm[w] - g_ppm[w]) for w, _ in present}
+        present_drift = sum(drifts.values())
+        present_g = sum(g_ppm[w] for w, _ in present)
+        tv = (present_drift + (g_mass - present_g)) // 2
+        top = min(((-d, w) for w, d in drifts.items()))
+        out[source] = (ns[source], len(present), tv, top[1], -top[0])
+    return out
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("drift_sf")
+    docs = [
+        (0, "aa aa aa bb", "en", "srcA"),
+        (1, "aa bb cc cc", "en", "srcA"),
+        (2, "dd dd dd dd", "en", "srcB"),
+        (3, "aa dd ee", "en", "srcB"),
+        (4, "ff", "en", "srcC"),
+    ]
+    spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(d / "documents.parquet"))
+    rows = [(s, t) for _, t, _, s in docs]
+    return str(d), _replica(rows)
+
+
+def test_hand_fixture_matches_replica(spark, fixture_dir):
+    sf, expected = fixture_dir
+    got = {
+        r["source"]: (
+            r["n_tokens"],
+            r["n_words"],
+            r["tv_ppm"],
+            r["top_word"],
+            r["top_word_drift_ppm"],
+        )
+        for r in registry.QUERIES[Q](spark, sf).collect()
+    }
+    assert got == expected
+
+
+def test_replica_parity_on_smoke_corpus(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    docs = [(r["source"], r["text"]) for r in d.collect()]
+    expected = _replica(docs)
+    got = {
+        r["source"]: (
+            r["n_tokens"],
+            r["n_words"],
+            r["tv_ppm"],
+            r["top_word"],
+            r["top_word_drift_ppm"],
+        )
+        for r in registry.QUERIES[Q](spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_single_source_drifts_zero(spark, tmp_path):
+    """One source == the whole corpus, so p(w) = q(w) exactly (same
+    integer division inputs) and TV must be exactly 0 ppm."""
+    spark.createDataFrame(
+        [(0, "x y z x", "en", "solo", 7), (1, "y y", "en", "solo", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = registry.QUERIES[Q](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0]["tv_ppm"] == 0
+    assert rows[0]["top_word_drift_ppm"] == 0
+
+
+def test_tv_bounded_by_one(spark):
+    out = registry.QUERIES[Q](spark, SF)
+    bad = out.filter(
+        (F.col("tv_ppm") < 0) | (F.col("tv_ppm") > 1_000_000)
+    ).count()
+    assert bad == 0
+
+
+def test_vocab_join_is_not_broadcast(spark):
+    """The per-source/global count join is keyed on the WORD — a
+    relation that grows with the corpus vocabulary, so it must ride a
+    shuffle join; the only broadcasts allowed are the per-source
+    totals and the single-row corpus total."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = registry.QUERIES[Q](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -55,6 +55,7 @@ AT_RISK = [
     "documents_repeated_substrings",  # dup set + run window on empty
     "documents_substring_dup_stats",  # zero-row runs, left-join zeros
     "documents_substring_scrubbed",  # firsts/cover joins on empty
+    "corpus_source_drift",         # single-row totals crossJoin on empty
 ]
 
 
