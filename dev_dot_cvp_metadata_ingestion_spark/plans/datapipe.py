@@ -5750,3 +5750,79 @@ def corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "documents_token_quantiles_hist",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, CAST(len({_TOKS.format(c="text")}) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           quantile_disc(n_tokens, 0.50) AS p50_tokens,
+           quantile_disc(n_tokens, 0.90) AS p90_tokens,
+           quantile_disc(n_tokens, 0.99) AS p99_tokens,
+           max(n_tokens) AS max_tokens
+    FROM t GROUP BY source
+    ORDER BY source
+    """,
+)
+def documents_token_quantiles_hist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT per-source token-length quantiles computed from a bounded
+    value histogram — the 100 TB path that ``corpus_profile``'s
+    docstring promises: Spark's exact ``percentile`` buffers every
+    group's values on one reducer (corpus-sized state), and
+    ``approx_percentile`` trades exactness for a sketch; this operator
+    gets EXACTNESS at scale instead, exploiting that token counts are
+    small integers, so the (source, n_tokens) histogram is bounded by
+    |sources| x |distinct lengths| regardless of corpus size.
+
+    Shape: one groupBy(source, n_tokens) count with map-side combine
+    (a billion 512-token docs collapse to one histogram row per input
+    partition), then a running CDF over the HISTOGRAM — the window is
+    partitioned by source over at most a few thousand rows, never over
+    documents — and each quantile is a conditional-min aggregate:
+    smallest length whose cumulative count reaches ceil(p * n). The
+    boundary predicate is exact integer arithmetic (cum * 100 >=
+    p * n), which provably matches DuckDB/Postgres ``quantile_disc``
+    ("smallest value with cume_dist >= p") — probed at the q*n-integer
+    boundaries where naive float ceil() definitions diverge. The
+    oracle restates the computation through DuckDB's built-in sorted
+    quantile, so the two engines share NO code path."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    h = t.groupBy("source", "n_tokens").agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        W.partitionBy("source")
+        .orderBy("n_tokens")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = h.select(
+        "source", "n_tokens", F.sum("cnt").over(w).alias("cum")
+    )
+    totals = h.groupBy("source").agg(F.sum("cnt").alias("n_docs"))
+    j = cum.join(F.broadcast(totals), "source")
+
+    def q(p: int):
+        return F.min(
+            F.when(F.col("cum") * 100 >= p * F.col("n_docs"), F.col("n_tokens"))
+        ).alias(f"p{p}_tokens")
+
+    return (
+        j.groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            q(50),
+            q(90),
+            q(99),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )

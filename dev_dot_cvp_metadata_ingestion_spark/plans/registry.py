@@ -190,6 +190,7 @@ BACK: tuple[str, ...] = (
     "documents_substring_dup_stats",
     "documents_substring_scrubbed",
     "corpus_source_drift",
+    "documents_token_quantiles_hist",
 )
 
 
