@@ -35,6 +35,7 @@ from ..operators.dedup import (
     simhash16,
     winnow_fingerprints,
 )
+from ..operators.graph import pagerank
 from ..operators.multimodal import (
     attach_binary,
     decode_features,
@@ -5826,3 +5827,73 @@ def documents_token_quantiles_hist(
         )
         .orderBy("source")
     )
+
+
+def _pagerank_step_sql(prev: str, cur: str) -> str:
+    """One unrolled PageRank round (exact ppm integer recurrence —
+    must stay textually parallel to operators/graph.py:pagerank)."""
+    return f"""
+    {cur} AS (
+      SELECT n.doc_id AS node,
+             CAST(150000 + (850000 * COALESCE(s.c, 0)) // 1000000
+                  AS BIGINT) AS pr
+      FROM documents n LEFT JOIN (
+        SELECT ew.dst AS node, CAST(sum(p.pr // ew.deg) AS BIGINT) AS c
+        FROM {prev} p JOIN ew ON ew.src = p.node GROUP BY ew.dst) s
+      ON s.node = n.doc_id)"""
+
+
+_PAGERANK_STEPS = ",".join(
+    _pagerank_step_sql(f"pr{i}", f"pr{i + 1}") for i in range(4)
+)
+
+
+@register(
+    "dedup_pagerank_centrality",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_PAIR_CTES},
+    edges AS (
+      SELECT doc_id_a AS src, doc_id_b AS dst FROM lsh_pairs
+      UNION
+      SELECT doc_id_b, doc_id_a FROM lsh_pairs
+    ),
+    deg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+    ),
+    ew AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+    pr0 AS (
+      SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS pr FROM documents
+    ),
+    {_PAGERANK_STEPS}
+    SELECT n.doc_id,
+           pr4.pr AS pagerank_ppm,
+           CAST(COALESCE(deg.deg, 0) AS BIGINT) AS degree
+    FROM documents n
+    JOIN pr4 ON pr4.node = n.doc_id
+    LEFT JOIN deg ON deg.src = n.doc_id
+    """,
+)
+def dedup_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality over the near-duplicate graph: 4 rounds of exact
+    integer-ppm PageRank on the MinHash-LSH pair relation (same
+    banding and 0.3 Jaccard verify as ``dedup_clusters``). Where
+    ``dedup_cluster_representatives`` elects a keeper by per-doc
+    quality, centrality ranks docs by POSITION in the duplication
+    graph — the template a mirror farm copies from scores far above
+    its copies, which is the canonical-URL/provenance signal crawl
+    curation wants alongside quality.
+
+    The iteration is ``operators/graph.py:pagerank``: edge relation
+    materialized once, each round one rank-edge shuffle join plus one
+    destination groupBy whose map-side combine absorbs hub in-degrees,
+    rank state node-sized, lineage truncated per round — nothing
+    corpus-sized broadcast, windowed, or collected. Fixed-point ppm
+    arithmetic with integral division on both engines makes the hash
+    exact; the oracle restates the recurrence as 4 UNROLLED CTE rounds
+    over the shared LSH-pair CTEs (deliberately no recursion: a fixed
+    round count is the determinism contract)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = lsh_near_duplicates(
+        d, "doc_id", "text", num_hashes=8, n=3, threshold=0.3
+    )
+    return pagerank(pairs, d.select("doc_id"), iters=4)

@@ -191,6 +191,7 @@ BACK: tuple[str, ...] = (
     "documents_substring_scrubbed",
     "corpus_source_drift",
     "documents_token_quantiles_hist",
+    "dedup_pagerank_centrality",
 )
 
 

@@ -56,6 +56,7 @@ AT_RISK = [
     "documents_substring_dup_stats",  # zero-row runs, left-join zeros
     "documents_substring_scrubbed",  # firsts/cover joins on empty
     "corpus_source_drift",         # single-row totals crossJoin on empty
+    "dedup_pagerank_centrality",   # iterative rank loop on empty graph
 ]
 
 
