@@ -94,3 +94,86 @@ def pagerank(
         F.col("pr").alias("pagerank_ppm"),
         "degree",
     )
+
+
+def triangle_stats(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of an
+    undirected pair graph, as ONE summary row: (n_nodes, n_edges,
+    n_wedges, n_triangles, clustering_ppm) with clustering =
+    3*triangles/wedges in integer ppm (0 when wedge-free).
+
+    The scale device is DEGREE ORIENTATION (the classic MR triangle
+    trick): every edge is directed from its lower-(degree, id) end to
+    the higher, making each triangle countable exactly once as a
+    wedge at its minimum node plus one closing edge, and bounding
+    every node's out-degree by O(sqrt(m)) — so the wedge self-join's
+    intermediate is O(m^1.5) worst case instead of sum(deg^2), and a
+    million-way duplicate hub contributes its wedges from the hub's
+    SMALL out-neighbourhood, not its huge in-neighbourhood. Wedge
+    count needs no join at all: sum over nodes of C(deg, 2) on the
+    degree relation. Two shuffle joins total (wedge build + closing-
+    edge probe), everything integer, nothing broadcast or windowed.
+    """
+    can = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    sym = can.unionByName(
+        can.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+
+    # orient each edge from lower (deg, id) to higher (deg, id)
+    da = deg.select(F.col("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("a").alias("b"), F.col("deg").alias("deg_b"))
+    ann = can.join(da, "a").join(db, "b")
+    fwd = F.struct(F.col("deg_a").alias("d"), F.col("a").alias("i")) < F.struct(
+        F.col("deg_b").alias("d"), F.col("b").alias("i")
+    )
+    oriented = ann.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(fwd, F.col("deg_b")).otherwise(F.col("deg_a")).alias("dst_deg"),
+    )
+
+    e1 = oriented.select(
+        F.col("src"), F.col("dst").alias("v"), F.col("dst_deg").alias("v_deg")
+    )
+    e2 = oriented.select(
+        F.col("src"), F.col("dst").alias("w"), F.col("dst_deg").alias("w_deg")
+    )
+    wedges = e1.join(e2, "src").filter(
+        F.struct(F.col("v_deg").alias("d"), F.col("v").alias("i"))
+        < F.struct(F.col("w_deg").alias("d"), F.col("w").alias("i"))
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = can.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_wedges = deg.agg(
+        F.coalesce(
+            F.sum(F.expr("deg * (deg - 1) div 2")), F.lit(0)
+        ).alias("n_wedges")
+    )
+    return (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(n_wedges)
+        .crossJoin(tri)
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_wedges").cast("long").alias("n_wedges"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.when(F.col("n_wedges") > 0, F.expr(
+                "(3000000L * n_triangles) div n_wedges"
+            )).otherwise(F.lit(0)).cast("long").alias("clustering_ppm"),
+        )
+    )

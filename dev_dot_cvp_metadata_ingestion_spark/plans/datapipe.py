@@ -35,7 +35,7 @@ from ..operators.dedup import (
     simhash16,
     winnow_fingerprints,
 )
-from ..operators.graph import pagerank
+from ..operators.graph import pagerank, triangle_stats
 from ..operators.multimodal import (
     attach_binary,
     decode_features,
@@ -5897,3 +5897,58 @@ def dedup_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", num_hashes=8, n=3, threshold=0.3
     )
     return pagerank(pairs, d.select("doc_id"), iters=4)
+
+
+@register(
+    "dedup_graph_triangles",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_PAIR_CTES},
+    can AS (SELECT doc_id_a AS a, doc_id_b AS b FROM lsh_pairs),
+    sym AS (SELECT a, b FROM can UNION SELECT b, a FROM can),
+    deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY a),
+    w AS (
+      SELECT CAST(COALESCE(sum(deg * (deg - 1) // 2), 0) AS BIGINT)
+               AS n_wedges
+      FROM deg
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM can e1
+      JOIN can e2 ON e2.a = e1.b
+      JOIN can e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM can) AS BIGINT) AS n_edges,
+           w.n_wedges,
+           tri.n_triangles,
+           CAST(CASE WHEN w.n_wedges > 0
+                     THEN (3000000 * tri.n_triangles) // w.n_wedges
+                     ELSE 0 END AS BIGINT) AS clustering_ppm
+    FROM w, tri
+    """,
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure audit of the near-duplicate graph: exact triangle
+    count and global clustering coefficient over the MinHash-LSH pair
+    relation (same banding and 0.3 verify as ``dedup_clusters``).
+    High clustering says near-dups come in dense mirror FAMILIES
+    (transitive copies — safe to collapse per cluster); low clustering
+    with many wedges says chains of borderline similarity (template
+    drift — collapsing the transitive closure over-merges). This is
+    the diagnostic that picks between ``dedup_cluster_representatives``
+    (dense families) and pair-local suppression (chains).
+
+    Spark side counts each triangle once at its minimum-(degree, id)
+    corner over DEGREE-ORIENTED edges — out-degrees bounded by
+    O(sqrt(m)), so the wedge join's intermediate is O(m^1.5) even
+    under mirror-farm hubs, the same skew argument as the capped
+    ngram family but achieved by orientation instead of capping. The
+    oracle counts id-ordered triangles instead (a < b < c with all
+    three edges present) — a different decomposition that must agree
+    exactly, making the hash a real cross-check of the orientation
+    logic. Single summary row; everything integer."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = lsh_near_duplicates(
+        d, "doc_id", "text", num_hashes=8, n=3, threshold=0.3
+    )
+    return triangle_stats(pairs, d.select("doc_id"))

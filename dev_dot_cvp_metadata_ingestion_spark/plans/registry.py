@@ -192,6 +192,7 @@ BACK: tuple[str, ...] = (
     "corpus_source_drift",
     "documents_token_quantiles_hist",
     "dedup_pagerank_centrality",
+    "dedup_graph_triangles",
 )
 
 

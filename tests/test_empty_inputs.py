@@ -57,6 +57,7 @@ AT_RISK = [
     "documents_substring_scrubbed",  # firsts/cover joins on empty
     "corpus_source_drift",         # single-row totals crossJoin on empty
     "dedup_pagerank_centrality",   # iterative rank loop on empty graph
+    "dedup_graph_triangles",       # global counts -> one all-zero row
 ]
 
 
@@ -82,5 +83,9 @@ def test_query_survives_empty_tables(spark, empty_sf, name):
         r = rows[0]
         assert (r.n_candidates, r.n_true_pairs, r.n_verified) == (0, 0, 0)
         assert r.candidate_precision == 1.0 and r.recall == 1.0
+    elif name == "dedup_graph_triangles":
+        # global counts: one all-zero summary row
+        assert len(rows) == 1
+        assert tuple(rows[0]) == (0, 0, 0, 0, 0)
     else:
         assert rows == []
