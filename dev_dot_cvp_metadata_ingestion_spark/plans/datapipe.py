@@ -36,6 +36,7 @@ from ..operators.dedup import (
     winnow_fingerprints,
 )
 from ..operators.graph import pagerank, triangle_stats
+from ..operators.pca import pca_project
 from ..operators.multimodal import (
     attach_binary,
     decode_features,
@@ -5952,3 +5953,19 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", num_hashes=8, n=3, threshold=0.3
     )
     return triangle_stats(pairs, d.select("doc_id"))
+
+
+@register("embedding_pca_projected", oracle=None)
+def embedding_pca_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding table onto its top-4 principal
+    axes — the whitening/rotation step a vector pipeline runs before
+    IVF/OPQ indexing. Long-form scalar output (vec_id, component,
+    score_fp6). The cluster-side halves are EXACT (integer fixed-point
+    moments in DECIMAL(38,0); row-local fold projection), the 64x64
+    eigensolve is driver-side config-scale work — see operators/pca.py
+    for the full scale argument. No DuckDB oracle: the eigensolve is
+    not SQL-expressible; correctness is pinned by the exact
+    Python-replica parity + partition-invariance suite
+    (tests/test_pca.py), following the BPE no-oracle convention."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return pca_project(e, "vec_id", "embedding", k=4)

@@ -193,6 +193,7 @@ BACK: tuple[str, ...] = (
     "documents_token_quantiles_hist",
     "dedup_pagerank_centrality",
     "dedup_graph_triangles",
+    "embedding_pca_projected",
 )
 
 

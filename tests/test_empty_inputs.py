@@ -58,6 +58,7 @@ AT_RISK = [
     "corpus_source_drift",         # single-row totals crossJoin on empty
     "dedup_pagerank_centrality",   # iterative rank loop on empty graph
     "dedup_graph_triangles",       # global counts -> one all-zero row
+    "embedding_pca_projected",     # driver-side moments collect on empty
 ]
 
 
