@@ -35,6 +35,7 @@ from ..operators.dedup import (
     simhash16,
     winnow_fingerprints,
 )
+from ..operators.drift import source_drift_from_counts, word_counts
 from ..operators.graph import pagerank, triangle_stats
 from ..operators.pca import pca_project
 from ..operators.multimodal import (
@@ -5695,63 +5696,8 @@ def corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest via ``min_by`` over a (−drift, word) struct — a skew-safe
     aggregate, not a window."""
     d = load_table(spark, sf_dir, "documents")
-    sc = (
-        d.select("source", F.explode(tokens(F.col("text"))).alias("word"))
-        .groupBy("source", "word")
-        .agg(F.count(F.lit(1)).alias("c_sw"))
-    )
-    gw = sc.groupBy("word").agg(F.sum("c_sw").alias("c_w"))
-    ns = sc.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
-    # g_mass needs the global total BEFORE the per-word division; two
-    # tiny single-row steps keep the arithmetic identical to the oracle.
-    n_total_row = gw.agg(F.sum("c_w").alias("n_total"))
-    g_mass_row = (
-        gw.crossJoin(F.broadcast(n_total_row))
-        .select(F.expr("c_w * 1000000L div n_total").alias("g_ppm"))
-        .agg(F.sum("g_ppm").alias("g_mass"))
-    )
-    tot = n_total_row.crossJoin(g_mass_row)
-    j = (
-        sc.join(gw, "word")
-        .join(F.broadcast(ns), "source")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "source",
-            "word",
-            F.expr("c_sw * 1000000L div n_s").alias("p_ppm"),
-            F.expr("c_w * 1000000L div n_total").alias("g_ppm"),
-        )
-    )
-    per_source = j.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_words"),
-        F.sum(F.abs(F.col("p_ppm") - F.col("g_ppm"))).alias("present_drift"),
-        F.sum("g_ppm").alias("present_g_mass"),
-        F.min_by(
-            "word",
-            F.struct(
-                (-F.abs(F.col("p_ppm") - F.col("g_ppm"))).alias("nd"),
-                F.col("word").alias("w"),
-            ),
-        ).alias("top_word"),
-        F.max(F.abs(F.col("p_ppm") - F.col("g_ppm"))).alias(
-            "top_word_drift_ppm"
-        ),
-    )
-    return (
-        per_source.join(F.broadcast(ns), "source")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "source",
-            F.col("n_s").alias("n_tokens"),
-            "n_words",
-            F.expr(
-                "(present_drift + (g_mass - present_g_mass)) div 2"
-            ).alias("tv_ppm"),
-            "top_word",
-            "top_word_drift_ppm",
-        )
-        .orderBy("source")
-    )
+    sc = word_counts(d, tokens(F.col("text")))
+    return source_drift_from_counts(sc)
 
 
 @register(

@@ -395,3 +395,59 @@ def lsh_dedup_ingest_sink(
             batch.unpersist()
 
     return sink
+
+
+def drift_monitor_sink(counts_path: str, report_path: str):
+    """foreachBatch sink for CONTINUOUS distribution-drift monitoring
+    during corpus ingestion: after every micro-batch the accumulated
+    per-source unigram distribution is re-audited against the whole
+    accumulated corpus, and the per-source total-variation report
+    (exact ppm — operators/drift.py, the SAME relation the batch
+    ``corpus_source_drift`` query computes) is appended under the
+    batch id. The report table is the drift TRAJECTORY: "src3 started
+    drifting at batch 41" is one filter away, and the latest batch_id
+    partition always equals what the batch query would say about
+    everything ingested so far (pinned in tests/test_stream_drift.py).
+
+    Exactly-once without batch bookkeeping: the batch's word-count
+    DELTA and its report rows are both written with dynamic partition
+    overwrite keyed on batch_id, so an at-least-once re-delivery
+    (failure between sink and checkpoint commit) rewrites identical
+    partitions instead of double-counting — additive state made
+    replay-idempotent by partitioning, the same device as
+    ``idempotent_parquet_sink``. Scale shape: the delta write is the
+    batch's own vocab (map-side combined); the report pass is one
+    vocab-sized aggregate over the accumulated deltas plus the
+    config-sized drift joins — compact the delta partitions
+    periodically if batch count grows unbounded (a groupBy-sum
+    rewrite, noted here rather than hidden)."""
+    from ..functions.text import tokens
+    from ..operators.drift import source_drift_from_counts, word_counts
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        delta = word_counts(df, tokens(F.col("text"))).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        (
+            delta.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(counts_path)
+        )
+        acc = (
+            spark.read.parquet(counts_path)
+            .groupBy("source", "word")
+            .agg(F.sum("c_sw").alias("c_sw"))
+        )
+        report = source_drift_from_counts(acc).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        (
+            report.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(report_path)
+        )
+
+    return sink

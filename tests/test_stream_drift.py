@@ -1,0 +1,107 @@
+"""Streaming drift monitor: the latest report partition must equal
+the batch corpus_source_drift over everything ingested so far, and a
+re-delivered batch must change NOTHING (partition-overwrite
+idempotence over additive state)."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+
+from dev_dot_cvp_metadata_ingestion_spark.operators.drift import (
+    source_drift_from_counts,
+    word_counts,
+)
+from dev_dot_cvp_metadata_ingestion_spark.functions.text import tokens
+from dev_dot_cvp_metadata_ingestion_spark.streaming.stream import (
+    drift_monitor_sink,
+)
+
+SCHEMA = "doc_id long, text string, lang string, source string"
+
+DOCS = [
+    (0, "aa aa bb cc", "en", "srcA"),
+    (1, "bb bb bb dd", "en", "srcB"),
+    (2, "aa cc cc ee", "en", "srcA"),
+    (3, "dd ee ff ff", "en", "srcB"),
+    (4, "gg gg aa bb", "en", "srcC"),
+    (5, "hh aa bb cc", "en", "srcC"),
+]
+
+
+def _write_batches(src, batches):
+    for i, rows in enumerate(batches):
+        (src / f"f{i}.json").write_text(
+            "\n".join(
+                json.dumps(
+                    {"doc_id": d, "text": t, "lang": lg, "source": s}
+                )
+                for d, t, lg, s in rows
+            )
+        )
+
+
+def _run_stream(spark, src, counts, reports, ckpt):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            drift_monitor_sink(str(counts), str(reports))
+        )
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_latest_report_equals_batch_drift(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batches(src, [DOCS[:2], DOCS[2:4], DOCS[4:]])
+    counts, reports = tmp_path / "counts", tmp_path / "reports"
+    _run_stream(spark, src, counts, reports, tmp_path / "ckpt")
+
+    rep = spark.read.parquet(str(reports))
+    last = rep.agg(F.max("batch_id")).first()[0]
+    assert last == 2  # three files, one per trigger
+    got = sorted(
+        tuple(r)
+        for r in rep.filter(F.col("batch_id") == last)
+        .drop("batch_id")
+        .collect()
+    )
+    all_docs = spark.createDataFrame(DOCS, SCHEMA)
+    expected = sorted(
+        tuple(r)
+        for r in source_drift_from_counts(
+            word_counts(all_docs, tokens(F.col("text")))
+        ).collect()
+    )
+    assert got == expected
+    # trajectory: every batch 0..2 has its own report partition
+    assert rep.select("batch_id").distinct().count() == 3
+
+
+def test_redelivery_is_idempotent(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batches(src, [DOCS[:3], DOCS[3:]])
+    counts, reports = tmp_path / "counts", tmp_path / "reports"
+    _run_stream(spark, src, counts, reports, tmp_path / "ckpt")
+
+    def snapshot():
+        c = sorted(tuple(r) for r in spark.read.parquet(str(counts)).collect())
+        r = sorted(tuple(x) for x in spark.read.parquet(str(reports)).collect())
+        return c, r
+
+    before = snapshot()
+    # simulate at-least-once: re-deliver the LAST batch with the same
+    # batch_id (failure between sink completion and checkpoint commit)
+    redelivered = spark.createDataFrame(DOCS[3:], SCHEMA)
+    drift_monitor_sink(str(counts), str(reports))(redelivered, 1)
+    assert snapshot() == before
