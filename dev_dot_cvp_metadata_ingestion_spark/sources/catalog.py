@@ -639,3 +639,55 @@ def read_lsh_index(
         spark.read.parquet(f"{path}/shingles"),
         {"num_hashes": meta["num_hashes"], "n": meta["n"]},
     )
+
+
+def write_pair_graph(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    n: int = 3,
+    threshold: float = 0.3,
+) -> None:
+    """Persist the near-duplicate PAIR GRAPH — the fourth client of
+    the build-once layout recipe (IVF cells, LSH index, training
+    examples): the tokenize→shingle→minhash→band-join→verify pass that
+    dominates every graph query's cost runs ONCE, and all downstream
+    graph analytics (``operators/graph.py:pagerank``,
+    ``triangle_stats``, connected components, cluster reps) replay
+    against a pairs table that is orders of magnitude smaller than the
+    corpus text. Layout: ``pairs/`` (doc_id_a, doc_id_b, jaccard),
+    ``nodes/`` (doc_id — isolated nodes matter to rank floors and
+    node counts, so the node set is persisted, not re-derived),
+    ``meta/`` one row of build parameters so probes can't silently
+    diverge from the build."""
+    from ..operators.dedup import lsh_near_duplicates
+
+    spark = docs.sparkSession
+    pairs = lsh_near_duplicates(
+        docs, id_col, text_col, num_hashes=num_hashes, n=n,
+        threshold=threshold,
+    )
+    pairs.write.mode("overwrite").parquet(f"{path}/pairs")
+    docs.select(id_col).write.mode("overwrite").parquet(f"{path}/nodes")
+    spark.createDataFrame(
+        [(num_hashes, n, float(threshold))],
+        "num_hashes int, n int, threshold double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_pair_graph(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Load a persisted pair graph: (pairs, nodes, params)."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    return (
+        spark.read.parquet(f"{path}/pairs"),
+        spark.read.parquet(f"{path}/nodes"),
+        {
+            "num_hashes": meta["num_hashes"],
+            "n": meta["n"],
+            "threshold": meta["threshold"],
+        },
+    )
