@@ -324,3 +324,58 @@ def test_substring_scrub_differential_segment_heavy(spark, tmp_path, seed):
         ).collect()
     }
     assert got == _scrub_reference(rows)
+
+
+@pytest.mark.parametrize("seed", [5, 29])
+def test_source_drift_differential(spark, tmp_path, seed):
+    """Random multi-source corpora (duplicate-heavy, empty docs, tied
+    drifts) vs the exact integer-ppm Python replica."""
+    from .test_corpus_drift import _replica as drift_replica
+
+    rng = random.Random(seed)
+    rows = []
+    for i, (d, text, lang, _, nc) in enumerate(_gen_corpus(seed, 120)):
+        rows.append((d, text, lang, f"src{rng.randrange(4)}", nc))
+    sf = _write(spark, rows, tmp_path, "drift")
+    expected = drift_replica(
+        [(s, t) for _, t, _, s, _ in rows if _toks(t)]
+    )
+    got = {
+        r["source"]: (
+            r["n_tokens"],
+            r["n_words"],
+            r["tv_ppm"],
+            r["top_word"],
+            r["top_word_drift_ppm"],
+        )
+        for r in registry.QUERIES["corpus_source_drift"](spark, sf).collect()
+    }
+    assert got == expected
+
+
+@pytest.mark.parametrize("seed", [7, 31])
+def test_token_quantiles_differential(spark, tmp_path, seed):
+    """Random corpora with duplicate lengths and tiny sources vs the
+    percentile_disc Python replica (boundary-heavy: many q*n integer
+    group sizes by construction)."""
+    from .test_token_quantiles import _replica as q_replica
+
+    rng = random.Random(seed)
+    rows = []
+    for d, text, lang, _, nc in _gen_corpus(seed, 150):
+        rows.append((d, text, lang, f"src{rng.randrange(5)}", nc))
+    sf = _write(spark, rows, tmp_path, "quant")
+    expected = q_replica([(s, t) for _, t, _, s, _ in rows])
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["p50_tokens"],
+            r["p90_tokens"],
+            r["p99_tokens"],
+            r["max_tokens"],
+        )
+        for r in registry.QUERIES["documents_token_quantiles_hist"](
+            spark, sf
+        ).collect()
+    }
+    assert got == expected
