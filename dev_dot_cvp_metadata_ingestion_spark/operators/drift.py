@@ -16,7 +16,11 @@ def source_drift_from_counts(sc: DataFrame) -> DataFrame:
     docstring (plans/datapipe.py:corpus_source_drift) for semantics
     and the 100 TB shape; this helper IS that query from the count
     relation down, so stream and batch cannot diverge."""
-    gw = sc.groupBy("word").agg(F.sum("c_sw").alias("c_w"))
+    # sc fans out three ways (gw, ns, the word join) and its lineage is
+    # a full corpus tokenize at the batch call site — materialize once;
+    # gw is vocab-sized with four consumers, same treatment.
+    sc = sc.localCheckpoint()
+    gw = sc.groupBy("word").agg(F.sum("c_sw").alias("c_w")).localCheckpoint()
     ns = sc.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
     # g_mass needs the global total BEFORE the per-word division; two
     # tiny single-row steps keep the arithmetic identical to the oracle.

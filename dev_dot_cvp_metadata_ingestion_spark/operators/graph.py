@@ -52,12 +52,19 @@ def pagerank(
     CTEs. Returns (id_col, pagerank_ppm, degree), one row per node,
     UNORDERED (per-row output contract).
     """
+    # checkpoint the canonical pairs BEFORE symmetrizing and BEFORE
+    # deriving degrees, so the (potentially expensive) pair lineage —
+    # the whole LSH pipeline in the registered query — executes
+    # exactly once
+    can = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).localCheckpoint()
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        can.unionByName(
+            can.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
+        .localCheckpoint()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ew = edges.join(deg, "src").localCheckpoint()
@@ -86,8 +93,11 @@ def pagerank(
             .localCheckpoint()
         )
 
+    # degrees re-read from the CHECKPOINTED edge relation (deg itself
+    # hangs off the un-materialized pair lineage)
+    ew_deg = ew.groupBy("src").agg(F.max("deg").alias("deg"))
     node_deg = base.join(
-        deg.select(F.col("src").alias("node"), "deg"), "node", "left"
+        ew_deg.select(F.col("src").alias("node"), "deg"), "node", "left"
     ).select("node", F.coalesce("deg", F.lit(0)).cast("long").alias("degree"))
     return ranks.join(node_deg, "node").select(
         F.col("node").alias(id_col),
@@ -120,7 +130,14 @@ def triangle_stats(
     degree relation. Two shuffle joins total (wedge build + closing-
     edge probe), everything integer, nothing broadcast or windowed.
     """
-    can = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    # The canonical pair relation is the EXPENSIVE upstream (for the
+    # registered query it is the whole LSH pipeline) and it fans out to
+    # five consumers; materialize it once — the same device
+    # connected_components uses for its edge relation. ``oriented`` is
+    # edge-sized and fans out three ways; same treatment.
+    can = pairs.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).localCheckpoint()
     sym = can.unionByName(
         can.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
@@ -137,7 +154,7 @@ def triangle_stats(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(fwd, F.col("deg_b")).otherwise(F.col("deg_a")).alias("dst_deg"),
-    )
+    ).localCheckpoint()
 
     e1 = oriented.select(
         F.col("src"), F.col("dst").alias("v"), F.col("dst_deg").alias("v_deg")
