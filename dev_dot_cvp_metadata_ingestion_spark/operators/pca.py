@@ -129,22 +129,25 @@ def pca_project(
     axes, _, means = principal_axes(n, sums, prods, d, k)
     xd = F.expr(f"transform({vec_col}, v -> CAST(v AS DOUBLE))")
     m_arr = F.array(*[F.lit(m).cast("double") for m in means])
-    out = None
     base = emb.select(F.col(id_col), xd.alias("xd"))
-    for c, axis in enumerate(axes):
+
+    def score(axis):
         v_arr = F.array(*[F.lit(a).cast("double") for a in axis])
         terms = F.zip_with(
             F.zip_with(F.col("xd"), m_arr, lambda x, m: x - m),
             v_arr,
             lambda y, v: y * v,
         )
-        score = F.aggregate(
-            terms, F.lit(0.0).cast("double"), lambda acc, y: acc + y
+        acc = F.aggregate(
+            terms, F.lit(0.0).cast("double"), lambda a, y: a + y
         )
-        part = base.select(
-            F.col(id_col),
-            F.lit(c).alias("component"),
-            F.floor(score * 1_000_000).cast("long").alias("score_fp6"),
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+        return F.floor(acc * 1_000_000).cast("long")
+
+    # all k scores in ONE projection + posexplode — a single corpus
+    # scan, not k unioned scans
+    return base.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[score(a) for a in axes])).alias(
+            "component", "score_fp6"
+        ),
+    )
