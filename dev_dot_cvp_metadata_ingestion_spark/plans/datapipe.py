@@ -35,6 +35,7 @@ from ..operators.dedup import (
     simhash16,
     winnow_fingerprints,
 )
+from ..operators.anomaly import window_anomalies_from_counts, window_counts
 from ..operators.drift import source_drift_from_counts, word_counts
 from ..operators.graph import pagerank, triangle_stats
 from ..operators.pca import pca_project
@@ -5915,3 +5916,146 @@ def embedding_pca_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_pca.py), following the BPE no-oracle convention."""
     e = load_table(spark, sf_dir, "embeddings")
     return pca_project(e, "vec_id", "embedding", k=4)
+
+
+# ------------------------------------------------- windowed anomalies
+
+
+@register(
+    "events_window_anomaly",
+    oracle="""
+    WITH wc AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+             event_type,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(n_events) AS BIGINT) AS s,
+             CAST(sum(n_events * n_events) AS BIGINT) AS v
+      FROM wc GROUP BY event_type
+    )
+    SELECT wc.window_start,
+           wc.event_type,
+           wc.n_events,
+           s * 1000 // m AS mean_milli,
+           ((m * wc.n_events - s) * (m * wc.n_events - s) * 1000)
+             // nullif(m * v - s * s, 0) AS z2_milli,
+           CAST(((m * wc.n_events - s) * (m * wc.n_events - s) * 1000
+                 > 9000 * (m * v - s * s)) AS BIGINT) AS is_anomaly
+    FROM wc JOIN st USING (event_type)
+    ORDER BY event_type, window_start
+    """,
+)
+def events_window_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-sigma anomaly detection on per-hour per-type event counts
+    — the ops-monitoring primitive ("error spike at 14:00") computed
+    with ZERO floating point: |z| > 3 restated as the exact BIGINT
+    predicate (m*n - s)^2 > 9*(m*v - s^2), so no sqrt/libm and no
+    float summation order can diverge between engines
+    (operators/anomaly.py has the algebra).
+
+    Scale shape: one window-count aggregate over the raw events (the
+    only corpus-sized pass, map-side combined), then a per-type moment
+    relation of |event_types| rows broadcast back onto the counts — no
+    window function, no second shuffle of the count relation. The
+    streaming twin (``anomaly_monitor_sink``) shares
+    ``window_anomalies_from_counts`` verbatim, so continuous
+    monitoring is pinned to this query by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    return window_anomalies_from_counts(window_counts(ev)).orderBy(
+        "event_type", "window_start"
+    )
+
+
+# ------------------------------------------------- retrieval ranking
+
+
+_BM25_QUERIES = [
+    (1, "spark"),
+    (1, "join"),
+    (2, "window"),
+    (2, "filter"),
+    (2, "sort"),
+    (3, "vector"),
+]
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS.format(c="text")}) AS word
+      FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+    ),
+    corp AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS t_tokens
+      FROM dl
+    ),
+    q(q_id, term) AS (VALUES
+      (CAST(1 AS BIGINT), 'spark'), (1, 'join'),
+      (2, 'window'), (2, 'filter'), (2, 'sort'),
+      (3, 'vector')),
+    tf AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE word IN (SELECT term FROM q)
+      GROUP BY doc_id, word
+    ),
+    dfr AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+    scored AS (
+      SELECT q.q_id, tf.doc_id,
+             CAST(sum(
+               (((n_docs - df) * 2 + 1) * 1000000 // (df * 2 + 1))
+               * ((tf * 2200000 * 1000000) //
+                  (tf * 1000000
+                   + (1200000 * (250000
+                       + (750000 * dl * 1000)
+                         // (t_tokens * 1000 // n_docs)))
+                     // 1000000))
+               // 1000000
+             ) AS BIGINT) AS score_ppm
+      FROM tf JOIN dl USING (doc_id) JOIN dfr USING (word)
+           JOIN q ON tf.word = q.term, corp
+      GROUP BY q.q_id, tf.doc_id
+    ),
+    ranked AS (
+      SELECT q_id, doc_id, score_ppm,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY score_ppm DESC, doc_id
+             ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT q_id, doc_id, score_ppm, rank FROM ranked WHERE rank <= 10
+    ORDER BY q_id, rank
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval over the corpus: integer-BM25 top-10 per
+    query for a fixed 3-query workload (operators/retrieval.py has
+    the scoring algebra and the no-libm rationale). This is the
+    search-side companion of ``text_tfidf_top_terms`` — that query
+    summarizes documents, this one RANKS them for a query — and the
+    lexical baseline the ANN family's semantic retrieval is normally
+    hybridized with.
+
+    Scale shape: tokenize once, two map-side-combined corpus
+    aggregates (document lengths; per-(doc, query-term) frequencies —
+    the tf relation is pre-shrunk by a broadcast semi-join on the
+    query dictionary, so only matching tokens reach the aggregate),
+    one doc_id shuffle join between them; document frequencies,
+    corpus totals, and the query relation are config-scale
+    broadcasts. Per-query top-k is the salted two-phase rank — no
+    window partition ever holds a query's full candidate set. The
+    terminal orderBy is presentation-only (3×10 rows)."""
+    from ..operators.retrieval import bm25_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_BM25_QUERIES, "q_id long, term string")
+    return bm25_topk(d, q, k=10).orderBy("q_id", "rank")

@@ -194,6 +194,8 @@ BACK: tuple[str, ...] = (
     "dedup_pagerank_centrality",
     "dedup_graph_triangles",
     "embedding_pca_projected",
+    "events_window_anomaly",
+    "text_bm25_topk",
 )
 
 

@@ -451,3 +451,54 @@ def drift_monitor_sink(counts_path: str, report_path: str):
         )
 
     return sink
+
+
+def anomaly_monitor_sink(counts_path: str, report_path: str):
+    """foreachBatch sink for CONTINUOUS count-anomaly monitoring of an
+    event stream: after every micro-batch the accumulated per-hour
+    per-type window counts are re-scored with the three-sigma integer
+    predicate (operators/anomaly.py — the SAME relation the batch
+    ``events_window_anomaly`` query computes), and the per-window
+    report is written under the batch id. The report table is the
+    anomaly TRAJECTORY — "the error spike first flagged at batch 17"
+    is one filter away — and the latest batch_id partition always
+    equals what the batch query would say about everything ingested so
+    far (pinned in tests/test_stream_anomaly.py).
+
+    Same exactly-once device as ``drift_monitor_sink``: the batch's
+    window-count DELTA and its report rows are both written with
+    dynamic partition overwrite keyed on batch_id, so an
+    at-least-once re-delivery rewrites identical partitions instead of
+    double-counting. Scale shape: the delta is the batch's own
+    windows (map-side combined); the report pass is one
+    windows-relation-sized aggregate over the accumulated deltas plus
+    the |event_types|-row broadcast moments join — compact the delta
+    partitions periodically if batch count grows unbounded (same note
+    as the drift sink)."""
+    from ..operators.anomaly import window_anomalies_from_counts, window_counts
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        delta = window_counts(df).withColumn("batch_id", F.lit(batch_id))
+        (
+            delta.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(counts_path)
+        )
+        acc = (
+            spark.read.parquet(counts_path)
+            .groupBy("window_start", "event_type")
+            .agg(F.sum("n_events").alias("n_events"))
+        )
+        report = window_anomalies_from_counts(acc).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        (
+            report.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(report_path)
+        )
+
+    return sink

@@ -59,6 +59,7 @@ AT_RISK = [
     "dedup_pagerank_centrality",   # iterative rank loop on empty graph
     "dedup_graph_triangles",       # global counts -> one all-zero row
     "embedding_pca_projected",     # driver-side moments collect on empty
+    "events_window_anomaly",       # moments join + nullif on empty
 ]
 
 

@@ -1,0 +1,123 @@
+"""Streaming anomaly monitor: the latest report partition must equal
+the batch events_window_anomaly relation over everything ingested so
+far, and a re-delivered batch must change NOTHING (partition-overwrite
+idempotence over additive window-count state)."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+
+from dev_dot_cvp_metadata_ingestion_spark.operators.anomaly import (
+    window_anomalies_from_counts,
+    window_counts,
+)
+from dev_dot_cvp_metadata_ingestion_spark.streaming.stream import (
+    anomaly_monitor_sink,
+)
+
+SCHEMA = "event_id long, ts timestamp, event_type string"
+
+# 13 hours of steady clicks plus a 13-hour error series whose last
+# hour spikes 10x: with m=13 windows the spike clears z^2 > 9 only
+# once ALL batches land (a single batch's 3-window view maxes out at
+# z^2 = m-1 = 2), so the trajectory genuinely converges
+_CLICK_HOURS = [8, 9] * 6 + [8]
+_ERROR_HOURS = [3, 4] * 6 + [40]
+_SPEC = [(h, "click", n) for h, n in enumerate(_CLICK_HOURS)] + [
+    (h, "error", n) for h, n in enumerate(_ERROR_HOURS)
+]
+EVENTS = [
+    (i, f"2024-03-05 {h:02d}:{i % 60:02d}:00", t)
+    for i, (h, t) in enumerate(
+        [(h, t) for h, t, n in _SPEC for _ in range(n)]
+    )
+]
+
+
+def _write_batches(src, batches):
+    for i, rows in enumerate(batches):
+        (src / f"f{i}.json").write_text(
+            "\n".join(
+                json.dumps({"event_id": e, "ts": ts, "event_type": t})
+                for e, ts, t in rows
+            )
+        )
+
+
+def _run_stream(spark, src, counts, reports, ckpt):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            anomaly_monitor_sink(str(counts), str(reports))
+        )
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_latest_report_equals_batch_anomaly(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    third = len(EVENTS) // 3
+    _write_batches(
+        src, [EVENTS[:third], EVENTS[third : 2 * third], EVENTS[2 * third :]]
+    )
+    counts, reports = tmp_path / "counts", tmp_path / "reports"
+    _run_stream(spark, src, counts, reports, tmp_path / "ckpt")
+
+    rep = spark.read.parquet(str(reports))
+    last = rep.agg(F.max("batch_id")).first()[0]
+    assert last == 2
+    got = sorted(
+        tuple(r)
+        for r in rep.filter(F.col("batch_id") == last)
+        .drop("batch_id")
+        .collect()
+    )
+    all_events = spark.createDataFrame(
+        EVENTS, "event_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    expected = sorted(
+        tuple(r)
+        for r in window_anomalies_from_counts(
+            window_counts(all_events)
+        ).collect()
+    )
+    assert got == expected
+    # the planted spike is visible in the final report
+    # (tuple layout: window_start, event_type, n_events, mean_milli,
+    #  z2_milli, is_anomaly)
+    assert [(r[0], r[1]) for r in got if r[5] == 1] == [
+        ("2024-03-05 12:00:00", "error")
+    ]
+    # trajectory: every batch 0..2 has its own report partition
+    assert rep.select("batch_id").distinct().count() == 3
+
+
+def test_redelivery_is_idempotent(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    half = len(EVENTS) // 2
+    _write_batches(src, [EVENTS[:half], EVENTS[half:]])
+    counts, reports = tmp_path / "counts", tmp_path / "reports"
+    _run_stream(spark, src, counts, reports, tmp_path / "ckpt")
+
+    def snapshot():
+        c = sorted(tuple(r) for r in spark.read.parquet(str(counts)).collect())
+        r = sorted(tuple(x) for x in spark.read.parquet(str(reports)).collect())
+        return c, r
+
+    before = snapshot()
+    redelivered = spark.createDataFrame(
+        EVENTS[half:], "event_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    anomaly_monitor_sink(str(counts), str(reports))(redelivered, 1)
+    assert snapshot() == before
