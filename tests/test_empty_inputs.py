@@ -60,6 +60,7 @@ AT_RISK = [
     "dedup_graph_triangles",       # global counts -> one all-zero row
     "embedding_pca_projected",     # driver-side moments collect on empty
     "events_window_anomaly",       # moments join + nullif on empty
+    "text_bm25_topk",              # avgdl div on n_docs=0, empty tf
 ]
 
 

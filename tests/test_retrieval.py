@@ -1,0 +1,125 @@
+"""Integer-BM25 retrieval: scores match a plain-Python replica of the
+same fixed-point algebra, single-term ordering is identical to
+float log-idf BM25 (monotone transform), ties break by doc_id, and
+absent terms contribute nothing."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from dev_dot_cvp_metadata_ingestion_spark.operators.retrieval import bm25_topk
+
+DOCS = [
+    (0, "spark join join window"),
+    (1, "spark spark spark filter sort"),
+    (2, "window window window window filter"),
+    (3, "vector sort sort join spark window"),
+    (4, "filter"),
+    (5, "the quick brown fox jumps over the lazy dog"),
+]
+
+
+def _replica(docs, queries, k=10):
+    """Plain-Python restatement of the integer BM25 in
+    operators/retrieval.py — same floor-division points, same order."""
+    toks = {d: t.split() for d, t in docs}
+    dl = {d: len(ws) for d, ws in toks.items()}
+    n_docs = len(dl)
+    t_tokens = sum(dl.values())
+    terms = {t for _, t in queries}
+    tf = {}
+    for d, ws in toks.items():
+        for w in ws:
+            if w in terms:
+                tf[(d, w)] = tf.get((d, w), 0) + 1
+    df = {}
+    for (d, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    avgdl_milli = t_tokens * 1000 // n_docs
+    scores = {}
+    for q_id, term in queries:
+        for (d, w), f in tf.items():
+            if w != term:
+                continue
+            idf = ((n_docs - df[w]) * 2 + 1) * 1000000 // (df[w] * 2 + 1)
+            norm = 250000 + (750000 * dl[d] * 1000) // avgdl_milli
+            sat = (f * 2200000 * 1000000) // (
+                f * 1000000 + (1200000 * norm) // 1000000
+            )
+            contrib = idf * sat // 1000000
+            scores[(q_id, d)] = scores.get((q_id, d), 0) + contrib
+    out = {}
+    for (q_id, d), s in scores.items():
+        out.setdefault(q_id, []).append((d, s))
+    ranked = {}
+    for q_id, rows in out.items():
+        rows.sort(key=lambda x: (-x[1], x[0]))
+        ranked[q_id] = [
+            (q_id, d, s, r + 1) for r, (d, s) in enumerate(rows[:k])
+        ]
+    return sorted(x for rows in ranked.values() for x in rows)
+
+
+def _run(spark, docs, queries, k=10):
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    q = spark.createDataFrame(queries, "q_id long, term string")
+    return sorted(
+        (r.q_id, r.doc_id, r.score_ppm, r.rank)
+        for r in bm25_topk(d, q, k=k).collect()
+    )
+
+
+def test_matches_python_replica(spark):
+    queries = [(1, "spark"), (1, "join"), (2, "window"), (3, "vector")]
+    assert _run(spark, DOCS, queries) == _replica(DOCS, queries)
+
+
+def test_matches_replica_randomized(spark):
+    rng = random.Random(47)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(1, 12))))
+        for i in range(40)
+    ]
+    queries = [(1, "aa"), (1, "bb"), (2, "cc"), (2, "dd"), (2, "ee")]
+    assert _run(spark, docs, queries, k=7) == _replica(docs, queries, k=7)
+
+
+def test_single_term_order_equals_log_idf_bm25(spark):
+    """For one term the integer odds-ratio idf is a per-query constant,
+    so ranking must equal textbook log-idf BM25 (float) exactly."""
+    queries = [(9, "window")]
+    got = [
+        (d, r)
+        for (_, d, _, r) in sorted(
+            _run(spark, DOCS, queries), key=lambda x: x[3]
+        )
+    ]
+    # float reference
+    toks = {d: t.split() for d, t in DOCS}
+    dl = {d: len(ws) for d, ws in toks.items()}
+    n, avg = len(dl), sum(dl.values()) / len(dl)
+    dfw = sum(1 for ws in toks.values() if "window" in ws)
+    idf = math.log(1 + (n - dfw + 0.5) / (dfw + 0.5))
+    ref = []
+    for d, ws in toks.items():
+        f = ws.count("window")
+        if not f:
+            continue
+        s = idf * f * 2.2 / (f + 1.2 * (0.25 + 0.75 * dl[d] / avg))
+        ref.append((d, s))
+    ref.sort(key=lambda x: (-x[1], x[0]))
+    assert got == [(d, i + 1) for i, (d, _) in enumerate(ref)]
+
+
+def test_absent_term_returns_nothing(spark):
+    assert _run(spark, DOCS, [(5, "nonexistent")]) == []
+
+
+def test_tie_break_by_doc_id(spark):
+    docs = [(10, "zz yy"), (11, "zz yy"), (12, "zz yy")]
+    rows = _run(spark, docs, [(1, "zz")])
+    assert [(d, r) for (_, d, _, r) in rows] == [(10, 1), (11, 2), (12, 3)]
+    # identical docs → identical scores
+    assert len({s for (_, _, s, _) in rows}) == 1
