@@ -6059,3 +6059,52 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     q = spark.createDataFrame(_BM25_QUERIES, "q_id long, term string")
     return bm25_topk(d, q, k=10).orderBy("q_id", "rank")
+
+
+# ------------------------------------------------- heavy hitters
+
+
+@register(
+    "corpus_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS.format(c="text")}) AS word FROM documents
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks),
+    c AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM toks GROUP BY word
+    )
+    SELECT word,
+           n_occurrences,
+           n_occurrences * 1000000 // n_total AS freq_ppm
+    FROM c, tot
+    WHERE n_occurrences * 1000000 > 500 * n_total
+    ORDER BY n_occurrences DESC, word
+    """,
+)
+def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency heavy hitters (> 500 ppm of all tokens) with
+    EXACT counts, found WITHOUT shuffling the vocabulary: per-partition
+    Misra-Gries summaries (≤ 2000 counters each, Arrow map-side) feed
+    an exact recount restricted to the candidate union — the sketch
+    only PRUNES, never decides, so the output is bit-identical to the
+    naive full vocabulary aggregate the oracle runs
+    (operators/heavy_hitters.py has the superset proof and the batched
+    decrement ledger). The stopword/boilerplate-list builders upstream
+    of ``documents_boilerplate_removed`` and the n-gram stop-gram caps
+    are this operator's consumers.
+
+    Scale shape: candidates are |partitions| × capacity rows
+    (config-scale, broadcast); the recount's groupBy sees only
+    candidate-matching tokens; the only full pass is the map-side
+    sketch and the single-row total count. At the test vocabulary
+    (~30 words, all frequent) the sketch prunes nothing — the planted
+    skew pruning evidence lives in tests/test_heavy_hitters.py."""
+    from ..operators.heavy_hitters import heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("word"))
+    return heavy_hitters(toks, "word", threshold_ppm=500).orderBy(
+        F.col("n_occurrences").desc(), "word"
+    )

@@ -196,6 +196,7 @@ BACK: tuple[str, ...] = (
     "embedding_pca_projected",
     "events_window_anomaly",
     "text_bm25_topk",
+    "corpus_heavy_hitters",
 )
 
 

@@ -61,6 +61,7 @@ AT_RISK = [
     "embedding_pca_projected",     # driver-side moments collect on empty
     "events_window_anomaly",       # moments join + nullif on empty
     "text_bm25_topk",              # avgdl div on n_docs=0, empty tf
+    "corpus_heavy_hitters",        # MG over empty partitions, n_total=0
 ]
 
 

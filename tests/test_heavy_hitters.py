@@ -1,0 +1,94 @@
+"""Misra-Gries two-phase heavy hitters: output must equal the naive
+exact aggregate under planted skew (where the sketch genuinely
+prunes), under any partitioning, and at the guarantee-minimal
+capacity."""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+
+from dev_dot_cvp_metadata_ingestion_spark.operators.heavy_hitters import (
+    heavy_hitters,
+    mg_candidates,
+)
+
+
+def _skewed_rows(n_hot=3, hot_count=400, n_cold=500, cold_count=2, seed=13):
+    """A few very frequent words over a long cold tail; shuffled so
+    partitions interleave hot and cold."""
+    rng = random.Random(seed)
+    rows = []
+    for h in range(n_hot):
+        rows += [f"hot{h}"] * hot_count
+    for c in range(n_cold):
+        rows += [f"cold{c:04d}"] * cold_count
+    rng.shuffle(rows)
+    return rows
+
+
+def _naive(rows, threshold_ppm):
+    n = len(rows)
+    counts = {}
+    for w in rows:
+        counts[w] = counts.get(w, 0) + 1
+    return sorted(
+        (w, c, c * 1_000_000 // n)
+        for w, c in counts.items()
+        if c * 1_000_000 > threshold_ppm * n
+    )
+
+
+def test_exact_under_planted_skew(spark):
+    rows = _skewed_rows()
+    df = spark.createDataFrame([(w,) for w in rows], "word string").repartition(8)
+    # threshold 5% → capacity 20 counters per partition, far below the
+    # 503-word vocabulary: the sketch must prune, the result must not
+    got = sorted(
+        tuple(r)
+        for r in heavy_hitters(df, "word", threshold_ppm=50_000).collect()
+    )
+    assert got == _naive(rows, 50_000)
+    assert [w for w, _, _ in got] == ["hot0", "hot1", "hot2"]
+    # pruning actually happened: candidate union well under the vocab
+    n_cand = mg_candidates(df, "word", capacity=20).distinct().count()
+    assert n_cand < 503
+
+
+def test_partitioning_changes_candidates_not_output(spark):
+    rows = _skewed_rows(seed=5)
+    df = spark.createDataFrame([(w,) for w in rows], "word string")
+    outs = []
+    for n_parts in (1, 4, 13):
+        got = sorted(
+            tuple(r)
+            for r in heavy_hitters(
+                df.repartition(n_parts), "word", threshold_ppm=50_000
+            ).collect()
+        )
+        outs.append(got)
+    assert outs[0] == outs[1] == outs[2] == _naive(rows, 50_000)
+
+
+def test_guarantee_minimal_capacity(spark):
+    """capacity = ceil(1e6/threshold_ppm) is exactly the MG bound; at
+    that size no true heavy hitter may be pruned even when every
+    partition holds mostly tail."""
+    rows = _skewed_rows(n_hot=1, hot_count=120, n_cold=900, cold_count=1)
+    # hot freq = 120/1020 ≈ 11.7% — threshold 10% → capacity 10
+    df = spark.createDataFrame([(w,) for w in rows], "word string").repartition(6)
+    got = sorted(
+        tuple(r)
+        for r in heavy_hitters(df, "word", threshold_ppm=100_000).collect()
+    )
+    assert got == _naive(rows, 100_000)
+    assert [w for w, _, _ in got] == ["hot0"]
+
+
+def test_threshold_is_strict(spark):
+    # 10 of 100 rows = exactly 100000 ppm → strictly-greater excludes it
+    rows = ["edge"] * 10 + [f"w{i}" for i in range(90)]
+    df = spark.createDataFrame([(w,) for w in rows], "word string")
+    got = heavy_hitters(df, "word", threshold_ppm=100_000).collect()
+    assert got == []

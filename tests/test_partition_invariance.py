@@ -49,6 +49,8 @@ SENSITIVE = [
     "documents_repeated_substrings",  # dup groupBy + run windows
     "documents_substring_dup_stats",  # runs + per-doc aggregate
     "documents_substring_scrubbed",  # firsts min_by + coverage counts
+    "corpus_heavy_hitters",  # partition-dependent MG candidates, exact recount
+    "text_bm25_topk",        # salted two-phase per-query rank
 ]
 
 

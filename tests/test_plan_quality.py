@@ -442,3 +442,32 @@ def test_perplexity_buckets_stat_relation_broadcasts(spark):
     # that includes the coarse bucket (cb) — no per-lang-only windows
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "cb" in spec, f"window not coarse-bucketed: {spec}"
+
+
+def test_window_anomaly_moments_broadcast_no_window_fn(spark):
+    # the per-type moment relation joins back by BROADCAST (it is
+    # |event_types| rows) and the detector uses no window function at
+    # all — the whole point of the moments-join design
+    plan = plan_of("events_window_anomaly", spark)
+    assert "BroadcastHashJoin" in plan
+    assert "WindowExec" not in plan and "RunningWindowFunction" not in plan
+
+
+def test_bm25_dictionary_sides_broadcast(spark):
+    # query dictionary (semi-join), document frequencies, corpus
+    # totals, and the query relation are all config-scale broadcasts;
+    # only the tf-dl join may shuffle corpus-sized relations
+    plan = plan_of("text_bm25_topk", spark)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("BroadcastNestedLoopJoin") >= 1  # single-row corp
+
+
+def test_heavy_hitters_candidates_broadcast(spark):
+    # the recount is a BROADCAST semi-join against the candidate union
+    # (partitions x capacity rows) — the vocabulary itself must never
+    # be the join's shuffled side; the only Python node is the Arrow
+    # map-side sketch
+    plan = plan_of("corpus_heavy_hitters", spark)
+    assert "MapInPandas" in plan
+    semi = [l for l in plan.splitlines() if "LeftSemi" in l]
+    assert semi and all("Broadcast" in l for l in semi)
