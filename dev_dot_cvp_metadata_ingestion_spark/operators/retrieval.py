@@ -26,6 +26,15 @@ The only corpus-sized shuffles are the two token aggregates and the
 tf-dl join on doc_id. Per-query top-k uses the salted two-phase rank
 (operators/similarity.py:_topk_per_query) so no window partition ever
 holds a whole query's candidate set.
+
+The persisted form (sources/catalog.py:write_text_index +
+``bm25_probe_index`` here) materializes exactly the relations the
+in-query plan derives — word-bucket-partitioned postings with the
+document length DENORMALIZED onto each posting row (so a probe never
+joins the corpus-sized doclens relation) plus a single-row totals
+sidecar — and both forms share ``_bm25_rank`` below, so probe ≡
+in-query is true by construction and pinned row-for-row in
+tests/test_text_index.py.
 """
 
 from __future__ import annotations
@@ -35,62 +44,31 @@ from pyspark.sql import functions as F
 
 from .similarity import _topk_per_query
 
+_CONTRIB = """
+    (((n_docs - df) * 2L + 1L) * 1000000L div (df * 2L + 1L))
+    * ((tf * 2200000L * 1000000L) div
+       (tf * 1000000L
+        + (1200000L * (250000L
+            + (750000L * dl * 1000L)
+              div (t_tokens * 1000L div n_docs)))
+          div 1000000L))
+    div 1000000L
+"""
 
-def bm25_topk(
-    docs: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_salts: int = 32,
+
+def _bm25_rank(
+    tf_dl: DataFrame, corp: DataFrame, queries: DataFrame, k: int, n_salts: int
 ) -> DataFrame:
-    """Top-``k`` documents per query by integer BM25.
-
-    ``queries`` is a small (q_id, term) relation — one row per query
-    term, terms lowercase. Returns (q_id, doc_id, score_ppm, rank),
-    UNORDERED (per-row operator contract; ``rank`` carries the
-    ordering, call sites sort for presentation).
-    """
-    from ..functions.text import tokens
-
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("word")
-    )
-    # the token relation feeds both aggregates; materialize once so the
-    # corpus tokenize runs a single time (same device as drift/anomaly)
-    toks = toks.localCheckpoint()
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    corp = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("t_tokens")
-    )
-    qterms = queries.select(F.col("term")).distinct()
-    tf = (
-        toks.join(F.broadcast(qterms), toks.word == qterms.term, "leftsemi")
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_rel = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    """Shared scoring tail: (doc_id, word, tf, dl) × totals × queries
+    → (q_id, doc_id, score_ppm, rank). Document frequencies are
+    derived from ``tf_dl`` itself (term-count-sized groupBy, broadcast
+    back)."""
+    df_rel = tf_dl.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(df_rel), "word")
+        tf_dl.join(F.broadcast(df_rel), "word")
         .crossJoin(F.broadcast(corp))
         .join(F.broadcast(queries), F.col("word") == F.col("term"))
-        .select(
-            "q_id",
-            "doc_id",
-            F.expr(
-                """
-                (((n_docs - df) * 2L + 1L) * 1000000L div (df * 2L + 1L))
-                * ((tf * 2200000L * 1000000L) div
-                   (tf * 1000000L
-                    + (1200000L * (250000L
-                        + (750000L * dl * 1000L)
-                          div (t_tokens * 1000L div n_docs)))
-                      div 1000000L))
-                div 1000000L
-                """
-            ).alias("contrib"),
-        )
+        .select("q_id", "doc_id", F.expr(_CONTRIB).alias("contrib"))
         .groupBy("q_id", "doc_id")
         .agg(F.sum("contrib").alias("score_ppm"))
     )
@@ -111,4 +89,98 @@ def bm25_topk(
         F.col("vec_id").alias("doc_id"),
         "score_ppm",
         F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def corpus_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, totals) for a documents frame: postings is
+    (doc_id, word, tf, dl) — one row per distinct (doc, word), with
+    the doc length denormalized on — and totals is the single-row
+    (n_docs, t_tokens). The corpus is tokenized ONCE (localCheckpoint)
+    and both aggregates are map-side combined."""
+    from ..functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("word"),
+    ).localCheckpoint()
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corp = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("t_tokens")
+    )
+    return tf.join(dl, "doc_id"), corp
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Top-``k`` documents per query by integer BM25.
+
+    ``queries`` is a small (q_id, term) relation — one row per query
+    term, terms lowercase. Returns (q_id, doc_id, score_ppm, rank),
+    UNORDERED (per-row operator contract; ``rank`` carries the
+    ordering, call sites sort for presentation).
+    """
+    tf_dl, corp = corpus_postings(docs, id_col, text_col)
+    qterms = queries.select(F.col("term")).distinct()
+    # pre-shrink to query-term postings before scoring (broadcast
+    # semi-join on the dictionary)
+    tf_dl = tf_dl.join(
+        F.broadcast(qterms), tf_dl.word == qterms.term, "leftsemi"
+    )
+    return _bm25_rank(tf_dl, corp, queries, k, n_salts)
+
+
+def bm25_probe_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_salts: int = 32,
+) -> DataFrame:
+    """BM25 top-k against a PERSISTED text index
+    (sources/catalog.py:write_text_index) — the amortized form: no
+    corpus tokenize, no corpus-sized aggregate or join. The query
+    terms' hash buckets are computed driver-side (config-scale
+    collect), so the bucket predicate reaches the postings scan as a
+    PARTITION filter: only the probed buckets' files are read.
+    Row-for-row equal to ``bm25_topk`` on the indexed corpus
+    (shared ``_bm25_rank`` tail; pinned in tests/test_text_index.py).
+    """
+    from ..sources.catalog import read_text_index
+
+    postings, corp = read_text_index(spark, path)
+    terms = [r.term for r in queries.select("term").distinct().collect()]
+    if terms:
+        n_buckets = int(
+            spark.read.parquet(f"{path}/meta").first()["n_buckets"]
+        )
+        buckets = [
+            r.b
+            for r in spark.createDataFrame(
+                [(t,) for t in terms], "term string"
+            )
+            .select(
+                F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        postings = postings.filter(
+            F.col("bucket").isin(buckets) & F.col("word").isin(terms)
+        )
+    else:
+        postings = postings.filter(F.lit(False))
+    return _bm25_rank(
+        postings.select("doc_id", "word", "tf", "dl"), corp, queries, k, n_salts
     )

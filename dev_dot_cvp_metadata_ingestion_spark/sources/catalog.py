@@ -691,3 +691,70 @@ def read_pair_graph(
             "threshold": meta["threshold"],
         },
     )
+
+
+def write_text_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """Persist a corpus's inverted-index layout for BM25 probing —
+    the search-engine index build as a storage decision, the fifth
+    build-once layout client (IVF, LSH, training-examples, pair
+    graph). Postings (doc_id, word, tf, dl — document length
+    DENORMALIZED onto each row so probes never join a corpus-sized
+    doclens table) are parquet-partitioned by ``pmod(xxhash64(word),
+    n_buckets)``, so a query batch's term predicate prunes the scan
+    to its terms' buckets at the FILE level; the single-row
+    (n_docs, t_tokens) totals and the n_buckets constant ride as
+    sidecar tables. The expensive pass — tokenize + two corpus
+    aggregates + the doc_id join — is paid ONCE here;
+    ``operators/retrieval.py:bm25_probe_index`` then scores any query
+    batch from the compact postings alone (probe ≡ in-query
+    row-for-row, tests/test_text_index.py; measured amortization in
+    SCALE.md)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.retrieval import corpus_postings
+
+    tf_dl, corp = corpus_postings(docs, id_col, text_col)
+    keyed = tf_dl.select(
+        "doc_id",
+        "word",
+        "tf",
+        "dl",
+        F.pmod(F.xxhash64("word"), F.lit(n_buckets)).cast("int").alias("bucket"),
+    )
+    if docs.isEmpty():
+        # empty-input contract of the sibling layout writers: a
+        # zero-row partitionBy write emits no parquet footer (table
+        # unreadable); write one empty footer with bucket already int
+        # so the read-back schema matches the partitioned table's
+        keyed.write.mode("overwrite").parquet(f"{path}/postings")
+    else:
+        (
+            keyed.repartition(F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{path}/postings")
+        )
+    corp.write.mode("overwrite").parquet(f"{path}/totals")
+    spark = docs.sparkSession
+    spark.createDataFrame(
+        [(int(n_buckets),)], "n_buckets int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_text_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Load a persisted text index: (postings, totals). ``postings``
+    has (doc_id, word, tf, dl, bucket) with ``bucket`` as the on-disk
+    partition column, so a probe's bucket predicate reaches the scan
+    as a partition filter."""
+    return (
+        spark.read.parquet(f"{path}/postings"),
+        spark.read.parquet(f"{path}/totals"),
+    )

@@ -1,0 +1,103 @@
+"""Persisted text index: the prebuilt BM25 probe must return EXACTLY
+the in-query bm25_topk rows (shared scoring tail ⇒ same scores, same
+tie-breaks), the probe's postings scan must be partition-pruned to the
+query terms' buckets, and the empty-corpus layout must stay readable
+with an unchanged schema."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from dev_dot_cvp_metadata_ingestion_spark.operators.retrieval import (
+    bm25_probe_index,
+    bm25_topk,
+)
+from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+    read_text_index,
+    write_text_index,
+)
+
+QUERIES = [(1, "spark"), (1, "join"), (2, "window"), (2, "filter"), (3, "vector")]
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def index(spark, docs, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("textidx") / "index")
+    write_text_index(docs, p, n_buckets=16)
+    return p
+
+
+def _q(spark, pairs=QUERIES):
+    return spark.createDataFrame(pairs, "q_id long, term string")
+
+
+def _rows(df):
+    return sorted(
+        (r.q_id, r.doc_id, r.score_ppm, r.rank) for r in df.collect()
+    )
+
+
+def test_probe_equals_in_query_form(spark, docs, index):
+    pre = bm25_probe_index(spark, index, _q(spark), k=10)
+    ref = bm25_topk(docs, _q(spark), k=10)
+    got = _rows(pre)
+    assert got == _rows(ref)
+    assert got  # non-vacuous
+
+
+def test_postings_roundtrip_totals(spark, docs, index):
+    postings, corp = read_text_index(spark, index)
+    t = corp.first()
+    assert t["n_docs"] == docs.count()
+    # dl is denormalized: per-doc it is single-valued and equals the
+    # sum of that doc's term frequencies
+    bad = (
+        postings.groupBy("doc_id")
+        .agg(
+            F.countDistinct("dl").alias("ndl"),
+            F.min("dl").alias("dl"),
+            F.sum("tf").alias("stf"),
+        )
+        .filter((F.col("ndl") != 1) | (F.col("dl") != F.col("stf")))
+        .count()
+    )
+    assert bad == 0
+    assert postings.agg(F.sum("tf")).first()[0] == t["t_tokens"]
+
+
+def test_probe_scan_is_partition_pruned(spark, index):
+    """Buckets are computed driver-side from the query terms, so the
+    bucket predicate is STATIC and must reach the postings scan as a
+    PartitionFilter — only the probed buckets' files are read."""
+    pre = bm25_probe_index(spark, index, _q(spark, [(1, "spark")]), k=5)
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    pf = [
+        l
+        for l in plan.splitlines()
+        if "PartitionFilters" in l and "bucket" in l
+    ]
+    assert pf, plan[:2000]
+
+
+def test_empty_query_set(spark, index):
+    no_queries = spark.createDataFrame([], "q_id long, term string")
+    assert bm25_probe_index(spark, index, no_queries, k=5).collect() == []
+
+
+def test_empty_corpus_layout_readable_schema_stable(spark, docs, tmp_path):
+    pe, pn = str(tmp_path / "e"), str(tmp_path / "n")
+    write_text_index(docs.limit(0), pe, n_buckets=4)
+    write_text_index(docs.limit(50), pn, n_buckets=4)
+    empty_p, empty_t = read_text_index(spark, pe)
+    full_p, _ = read_text_index(spark, pn)
+    assert empty_p.count() == 0
+    assert empty_t.first()["n_docs"] == 0
+    assert dict(empty_p.dtypes) == dict(full_p.dtypes)
+    # probing an empty index is well-defined: no rows
+    assert bm25_probe_index(spark, pe, _q(spark), k=5).collect() == []
