@@ -6108,3 +6108,59 @@ def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "word", threshold_ppm=500).orderBy(
         F.col("n_occurrences").desc(), "word"
     )
+
+
+# ------------------------------------------------- time-decayed counts
+
+
+@register(
+    "events_decayed_counts",
+    oracle="""
+    WITH mx AS (SELECT max(epoch_ms(ts)) AS asof_ms FROM events),
+    w AS (
+      SELECT event_type,
+             least((asof_ms - epoch_ms(ts)) // 3600000, 40) AS age
+      FROM events, mx
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(1000000 // (CAST(1 AS BIGINT) << age)) AS BIGINT)
+             AS decayed_micro
+    FROM w GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed event counters (half-life = 1 hour,
+    as-of the newest event): the recency-weighted activity score
+    behind "what's hot right now" leaderboards and decayed rate
+    limiting. The usual exp(-λΔt) is libm — not bit-portable — so the
+    half-life weight is computed EXACTLY as ``1e6 >> age_hours``
+    (integer micro-units; ages capped at 40 where the weight
+    underflows to 0), making the aggregate hash-reproducible on both
+    engines.
+
+    Scale shape: one single-row max(ts) aggregate broadcast onto the
+    stream, then one map-side-combined groupBy — the weight is a
+    per-row projection, so the shuffle carries |event_types| partial
+    sums. At 100 TB the as-of point would come from the ingest clock
+    instead of a max() pre-pass; the decay arithmetic is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.unix_millis("ts")).alias("asof_ms"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .select(
+            "event_type",
+            F.least(
+                F.expr("(asof_ms - unix_millis(ts)) div 3600000"), F.lit(40)
+            ).alias("age"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.expr("1000000L div shiftleft(1L, cast(age as int))")
+            ).alias("decayed_micro"),
+        )
+        .orderBy("event_type")
+    )

@@ -197,6 +197,7 @@ BACK: tuple[str, ...] = (
     "events_window_anomaly",
     "text_bm25_topk",
     "corpus_heavy_hitters",
+    "events_decayed_counts",
 )
 
 

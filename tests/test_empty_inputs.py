@@ -62,6 +62,7 @@ AT_RISK = [
     "events_window_anomaly",       # moments join + nullif on empty
     "text_bm25_topk",              # avgdl div on n_docs=0, empty tf
     "corpus_heavy_hitters",        # MG over empty partitions, n_total=0
+    "events_decayed_counts",       # null as-of point on empty stream
 ]
 
 
