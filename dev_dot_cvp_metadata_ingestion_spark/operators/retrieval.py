@@ -184,3 +184,60 @@ def bm25_probe_index(
     return _bm25_rank(
         postings.select("doc_id", "word", "tf", "dl"), corp, queries, k, n_salts
     )
+
+
+def bm25_topk_conjunctive(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_salts: int = 32,
+) -> DataFrame:
+    """AND-semantics BM25: a document is ranked for a query only if it
+    contains EVERY term of that query (web-search default semantics;
+    the disjunctive ``bm25_topk`` is the recall-oriented form). Same
+    integer scoring; the conjunction is one extra countDistinct per
+    (query, doc) checked against the broadcast per-query term count —
+    no second corpus pass."""
+    tf_dl, corp = corpus_postings(docs, id_col, text_col)
+    qterms = queries.select(F.col("term")).distinct()
+    tf_dl = tf_dl.join(
+        F.broadcast(qterms), tf_dl.word == qterms.term, "leftsemi"
+    )
+    n_terms = queries.groupBy("q_id").agg(
+        F.countDistinct("term").alias("n_terms")
+    )
+    df_rel = tf_dl.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf_dl.join(F.broadcast(df_rel), "word")
+        .crossJoin(F.broadcast(corp))
+        .join(F.broadcast(queries), F.col("word") == F.col("term"))
+        .select(
+            "q_id", "doc_id", "word", F.expr(_CONTRIB).alias("contrib")
+        )
+        .groupBy("q_id", "doc_id")
+        .agg(
+            F.sum("contrib").alias("score_ppm"),
+            F.countDistinct("word").alias("_matched"),
+        )
+        .join(F.broadcast(n_terms), "q_id")
+        .filter(F.col("_matched") == F.col("n_terms"))
+        .select("q_id", "doc_id", "score_ppm")
+    )
+    ranked = _topk_per_query(
+        scored.select(
+            "q_id",
+            F.col("doc_id").alias("vec_id"),
+            F.col("score_ppm").cast("double").alias("cos"),
+            "score_ppm",
+        ),
+        k,
+        n_salts,
+    )
+    return ranked.select(
+        "q_id",
+        F.col("vec_id").alias("doc_id"),
+        "score_ppm",
+        F.col("rank").cast("long").alias("rank"),
+    )

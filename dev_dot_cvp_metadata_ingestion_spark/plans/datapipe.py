@@ -6164,3 +6164,79 @@ def events_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "text_bm25_topk_and",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS.format(c="text")}) AS word
+      FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+    ),
+    corp AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS t_tokens
+      FROM dl
+    ),
+    q(q_id, term) AS (VALUES
+      (CAST(1 AS BIGINT), 'spark'), (1, 'join'),
+      (2, 'window'), (2, 'filter'), (2, 'sort'),
+      (3, 'vector')),
+    nt AS (
+      SELECT q_id, CAST(count(DISTINCT term) AS BIGINT) AS n_terms
+      FROM q GROUP BY q_id
+    ),
+    tf AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE word IN (SELECT term FROM q)
+      GROUP BY doc_id, word
+    ),
+    dfr AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+    scored AS (
+      SELECT q.q_id, tf.doc_id,
+             CAST(sum(
+               (((n_docs - df) * 2 + 1) * 1000000 // (df * 2 + 1))
+               * ((tf * 2200000 * 1000000) //
+                  (tf * 1000000
+                   + (1200000 * (250000
+                       + (750000 * dl * 1000)
+                         // (t_tokens * 1000 // n_docs)))
+                     // 1000000))
+               // 1000000
+             ) AS BIGINT) AS score_ppm,
+             count(DISTINCT tf.word) AS matched
+      FROM tf JOIN dl USING (doc_id) JOIN dfr USING (word)
+           JOIN q ON tf.word = q.term, corp
+      GROUP BY q.q_id, tf.doc_id
+    ),
+    conj AS (
+      SELECT s.q_id, s.doc_id, s.score_ppm
+      FROM scored s JOIN nt USING (q_id)
+      WHERE s.matched = nt.n_terms
+    ),
+    ranked AS (
+      SELECT q_id, doc_id, score_ppm,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY score_ppm DESC, doc_id
+             ) AS BIGINT) AS rank
+      FROM conj
+    )
+    SELECT q_id, doc_id, score_ppm, rank FROM ranked WHERE rank <= 10
+    ORDER BY q_id, rank
+    """,
+)
+def text_bm25_topk_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND-semantics) integer BM25 — web-search default:
+    only documents containing EVERY query term are ranked. Identical
+    scoring and workload as ``text_bm25_topk``; the conjunction is a
+    countDistinct-matched-terms check against the broadcast per-query
+    term count — no second corpus pass, same scale shape
+    (operators/retrieval.py:bm25_topk_conjunctive)."""
+    from ..operators.retrieval import bm25_topk_conjunctive
+
+    d = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_BM25_QUERIES, "q_id long, term string")
+    return bm25_topk_conjunctive(d, q, k=10).orderBy("q_id", "rank")

@@ -198,6 +198,7 @@ BACK: tuple[str, ...] = (
     "text_bm25_topk",
     "corpus_heavy_hitters",
     "events_decayed_counts",
+    "text_bm25_topk_and",
 )
 
 

@@ -63,6 +63,7 @@ AT_RISK = [
     "text_bm25_topk",              # avgdl div on n_docs=0, empty tf
     "corpus_heavy_hitters",        # MG over empty partitions, n_total=0
     "events_decayed_counts",       # null as-of point on empty stream
+    "text_bm25_topk_and",          # matched==n_terms join on empty
 ]
 
 

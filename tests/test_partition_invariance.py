@@ -51,6 +51,7 @@ SENSITIVE = [
     "documents_substring_scrubbed",  # firsts min_by + coverage counts
     "corpus_heavy_hitters",  # partition-dependent MG candidates, exact recount
     "text_bm25_topk",        # salted two-phase per-query rank
+    "text_bm25_topk_and",    # conjunction gate + salted rank
 ]
 
 

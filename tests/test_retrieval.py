@@ -123,3 +123,40 @@ def test_tie_break_by_doc_id(spark):
     assert [(d, r) for (_, d, _, r) in rows] == [(10, 1), (11, 2), (12, 3)]
     # identical docs → identical scores
     assert len({s for (_, _, s, _) in rows}) == 1
+
+
+def test_conjunctive_is_and_filtered_disjunctive(spark):
+    """Conjunctive ranking == disjunctive scoring restricted to docs
+    containing every query term, re-ranked (scores unchanged)."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.retrieval import (
+        bm25_topk_conjunctive,
+    )
+
+    queries = [(1, "spark"), (1, "join"), (2, "window"), (2, "filter")]
+    d = spark.createDataFrame(DOCS, "doc_id long, text string")
+    q = spark.createDataFrame(queries, "q_id long, term string")
+    got = sorted(
+        (r.q_id, r.doc_id, r.score_ppm, r.rank)
+        for r in bm25_topk_conjunctive(d, q, k=10).collect()
+    )
+    # reference: disjunctive replica + AND filter + re-rank
+    full = _replica(DOCS, queries, k=100)
+    toks = {dd: t.split() for dd, t in DOCS}
+    qterms = {}
+    for q_id, t in queries:
+        qterms.setdefault(q_id, set()).add(t)
+    kept = [
+        (q_id, dd, s)
+        for (q_id, dd, s, _) in full
+        if qterms[q_id] <= set(toks[dd])
+    ]
+    expect = []
+    for q_id in sorted({x[0] for x in kept}):
+        rows = sorted(
+            [(dd, s) for qq, dd, s in kept if qq == q_id],
+            key=lambda x: (-x[1], x[0]),
+        )
+        expect += [(q_id, dd, s, r + 1) for r, (dd, s) in enumerate(rows)]
+    assert got == sorted(expect)
+    # q1 = spark AND join: docs 0 and 3 contain both, doc 1 lacks join
+    assert {dd for (qq, dd, _, _) in got if qq == 1} == {0, 3}
