@@ -98,16 +98,23 @@ def corpus_postings(
     """(postings, totals) for a documents frame: postings is
     (doc_id, word, tf, dl) — one row per distinct (doc, word), with
     the doc length denormalized on — and totals is the single-row
-    (n_docs, t_tokens). The corpus is tokenized ONCE (localCheckpoint)
-    and both aggregates are map-side combined."""
+    (n_docs, t_tokens). The token stream is consumed by exactly ONE
+    aggregate: doc lengths are derived from the tf relation itself
+    (dl = Σ tf per doc — postings-sized input, not tokens-sized) and
+    the totals row from dl, so the corpus tokenize has a single
+    consumer and every downstream aggregate is map-side combined over
+    an already-shrunk relation."""
     from ..functions.text import tokens
 
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("word"),
-    ).localCheckpoint()
+    )
     tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # tf fans out three ways (dl, the join, df derivation downstream)
+    # and its lineage is the corpus tokenize — materialize once
+    tf = tf.localCheckpoint()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     corp = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("t_tokens")
     )
