@@ -248,3 +248,46 @@ def bm25_topk_conjunctive(
         "score_ppm",
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame], k: int = 10, rrf_k: int = 60, n_salts: int = 32
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09) of N
+    (q_id, doc_id, rank) relations: fused score =
+    Σ_r floor(1e6 / (rrf_k + rank_r)) — exact integers, so the fused
+    ordering is engine-reproducible (the float 1/(k+r) original
+    differs only by the monotone floor). Documents missing from a
+    ranking simply contribute nothing (the standard convention).
+    Returns (q_id, doc_id, rrf_micro, rank), unordered.
+
+    Scale shape: inputs are already top-k relations (k × |queries|
+    rows each), so everything here is config-scale; the union +
+    groupBy + salted re-rank move only fused candidates."""
+    fused = None
+    for r in rankings:
+        part = r.select(
+            "q_id",
+            "doc_id",
+            F.expr(f"1000000L div ({rrf_k}L + rank)").alias("part"),
+        )
+        fused = part if fused is None else fused.unionByName(part)
+    scored = fused.groupBy("q_id", "doc_id").agg(
+        F.sum("part").alias("rrf_micro")
+    )
+    ranked = _topk_per_query(
+        scored.select(
+            "q_id",
+            F.col("doc_id").alias("vec_id"),
+            F.col("rrf_micro").cast("double").alias("cos"),
+            "rrf_micro",
+        ),
+        k,
+        n_salts,
+    )
+    return ranked.select(
+        "q_id",
+        F.col("vec_id").alias("doc_id"),
+        "rrf_micro",
+        F.col("rank").cast("long").alias("rank"),
+    )

@@ -6240,3 +6240,112 @@ def text_bm25_topk_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     q = spark.createDataFrame(_BM25_QUERIES, "q_id long, term string")
     return bm25_topk_conjunctive(d, q, k=10).orderBy("q_id", "rank")
+
+
+@register(
+    "text_rrf_fusion",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS.format(c="text")}) AS word
+      FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+    ),
+    corp AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS t_tokens
+      FROM dl
+    ),
+    q(q_id, term) AS (VALUES
+      (CAST(1 AS BIGINT), 'spark'), (1, 'join'),
+      (2, 'window'), (2, 'filter'), (2, 'sort'),
+      (3, 'vector')),
+    nt AS (
+      SELECT q_id, CAST(count(DISTINCT term) AS BIGINT) AS n_terms
+      FROM q GROUP BY q_id
+    ),
+    tf AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE word IN (SELECT term FROM q)
+      GROUP BY doc_id, word
+    ),
+    dfr AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+    scored AS (
+      SELECT q.q_id, tf.doc_id,
+             CAST(sum(
+               (((n_docs - df) * 2 + 1) * 1000000 // (df * 2 + 1))
+               * ((tf * 2200000 * 1000000) //
+                  (tf * 1000000
+                   + (1200000 * (250000
+                       + (750000 * dl * 1000)
+                         // (t_tokens * 1000 // n_docs)))
+                     // 1000000))
+               // 1000000
+             ) AS BIGINT) AS score_ppm,
+             count(DISTINCT tf.word) AS matched
+      FROM tf JOIN dl USING (doc_id) JOIN dfr USING (word)
+           JOIN q ON tf.word = q.term, corp
+      GROUP BY q.q_id, tf.doc_id
+    ),
+    ranked_dis AS (
+      SELECT q_id, doc_id,
+             row_number() OVER (
+               PARTITION BY q_id ORDER BY score_ppm DESC, doc_id
+             ) AS rank
+      FROM scored
+    ),
+    ranked_con AS (
+      SELECT s.q_id, s.doc_id,
+             row_number() OVER (
+               PARTITION BY s.q_id ORDER BY s.score_ppm DESC, s.doc_id
+             ) AS rank
+      FROM scored s JOIN nt USING (q_id)
+      WHERE s.matched = nt.n_terms
+    ),
+    parts AS (
+      SELECT q_id, doc_id, 1000000 // (60 + CAST(rank AS BIGINT)) AS part
+      FROM ranked_dis WHERE rank <= 10
+      UNION ALL
+      SELECT q_id, doc_id, 1000000 // (60 + CAST(rank AS BIGINT)) AS part
+      FROM ranked_con WHERE rank <= 10
+    ),
+    fused AS (
+      SELECT q_id, doc_id, CAST(sum(part) AS BIGINT) AS rrf_micro
+      FROM parts GROUP BY q_id, doc_id
+    ),
+    rr AS (
+      SELECT q_id, doc_id, rrf_micro,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id
+             ) AS BIGINT) AS rank
+      FROM fused
+    )
+    SELECT q_id, doc_id, rrf_micro, rank FROM rr WHERE rank <= 10
+    ORDER BY q_id, rank
+    """,
+)
+def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings — here the
+    disjunctive and conjunctive BM25 rankers over the shared 3-query
+    workload, the standard way to combine rankers without score
+    calibration (operators/retrieval.py:rrf_fuse; exact integer
+    1e6/(60+rank) weights, so the fusion hash-reproduces). The same
+    operator fuses lexical with ANN rankings when the id spaces align
+    — rankings are just (q_id, doc_id, rank) relations to it.
+
+    Scale note: inputs are top-k relations, so fusion itself is
+    config-scale; this registered form recomputes the two rankers'
+    postings independently (2 corpus passes) — a production call
+    shares ``corpus_postings`` or probes the persisted text index."""
+    from ..operators.retrieval import (
+        bm25_topk,
+        bm25_topk_conjunctive,
+        rrf_fuse,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_BM25_QUERIES, "q_id long, term string")
+    return rrf_fuse(
+        [bm25_topk(d, q, k=10), bm25_topk_conjunctive(d, q, k=10)], k=10
+    ).orderBy("q_id", "rank")

@@ -199,6 +199,7 @@ BACK: tuple[str, ...] = (
     "corpus_heavy_hitters",
     "events_decayed_counts",
     "text_bm25_topk_and",
+    "text_rrf_fusion",
 )
 
 

@@ -64,6 +64,7 @@ AT_RISK = [
     "corpus_heavy_hitters",        # MG over empty partitions, n_total=0
     "events_decayed_counts",       # null as-of point on empty stream
     "text_bm25_topk_and",          # matched==n_terms join on empty
+    "text_rrf_fusion",             # union of two empty rankings
 ]
 
 

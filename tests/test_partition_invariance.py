@@ -52,6 +52,7 @@ SENSITIVE = [
     "corpus_heavy_hitters",  # partition-dependent MG candidates, exact recount
     "text_bm25_topk",        # salted two-phase per-query rank
     "text_bm25_topk_and",    # conjunction gate + salted rank
+    "text_rrf_fusion",       # fusion of two salted rankings
 ]
 
 

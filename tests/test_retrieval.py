@@ -160,3 +160,44 @@ def test_conjunctive_is_and_filtered_disjunctive(spark):
     assert got == sorted(expect)
     # q1 = spark AND join: docs 0 and 3 contain both, doc 1 lacks join
     assert {dd for (qq, dd, _, _) in got if qq == 1} == {0, 3}
+
+
+def test_rrf_fusion_matches_python(spark):
+    """Fused ranking == plain-Python RRF over the two rankers'
+    replica rankings (same floor weights, same tie order)."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_conjunctive,
+        rrf_fuse,
+    )
+
+    queries = [(1, "spark"), (1, "join"), (2, "window"), (2, "filter")]
+    d = spark.createDataFrame(DOCS, "doc_id long, text string")
+    q = spark.createDataFrame(queries, "q_id long, term string")
+    dis = bm25_topk(d, q, k=10)
+    con = bm25_topk_conjunctive(d, q, k=10)
+    got = sorted(
+        (r.q_id, r.doc_id, r.rrf_micro, r.rank)
+        for r in rrf_fuse([dis, con], k=10).collect()
+    )
+
+    scores = {}
+    for df in (dis, con):
+        for r in df.collect():
+            key = (r.q_id, r.doc_id)
+            scores[key] = scores.get(key, 0) + 1_000_000 // (60 + r.rank)
+    expect = []
+    by_q = {}
+    for (q_id, doc_id), s in scores.items():
+        by_q.setdefault(q_id, []).append((doc_id, s))
+    for q_id, rows in by_q.items():
+        rows.sort(key=lambda x: (-x[1], x[0]))
+        expect += [
+            (q_id, doc_id, s, i + 1) for i, (doc_id, s) in enumerate(rows[:10])
+        ]
+    assert got == sorted(expect)
+    # a doc present in BOTH rankings outscores one present in only one
+    # at comparable ranks: doc 3 (spark AND join) must beat doc 1
+    # (spark only) for q1
+    q1 = {doc: rk for (qq, doc, _, rk) in got if qq == 1}
+    assert q1[3] < q1[1]
