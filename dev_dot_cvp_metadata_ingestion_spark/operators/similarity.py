@@ -474,3 +474,55 @@ def kmeans_assign(
         # centroids the last assignment was actually made against
         return out, cents_used
     return out
+
+
+def pq_codes(
+    emb: DataFrame,
+    d: int = 64,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000_000,
+) -> DataFrame:
+    """Product-quantization codes (Jégou et al. TPAMI'11): split each
+    d-dim vector into ``m`` contiguous subvectors and learn an
+    independent deterministic k-means codebook (``kmeans_assign``) per
+    subspace; a vector's code is its nearest-centroid id in each
+    subspace — d floats compressed to m small ints, the memory layout
+    IVF-PQ ANN serving is built on. Returns the long-form scalar
+    relation (vec_id, subspace, code, dist) where ``dist`` is the
+    subspace's fixed-point squared quantization error — summing it
+    per vec_id gives the vector's total reconstruction error, the
+    codebook-quality metric.
+
+    Scale shape: m independent copies of the kmeans_assign plan, each
+    over a SLICED (d/m)-dim view of the same scan — per-subspace
+    centroids are k-row broadcasts, assignments never shuffle the
+    corpus, and the union is plan-level (no data motion). All
+    arithmetic inherits kmeans_assign's fixed-point int64 doctrine, so
+    the full code table is bit-identical across engines and
+    partitionings."""
+    if d % m:
+        raise ValueError(f"d={d} not divisible by m={m}")
+    sub = d // m
+    outs = []
+    for s in range(m):
+        sl = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("embedding"),
+        )
+        asg = kmeans_assign(sl, k=k, iters=iters, scale=scale)
+        outs.append(
+            asg.select(
+                "vec_id",
+                F.lit(s).cast("long").alias("subspace"),
+                F.col("cluster").alias("code"),
+                "dist",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -6349,3 +6349,98 @@ def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(
         [bm25_topk(d, q, k=10), bm25_topk_conjunctive(d, q, k=10)], k=10
     ).orderBy("q_id", "rank")
+
+
+# ------------------------------------------------- product quantization
+
+
+def _pq_oracle(d: int = 64, m: int = 8, k: int = 16) -> str:
+    """Generate the PQ oracle: one copy of the (parameterized) kmeans
+    CTE chain per subspace over the SLICED embedding, unioned into the
+    long-form code table. Mechanical restatement of
+    operators/similarity.py:pq_codes — same fixed-point arithmetic,
+    same seed rule (k smallest vec_ids), same tie order."""
+    sub = d // m
+    ctes, selects = [], []
+    for s in range(m):
+        lo, hi = s * sub + 1, s * sub + sub
+        ctes.append(f"""
+    x{s} AS (
+      SELECT vec_id,
+             [CAST(floor(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT)
+              for v in embedding[{lo}:{hi}]] AS xf
+      FROM embeddings
+    ),
+    c0_{s} AS (
+      SELECT vec_id AS cluster, xf AS cf FROM x{s}
+      ORDER BY vec_id LIMIT {k}
+    ),
+    d1_{s} AS (
+      SELECT x.vec_id, c.cluster, x.xf,
+             CAST(list_sum([(x.xf[i]-c.cf[i])*(x.xf[i]-c.cf[i])
+                            for i in generate_series(1, len(x.xf))])
+                  AS BIGINT) AS dist
+      FROM x{s} x CROSS JOIN c0_{s} c
+    ),
+    a1_{s} AS (
+      SELECT vec_id, cluster, dist, xf FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cluster) AS rn
+        FROM d1_{s}) WHERE rn = 1
+    ),
+    e1_{s} AS (SELECT cluster, unnest(xf) AS v,
+                      generate_subscripts(xf, 1) AS dim
+               FROM a1_{s}),
+    cm1_{s} AS (SELECT cluster, dim,
+                       CAST(floor(CAST(sum(v) AS DOUBLE) / count(*))
+                            AS BIGINT) AS cv
+                FROM e1_{s} GROUP BY cluster, dim),
+    c1_{s} AS (SELECT cluster, list(cv ORDER BY dim) AS cf FROM cm1_{s}
+               GROUP BY cluster),
+    d2_{s} AS (
+      SELECT x.vec_id, c.cluster, x.xf,
+             CAST(list_sum([(x.xf[i]-c.cf[i])*(x.xf[i]-c.cf[i])
+                            for i in generate_series(1, len(x.xf))])
+                  AS BIGINT) AS dist
+      FROM x{s} x CROSS JOIN c1_{s} c
+    ),
+    a2_{s} AS (
+      SELECT vec_id, cluster, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cluster) AS rn
+        FROM d2_{s}) WHERE rn = 1
+    )""")
+        selects.append(
+            f"SELECT vec_id, CAST({s} AS BIGINT) AS subspace, "
+            f"CAST(cluster AS BIGINT) AS code, dist FROM a2_{s}"
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ORDER BY vec_id, subspace"
+    )
+
+
+@register("embedding_pq_codes", oracle=_pq_oracle())
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code table (Jégou et al. TPAMI'11): 8
+    independent 16-centroid codebooks over the 8-dim subspaces of the
+    64-dim embeddings — each vector compressed to 8 small ints plus a
+    per-subspace fixed-point reconstruction error
+    (operators/similarity.py:pq_codes). This is the memory layout
+    IVF-PQ serving builds on; ``embedding_quantize`` is the scalar
+    (int8) sibling, ``write_ivf_layout`` the coarse level above it.
+
+    The full code table hash-matches a DuckDB oracle that unrolls all
+    8 per-subspace Lloyd chains (generated by ``_pq_oracle`` — same
+    fixed-point arithmetic, seeds, and tie order), making this one of
+    the few PQ implementations anywhere with an exact cross-engine
+    oracle. Scale shape: per-subspace centroids are 16-row broadcasts;
+    assignments never shuffle the corpus; the m-way union is
+    plan-level."""
+    from ..operators.similarity import pq_codes
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_codes(e, d=64, m=8, k=16, iters=2)

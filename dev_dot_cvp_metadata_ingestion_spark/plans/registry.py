@@ -200,6 +200,7 @@ BACK: tuple[str, ...] = (
     "events_decayed_counts",
     "text_bm25_topk_and",
     "text_rrf_fusion",
+    "embedding_pq_codes",
 )
 
 

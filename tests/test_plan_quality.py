@@ -328,7 +328,7 @@ PER_ROW_OUTPUT = [
     "cv_message_metrics", "csv_rule_validation", "cv_sequential_checks",
     "documents_perplexity_buckets", "documents_repeated_substrings",
     "documents_substring_dup_stats", "documents_substring_scrubbed",
-    "dedup_pagerank_centrality",
+    "dedup_pagerank_centrality", "embedding_pq_codes",
 ]
 
 
