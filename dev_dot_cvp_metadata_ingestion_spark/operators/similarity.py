@@ -526,3 +526,87 @@ def pq_codes(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    d: int = 64,
+    m: int = 8,
+    k_codebook: int = 16,
+    k: int = 5,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 100_000,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the IVF-PQ
+    serving path: the corpus exists only as per-subspace codes; a
+    query computes one small distance table per subspace (its exact
+    distance to each of the k_codebook centroids) and a document's
+    approximate distance is the sum of table LOOKUPS at its codes.
+    Returns (q_id, vec_id, adc_dist, rank) per query, rank 1 =
+    nearest, ties by vec_id; UNORDERED (per-row operator contract).
+
+    Scale shape: per subspace, the distance table is
+    |queries| x k_codebook rows — broadcast onto the code relation, so
+    scoring never shuffles the corpus; the only corpus-sized exchange
+    is the final (q_id, vec_id) distance sum, and the per-query top-k
+    is the salted two-phase rank. All arithmetic is kmeans_assign's
+    fixed-point int64 (``scale`` defaults lower than the codebook
+    trainer's because m summed subspace distances must stay inside
+    2^53 for the exact double-ranked top-k), so the WHOLE chain —
+    codebooks, codes, tables, sums, ranks — is bit-identical across
+    engines: ADC with an exact cross-engine oracle
+    (plans/datapipe.py:_adc_oracle)."""
+    if d % m:
+        raise ValueError(f"d={d} not divisible by m={m}")
+    sub = d // m
+    parts = []
+    for s in range(m):
+        sl = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("embedding"),
+        )
+        asg, cents = kmeans_assign(
+            sl, k=k_codebook, iters=iters, scale=scale, return_centroids=True
+        )
+        qf = queries.select(
+            F.col(id_col).alias("q_id"),
+            F.transform(
+                F.slice(F.col(vec_col), s * sub + 1, sub),
+                lambda v: F.floor(v.cast("double") * scale).cast("long"),
+            ).alias("qf"),
+        )
+        qd = F.aggregate(
+            F.zip_with(F.col("qf"), F.col("cf"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, y: acc + y,
+        )
+        dt = qf.crossJoin(F.broadcast(cents)).select(
+            "q_id", "cluster", qd.alias("qd")
+        )
+        parts.append(
+            asg.select("vec_id", "cluster").join(F.broadcast(dt), "cluster")
+            .select("q_id", "vec_id", "qd")
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    scored = allp.groupBy("q_id", "vec_id").agg(
+        F.sum("qd").alias("adc_dist")
+    )
+    ranked = _topk_per_query(
+        scored.select(
+            "q_id",
+            "vec_id",
+            (-F.col("adc_dist")).cast("double").alias("cos"),
+            "adc_dist",
+        ),
+        k,
+        n_salts,
+    )
+    return ranked.select(
+        "q_id", "vec_id", "adc_dist", F.col("rank").cast("long").alias("rank")
+    )

@@ -6444,3 +6444,114 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return pq_codes(e, d=64, m=8, k=16, iters=2)
+
+
+def _adc_oracle(
+    d: int = 64, m: int = 8, k_codebook: int = 16, k: int = 5,
+    scale: int = 100_000, qmod: int = 97,
+) -> str:
+    """Generate the ADC oracle: the PQ per-subspace kmeans chains at
+    ``scale``, plus per-subspace query distance tables and the summed
+    lookup — a mechanical restatement of
+    operators/similarity.py:pq_adc_topk, exact to the last bit."""
+    sub = d // m
+    ctes, selects = [], []
+    for s in range(m):
+        lo, hi = s * sub + 1, s * sub + sub
+        ctes.append(f"""
+    x{s} AS (
+      SELECT vec_id,
+             [CAST(floor(CAST(v AS DOUBLE) * {scale}.0) AS BIGINT)
+              for v in embedding[{lo}:{hi}]] AS xf
+      FROM embeddings
+    ),
+    c0_{s} AS (
+      SELECT vec_id AS cluster, xf AS cf FROM x{s}
+      ORDER BY vec_id LIMIT {k_codebook}
+    ),
+    d1_{s} AS (
+      SELECT x.vec_id, c.cluster, x.xf,
+             CAST(list_sum([(x.xf[i]-c.cf[i])*(x.xf[i]-c.cf[i])
+                            for i in generate_series(1, len(x.xf))])
+                  AS BIGINT) AS dist
+      FROM x{s} x CROSS JOIN c0_{s} c
+    ),
+    a1_{s} AS (
+      SELECT vec_id, cluster, dist, xf FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cluster) AS rn
+        FROM d1_{s}) WHERE rn = 1
+    ),
+    e1_{s} AS (SELECT cluster, unnest(xf) AS v,
+                      generate_subscripts(xf, 1) AS dim
+               FROM a1_{s}),
+    cm1_{s} AS (SELECT cluster, dim,
+                       CAST(floor(CAST(sum(v) AS DOUBLE) / count(*))
+                            AS BIGINT) AS cv
+                FROM e1_{s} GROUP BY cluster, dim),
+    c1_{s} AS (SELECT cluster, list(cv ORDER BY dim) AS cf FROM cm1_{s}
+               GROUP BY cluster),
+    d2_{s} AS (
+      SELECT x.vec_id, c.cluster, x.xf,
+             CAST(list_sum([(x.xf[i]-c.cf[i])*(x.xf[i]-c.cf[i])
+                            for i in generate_series(1, len(x.xf))])
+                  AS BIGINT) AS dist
+      FROM x{s} x CROSS JOIN c1_{s} c
+    ),
+    a2_{s} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cluster) AS rn
+        FROM d2_{s}) WHERE rn = 1
+    ),
+    q{s} AS (
+      SELECT vec_id AS q_id, xf AS qf FROM x{s} WHERE vec_id % {qmod} = 0
+    ),
+    dt{s} AS (
+      SELECT q.q_id, c.cluster,
+             CAST(list_sum([(q.qf[i]-c.cf[i])*(q.qf[i]-c.cf[i])
+                            for i in generate_series(1, len(q.qf))])
+                  AS BIGINT) AS qd
+      FROM q{s} q CROSS JOIN c1_{s} c
+    )""")
+        selects.append(
+            f"SELECT dt.q_id, a.vec_id, dt.qd "
+            f"FROM a2_{s} a JOIN dt{s} dt ON a.cluster = dt.cluster"
+        )
+    union = "\n      UNION ALL ".join(selects)
+    return f"""WITH {",".join(ctes)},
+    allp AS (
+      {union}
+    ),
+    tot AS (
+      SELECT q_id, vec_id, CAST(sum(qd) AS BIGINT) AS adc_dist
+      FROM allp GROUP BY q_id, vec_id
+    ),
+    rr AS (
+      SELECT q_id, vec_id, adc_dist,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY adc_dist, vec_id
+             ) AS BIGINT) AS rank
+      FROM tot
+    )
+    SELECT q_id, vec_id, adc_dist, rank FROM rr WHERE rank <= {k}
+    ORDER BY q_id, rank"""
+
+
+@register("ann_pq_adc_topk", oracle=_adc_oracle())
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ search (the IVF-PQ serving path): the
+    corpus lives only as 8 per-subspace codes; each query (every 97th
+    vector) builds one 16-row distance table per subspace and
+    documents are ranked by the sum of table lookups at their codes —
+    top-5 per query (operators/similarity.py:pq_adc_topk). The entire
+    chain — codebooks, codes, tables, sums, ranks — is fixed-point
+    int64, so it hash-matches the generated 8-subspace DuckDB oracle
+    exactly: approximate NEAREST-NEIGHBOR search whose approximation
+    is itself bit-reproducible. Completes the ANN family: brute-force
+    (exact baseline) / LSH / IVF (pruning) / PQ-ADC (compression)."""
+    from ..operators.similarity import pq_adc_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 97 == 0)
+    return pq_adc_topk(e, q, d=64, m=8, k_codebook=16, k=5, iters=2)

@@ -201,6 +201,7 @@ BACK: tuple[str, ...] = (
     "text_bm25_topk_and",
     "text_rrf_fusion",
     "embedding_pq_codes",
+    "ann_pq_adc_topk",
 )
 
 

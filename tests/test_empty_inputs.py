@@ -66,6 +66,7 @@ AT_RISK = [
     "text_bm25_topk_and",          # matched==n_terms join on empty
     "text_rrf_fusion",             # union of two empty rankings
     "embedding_pq_codes",          # 8 kmeans seeds from empty corpus
+    "ann_pq_adc_topk",             # codebooks + tables on empty corpus
 ]
 
 

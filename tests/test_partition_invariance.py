@@ -54,6 +54,7 @@ SENSITIVE = [
     "text_bm25_topk_and",    # conjunction gate + salted rank
     "text_rrf_fusion",       # fusion of two salted rankings
     "embedding_pq_codes",    # 8 iterative per-subspace re-aggregations
+    "ann_pq_adc_topk",       # codebook train + salted rank
 ]
 
 

@@ -36,3 +36,23 @@ def test_more_centroids_reduce_reconstruction_error(spark):
 
     # k=1 (everything in one cell) must be strictly worse than k=16
     assert total_err(16) < total_err(1)
+
+
+def test_adc_rank_contract(spark):
+    from dev_dot_cvp_metadata_ingestion_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") % 97 == 0)
+    rows = pq_adc_topk(e, q, d=64, m=8, k_codebook=16, k=5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append((r.rank, r.adc_dist, r.vec_id))
+    assert len(by_q) == q.count()
+    for q_id, rs in by_q.items():
+        rs.sort()
+        assert [x[0] for x in rs] == [1, 2, 3, 4, 5]
+        # distance non-decreasing with rank; ties broken by vec_id
+        for (r1, d1, v1), (r2, d2, v2) in zip(rs, rs[1:]):
+            assert d1 < d2 or (d1 == d2 and v1 < v2)
