@@ -6555,3 +6555,56 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 97 == 0)
     return pq_adc_topk(e, q, d=64, m=8, k_codebook=16, k=5, iters=2)
+
+
+@register(
+    "corpus_bigram_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents
+    ),
+    bgl AS (
+      SELECT [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)]
+               AS bgs
+      FROM toks WHERE len(t) >= 2
+    ),
+    bg AS (SELECT unnest(bgs) AS word FROM bgl),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM bg),
+    c AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM bg GROUP BY word
+    )
+    SELECT word,
+           n_occurrences,
+           n_occurrences * 1000000 // n_total AS freq_ppm
+    FROM c, tot
+    WHERE n_occurrences * 1000000 > 900 * n_total
+    ORDER BY n_occurrences DESC, word
+    """,
+)
+def corpus_bigram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter BIGRAMS (> 900 ppm of all adjacent token pairs) —
+    the stop-gram list builder: the capped n-gram dedup family
+    (``dedup_ngram_pairs_capped``) and the boilerplate detectors drop
+    exactly these template phrases, and this query derives that list
+    with the same Misra-Gries two-phase machinery as
+    ``corpus_heavy_hitters`` (hash-domain sketch, exact broadcast
+    recount — operators/heavy_hitters.py). Bigram space squares the
+    vocabulary, which is precisely the regime where the
+    never-shuffle-the-vocabulary property matters."""
+    from ..operators.heavy_hitters import heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(tokens(F.col("text")).alias("t")).filter(F.size("t") >= 2)
+    bg = t.select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("word")
+    )
+    return heavy_hitters(bg, "word", threshold_ppm=900).orderBy(
+        F.col("n_occurrences").desc(), "word"
+    )

@@ -202,6 +202,7 @@ BACK: tuple[str, ...] = (
     "text_rrf_fusion",
     "embedding_pq_codes",
     "ann_pq_adc_topk",
+    "corpus_bigram_heavy_hitters",
 )
 
 

@@ -67,6 +67,7 @@ AT_RISK = [
     "text_rrf_fusion",             # union of two empty rankings
     "embedding_pq_codes",          # 8 kmeans seeds from empty corpus
     "ann_pq_adc_topk",             # codebooks + tables on empty corpus
+    "corpus_bigram_heavy_hitters", # MG + recount on empty bigram stream
 ]
 
 

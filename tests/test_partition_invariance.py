@@ -55,6 +55,7 @@ SENSITIVE = [
     "text_rrf_fusion",       # fusion of two salted rankings
     "embedding_pq_codes",    # 8 iterative per-subspace re-aggregations
     "ann_pq_adc_topk",       # codebook train + salted rank
+    "corpus_bigram_heavy_hitters",  # MG candidates over bigrams
 ]
 
 
