@@ -6608,3 +6608,102 @@ def corpus_bigram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(bg, "word", threshold_ppm=900).orderBy(
         F.col("n_occurrences").desc(), "word"
     )
+
+
+@register(
+    "events_window_anomaly_rolling",
+    oracle="""
+    WITH wc AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+             event_type,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT window_start, event_type, n_events,
+             CAST(count(*) OVER f AS BIGINT) AS m,
+             CAST(coalesce(sum(n_events) OVER f, 0) AS BIGINT) AS s,
+             CAST(coalesce(sum(n_events * n_events) OVER f, 0) AS BIGINT)
+               AS v
+      FROM wc
+      WINDOW f AS (PARTITION BY event_type ORDER BY window_start
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT window_start, event_type, n_events,
+           CASE WHEN m >= 12 THEN m END AS base_n,
+           CASE WHEN m >= 12 THEN s * 1000 // m END AS base_mean_milli,
+           CASE WHEN m >= 12 THEN
+             ((m * n_events - s) * (m * n_events - s) * 1000)
+               // nullif(m * v - s * s, 0) END AS z2_milli,
+           CASE WHEN m >= 12 THEN
+             CAST(((m * n_events - s) * (m * n_events - s) * 1000
+                   > 9000 * (m * v - s * s)) AS BIGINT) END AS is_anomaly
+    FROM r
+    ORDER BY event_type, window_start
+    """,
+)
+def events_window_anomaly_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-baseline three-sigma anomalies: each hour is judged
+    against its type's TRAILING 24 windows (rows frame, excluding
+    itself) instead of the whole-history moments of
+    ``events_window_anomaly`` — the drift-tolerant form: a level shift
+    ages into the baseline within a day instead of contaminating every
+    future verdict. Warmup rows (< 12 baseline windows) emit NULL
+    verdicts rather than pretending. Same exact-BIGINT z² predicate.
+
+    Scale shape: the ONLY window functions run over the aggregated
+    window-count relation partitioned by event_type — a partition is
+    |hours-in-retention| rows (8760/year), bounded regardless of event
+    volume, so this is the rare case where a windowed form IS the
+    scale answer; the corpus-sized pass is still just the one
+    window-count aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    wc = window_counts(ev)
+    f = (
+        W.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(-24, -1)
+    )
+    r = wc.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.count(F.lit(1)).over(f).alias("m"),
+        F.coalesce(F.sum("n_events").over(f), F.lit(0)).alias("s"),
+        F.coalesce(
+            F.sum(F.col("n_events") * F.col("n_events")).over(f), F.lit(0)
+        ).alias("v"),
+    )
+    warm = F.col("m") >= 12
+    dev = F.col("m") * F.col("n_events") - F.col("s")
+    varm = F.col("m") * F.col("v") - F.col("s") * F.col("s")
+    return (
+        r.select(
+            "window_start",
+            "event_type",
+            "n_events",
+            F.when(warm, F.col("m")).alias("base_n"),
+            F.when(warm, F.expr("s * 1000L div m")).alias("base_mean_milli"),
+            F.when(warm, dev).alias("_dev"),
+            F.when(warm, varm).alias("_varm"),
+        )
+        .select(
+            "window_start",
+            "event_type",
+            "n_events",
+            "base_n",
+            "base_mean_milli",
+            F.expr("(_dev * _dev * 1000L) div nullif(_varm, 0L)").alias(
+                "z2_milli"
+            ),
+            F.when(
+                F.col("_dev").isNotNull(),
+                (
+                    F.col("_dev") * F.col("_dev") * F.lit(1000)
+                    > F.lit(9000) * F.col("_varm")
+                ).cast("long"),
+            ).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "window_start")
+    )

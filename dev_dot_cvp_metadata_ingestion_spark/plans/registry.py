@@ -203,6 +203,7 @@ BACK: tuple[str, ...] = (
     "embedding_pq_codes",
     "ann_pq_adc_topk",
     "corpus_bigram_heavy_hitters",
+    "events_window_anomaly_rolling",
 )
 
 

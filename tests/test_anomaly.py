@@ -90,3 +90,34 @@ def test_multi_type_stats_are_independent(spark):
     ).collect()
     flagged = {(r.event_type, r.window_start) for r in out if r.is_anomaly}
     assert flagged == {("error", "2024-01-01 11:00:00")}
+
+
+def test_rolling_adapts_to_level_shift(spark):
+    """A permanent level shift: the ROLLING baseline flags only the
+    shift edge and re-calms once the new level ages into the frame;
+    verdicts before 12 baseline windows are NULL (warmup)."""
+    import os
+    import tempfile
+
+    from dev_dot_cvp_metadata_ingestion_spark.plans import registry
+
+    registry.load_all()
+    QUERIES = registry.QUERIES
+
+    series = [10, 11] * 12 + [80, 81] * 20  # shift at hour 24, then calm
+    ev = _events(spark, series)
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        rows = sorted(
+            QUERIES["events_window_anomaly_rolling"](spark, d).collect(),
+            key=lambda r: (r.event_type, r.window_start),
+        )
+    assert len(rows) == len(series)
+    # warmup: first 12 windows have no verdict
+    for r in rows[:12]:
+        assert r.is_anomaly is None and r.base_n is None
+    flagged = [i for i, r in enumerate(rows) if r.is_anomaly == 1]
+    assert flagged, "shift edge must flag"
+    assert min(flagged) == 24  # the first shifted hour
+    # adapted: the tail of the new level is calm again
+    assert all(r.is_anomaly == 0 for r in rows[-10:])

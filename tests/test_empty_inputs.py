@@ -68,6 +68,7 @@ AT_RISK = [
     "embedding_pq_codes",          # 8 kmeans seeds from empty corpus
     "ann_pq_adc_topk",             # codebooks + tables on empty corpus
     "corpus_bigram_heavy_hitters", # MG + recount on empty bigram stream
+    "events_window_anomaly_rolling",  # frames over zero windows
 ]
 
 
