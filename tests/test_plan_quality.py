@@ -471,3 +471,23 @@ def test_heavy_hitters_candidates_broadcast(spark):
     assert "MapInPandas" in plan
     semi = [l for l in plan.splitlines() if "LeftSemi" in l]
     assert semi and all("Broadcast" in l for l in semi)
+
+
+def test_adc_tables_broadcast_corpus_never_shuffled_for_scoring(spark):
+    # per-subspace distance tables are |queries| x k rows and must
+    # join the code relation by BROADCAST; the only corpus-sized
+    # exchange is the final (q_id, vec_id) distance sum + the salted
+    # rank — no SortMergeJoin anywhere in the serving path
+    plan = plan_of("ann_pq_adc_topk", spark)
+    assert plan.count("BroadcastHashJoin") >= 8  # one table per subspace
+    assert "SortMergeJoin" not in plan
+
+
+def test_rolling_anomaly_windows_are_type_partitioned(spark):
+    # the rolling form may use window functions ONLY over the bounded
+    # (event_type)-partitioned count relation — the global-window
+    # walker already proves no empty partitionSpec; this pins that the
+    # corpus-sized pass stays a single aggregate exchange
+    plan = plan_of("events_window_anomaly_rolling", spark)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"expected <=2 shuffles, got {n_exchanges}"
