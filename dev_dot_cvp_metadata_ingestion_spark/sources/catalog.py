@@ -758,3 +758,70 @@ def read_text_index(
         spark.read.parquet(f"{path}/postings"),
         spark.read.parquet(f"{path}/totals"),
     )
+
+
+def write_pq_layout(
+    emb: DataFrame,
+    path: str,
+    d: int = 64,
+    m: int = 8,
+    k_codebook: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 100_000,
+) -> None:
+    """Persist a PQ-compressed corpus — the sixth build-once layout
+    client: per-subspace codebooks are trained ONCE
+    (operators/similarity.py:kmeans_assign per sliced view) and the
+    corpus is stored as its long-form code table (vec_id, subspace,
+    cluster — m small ints per vector instead of d floats) plus the
+    (subspace, cluster, cf) codebook sidecar and a meta row. ADC
+    serving (``pq_probe_adc_topk``) then never reads an embedding:
+    query distance tables come from the codebook sidecar, document
+    distances from code lookups. Probe ≡ the in-query
+    ``pq_adc_topk`` row-for-row (same fixed-point chain;
+    tests/test_pq_layout.py)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import kmeans_assign
+
+    sub = d // m
+    code_parts, cb_parts = [], []
+    for s in range(m):
+        sl = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("embedding"),
+        )
+        asg, cents = kmeans_assign(
+            sl, k=k_codebook, iters=iters, scale=scale, return_centroids=True
+        )
+        code_parts.append(
+            asg.select(F.lit(s).alias("subspace"), "vec_id", "cluster")
+        )
+        cb_parts.append(
+            cents.select(F.lit(s).alias("subspace"), "cluster", "cf")
+        )
+    codes = code_parts[0]
+    for c in code_parts[1:]:
+        codes = codes.unionByName(c)
+    cbs = cb_parts[0]
+    for c in cb_parts[1:]:
+        cbs = cbs.unionByName(c)
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    cbs.write.mode("overwrite").parquet(f"{path}/codebooks")
+    emb.sparkSession.createDataFrame(
+        [(int(d), int(m), int(scale))], "d int, m int, scale int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_pq_layout(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Load a persisted PQ layout: (codes, codebooks, meta-dict)."""
+    meta = spark.read.parquet(f"{path}/meta").first().asDict()
+    return (
+        spark.read.parquet(f"{path}/codes"),
+        spark.read.parquet(f"{path}/codebooks"),
+        meta,
+    )
