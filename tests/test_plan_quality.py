@@ -474,12 +474,17 @@ def test_heavy_hitters_candidates_broadcast(spark):
 
 
 def test_adc_tables_broadcast_corpus_never_shuffled_for_scoring(spark):
-    # per-subspace distance tables are |queries| x k rows and must
-    # join the code relation by BROADCAST; the only corpus-sized
+    # the distance tables (|queries| x k x m rows, long-form) join the
+    # code relation through ONE broadcast lookup; the only corpus-sized
     # exchange is the final (q_id, vec_id) distance sum + the salted
     # rank — no SortMergeJoin anywhere in the serving path
     plan = plan_of("ann_pq_adc_topk", spark)
-    assert plan.count("BroadcastHashJoin") >= 8  # one table per subspace
+    lookup = [
+        l
+        for l in plan.splitlines()
+        if "BroadcastHashJoin" in l and "subspace" in l and "cluster" in l
+    ]
+    assert lookup, plan[:2000]
     assert "SortMergeJoin" not in plan
 
 
