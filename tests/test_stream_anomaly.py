@@ -121,3 +121,42 @@ def test_redelivery_is_idempotent(spark, tmp_path):
     ).withColumn("ts", F.to_timestamp("ts"))
     anomaly_monitor_sink(str(counts), str(reports))(redelivered, 1)
     assert snapshot() == before
+
+
+def test_crash_between_counts_and_report_recovers(spark, tmp_path):
+    """The sink writes counts THEN the report (non-atomic window, same
+    shape as the lsh ingest sink's documented gap): a crash after the
+    counts write but before the report write must converge to the
+    clean-run state once the batch is re-delivered — both writes are
+    batch_id-keyed dynamic overwrites, so the replay rewrites identical
+    partitions."""
+    import shutil
+
+    half = len(EVENTS) // 2
+    b0 = spark.createDataFrame(
+        EVENTS[:half], "event_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    b1 = spark.createDataFrame(
+        EVENTS[half:], "event_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    # clean run
+    c_clean, r_clean = tmp_path / "cc", tmp_path / "rc"
+    sink = anomaly_monitor_sink(str(c_clean), str(r_clean))
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def snap(c, r):
+        return (
+            sorted(tuple(x) for x in spark.read.parquet(str(c)).collect()),
+            sorted(tuple(x) for x in spark.read.parquet(str(r)).collect()),
+        )
+
+    # crashed run: batch 1's report write "never happened"
+    c2, r2 = tmp_path / "c2", tmp_path / "r2"
+    sink2 = anomaly_monitor_sink(str(c2), str(r2))
+    sink2(b0, 0)
+    sink2(b1, 1)
+    shutil.rmtree(str(r2 / "batch_id=1"))  # simulate the crash window
+    sink2(b1, 1)  # checkpoint never committed → re-delivery
+    assert snap(c2, r2) == snap(c_clean, r_clean)
