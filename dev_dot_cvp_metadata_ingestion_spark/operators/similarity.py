@@ -695,3 +695,228 @@ def pq_probe_adc_topk(
     return ranked.select(
         "q_id", "vec_id", "adc_dist", F.col("rank").cast("long").alias("rank")
     )
+
+
+def ivf_pq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    d: int = 64,
+    m: int = 8,
+    k_codebook: int = 16,
+    k: int = 5,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 100_000,
+    coarse_scale: int = 10_000_000,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Composed IVF-PQ search — the full FAISS serving architecture:
+    a coarse quantizer (``kmeans_assign``, same fixed-point chain the
+    IVF family shares) prunes each query to its ``nprobe`` nearest
+    cells, and ADC over the PQ codes ranks only within those cells.
+    Codebooks here are GLOBAL (non-residual) — the documented
+    simplification vs FAISS's per-cell residual training; the pruning
+    and compression layers compose exactly the same way.
+
+    Returns (q_id, vec_id, adc_dist, rank), rank 1 = nearest among the
+    probed cells' vectors, ties by vec_id; UNORDERED. Every stage is
+    fixed-point int64, so the whole composition hash-matches its
+    generated oracle (plans/datapipe.py:_ivf_pq_oracle).
+
+    Scale shape: coarse centroids and all m distance tables are
+    broadcast; the probe relation is |queries| x nprobe rows; the only
+    corpus-sized motion is the codes-cell join and the final distance
+    sum, and the candidate volume is cut by ~nprobe/n_cells before any
+    ADC work happens. The persisted twin
+    (sources/catalog.py:write_ivf_pq_layout + ``ivf_pq_probe_topk``)
+    turns the cell join into partition pruning at the file level."""
+    from pyspark.sql import Window
+
+    sub = d // m
+    coarse_asg, coarse_cents = kmeans_assign(
+        emb,
+        k=n_cells,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        scale=coarse_scale,
+        return_centroids=True,
+    )
+    coarse_cents = coarse_cents.localCheckpoint()
+    qx = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.floor(v.cast("double") * coarse_scale).cast("long"),
+        ).alias("qxf"),
+    )
+    qdist = F.aggregate(
+        F.zip_with(F.col("qxf"), F.col("cf"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    w_probe = Window.partitionBy("q_id").orderBy("qdist", "cell")
+    probes = (
+        qx.crossJoin(F.broadcast(coarse_cents))
+        .select("q_id", F.col("cluster").alias("cell"), qdist.alias("qdist"))
+        .withColumn("_pr", F.row_number().over(w_probe))
+        .filter(F.col("_pr") <= nprobe)
+        .select("q_id", "cell")
+    )
+    # PQ halves — identical chains to pq_adc_topk
+    code_parts, dt_parts = [], []
+    for s in range(m):
+        sl = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("embedding"),
+        )
+        asg, cents = kmeans_assign(
+            sl, k=k_codebook, iters=iters, scale=scale, return_centroids=True
+        )
+        cents = cents.localCheckpoint()
+        qf = queries.select(
+            F.col(id_col).alias("q_id"),
+            F.transform(
+                F.slice(F.col(vec_col), s * sub + 1, sub),
+                lambda v: F.floor(v.cast("double") * scale).cast("long"),
+            ).alias("qf"),
+        )
+        qd = F.aggregate(
+            F.zip_with(F.col("qf"), F.col("cf"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, y: acc + y,
+        )
+        dt_parts.append(
+            qf.crossJoin(F.broadcast(cents)).select(
+                F.lit(s).alias("subspace"), "q_id", "cluster", qd.alias("qd")
+            )
+        )
+        code_parts.append(
+            asg.select(F.lit(s).alias("subspace"), "vec_id", "cluster")
+        )
+    codes = code_parts[0]
+    for c in code_parts[1:]:
+        codes = codes.unionByName(c)
+    dts = dt_parts[0]
+    for t in dt_parts[1:]:
+        dts = dts.unionByName(t)
+    cellmap = coarse_asg.select("vec_id", F.col("cluster").alias("cell"))
+    scored = (
+        codes.join(cellmap, "vec_id")
+        .join(F.broadcast(probes), "cell")
+        .join(F.broadcast(dts), ["subspace", "cluster", "q_id"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("qd").alias("adc_dist"))
+    )
+    ranked = _topk_per_query(
+        scored.select(
+            "q_id",
+            "vec_id",
+            (-F.col("adc_dist")).cast("double").alias("cos"),
+            "adc_dist",
+        ),
+        k,
+        n_salts,
+    )
+    return ranked.select(
+        "q_id", "vec_id", "adc_dist", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def ivf_pq_probe_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_salts: int = 32,
+) -> DataFrame:
+    """IVF-PQ serving against the persisted layout
+    (sources/catalog.py:write_ivf_pq_layout): coarse probes come from
+    the centroid sidecar, the probed cells' union is collected
+    driver-side (|queries| x nprobe values, config-scale) so the cell
+    predicate reaches the codes scan as a STATIC PartitionFilter, the
+    per-query cell restriction is a broadcast join, and ADC ranks from
+    code lookups — no kmeans chain, no embedding float ever read.
+    Row-for-row equal to ``ivf_pq_adc_topk`` at the build params
+    (pinned in tests/test_ivf_pq_layout.py)."""
+    from pyspark.sql import Window
+
+    from ..sources.catalog import read_ivf_pq_layout
+
+    codes, coarse_cents, cbs, meta = read_ivf_pq_layout(spark, path)
+    d, m, scale, coarse_scale = (
+        meta["d"], meta["m"], meta["scale"], meta["coarse_scale"],
+    )
+    sub = d // m
+    qx = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.floor(v.cast("double") * coarse_scale).cast("long"),
+        ).alias("qxf"),
+    )
+    qdist = F.aggregate(
+        F.zip_with(F.col("qxf"), F.col("cf"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    w_probe = Window.partitionBy("q_id").orderBy("qdist", "cell")
+    probes = (
+        qx.crossJoin(F.broadcast(coarse_cents))
+        .select("q_id", F.col("cluster").alias("cell"), qdist.alias("qdist"))
+        .withColumn("_pr", F.row_number().over(w_probe))
+        .filter(F.col("_pr") <= nprobe)
+        .select("q_id", F.col("cell").cast("int").alias("cell"))
+    )
+    probed_cells = [r.cell for r in probes.select("cell").distinct().collect()]
+    dt_parts = []
+    for s in range(m):
+        qf = queries.select(
+            F.col(id_col).alias("q_id"),
+            F.transform(
+                F.slice(F.col(vec_col), s * sub + 1, sub),
+                lambda v: F.floor(v.cast("double") * scale).cast("long"),
+            ).alias("qf"),
+        )
+        qd = F.aggregate(
+            F.zip_with(F.col("qf"), F.col("cf"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, y: acc + y,
+        )
+        dt_parts.append(
+            qf.join(
+                F.broadcast(cbs.filter(F.col("subspace") == s)), how="cross"
+            ).select(
+                F.lit(s).alias("subspace"), "q_id", "cluster", qd.alias("qd")
+            )
+        )
+    dts = dt_parts[0]
+    for t in dt_parts[1:]:
+        dts = dts.unionByName(t)
+    scored = (
+        codes.filter(F.col("cell").isin(probed_cells) if probed_cells else F.lit(False))
+        .join(F.broadcast(probes), "cell")
+        .join(F.broadcast(dts), ["subspace", "cluster", "q_id"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("qd").alias("adc_dist"))
+    )
+    ranked = _topk_per_query(
+        scored.select(
+            "q_id",
+            "vec_id",
+            (-F.col("adc_dist")).cast("double").alias("cos"),
+            "adc_dist",
+        ),
+        k,
+        n_salts,
+    )
+    return ranked.select(
+        "q_id", "vec_id", "adc_dist", F.col("rank").cast("long").alias("rank")
+    )
+

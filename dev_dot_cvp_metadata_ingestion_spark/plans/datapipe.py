@@ -6707,3 +6707,139 @@ def events_window_anomaly_rolling(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type", "window_start")
     )
+
+
+def _ivf_pq_oracle(
+    d: int = 64, m: int = 8, k_codebook: int = 16, k: int = 5,
+    nprobe: int = 2, scale: int = 100_000, qmod: int = 97,
+) -> str:
+    """Generate the composed IVF-PQ oracle: the coarse k-means chain
+    (_KMEANS_CTES — the same relation the IVF family oracles share, at
+    the coarse 1e7 scale), per-query nprobe cell probes, the
+    per-subspace PQ chains + distance tables at the ADC scale, and the
+    cell-filtered summed lookup. Restates
+    operators/similarity.py:ivf_pq_adc_topk bit-for-bit."""
+    sub = d // m
+    ctes, selects = [], []
+    for s in range(m):
+        lo, hi = s * sub + 1, s * sub + sub
+        ctes.append(f"""
+    x{s} AS (
+      SELECT vec_id,
+             [CAST(floor(CAST(v AS DOUBLE) * {scale}.0) AS BIGINT)
+              for v in embedding[{lo}:{hi}]] AS xf
+      FROM embeddings
+    ),
+    c0_{s} AS (
+      SELECT vec_id AS cluster, xf AS cf FROM x{s}
+      ORDER BY vec_id LIMIT {k_codebook}
+    ),
+    d1_{s} AS (
+      SELECT x.vec_id, c.cluster, x.xf,
+             CAST(list_sum([(x.xf[i]-c.cf[i])*(x.xf[i]-c.cf[i])
+                            for i in generate_series(1, len(x.xf))])
+                  AS BIGINT) AS dist
+      FROM x{s} x CROSS JOIN c0_{s} c
+    ),
+    a1_{s} AS (
+      SELECT vec_id, cluster, dist, xf FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cluster) AS rn
+        FROM d1_{s}) WHERE rn = 1
+    ),
+    e1_{s} AS (SELECT cluster, unnest(xf) AS v,
+                      generate_subscripts(xf, 1) AS dim
+               FROM a1_{s}),
+    cm1_{s} AS (SELECT cluster, dim,
+                       CAST(floor(CAST(sum(v) AS DOUBLE) / count(*))
+                            AS BIGINT) AS cv
+                FROM e1_{s} GROUP BY cluster, dim),
+    c1_{s} AS (SELECT cluster, list(cv ORDER BY dim) AS cf FROM cm1_{s}
+               GROUP BY cluster),
+    d2_{s} AS (
+      SELECT x.vec_id, c.cluster, x.xf,
+             CAST(list_sum([(x.xf[i]-c.cf[i])*(x.xf[i]-c.cf[i])
+                            for i in generate_series(1, len(x.xf))])
+                  AS BIGINT) AS dist
+      FROM x{s} x CROSS JOIN c1_{s} c
+    ),
+    a2_{s} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cluster) AS rn
+        FROM d2_{s}) WHERE rn = 1
+    ),
+    q{s} AS (
+      SELECT vec_id AS q_id, xf AS qf FROM x{s} WHERE vec_id % {qmod} = 0
+    ),
+    dt{s} AS (
+      SELECT q.q_id, c.cluster,
+             CAST(list_sum([(q.qf[i]-c.cf[i])*(q.qf[i]-c.cf[i])
+                            for i in generate_series(1, len(q.qf))])
+                  AS BIGINT) AS qd
+      FROM q{s} q CROSS JOIN c1_{s} c
+    )""")
+        selects.append(
+            f"SELECT dt.q_id, a.vec_id, dt.qd "
+            f"FROM a2_{s} a JOIN dt{s} dt ON a.cluster = dt.cluster "
+            f"JOIN cellmap cm ON cm.vec_id = a.vec_id "
+            f"JOIN probes p ON p.cell = cm.cell AND p.q_id = dt.q_id"
+        )
+    union = "\n      UNION ALL ".join(selects)
+    return f"""WITH {_KMEANS_CTES},
+    qc AS (
+      SELECT vec_id AS q_id, xf AS qxf FROM x WHERE vec_id % {qmod} = 0
+    ),
+    pd AS (
+      SELECT qc.q_id, c.cluster AS cell,
+             CAST(list_sum([(qc.qxf[i]-c.cf[i])*(qc.qxf[i]-c.cf[i])
+                            for i in generate_series(1, len(qc.qxf))])
+                  AS BIGINT) AS qdist
+      FROM qc CROSS JOIN c1 c
+    ),
+    probes AS (
+      SELECT q_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY qdist, cell) AS rn
+        FROM pd) WHERE rn <= {nprobe}
+    ),
+    cellmap AS (SELECT vec_id, cluster AS cell FROM a2),
+    {",".join(ctes)},
+    allp AS (
+      {union}
+    ),
+    tot AS (
+      SELECT q_id, vec_id, CAST(sum(qd) AS BIGINT) AS adc_dist
+      FROM allp GROUP BY q_id, vec_id
+    ),
+    rr AS (
+      SELECT q_id, vec_id, adc_dist,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY adc_dist, vec_id
+             ) AS BIGINT) AS rank
+      FROM tot
+    )
+    SELECT q_id, vec_id, adc_dist, rank FROM rr WHERE rank <= {k}
+    ORDER BY q_id, rank"""
+
+
+@register("ann_ivf_pq_topk", oracle=_ivf_pq_oracle())
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed FAISS architecture, end to end: coarse IVF
+    quantizer (8 cells, the family's shared fixed-point chain) prunes
+    each query (every 97th vector) to its 2 nearest cells, then
+    asymmetric PQ distance over 8x16 global codebooks ranks the probed
+    cells' vectors — top-5 per query
+    (operators/similarity.py:ivf_pq_adc_topk). Every layer is
+    fixed-point int64, so the COMPOSITION hash-matches the generated
+    oracle (coarse chain + probe ranks + 8 PQ chains + cell-filtered
+    lookup sum): pruning-changes-results ANN, bit-reproducible. The
+    persisted serving twin is ``write_ivf_pq_layout`` /
+    ``ivf_pq_probe_topk``."""
+    from ..operators.similarity import ivf_pq_adc_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 97 == 0)
+    return ivf_pq_adc_topk(
+        e, q, n_cells=8, nprobe=2, d=64, m=8, k_codebook=16, k=5, iters=2
+    )

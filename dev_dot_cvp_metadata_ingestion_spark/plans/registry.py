@@ -204,6 +204,7 @@ BACK: tuple[str, ...] = (
     "ann_pq_adc_topk",
     "corpus_bigram_heavy_hitters",
     "events_window_anomaly_rolling",
+    "ann_ivf_pq_topk",
 )
 
 

@@ -825,3 +825,98 @@ def read_pq_layout(
         spark.read.parquet(f"{path}/codebooks"),
         meta,
     )
+
+
+def write_ivf_pq_layout(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    d: int = 64,
+    m: int = 8,
+    k_codebook: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 100_000,
+    coarse_scale: int = 10_000_000,
+) -> None:
+    """Persist the composed IVF-PQ serving layout (the FAISS on-disk
+    architecture, seventh build-once client): PQ code rows carry their
+    coarse CELL and are parquet-partitioned by it, so a probe's
+    nprobe-cell predicate prunes at the file level AND the scan reads
+    codes (m small ints) instead of embedding floats — both savings at
+    once. Sidecars: coarse centroids, PQ codebooks, meta. Probe ≡ the
+    in-query ``ivf_pq_adc_topk`` row-for-row
+    (tests/test_ivf_pq_layout.py)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import kmeans_assign
+
+    sub = d // m
+    coarse_asg, coarse_cents = kmeans_assign(
+        emb,
+        k=n_cells,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        scale=coarse_scale,
+        return_centroids=True,
+    )
+    cellmap = coarse_asg.select("vec_id", F.col("cluster").alias("cell"))
+    code_parts, cb_parts = [], []
+    for s in range(m):
+        sl = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("embedding"),
+        )
+        asg, cents = kmeans_assign(
+            sl, k=k_codebook, iters=iters, scale=scale, return_centroids=True
+        )
+        code_parts.append(
+            asg.select(F.lit(s).alias("subspace"), "vec_id", "cluster")
+        )
+        cb_parts.append(
+            cents.select(F.lit(s).alias("subspace"), "cluster", "cf")
+        )
+    codes = code_parts[0]
+    for c in code_parts[1:]:
+        codes = codes.unionByName(c)
+    cbs = cb_parts[0]
+    for c in cb_parts[1:]:
+        cbs = cbs.unionByName(c)
+    keyed = codes.join(cellmap, "vec_id").withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    if emb.isEmpty():
+        # sibling layout writers' empty-input contract: plain write,
+        # cell already int so the read-back schema matches
+        keyed.write.mode("overwrite").parquet(f"{path}/codes")
+    else:
+        (
+            keyed.repartition(F.col("cell"))
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{path}/codes")
+        )
+    coarse_cents.write.mode("overwrite").parquet(f"{path}/coarse_centroids")
+    cbs.write.mode("overwrite").parquet(f"{path}/codebooks")
+    emb.sparkSession.createDataFrame(
+        [(int(d), int(m), int(scale), int(coarse_scale))],
+        "d int, m int, scale int, coarse_scale int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_ivf_pq_layout(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
+    """Load a persisted IVF-PQ layout:
+    (codes, coarse_centroids, codebooks, meta-dict). ``codes`` has
+    (vec_id, subspace, cluster, cell) with ``cell`` as the on-disk
+    partition column."""
+    meta = spark.read.parquet(f"{path}/meta").first().asDict()
+    return (
+        spark.read.parquet(f"{path}/codes"),
+        spark.read.parquet(f"{path}/coarse_centroids"),
+        spark.read.parquet(f"{path}/codebooks"),
+        meta,
+    )

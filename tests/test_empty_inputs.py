@@ -69,6 +69,7 @@ AT_RISK = [
     "ann_pq_adc_topk",             # codebooks + tables on empty corpus
     "corpus_bigram_heavy_hitters", # MG + recount on empty bigram stream
     "events_window_anomaly_rolling",  # frames over zero windows
+    "ann_ivf_pq_topk",             # coarse + 8 PQ chains on empty corpus
 ]
 
 

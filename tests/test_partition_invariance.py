@@ -56,6 +56,7 @@ SENSITIVE = [
     "embedding_pq_codes",    # 8 iterative per-subspace re-aggregations
     "ann_pq_adc_topk",       # codebook train + salted rank
     "corpus_bigram_heavy_hitters",  # MG candidates over bigrams
+    "ann_ivf_pq_topk",       # coarse probe + PQ chains + salted rank
 ]
 
 
