@@ -507,6 +507,12 @@ def pq_codes(
     if d % m:
         raise ValueError(f"d={d} not divisible by m={m}")
     sub = d // m
+    # every subspace chain (and each Lloyd iteration inside it) re-reads
+    # the embedding relation through its lineage — one materialization
+    # replaces the 24-36 repeated parquet scans the plan audit counted
+    # (same device as the drift/pagerank localCheckpoint pass, hashes
+    # unchanged)
+    emb = emb.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
     outs = []
     for s in range(m):
         sl = emb.select(
@@ -563,6 +569,15 @@ def pq_adc_topk(
     if d % m:
         raise ValueError(f"d={d} not divisible by m={m}")
     sub = d // m
+    # every subspace chain (and each Lloyd iteration inside it) re-reads
+    # the embedding relation through its lineage — one materialization
+    # replaces the 24-36 repeated parquet scans the plan audit counted
+    # (same device as the drift/pagerank localCheckpoint pass, hashes
+    # unchanged)
+    emb = emb.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
+    # the query relation is config-scale but feeds one sliced view per
+    # subspace — checkpoint it too so the probe side scans once
+    queries = queries.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
     code_parts, dt_parts = [], []
     for s in range(m):
         sl = emb.select(
@@ -736,6 +751,11 @@ def ivf_pq_adc_topk(
     from pyspark.sql import Window
 
     sub = d // m
+    # one materialization of the projected input replaces the repeated
+    # parquet scans of the coarse chain + 8 subspace chains (see
+    # pq_codes); hashes unchanged
+    emb = emb.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
+    queries = queries.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
     coarse_asg, coarse_cents = kmeans_assign(
         emb,
         k=n_cells,
