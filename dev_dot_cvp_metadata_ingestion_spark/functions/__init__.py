@@ -5,6 +5,7 @@ from .text import (  # noqa: F401
     stopword_ratio,
     quality_score,
     rolling_hash,
+    ascii_lower,
     content_fingerprint,
     lang_scores,
     lang_id,

@@ -98,10 +98,32 @@ def rolling_hash(text: Column) -> Column:
     )
 
 
+# ASCII-only case fold. Full Unicode case mapping is NOT engine-stable:
+# it depends on the engine's bundled Unicode version (JDK 17.0.20 ships
+# Unicode 16 casing data and lowercases U+1C89 -> U+1C8A; CPython 3.11
+# carries Unicode 14 and maps it to itself; DuckDB pins its own ICU),
+# so an md5 over `lower(text)` is not bit-portable across engines — a
+# hypothesis property test found the single-char falsifier 'Ᲊ'.
+# The fingerprint contract is therefore: fold EXACTLY the 26 ASCII
+# letters A-Z, nothing else. `translate` with an explicit alphabet is
+# identical in Spark, DuckDB, and Python by construction.
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(text: Column) -> Column:
+    """Engine-stable case fold: maps A-Z to a-z and leaves every other
+    codepoint untouched (see the Unicode-version note above)."""
+    return F.translate(text, _ASCII_UPPER, _ASCII_LOWER)
+
+
 def content_fingerprint(text: Column) -> Column:
     """Exact content fingerprint: md5 of the case/whitespace-normalized
-    text (the key for exact dedup)."""
-    return F.md5(F.array_join(tokens(F.lower(text)), " "))
+    text (the key for exact dedup). Normalization = whitespace-split
+    tokens joined by single spaces, ASCII-only case fold (A-Z -> a-z;
+    full Unicode lowercasing is Unicode-version-dependent across
+    engines and is deliberately NOT applied — see ``ascii_lower``)."""
+    return F.md5(F.array_join(tokens(ascii_lower(text)), " "))
 
 
 def lang_scores(text: Column) -> list[tuple[str, Column]]:

@@ -58,6 +58,13 @@ from .registry import register
 
 _TOKS = "list_filter(string_split_regex({c}, '\\s+'), x -> x <> '')"
 _BASE_HASH = "(('0x' || substr(md5({s}), 1, 8))::BIGINT)"
+# the fingerprint's engine-stable ASCII-only case fold — the SQL twin
+# of functions.text.ascii_lower (full `lower()` is Unicode-version-
+# dependent across JVM/DuckDB/CPython; see that docstring)
+_ASCII_LOWER = (
+    "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+    " 'abcdefghijklmnopqrstuvwxyz')"
+)
 
 
 def _shingle_sql(n: int) -> str:
@@ -117,7 +124,7 @@ def _bucket_sql(n_planes: int, v: str = "v") -> str:
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, text, {_TOKS.format(c="text")} AS t,
-             {_TOKS.format(c="lower(text)")} AS tl
+             {_TOKS.format(c=_ASCII_LOWER)} AS tl
       FROM documents
     )
     SELECT doc_id,
@@ -569,7 +576,7 @@ _CURATED_CTES = f"""
     toks AS (
       SELECT doc_id, lang, source, text,
              {_TOKS.format(c="text")} AS t,
-             {_TOKS.format(c="lower(text)")} AS tl
+             {_TOKS.format(c=_ASCII_LOWER)} AS tl
       FROM documents
     ),
     scored AS (
@@ -1590,7 +1597,7 @@ def documents_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle=f"""
     WITH f AS (
       SELECT doc_id,
-             md5(array_to_string({_TOKS.format(c="lower(text)")}, ' ')) AS fingerprint
+             md5(array_to_string({_TOKS.format(c=_ASCII_LOWER)}, ' ')) AS fingerprint
       FROM documents
     )
     SELECT fingerprint, min(doc_id) AS keeper_id, count(*) AS n_copies
@@ -2528,7 +2535,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS.format(c="text")} AS t,
-             {_TOKS.format(c="lower(text)")} AS tl
+             {_TOKS.format(c=_ASCII_LOWER)} AS tl
       FROM documents
     ),
     scored AS (

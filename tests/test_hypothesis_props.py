@@ -8,7 +8,7 @@ from __future__ import annotations
 import hashlib
 import re
 
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
 
 from pyspark.sql import functions as F
 
@@ -95,7 +95,28 @@ def test_token_and_shingle_models(spark, texts):
         assert list(r.sh3) == _py_shingles(s, 3), repr(s)
 
 
+def _py_ascii_lower(s: str) -> str:
+    # the Python twin of functions.text.ascii_lower: fold ONLY A-Z.
+    # Full str.lower() is Unicode-version-dependent (CPython 3.11 =
+    # Unicode 14; JDK 17.0.20 = Unicode 16 casing data) and diverges
+    # from the JVM on e.g. U+1C89 — the round-9 falsifier below.
+    return s.translate(_ASCII_FOLD)
+
+
+_ASCII_FOLD = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
+
 @given(st.lists(_text, min_size=1, max_size=24))
+# round-9 hypothesis falsifier: JDK 17 (Unicode 16) lowercases
+# U+1C89 -> U+1C8A, CPython 3.11 (Unicode 14) does not. The
+# fingerprint contract is now ASCII-only folding so this must pass;
+# committed as a permanent regression example.
+@example(["Ᲊ"])
+# Kelvin sign and dotted capital I: classic multi-engine lowercasing
+# hazards (K -> k, İ -> i̇) — untouched by the ASCII-only fold.
+@example(["K İ MiXeD AsCiI"])
 @_settings
 def test_hash_and_fingerprint_models(spark, texts):
     df = spark.createDataFrame(
@@ -111,5 +132,5 @@ def test_hash_and_fingerprint_models(spark, texts):
         s = texts[r.id]
         assert r.bh == _py_base_hash(s), repr(s)
         assert r.rh == _py_rolling(s), repr(s)
-        norm = " ".join(_py_tokens(s.lower()))
+        norm = " ".join(_py_tokens(_py_ascii_lower(s)))
         assert r.fp == hashlib.md5(norm.encode("utf-8")).hexdigest(), repr(s)
