@@ -64,19 +64,34 @@ def window_anomalies_from_counts(wc: DataFrame) -> DataFrame:
     # join; materialize once so the tokenize/scan lineage above it runs
     # a single time (same device as operators/drift.py)
     wc = wc.localCheckpoint()
+    # Squared-deviation arithmetic is lifted to exact DECIMAL(38,0)
+    # (ADVICE r9): dev^2 * 1000 wraps int64 once m*n_events reaches
+    # ~1e8 (a year of hourly windows at ~11k events/hour), and the
+    # n_events^2 / s^2 moments wrap on their own past n ~ 3e9. One
+    # cast at the aggregate propagates decimal through dev/varm; the
+    # FINAL quotients (z2_milli <= 1000*m, mean_milli) stay far inside
+    # int64, which is the Spark decimal-`div` exactness condition
+    # (decimal div == DuckDB HUGEINT // whenever the quotient fits
+    # int64; the oracle mirrors with HUGEINT casts). Headroom is now
+    # bounded by DECIMAL(38,0) itself: |dev| < ~3e17.
     st = wc.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("m"),
         F.sum("n_events").alias("s"),
-        F.sum(F.col("n_events") * F.col("n_events")).alias("v"),
+        F.sum(
+            F.col("n_events").cast("decimal(38,0)") * F.col("n_events")
+        ).alias("v"),
     )
     j = wc.join(F.broadcast(st), "event_type")
-    dev = F.col("m") * F.col("n_events") - F.col("s")
-    varm = F.col("m") * F.col("v") - F.col("s") * F.col("s")
+    dev = F.col("m").cast("decimal(38,0)") * F.col("n_events") - F.col("s")
+    varm = (
+        F.col("m") * F.col("v")
+        - F.col("s").cast("decimal(38,0)") * F.col("s")
+    )
     return j.select(
         "window_start",
         "event_type",
         "n_events",
-        F.expr("s * 1000L div m").alias("mean_milli"),
+        F.expr("CAST(s AS DECIMAL(38,0)) * 1000 div m").alias("mean_milli"),
         (dev * dev * F.lit(1000)).alias("_num"),
         varm.alias("_varm"),
     ).select(
@@ -84,7 +99,7 @@ def window_anomalies_from_counts(wc: DataFrame) -> DataFrame:
         "event_type",
         "n_events",
         "mean_milli",
-        F.expr("_num div nullif(_varm, 0L)").alias("z2_milli"),
+        F.expr("_num div nullif(_varm, 0)").alias("z2_milli"),
         (F.col("_num") > F.lit(9000) * F.col("_varm")).cast("long").alias(
             "is_anomaly"
         ),

@@ -15,7 +15,13 @@ def source_drift_from_counts(sc: DataFrame) -> DataFrame:
     count relation, in exact ppm integers. See the registered query's
     docstring (plans/datapipe.py:corpus_source_drift) for semantics
     and the 100 TB shape; this helper IS that query from the count
-    relation down, so stream and batch cannot diverge."""
+    relation down, so stream and batch cannot diverge.
+
+    The ppm products go through exact DECIMAL(38,0) (ADVICE r9):
+    ``c_w * 1e6`` wraps int64 once a word's global count passes
+    ~9.2e12 — real for stop words in a ~2.5e13-token (100 TB) corpus.
+    The quotient is a ppm (<= 1e6), so Spark's decimal ``div`` (long
+    result) is exact and bit-equal to the oracle's HUGEINT ``//``."""
     # sc fans out three ways (gw, ns, the word join) and its lineage is
     # a full corpus tokenize at the batch call site — materialize once;
     # gw is vocab-sized with four consumers, same treatment.
@@ -27,7 +33,7 @@ def source_drift_from_counts(sc: DataFrame) -> DataFrame:
     n_total_row = gw.agg(F.sum("c_w").alias("n_total"))
     g_mass_row = (
         gw.crossJoin(F.broadcast(n_total_row))
-        .select(F.expr("c_w * 1000000L div n_total").alias("g_ppm"))
+        .select(F.expr("CAST(c_w AS DECIMAL(38,0)) * 1000000 div n_total").alias("g_ppm"))
         .agg(F.sum("g_ppm").alias("g_mass"))
     )
     tot = n_total_row.crossJoin(g_mass_row)
@@ -38,8 +44,8 @@ def source_drift_from_counts(sc: DataFrame) -> DataFrame:
         .select(
             "source",
             "word",
-            F.expr("c_sw * 1000000L div n_s").alias("p_ppm"),
-            F.expr("c_w * 1000000L div n_total").alias("g_ppm"),
+            F.expr("CAST(c_sw AS DECIMAL(38,0)) * 1000000 div n_s").alias("p_ppm"),
+            F.expr("CAST(c_w AS DECIMAL(38,0)) * 1000000 div n_total").alias("g_ppm"),
         )
     )
     per_source = j.groupBy("source").agg(

@@ -76,7 +76,11 @@ def mg_candidates(items: DataFrame, col: str, capacity: int) -> DataFrame:
 
 
 def heavy_hitters(
-    items: DataFrame, col: str, threshold_ppm: int, capacity: int | None = None
+    items: DataFrame,
+    col: str,
+    threshold_ppm: int,
+    capacity: int | None = None,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """All values of ``items[col]`` with frequency strictly above
     ``threshold_ppm`` parts-per-million of the total row count, with
@@ -86,10 +90,26 @@ def heavy_hitters(
     smallest Misra-Gries size that guarantees no true heavy hitter is
     pruned. Scale shape: one Arrow map-side pass produces ≤ capacity
     candidate rows per partition; the exact recount aggregates only
-    candidate-matching rows (broadcast semi-join — the candidate
-    relation is partitions × capacity, config-scale); the total row
-    count is a single-row aggregate. Nothing vocabulary-sized ever
-    shuffles."""
+    candidate-matching rows via a semi-join on the DISTINCT candidate
+    union; the total row count is a single-row aggregate. Nothing
+    vocabulary-sized ever shuffles.
+
+    Candidate-union bound (ADVICE r9): the union is at most
+    |input partitions| × capacity rows of int64 — NOT config-scale
+    once the input has 1e4-1e5 partitions (2e7-2e8 rows at the
+    default 500 ppm capacity of 2000, past typical broadcast limits),
+    though in practice heavy overlap between partitions' candidate
+    sets (true hitters appear in every partition) keeps the distinct
+    union far smaller. ``broadcast_candidates=False`` drops the hint
+    and lets the planner/AQE pick a shuffle semi-join from the
+    union's ACTUAL post-distinct size — use it when
+    partitions × capacity approaches ``spark.sql.autoBroadcastJoinThreshold``.
+
+    The ppm arithmetic is lifted to exact DECIMAL(38,0): a stop-grade
+    token in a ~2.5e13-token (100 TB) corpus has n_occurrences past
+    9.2e12, where ``n_occurrences * 1e6`` wraps int64; the quotient
+    is a ppm so the decimal ``div`` (long result) is exact and
+    bit-equal to the oracle's HUGEINT ``//``."""
     if capacity is None:
         capacity = -(-1_000_000 // threshold_ppm)
     it = items.select(F.col(col).alias("_w"))
@@ -102,23 +122,25 @@ def heavy_hitters(
     # real values, so collisions never reach the output.
     hashed = it.select(F.xxhash64("_w").alias("h"))
     cand = mg_candidates(hashed, "h", capacity).distinct()
+    if broadcast_candidates:
+        cand = F.broadcast(cand)
     total = it.agg(F.count(F.lit(1)).alias("n_total"))
     counts = (
-        it.join(
-            F.broadcast(cand), F.xxhash64(F.col("_w")) == cand["word"], "leftsemi"
-        )
+        it.join(cand, F.xxhash64(F.col("_w")) == cand["word"], "leftsemi")
         .groupBy(F.col("_w").alias("word"))
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
     return (
         counts.crossJoin(F.broadcast(total))
         .filter(
-            F.col("n_occurrences") * F.lit(1_000_000)
-            > F.lit(threshold_ppm) * F.col("n_total")
+            F.col("n_occurrences").cast("decimal(38,0)") * F.lit(1_000_000)
+            > F.lit(threshold_ppm) * F.col("n_total").cast("decimal(38,0)")
         )
         .select(
             "word",
             "n_occurrences",
-            F.expr("n_occurrences * 1000000L div n_total").alias("freq_ppm"),
+            F.expr(
+                "CAST(n_occurrences AS DECIMAL(38,0)) * 1000000 div n_total"
+            ).alias("freq_ppm"),
         )
     )

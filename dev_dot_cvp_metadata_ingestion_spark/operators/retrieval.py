@@ -44,15 +44,28 @@ from pyspark.sql import functions as F
 
 from .similarity import _topk_per_query
 
-_CONTRIB = """
-    (((n_docs - df) * 2L + 1L) * 1000000L div (df * 2L + 1L))
-    * ((tf * 2200000L * 1000000L) div
+# idf_ppm ~ 1e6 * n_docs/df, tf factor <= 2.2e6; the naive
+# `idf * factor div 1e6` wraps int64 once n_docs/df exceeds ~6.3e6
+# (ADVICE r9). Split the multiplication with the exact identity
+#   floor(a*b/1e6) == (a div 1e6)*b + ((a mod 1e6)*b) div 1e6
+# (valid for a, b >= 0; both operands here are non-negative), so the
+# largest intermediate is (idf_ppm div 1e6)*factor ~ 2.2e6*n_docs/df —
+# exact BIGINT headroom to n_docs/df ~ 4.2e12 and n_docs ~ 4.6e12
+# (where (2*n_docs+1)*1e6 itself wraps), comfortably past a 100 TB
+# corpus (~1e11 docs at 1 KB/doc). The remaining bound is the
+# double-backed rank carrier: score_ppm must stay under 2^53 for the
+# ordering cast to be exact, i.e. n_docs/df * |query terms| < ~4e9 —
+# documented here per the repo clamp-before-divide convention.
+_IDF = "(((n_docs - df) * 2L + 1L) * 1000000L div (df * 2L + 1L))"
+_TF_FACTOR = """((tf * 2200000L * 1000000L) div
        (tf * 1000000L
         + (1200000L * (250000L
             + (750000L * dl * 1000L)
               div (t_tokens * 1000L div n_docs)))
-          div 1000000L))
-    div 1000000L
+          div 1000000L))"""
+_CONTRIB = f"""
+    ({_IDF} div 1000000L) * {_TF_FACTOR}
+    + (({_IDF} % 1000000L) * {_TF_FACTOR}) div 1000000L
 """
 
 

@@ -5645,15 +5645,16 @@ def events_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (
       SELECT CAST(sum(c_w) AS BIGINT) AS n_total,
-             CAST(sum(c_w * 1000000 // (SELECT sum(c_w) FROM gw))
+             CAST(sum(CAST(c_w AS HUGEINT) * 1000000
+                      // (SELECT sum(c_w) FROM gw))
                   AS BIGINT) AS g_mass
       FROM gw
     ),
     j AS (
       SELECT sc.source,
              sc.word,
-             sc.c_sw * 1000000 // ns.n_s AS p_ppm,
-             gw.c_w * 1000000 // tot.n_total AS g_ppm
+             CAST(sc.c_sw AS HUGEINT) * 1000000 // ns.n_s AS p_ppm,
+             CAST(gw.c_w AS HUGEINT) * 1000000 // tot.n_total AS g_ppm
       FROM sc JOIN gw USING (word) JOIN ns USING (source), tot
     ),
     per_source AS (
@@ -5942,17 +5943,21 @@ def embedding_pca_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(count(*) AS BIGINT) AS m,
              CAST(sum(n_events) AS BIGINT) AS s,
-             CAST(sum(n_events * n_events) AS BIGINT) AS v
+             sum(CAST(n_events AS HUGEINT) * n_events) AS v
       FROM wc GROUP BY event_type
     )
     SELECT wc.window_start,
            wc.event_type,
            wc.n_events,
-           s * 1000 // m AS mean_milli,
-           ((m * wc.n_events - s) * (m * wc.n_events - s) * 1000)
-             // nullif(m * v - s * s, 0) AS z2_milli,
-           CAST(((m * wc.n_events - s) * (m * wc.n_events - s) * 1000
-                 > 9000 * (m * v - s * s)) AS BIGINT) AS is_anomaly
+           CAST(CAST(s AS HUGEINT) * 1000 // m AS BIGINT) AS mean_milli,
+           CAST(((CAST(m AS HUGEINT) * wc.n_events - s)
+                 * (CAST(m AS HUGEINT) * wc.n_events - s) * 1000)
+             // nullif(CAST(m AS HUGEINT) * v - CAST(s AS HUGEINT) * s, 0)
+             AS BIGINT) AS z2_milli,
+           CAST(((CAST(m AS HUGEINT) * wc.n_events - s)
+                 * (CAST(m AS HUGEINT) * wc.n_events - s) * 1000
+                 > 9000 * (CAST(m AS HUGEINT) * v - CAST(s AS HUGEINT) * s))
+             AS BIGINT) AS is_anomaly
     FROM wc JOIN st USING (event_type)
     ORDER BY event_type, window_start
     """,
@@ -6019,14 +6024,22 @@ _BM25_QUERIES = [
     scored AS (
       SELECT q.q_id, tf.doc_id,
              CAST(sum(
-               (((n_docs - df) * 2 + 1) * 1000000 // (df * 2 + 1))
+               ((((n_docs - df) * 2 + 1) * 1000000 // (df * 2 + 1))
+                  // 1000000)
                * ((tf * 2200000 * 1000000) //
                   (tf * 1000000
                    + (1200000 * (250000
                        + (750000 * dl * 1000)
                          // (t_tokens * 1000 // n_docs)))
                      // 1000000))
-               // 1000000
+               + (((((n_docs - df) * 2 + 1) * 1000000 // (df * 2 + 1))
+                     % 1000000)
+                  * ((tf * 2200000 * 1000000) //
+                     (tf * 1000000
+                      + (1200000 * (250000
+                          + (750000 * dl * 1000)
+                            // (t_tokens * 1000 // n_docs)))
+                        // 1000000))) // 1000000
              ) AS BIGINT) AS score_ppm
       FROM tf JOIN dl USING (doc_id) JOIN dfr USING (word)
            JOIN q ON tf.word = q.term, corp
@@ -6084,9 +6097,11 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT word,
            n_occurrences,
-           n_occurrences * 1000000 // n_total AS freq_ppm
+           CAST(CAST(n_occurrences AS HUGEINT) * 1000000 // n_total
+                AS BIGINT) AS freq_ppm
     FROM c, tot
-    WHERE n_occurrences * 1000000 > 500 * n_total
+    WHERE CAST(n_occurrences AS HUGEINT) * 1000000
+          > 500 * CAST(n_total AS HUGEINT)
     ORDER BY n_occurrences DESC, word
     """,
 )
@@ -6205,14 +6220,22 @@ def events_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT q.q_id, tf.doc_id,
              CAST(sum(
-               (((n_docs - df) * 2 + 1) * 1000000 // (df * 2 + 1))
+               ((((n_docs - df) * 2 + 1) * 1000000 // (df * 2 + 1))
+                  // 1000000)
                * ((tf * 2200000 * 1000000) //
                   (tf * 1000000
                    + (1200000 * (250000
                        + (750000 * dl * 1000)
                          // (t_tokens * 1000 // n_docs)))
                      // 1000000))
-               // 1000000
+               + (((((n_docs - df) * 2 + 1) * 1000000 // (df * 2 + 1))
+                     % 1000000)
+                  * ((tf * 2200000 * 1000000) //
+                     (tf * 1000000
+                      + (1200000 * (250000
+                          + (750000 * dl * 1000)
+                            // (t_tokens * 1000 // n_docs)))
+                        // 1000000))) // 1000000
              ) AS BIGINT) AS score_ppm,
              count(DISTINCT tf.word) AS matched
       FROM tf JOIN dl USING (doc_id) JOIN dfr USING (word)
@@ -6281,14 +6304,22 @@ def text_bm25_topk_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT q.q_id, tf.doc_id,
              CAST(sum(
-               (((n_docs - df) * 2 + 1) * 1000000 // (df * 2 + 1))
+               ((((n_docs - df) * 2 + 1) * 1000000 // (df * 2 + 1))
+                  // 1000000)
                * ((tf * 2200000 * 1000000) //
                   (tf * 1000000
                    + (1200000 * (250000
                        + (750000 * dl * 1000)
                          // (t_tokens * 1000 // n_docs)))
                      // 1000000))
-               // 1000000
+               + (((((n_docs - df) * 2 + 1) * 1000000 // (df * 2 + 1))
+                     % 1000000)
+                  * ((tf * 2200000 * 1000000) //
+                     (tf * 1000000
+                      + (1200000 * (250000
+                          + (750000 * dl * 1000)
+                            // (t_tokens * 1000 // n_docs)))
+                        // 1000000))) // 1000000
              ) AS BIGINT) AS score_ppm,
              count(DISTINCT tf.word) AS matched
       FROM tf JOIN dl USING (doc_id) JOIN dfr USING (word)
@@ -6583,9 +6614,11 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT word,
            n_occurrences,
-           n_occurrences * 1000000 // n_total AS freq_ppm
+           CAST(CAST(n_occurrences AS HUGEINT) * 1000000 // n_total
+                AS BIGINT) AS freq_ppm
     FROM c, tot
-    WHERE n_occurrences * 1000000 > 900 * n_total
+    WHERE CAST(n_occurrences AS HUGEINT) * 1000000
+          > 900 * CAST(n_total AS HUGEINT)
     ORDER BY n_occurrences DESC, word
     """,
 )
@@ -6631,7 +6664,7 @@ def corpus_bigram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT window_start, event_type, n_events,
              CAST(count(*) OVER f AS BIGINT) AS m,
              CAST(coalesce(sum(n_events) OVER f, 0) AS BIGINT) AS s,
-             CAST(coalesce(sum(n_events * n_events) OVER f, 0) AS BIGINT)
+             coalesce(sum(CAST(n_events AS HUGEINT) * n_events) OVER f, 0)
                AS v
       FROM wc
       WINDOW f AS (PARTITION BY event_type ORDER BY window_start
@@ -6639,13 +6672,22 @@ def corpus_bigram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT window_start, event_type, n_events,
            CASE WHEN m >= 12 THEN m END AS base_n,
-           CASE WHEN m >= 12 THEN s * 1000 // m END AS base_mean_milli,
            CASE WHEN m >= 12 THEN
-             ((m * n_events - s) * (m * n_events - s) * 1000)
-               // nullif(m * v - s * s, 0) END AS z2_milli,
+             CAST(CAST(s AS HUGEINT) * 1000 // m AS BIGINT)
+           END AS base_mean_milli,
            CASE WHEN m >= 12 THEN
-             CAST(((m * n_events - s) * (m * n_events - s) * 1000
-                   > 9000 * (m * v - s * s)) AS BIGINT) END AS is_anomaly
+             CAST(((CAST(m AS HUGEINT) * n_events - s)
+                   * (CAST(m AS HUGEINT) * n_events - s) * 1000)
+               // nullif(CAST(m AS HUGEINT) * v - CAST(s AS HUGEINT) * s, 0)
+               AS BIGINT)
+           END AS z2_milli,
+           CASE WHEN m >= 12 THEN
+             CAST(((CAST(m AS HUGEINT) * n_events - s)
+                   * (CAST(m AS HUGEINT) * n_events - s) * 1000
+                   > 9000 * (CAST(m AS HUGEINT) * v
+                             - CAST(s AS HUGEINT) * s))
+               AS BIGINT)
+           END AS is_anomaly
     FROM r
     ORDER BY event_type, window_start
     """,
@@ -6678,20 +6720,31 @@ def events_window_anomaly_rolling(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_events",
         F.count(F.lit(1)).over(f).alias("m"),
         F.coalesce(F.sum("n_events").over(f), F.lit(0)).alias("s"),
+        # DECIMAL(38,0) lift (ADVICE r9): with a 24-window frame the
+        # n^2 moment wraps int64 past ~6e8 events/hour and dev^2*1000
+        # past ~4e6/hour; same device as window_anomalies_from_counts
         F.coalesce(
-            F.sum(F.col("n_events") * F.col("n_events")).over(f), F.lit(0)
+            F.sum(
+                F.col("n_events").cast("decimal(38,0)") * F.col("n_events")
+            ).over(f),
+            F.lit(0).cast("decimal(38,0)"),
         ).alias("v"),
     )
     warm = F.col("m") >= 12
-    dev = F.col("m") * F.col("n_events") - F.col("s")
-    varm = F.col("m") * F.col("v") - F.col("s") * F.col("s")
+    dev = F.col("m").cast("decimal(38,0)") * F.col("n_events") - F.col("s")
+    varm = (
+        F.col("m") * F.col("v")
+        - F.col("s").cast("decimal(38,0)") * F.col("s")
+    )
     return (
         r.select(
             "window_start",
             "event_type",
             "n_events",
             F.when(warm, F.col("m")).alias("base_n"),
-            F.when(warm, F.expr("s * 1000L div m")).alias("base_mean_milli"),
+            F.when(
+                warm, F.expr("CAST(s AS DECIMAL(38,0)) * 1000 div m")
+            ).alias("base_mean_milli"),
             F.when(warm, dev).alias("_dev"),
             F.when(warm, varm).alias("_varm"),
         )
@@ -6701,7 +6754,7 @@ def events_window_anomaly_rolling(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_events",
             "base_n",
             "base_mean_milli",
-            F.expr("(_dev * _dev * 1000L) div nullif(_varm, 0L)").alias(
+            F.expr("(_dev * _dev * 1000) div nullif(_varm, 0)").alias(
                 "z2_milli"
             ),
             F.when(

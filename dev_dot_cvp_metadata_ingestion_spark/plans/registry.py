@@ -64,13 +64,15 @@ def query_names() -> list[str]:
 # row keeps the strongest (hash) check. embedding_quantize stays for
 # its first green row after the r8 surface fix (long form).
 BOARD: tuple[str, ...] = (
-    # ROTATION (round 9, VERDICT r8 item 3): 12 never-driver-checked
-    # within-family variants swapped in (simhash pairs, cluster
-    # representatives, contracted/two-star CC, boilerplate removal,
-    # shuffled shards, packed shards, gopher rules, lsh quality report,
-    # capped ngram/containment twins, kmeans); the 12 reps that yielded
-    # each carried 2+ consecutive fully-green driver rounds (r7+r8) and
-    # remain hash-checked locally every pytest run.
+    # ROTATION (round 10, VERDICT r9 item 2): the 19 never-driver-
+    # checked round-9 additions swapped in (substring family, drift,
+    # token quantiles, graph pair — pagerank + triangles, anomaly
+    # trio, retrieval trio — BM25/AND/RRF, heavy-hitter pair, PQ
+    # family — codes/ADC/IVF-PQ, perplexity buckets); the 19 reps
+    # that yielded each carried 2+ consecutive fully-green driver
+    # rounds (r8+r9) and remain hash-checked locally every pytest
+    # run. The 13 round-9 first-timers stay for their second green
+    # round, as does embedding_quantize (first green row was r9).
     "suppliers_with_large_shipments",
     "orders_grouping_sets",
     "orders_status_pivot",
@@ -80,35 +82,36 @@ BOARD: tuple[str, ...] = (
     "events_hourly_windows",
     "rules_catalog",
     "csv_rule_validation",
-    "text_fingerprint_overlap",
-    "text_bigram_lm",
-    "documents_classifier_score",
-    "documents_lm_score",
-    "documents_training_examples",
-    "documents_mixture_sample",
-    "documents_rarity_score",
-    "documents_repetition_filter",
     "documents_curation_funnel",
-    "corpus_source_overlap",
     "documents_contamination",
-    "documents_contamination_bloom",
-    "documents_paragraph_dedup",
-    "documents_importance_resampled",
     "documents_budget_selected",
-    "documents_training_shards",
     "dedup_keep_best",
-    "dedup_minhash_banded",
-    "corpus_dedup_report",
     "ann_ivf_kmeans_topk",
     "embedding_label_propagation_ivf",
     "embedding_contamination_semantic_ivf",
     "embedding_quantize",
-    "embedding_centroids",
-    "embedding_zscore",
-    "events_sessionize",
     "events_range_join",
-    "multimodal_frames",
     "multimodal_resized",
+    # --- round-9 additions, first driver rows this round ---
+    "documents_perplexity_buckets",
+    "documents_repeated_substrings",
+    "documents_substring_dup_stats",
+    "documents_substring_scrubbed",
+    "corpus_source_drift",
+    "documents_token_quantiles_hist",
+    "dedup_pagerank_centrality",
+    "dedup_graph_triangles",
+    "events_window_anomaly",
+    "events_window_anomaly_rolling",
+    "events_decayed_counts",
+    "text_bm25_topk",
+    "text_bm25_topk_and",
+    "text_rrf_fusion",
+    "corpus_heavy_hitters",
+    "corpus_bigram_heavy_hitters",
+    "embedding_pq_codes",
+    "ann_pq_adc_topk",
+    "ann_ivf_pq_topk",
     "dedup_simhash_pairs",
     "dedup_cluster_representatives",
     "dedup_clusters_twostar",
@@ -124,6 +127,28 @@ BOARD: tuple[str, ...] = (
 )
 
 BACK: tuple[str, ...] = (
+    # --- rotated off the board in round 10 (2+ green driver rounds
+    # each — r8+r9; family coverage continues via the promoted variants
+    # and the local hash-parity suite) ---
+    "text_fingerprint_overlap",
+    "text_bigram_lm",
+    "documents_classifier_score",
+    "documents_lm_score",
+    "documents_training_examples",
+    "documents_mixture_sample",
+    "documents_rarity_score",
+    "documents_repetition_filter",
+    "corpus_source_overlap",
+    "documents_contamination_bloom",
+    "documents_paragraph_dedup",
+    "documents_importance_resampled",
+    "documents_training_shards",
+    "dedup_minhash_banded",
+    "corpus_dedup_report",
+    "embedding_centroids",
+    "embedding_zscore",
+    "events_sessionize",
+    "multimodal_frames",
     # --- rotated off the board in round 9 (2+ green driver rounds
     # each — r7+r8; family coverage continues via the promoted variants
     # and the local hash-parity suite) ---
@@ -184,27 +209,9 @@ BACK: tuple[str, ...] = (
     "corpus_profile_approx",
     "corpus_vocab_by_source_approx",
     "corpus_source_overlap_approx",
-    # --- round-9 additions (first driver row next rotation) ---
-    "documents_perplexity_buckets",
-    "documents_repeated_substrings",
-    "documents_substring_dup_stats",
-    "documents_substring_scrubbed",
-    "corpus_source_drift",
-    "documents_token_quantiles_hist",
-    "dedup_pagerank_centrality",
-    "dedup_graph_triangles",
+    # --- round-9 additions not board-eligible (no SQL oracle; PCA's
+    # driver-side eigensolve is Python-replica-pinned instead) ---
     "embedding_pca_projected",
-    "events_window_anomaly",
-    "text_bm25_topk",
-    "corpus_heavy_hitters",
-    "events_decayed_counts",
-    "text_bm25_topk_and",
-    "text_rrf_fusion",
-    "embedding_pq_codes",
-    "ann_pq_adc_topk",
-    "corpus_bigram_heavy_hitters",
-    "events_window_anomaly_rolling",
-    "ann_ivf_pq_topk",
 )
 
 

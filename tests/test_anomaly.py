@@ -121,3 +121,38 @@ def test_rolling_adapts_to_level_shift(spark):
     assert min(flagged) == 24  # the first shifted hour
     # adapted: the tail of the new level is calm again
     assert all(r.is_anomaly == 0 for r in rows[-10:])
+
+
+def test_headroom_no_int64_wrap_at_large_counts(spark):
+    """ADVICE r9 regression: dev^2*1000 and the n^2/s^2 moments are
+    DECIMAL(38,0)-lifted — verdicts and z2_milli must match exact
+    Python integers at per-window counts (~1e9-1e12) where the old
+    all-BIGINT arithmetic wrapped."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.anomaly import (
+        window_anomalies_from_counts,
+    )
+
+    # 15 near-constant ~1e9 baselines + one 1e12 spike: max possible
+    # z^2 for a single point is m-1, so m must exceed 10 for the
+    # three-sigma predicate to be able to fire at all
+    counts = [10**9 + (i % 7) for i in range(15)] + [10**12]
+    rows = [(f"2026-01-01 {i:02d}:00:00", "t", c) for i, c in enumerate(counts)]
+    wc = spark.createDataFrame(
+        rows, "window_start string, event_type string, n_events long"
+    )
+    got = {
+        r.window_start: (r.mean_milli, r.z2_milli, r.is_anomaly)
+        for r in window_anomalies_from_counts(wc).collect()
+    }
+    m, s = len(counts), sum(counts)
+    v = sum(c * c for c in counts)
+    for (ws, _t, n) in rows:
+        dev, varm = m * n - s, m * v - s * s
+        want = (
+            s * 1000 // m,
+            (dev * dev * 1000) // varm if varm else None,
+            int(dev * dev * 1000 > 9000 * varm),
+        )
+        assert got[ws] == want, (ws, got[ws], want)
+    # the planted 1e12 spike must fire
+    assert got["2026-01-01 15:00:00"][2] == 1

@@ -131,3 +131,46 @@ def test_vocab_join_is_not_broadcast(spark):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_headroom_no_int64_wrap_at_large_counts(spark):
+    """ADVICE r9 regression: c_w * 1e6 is DECIMAL(38,0)-lifted — ppm
+    values must match exact Python integers at global counts past the
+    old 9.2e12 int64 wrap point (stop words in a 100 TB corpus)."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.drift import (
+        source_drift_from_counts,
+    )
+
+    rows = [
+        ("s1", "the", 10_000_000_000_000),
+        ("s1", "rare", 7),
+        ("s2", "the", 9_500_000_000_000),
+        ("s2", "zzz", 3),
+    ]
+    sc = spark.createDataFrame(rows, "source string, word string, c_sw long")
+    got = {
+        r.source: (r.n_tokens, r.tv_ppm, r.top_word, r.top_word_drift_ppm)
+        for r in source_drift_from_counts(sc).collect()
+    }
+    # python replica with exact ints
+    from collections import defaultdict
+
+    cw, ns = defaultdict(int), defaultdict(int)
+    for s, w, c in rows:
+        cw[w] += c
+        ns[s] += c
+    n_total = sum(cw.values())
+    g_ppm = {w: c * 1_000_000 // n_total for w, c in cw.items()}
+    g_mass = sum(g_ppm.values())
+    for src in ns:
+        pres = [
+            (w, abs(c * 1_000_000 // ns[src] - g_ppm[w]))
+            for s, w, c in rows
+            if s == src
+        ]
+        drift = sum(d for _, d in pres)
+        pres_g = sum(g_ppm[w] for w, _ in pres)
+        tv = (drift + (g_mass - pres_g)) // 2
+        top = min(pres, key=lambda x: (-x[1], x[0]))
+        want = (ns[src], tv, top[0], max(d for _, d in pres))
+        assert got[src] == want, (src, got[src], want)

@@ -201,3 +201,50 @@ def test_rrf_fusion_matches_python(spark):
     # (spark only) for q1
     q1 = {doc: rk for (qq, doc, _, rk) in got if qq == 1}
     assert q1[3] < q1[1]
+
+
+def test_contrib_headroom_no_int64_wrap(spark):
+    """ADVICE r9 regression: the naive idf_ppm * tf_factor product
+    wraps int64 once n_docs/df exceeds ~6.3e6 (rare term in a >=1e7
+    doc corpus). The split-multiplication identity
+    floor(a*b/1e6) == (a div 1e6)*b + ((a mod 1e6)*b) div 1e6
+    must match exact Python integers (which never wrap) at magnitudes
+    far past the old wrap point, up to the documented ~4e12 bound."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.retrieval import (
+        _CONTRIB,
+    )
+    from pyspark.sql import functions as F
+
+    cases = [
+        # (n_docs, df, tf, dl, t_tokens)
+        (10_000_000, 1, 5, 100, 2_000_000_000),      # old wrap point
+        (1_000_000_000, 1, 3, 50, 500_000_000_000),  # 1e9 docs, df=1
+        (100_000_000_000, 2, 7, 400, 50_000_000_000_000),  # ~100 TB
+        (4_000_000_000_000, 1, 1, 1, 4_000_000_000_000),   # doc bound
+        (10_000_000, 9_999_999, 2, 10, 2_000_000_000),     # stop term
+    ]
+    df_in = spark.createDataFrame(
+        cases, "n_docs long, df long, tf long, dl long, t_tokens long"
+    )
+    got = [
+        r.contrib
+        for r in df_in.select(F.expr(_CONTRIB).alias("contrib"))
+        .collect()
+    ]
+
+    def py(n_docs, df, tf, dl, t_tokens):
+        idf = ((n_docs - df) * 2 + 1) * 1000000 // (df * 2 + 1)
+        avgdl_milli = t_tokens * 1000 // n_docs
+        norm = 250000 + (750000 * dl * 1000) // avgdl_milli
+        sat = (tf * 2200000 * 1000000) // (
+            tf * 1000000 + (1200000 * norm) // 1000000
+        )
+        return idf * sat // 1000000  # Python ints: exact, no wrap
+
+    want = [py(*c) for c in cases]
+    assert got == want, list(zip(cases, got, want))
+    # every expected value is non-negative and within int64 — the
+    # documented headroom holds at these magnitudes (a stop-grade
+    # term with df ~ n_docs floors idf_ppm, hence contrib, to 0)
+    assert all(0 <= w < 2**63 for w in want)
+    assert want[-1] == 0 and all(w > 0 for w in want[:-1])
