@@ -392,6 +392,7 @@ def kmeans_assign(
     emb: DataFrame, k: int = 8, iters: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
     scale: int = 10_000_000, return_centroids: bool = False,
+    prescaled: bool = False,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Deterministic Lloyd's k-means over an embedding column, fully
     distributed: assignments via crossJoin against the BROADCAST
@@ -412,14 +413,26 @@ def kmeans_assign(
 
     Returns (vec_id, cluster, dist) — the final assignment — or, with
     ``return_centroids=True``, the (assignments, centroids) tuple where
-    the centroids are the ones the final assignment was made against."""
-    x = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(
-            F.col(vec_col),
-            lambda v: F.floor(v.cast("double") * scale).cast("long"),
-        ).alias("xf"),
-    )
+    the centroids are the ones the final assignment was made against.
+
+    ``prescaled=True`` takes ``vec_col`` as an ALREADY fixed-point
+    ``array<long>`` and skips the quantization step — the input mode
+    the residual-PQ trainer uses (residuals are exact integer
+    differences of quantized vectors; re-quantizing them through a
+    float round-trip would break the determinism chain)."""
+    if prescaled:
+        x = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(F.col(vec_col), lambda v: v.cast("long")).alias("xf"),
+        )
+    else:
+        x = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(
+                F.col(vec_col),
+                lambda v: F.floor(v.cast("double") * scale).cast("long"),
+            ).alias("xf"),
+        )
     cents = (
         x.orderBy("vec_id")
         .limit(k)
@@ -940,3 +953,203 @@ def ivf_pq_probe_topk(
         "q_id", "vec_id", "adc_dist", F.col("rank").cast("long").alias("rank")
     )
 
+
+
+def ivf_pq_residual_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    d: int = 64,
+    m: int = 8,
+    k_codebook: int = 16,
+    k: int = 5,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 100_000,
+    coarse_scale: int = 10_000_000,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Residual IVF-PQ search — the true FAISS IVFPQ encoding
+    (Jégou et al. TPAMI'11 §III; closes the one architectural gap
+    ``ivf_pq_adc_topk``'s docstring documents): the PQ codebooks are
+    trained on RESIDUALS ``x − c_cell(x)`` after coarse-centroid
+    subtraction (pooled across cells, FAISS's default IVFPQ trainer),
+    so the quantizer spends its 16 codes per subspace on the
+    within-cell displacement instead of re-encoding the coarse
+    position — higher recall at the same compression. The distance
+    table becomes per-(query, probed cell): ADC compares the QUERY
+    residual against each cell's frame, |queries| × nprobe × m × k
+    entries, still a config-scale broadcast.
+
+    Fixed-point doctrine: residuals are exact integer differences at
+    the coarse scale, re-quantized to the ADC scale with the
+    engine-portable floor map ``(r + off) div ratio − off/ratio``
+    (``off`` shifts the operand positive, where Spark's truncating
+    ``div`` and DuckDB's ``//`` agree; ratio = coarse_scale/scale).
+    Residual magnitude ≤ 2·scale per dim bounds the per-subspace
+    distance at ~1.3e12 and the summed adc_dist at ~1e13 — inside the
+    2^53 exact-double rank carrier. The whole composition
+    hash-matches its generated oracle
+    (plans/datapipe.py:_ivf_pq_residual_oracle).
+
+    Scale shape: identical to ``ivf_pq_adc_topk`` — coarse centroids,
+    codebooks, probes, and all distance tables broadcast; the
+    corpus-sized motion is the residual projection (map-side, fused
+    into the codes scan), the codes-cell join, and the final distance
+    sum. The residual subtraction adds ZERO shuffles: it is a
+    broadcast join against the n_cells-row centroid relation fused
+    into the same stage as the coarse assignment's groupBy output."""
+    from pyspark.sql import Window
+
+    if coarse_scale % scale:
+        raise ValueError(f"coarse_scale={coarse_scale} not divisible by scale={scale}")
+    ratio = coarse_scale // scale
+    off = 4 * coarse_scale  # |xf|,|cf| <= 2*coarse_scale => r+off > 0
+    off_r = off // ratio
+    sub = d // m
+    emb = emb.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
+    queries = queries.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
+    coarse_asg, coarse_cents = kmeans_assign(
+        emb,
+        k=n_cells,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        scale=coarse_scale,
+        return_centroids=True,
+    )
+    coarse_cents = coarse_cents.localCheckpoint()
+    requant = (
+        f"transform(zip_with(xf, cf, (a, b) -> a - b), "
+        f"r -> ((r + {off}L) div {ratio}L) - {off_r}L)"
+    )
+    # corpus residuals at the ADC scale: one broadcast join against the
+    # n_cells-row centroid relation, no extra shuffle
+    xr = (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(
+                F.col(vec_col),
+                lambda v: F.floor(v.cast("double") * coarse_scale).cast("long"),
+            ).alias("xf"),
+        )
+        .join(
+            coarse_asg.select("vec_id", F.col("cluster").alias("cell")),
+            "vec_id",
+        )
+        .join(
+            F.broadcast(
+                coarse_cents.select(F.col("cluster").alias("cell"), "cf")
+            ),
+            "cell",
+        )
+        .select("vec_id", "cell", F.expr(requant).alias("rf"))
+        .localCheckpoint()
+    )
+    # query-side probes (coarse chain, same as ivf_pq_adc_topk) ...
+    qx = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.floor(v.cast("double") * coarse_scale).cast("long"),
+        ).alias("qxf"),
+    )
+    qdist = F.aggregate(
+        F.zip_with(F.col("qxf"), F.col("cf"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    w_probe = Window.partitionBy("q_id").orderBy("qdist", "cell")
+    probes = (
+        qx.crossJoin(F.broadcast(coarse_cents))
+        .select(
+            "q_id",
+            F.col("cluster").alias("cell"),
+            qdist.alias("qdist"),
+            "qxf",
+        )
+        .withColumn("_pr", F.row_number().over(w_probe))
+        .filter(F.col("_pr") <= nprobe)
+        .select("q_id", "cell", "qxf")
+    )
+    # ... and per-(query, cell) residuals against the probed cell's
+    # centroid — the residual-ADC frame
+    q_requant = (
+        f"transform(zip_with(qxf, cf, (a, b) -> a - b), "
+        f"r -> ((r + {off}L) div {ratio}L) - {off_r}L)"
+    )
+    qr = (
+        probes.join(
+            F.broadcast(
+                coarse_cents.select(F.col("cluster").alias("cell"), "cf")
+            ),
+            "cell",
+        )
+        .select("q_id", "cell", F.expr(q_requant).alias("qrf"))
+        .localCheckpoint()
+    )
+    code_parts, dt_parts = [], []
+    for s in range(m):
+        sl = xr.select(
+            "vec_id", F.slice(F.col("rf"), s * sub + 1, sub).alias("rslice")
+        )
+        asg, cents = kmeans_assign(
+            sl,
+            k=k_codebook,
+            iters=iters,
+            vec_col="rslice",
+            scale=scale,
+            return_centroids=True,
+            prescaled=True,
+        )
+        cents = cents.localCheckpoint()
+        qf = qr.select(
+            "q_id",
+            "cell",
+            F.slice(F.col("qrf"), s * sub + 1, sub).alias("qf"),
+        )
+        qd = F.aggregate(
+            F.zip_with(F.col("qf"), F.col("cf"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, y: acc + y,
+        )
+        dt_parts.append(
+            qf.crossJoin(F.broadcast(cents)).select(
+                F.lit(s).alias("subspace"),
+                "q_id",
+                "cell",
+                "cluster",
+                qd.alias("qd"),
+            )
+        )
+        code_parts.append(
+            asg.select(F.lit(s).alias("subspace"), "vec_id", "cluster")
+        )
+    codes = code_parts[0]
+    for c in code_parts[1:]:
+        codes = codes.unionByName(c)
+    dts = dt_parts[0]
+    for t in dt_parts[1:]:
+        dts = dts.unionByName(t)
+    cellmap = xr.select("vec_id", "cell")
+    scored = (
+        codes.join(cellmap, "vec_id")
+        .join(F.broadcast(dts), ["subspace", "cluster", "cell"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("qd").alias("adc_dist"))
+    )
+    ranked = _topk_per_query(
+        scored.select(
+            "q_id",
+            "vec_id",
+            (-F.col("adc_dist")).cast("double").alias("cos"),
+            "adc_dist",
+        ),
+        k,
+        n_salts,
+    )
+    return ranked.select(
+        "q_id", "vec_id", "adc_dist", F.col("rank").cast("long").alias("rank")
+    )

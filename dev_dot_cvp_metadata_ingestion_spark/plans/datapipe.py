@@ -6883,6 +6883,137 @@ def _ivf_pq_oracle(
     ORDER BY q_id, rank"""
 
 
+def _ivf_pq_residual_oracle(
+    d: int = 64, m: int = 8, k_codebook: int = 16, k: int = 5,
+    nprobe: int = 2, scale: int = 100_000,
+    coarse_scale: int = 10_000_000, qmod: int = 97,
+) -> str:
+    """Generate the residual IVF-PQ oracle: the coarse chain
+    (_KMEANS_CTES), the integer residual projection
+    ``rf[i] = ((xf[i] - cf[i] + off) // ratio) - off//ratio`` (off
+    shifts positive so DuckDB ``//`` == Spark ``div``), per-subspace
+    PQ chains trained ON THE RESIDUAL SLICES, per-(query, probed
+    cell) residual distance tables, and the cell-filtered lookup sum.
+    Restates operators/similarity.py:ivf_pq_residual_topk
+    bit-for-bit."""
+    sub = d // m
+    ratio = coarse_scale // scale
+    off = 4 * coarse_scale
+    off_r = off // ratio
+    ctes, selects = [], []
+    for s in range(m):
+        lo, hi = s * sub + 1, s * sub + sub
+        ctes.append(f"""
+    xs{s} AS (
+      SELECT vec_id, cell, rf[{lo}:{hi}] AS xf FROM xr
+    ),
+    c0_{s} AS (
+      SELECT vec_id AS cluster, xf AS cf FROM xs{s}
+      ORDER BY vec_id LIMIT {k_codebook}
+    ),
+    d1_{s} AS (
+      SELECT x.vec_id, c.cluster, x.xf,
+             CAST(list_sum([(x.xf[i]-c.cf[i])*(x.xf[i]-c.cf[i])
+                            for i in generate_series(1, len(x.xf))])
+                  AS BIGINT) AS dist
+      FROM xs{s} x CROSS JOIN c0_{s} c
+    ),
+    a1_{s} AS (
+      SELECT vec_id, cluster, dist, xf FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cluster) AS rn
+        FROM d1_{s}) WHERE rn = 1
+    ),
+    e1_{s} AS (SELECT cluster, unnest(xf) AS v,
+                      generate_subscripts(xf, 1) AS dim
+               FROM a1_{s}),
+    cm1_{s} AS (SELECT cluster, dim,
+                       CAST(floor(CAST(sum(v) AS DOUBLE) / count(*))
+                            AS BIGINT) AS cv
+                FROM e1_{s} GROUP BY cluster, dim),
+    c1_{s} AS (SELECT cluster, list(cv ORDER BY dim) AS cf FROM cm1_{s}
+               GROUP BY cluster),
+    d2_{s} AS (
+      SELECT x.vec_id, c.cluster,
+             CAST(list_sum([(x.xf[i]-c.cf[i])*(x.xf[i]-c.cf[i])
+                            for i in generate_series(1, len(x.xf))])
+                  AS BIGINT) AS dist
+      FROM xs{s} x CROSS JOIN c1_{s} c
+    ),
+    a2_{s} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cluster) AS rn
+        FROM d2_{s}) WHERE rn = 1
+    ),
+    dt{s} AS (
+      SELECT q.q_id, q.cell, c.cluster,
+             CAST(list_sum([(q.qrf[{lo}:{hi}][i]-c.cf[i])
+                            *(q.qrf[{lo}:{hi}][i]-c.cf[i])
+                            for i in generate_series(1, {sub})])
+                  AS BIGINT) AS qd
+      FROM qr q CROSS JOIN c1_{s} c
+    )""")
+        selects.append(
+            f"SELECT dt.q_id, a.vec_id, dt.qd "
+            f"FROM a2_{s} a JOIN cellmap cm ON cm.vec_id = a.vec_id "
+            f"JOIN dt{s} dt ON dt.cluster = a.cluster "
+            f"AND dt.cell = cm.cell"
+        )
+    union = "\n      UNION ALL ".join(selects)
+    return f"""WITH {_KMEANS_CTES},
+    cellmap AS (SELECT vec_id, cluster AS cell FROM a2),
+    xr AS (
+      SELECT x.vec_id, cm.cell,
+             [CAST(((x.xf[i] - c.cf[i] + {off}) // {ratio}) - {off_r}
+                   AS BIGINT)
+              for i in generate_series(1, len(x.xf))] AS rf
+      FROM x JOIN cellmap cm USING (vec_id)
+           JOIN c1 c ON c.cluster = cm.cell
+    ),
+    qc AS (
+      SELECT vec_id AS q_id, xf AS qxf FROM x WHERE vec_id % {qmod} = 0
+    ),
+    pd AS (
+      SELECT qc.q_id, c.cluster AS cell,
+             CAST(list_sum([(qc.qxf[i]-c.cf[i])*(qc.qxf[i]-c.cf[i])
+                            for i in generate_series(1, len(qc.qxf))])
+                  AS BIGINT) AS qdist
+      FROM qc CROSS JOIN c1 c
+    ),
+    probes AS (
+      SELECT q_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY qdist, cell) AS rn
+        FROM pd) WHERE rn <= {nprobe}
+    ),
+    qr AS (
+      SELECT p.q_id, p.cell,
+             [CAST(((qc.qxf[i] - c.cf[i] + {off}) // {ratio}) - {off_r}
+                   AS BIGINT)
+              for i in generate_series(1, len(qc.qxf))] AS qrf
+      FROM probes p JOIN qc USING (q_id)
+           JOIN c1 c ON c.cluster = p.cell
+    ),
+    {",".join(ctes)},
+    allp AS (
+      {union}
+    ),
+    tot AS (
+      SELECT q_id, vec_id, CAST(sum(qd) AS BIGINT) AS adc_dist
+      FROM allp GROUP BY q_id, vec_id
+    ),
+    rr AS (
+      SELECT q_id, vec_id, adc_dist,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY adc_dist, vec_id
+             ) AS BIGINT) AS rank
+      FROM tot
+    )
+    SELECT q_id, vec_id, adc_dist, rank FROM rr WHERE rank <= {k}
+    ORDER BY q_id, rank"""
+
+
 @register("ann_ivf_pq_topk", oracle=_ivf_pq_oracle())
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed FAISS architecture, end to end: coarse IVF
@@ -6901,5 +7032,25 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 97 == 0)
     return ivf_pq_adc_topk(
+        e, q, n_cells=8, nprobe=2, d=64, m=8, k_codebook=16, k=5, iters=2
+    )
+
+
+@register("ann_ivf_pq_residual_topk", oracle=_ivf_pq_residual_oracle())
+def ann_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True FAISS IVFPQ, end to end: the same coarse quantizer and
+    probe schedule as ``ann_ivf_pq_topk``, but the 8x16 codebooks are
+    trained on integer RESIDUALS after coarse-centroid subtraction
+    and ADC compares per-(query, probed-cell) query residuals — the
+    residual encoding that closes the global-codebook simplification
+    (operators/similarity.py:ivf_pq_residual_topk has the algebra and
+    the engine-portable floor-requantization). Every layer is
+    fixed-point, so even this approximate search hash-matches its
+    generated oracle. Recall-vs-global comparison: SCALE.md."""
+    from ..operators.similarity import ivf_pq_residual_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 97 == 0)
+    return ivf_pq_residual_topk(
         e, q, n_cells=8, nprobe=2, d=64, m=8, k_codebook=16, k=5, iters=2
     )

@@ -212,6 +212,8 @@ BACK: tuple[str, ...] = (
     # --- round-9 additions not board-eligible (no SQL oracle; PCA's
     # driver-side eigensolve is Python-replica-pinned instead) ---
     "embedding_pca_projected",
+    # --- round-10 additions (first driver row next rotation) ---
+    "ann_ivf_pq_residual_topk",
 )
 
 

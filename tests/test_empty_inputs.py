@@ -70,6 +70,7 @@ AT_RISK = [
     "corpus_bigram_heavy_hitters", # MG + recount on empty bigram stream
     "events_window_anomaly_rolling",  # frames over zero windows
     "ann_ivf_pq_topk",             # coarse + 8 PQ chains on empty corpus
+    "ann_ivf_pq_residual_topk",    # residual projection on empty corpus
 ]
 
 

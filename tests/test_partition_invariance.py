@@ -57,6 +57,7 @@ SENSITIVE = [
     "ann_pq_adc_topk",       # codebook train + salted rank
     "corpus_bigram_heavy_hitters",  # MG candidates over bigrams
     "ann_ivf_pq_topk",       # coarse probe + PQ chains + salted rank
+    "ann_ivf_pq_residual_topk",  # residual requant + per-cell tables
 ]
 
 
