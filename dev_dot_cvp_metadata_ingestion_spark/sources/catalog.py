@@ -747,6 +747,58 @@ def write_text_index(
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def append_text_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Grow a persisted text index with a new corpus shard — no
+    rebuild, no rewrite of existing postings files (the
+    ``append_lsh_index`` recipe): the shard's postings are bucketed
+    with the INDEX's recorded ``n_buckets`` (parameter drift between
+    build and append is impossible) and appended as new parquet files
+    inside the existing bucket partitions; the single-row totals
+    sidecar is delta-folded (old + shard) and rewritten — config-scale,
+    the one sidecar the BM25 length normalization needs fresh.
+
+    Append ≡ rebuild EXACTLY (pinned in tests/test_text_index.py):
+    per-term document frequencies are derived from the postings
+    relation at probe time (operators/retrieval.py:_bm25_rank), each
+    appended doc carries its own denormalized ``dl``, and n_docs /
+    t_tokens fold additively — so no global statistic goes stale.
+    Callers own doc-id uniqueness across shards, same as every append
+    sink here."""
+    from pyspark.sql import functions as F
+
+    from ..operators.retrieval import corpus_postings
+
+    spark = docs.sparkSession
+    if docs.isEmpty():
+        return
+    n_buckets = int(spark.read.parquet(f"{path}/meta").first()["n_buckets"])
+    tf_dl, corp = corpus_postings(docs, id_col, text_col)
+    keyed = tf_dl.select(
+        "doc_id",
+        "word",
+        "tf",
+        "dl",
+        F.pmod(F.xxhash64("word"), F.lit(n_buckets)).cast("int").alias("bucket"),
+    )
+    (
+        keyed.repartition(F.col("bucket"))
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    old = spark.read.parquet(f"{path}/totals").collect()[0]
+    add = corp.collect()[0]
+    spark.createDataFrame(
+        [(old["n_docs"] + add["n_docs"], old["t_tokens"] + add["t_tokens"])],
+        "n_docs bigint, t_tokens bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/totals")
+
+
 def read_text_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame]:

@@ -101,3 +101,65 @@ def test_empty_corpus_layout_readable_schema_stable(spark, docs, tmp_path):
     assert dict(empty_p.dtypes) == dict(full_p.dtypes)
     # probing an empty index is well-defined: no rows
     assert bm25_probe_index(spark, pe, _q(spark), k=5).collect() == []
+
+
+def test_append_equals_rebuild_and_leaves_old_files_untouched(
+    spark, docs, tmp_path
+):
+    """append_text_index on a second shard must serve EXACTLY what a
+    full rebuild over both shards serves, while the first build's
+    postings files stay byte-identical on disk (pure file appends +
+    the config-scale totals sidecar rewrite)."""
+    import os
+
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+        append_text_index,
+    )
+
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    inc = str(tmp_path / "incremental")
+    write_text_index(first, inc, n_buckets=16)
+
+    def snapshot(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(f"{root}/postings"):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = snapshot(inc)
+    assert before  # non-vacuous
+    append_text_index(second, inc)
+    after = snapshot(inc)
+    # every pre-append file unchanged (size AND mtime), new files added
+    for p, sig in before.items():
+        assert after[p] == sig, f"pre-append file rewritten: {p}"
+    assert len(after) > len(before)
+
+    full = str(tmp_path / "rebuild")
+    write_text_index(docs, full, n_buckets=16)
+    got = _rows(bm25_probe_index(spark, inc, _q(spark), k=10))
+    want = _rows(bm25_probe_index(spark, full, _q(spark), k=10))
+    assert got == want
+    assert got  # non-vacuous
+    # totals folded exactly
+    _p, corp = read_text_index(spark, inc)
+    _pf, corp_f = read_text_index(spark, full)
+    assert corp.first().asDict() == corp_f.first().asDict()
+
+
+def test_append_empty_shard_is_noop(spark, docs, tmp_path):
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+        append_text_index,
+    )
+
+    p = str(tmp_path / "idx")
+    write_text_index(docs, p, n_buckets=16)
+    before = _rows(bm25_probe_index(spark, p, _q(spark), k=10))
+    append_text_index(docs.filter(F.lit(False)), p)
+    after = _rows(bm25_probe_index(spark, p, _q(spark), k=10))
+    assert before == after
