@@ -502,3 +502,49 @@ def anomaly_monitor_sink(counts_path: str, report_path: str):
         )
 
     return sink
+
+
+def bm25_search_sink(index_path: str, results_path: str, k: int = 10):
+    """foreachBatch sink for CONTINUOUS retrieval over the persisted
+    text index (sources/catalog.py:write_text_index) — the retrieval
+    sibling of ``lsh_dedup_ingest_sink``: a stream of query terms
+    (q_id, term) arrives in micro-batches, each batch is scored with
+    ``bm25_probe_index`` (partition-pruned postings read, shared
+    ``_bm25_rank`` tail — so streaming results are pinned to the
+    batch query by construction), and the per-batch top-``k`` rows
+    land in ``results_path`` partitioned by batch_id.
+
+    Replay-safe without bookkeeping: scoring is a pure function of
+    (batch, index), and the per-``batch_id`` dynamic-partition
+    overwrite makes a re-delivered batch rewrite its own partition
+    with identical content (Spark's at-least-once foreachBatch
+    contract → exactly-once for readers). If ``append_text_index``
+    grows the index between a batch's failure and its replay, the
+    replayed batch scores against the bigger index — the same
+    one-batch-bounded artifact the LSH ingest sink documents, and for
+    search it is benign (fresher results, not corruption).
+
+    At 100 TB the per-batch cost is the probed buckets' postings
+    files + config-scale broadcasts — the corpus text is never read,
+    and there is NO executor state: the index table IS the state
+    (unbounded horizon, zero memory)."""
+    from ..operators.retrieval import bm25_probe_index
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        batch = df.persist()
+        try:
+            if batch.isEmpty():
+                return
+            ranked = bm25_probe_index(spark, index_path, batch, k=k)
+            (
+                ranked.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(results_path)
+            )
+        finally:
+            batch.unpersist()
+
+    return sink

@@ -1,0 +1,127 @@
+"""Streaming retrieval over the persisted text index: per-batch BM25
+top-k from a query-term stream must equal the batch bm25_probe_index
+on the same query batches, a full stream replay (fresh checkpoint)
+must reproduce identical results, and a manually re-delivered batch
+(the foreachBatch at-least-once case) must leave the results table
+unchanged."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from dev_dot_cvp_metadata_ingestion_spark.operators.retrieval import (
+    bm25_probe_index,
+)
+from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+    write_text_index,
+)
+from dev_dot_cvp_metadata_ingestion_spark.streaming.stream import (
+    bm25_search_sink,
+)
+
+SCHEMA = "q_id long, term string"
+
+BATCHES = [
+    [(1, "spark"), (1, "join"), (2, "window")],
+    [(3, "filter"), (3, "sort")],
+    [(4, "vector"), (5, "spark")],
+]
+
+
+@pytest.fixture(scope="module")
+def index(spark, sf_dir, tmp_path_factory):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = str(tmp_path_factory.mktemp("stream_textidx") / "index")
+    write_text_index(docs, p, n_buckets=16)
+    return p
+
+
+@pytest.fixture(scope="module")
+def src(spark, tmp_path_factory):
+    import os
+    import time as _time
+
+    root = tmp_path_factory.mktemp("bm25_query_src")
+    base = _time.time()
+    for i, rows in enumerate(BATCHES):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(root / f"b{i}")
+        )
+        for f in (root / f"b{i}").rglob("*.parquet"):
+            os.utime(f, (base + 10 * i, base + 10 * i))
+    return root
+
+
+def _run_stream(spark, src, sink, ckpt):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+
+def _rows(df):
+    return sorted(
+        (r.batch_id, r.q_id, r.doc_id, r.score_ppm, r.rank)
+        for r in df.collect()
+    )
+
+
+def _batch_replay(spark, index):
+    out = []
+    for i, rows in enumerate(BATCHES):
+        q = spark.createDataFrame(rows, SCHEMA)
+        for r in bm25_probe_index(spark, index, q, k=10).collect():
+            out.append((i, r.q_id, r.doc_id, r.score_ppm, r.rank))
+    return sorted(out)
+
+
+def test_stream_equals_batch_and_full_replay(spark, index, src, tmp_path):
+    results = str(tmp_path / "results")
+    sink = bm25_search_sink(index, results, k=10)
+    _run_stream(spark, src, sink, tmp_path / "ckpt0")
+    got = _rows(spark.read.parquet(results))
+    want = _batch_replay(spark, index)
+    assert got == want
+    assert got  # non-vacuous
+    # every batch produced rows (file order == batch order)
+    assert {b for b, *_ in got} == {0, 1, 2}
+
+    # full replay with a fresh checkpoint into a fresh results table
+    results2 = str(tmp_path / "results2")
+    _run_stream(
+        spark, src, bm25_search_sink(index, results2, k=10), tmp_path / "ckpt1"
+    )
+    assert _rows(spark.read.parquet(results2)) == got
+
+
+def test_redelivered_batch_is_idempotent(spark, index, src, tmp_path):
+    results = str(tmp_path / "results")
+    sink = bm25_search_sink(index, results, k=10)
+    _run_stream(spark, src, sink, tmp_path / "ckpt0")
+    before = _rows(spark.read.parquet(results))
+    # manually re-deliver batch 1 with the same batch_id (foreachBatch
+    # at-least-once): the dynamic-partition overwrite must rewrite
+    # partition 1 with identical content
+    sink(spark.createDataFrame(BATCHES[1], SCHEMA), 1)
+    after = _rows(spark.read.parquet(results))
+    assert after == before
+
+
+def test_empty_batch_is_noop(spark, index, tmp_path):
+    results = str(tmp_path / "results")
+    sink = bm25_search_sink(index, results, k=10)
+    sink(spark.createDataFrame(BATCHES[0], SCHEMA), 0)
+    before = _rows(spark.read.parquet(results))
+    sink(spark.createDataFrame([], SCHEMA), 99)
+    after = _rows(spark.read.parquet(results))
+    assert after == before
