@@ -304,3 +304,83 @@ def rrf_fuse(
         "rrf_micro",
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def phrase_search_topk(
+    docs: DataFrame,
+    phrases: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Exact phrase search over positional postings: top-``k``
+    documents per query by number of phrase OCCURRENCES (then doc_id)
+    — the positional-index capability BM25's bag-of-words scoring
+    cannot express ("spark join" as ADJACENT tokens, not co-occurring
+    anywhere).
+
+    ``phrases`` is a tidy (q_id, term_pos, term) relation — term_pos
+    1-based consecutive within each query. Matching uses the classic
+    positional-join identity: a phrase starts at position ``s`` in a
+    doc iff for EVERY (term_pos, term) the doc has ``term`` at
+    ``s + term_pos - 1``; equivalently every matched posting row
+    agrees on ``start = pos - term_pos``, so one groupBy over
+    (q_id, doc_id, start) counting DISTINCT matched term_pos (distinct
+    — a duplicated term in the phrase may match one posting row to
+    several term_pos) finds all starts without any self-join chain of
+    per-term posting lists. Overlapping occurrences count separately
+    (query "a a" matches "a a a" twice).
+
+    Returns (q_id, doc_id, n_occurrences, rank), UNORDERED (per-row
+    operator contract; rank carries the ordering).
+
+    Scale shape: one positional tokenize (posexplode, map-side), the
+    phrase dictionary broadcast onto it (semi-shrinks to matching
+    postings before any shuffle), and two aggregates keyed on
+    uniformly-distributed (q_id, doc_id[, start]) — a stop-grade
+    phrase term inflates VOLUME linearly but never concentrates a
+    key, the same flat-under-skew analysis as bm25_topk
+    (tools/bench_bm25_skew.py). Per-query top-k is the salted
+    two-phase rank. n_occurrences < 2^31 keeps the double rank
+    carrier exact trivially."""
+    from ..functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos0", "word"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    qn = phrases.groupBy("q_id").agg(
+        F.countDistinct("term_pos").alias("n_terms")
+    )
+    occ = (
+        toks.join(F.broadcast(phrases), F.col("word") == F.col("term"))
+        .select(
+            "q_id",
+            "doc_id",
+            (F.col("pos") - F.col("term_pos")).alias("start"),
+            "term_pos",
+        )
+        .groupBy("q_id", "doc_id", "start")
+        .agg(F.countDistinct("term_pos").alias("matched"))
+        .join(F.broadcast(qn), "q_id")
+        .filter(F.col("matched") == F.col("n_terms"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    ranked = _topk_per_query(
+        occ.select(
+            "q_id",
+            F.col("doc_id").alias("vec_id"),
+            F.col("n_occurrences").cast("double").alias("cos"),
+            "n_occurrences",
+        ),
+        k,
+        n_salts,
+    )
+    return ranked.select(
+        "q_id",
+        F.col("vec_id").alias("doc_id"),
+        "n_occurrences",
+        F.col("rank").cast("long").alias("rank"),
+    )

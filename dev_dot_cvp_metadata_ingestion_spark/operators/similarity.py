@@ -1153,3 +1153,141 @@ def ivf_pq_residual_topk(
     return ranked.select(
         "q_id", "vec_id", "adc_dist", F.col("rank").cast("long").alias("rank")
     )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cand: int = 20,
+    lam_ppm: int = 500_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 100_000,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein,
+    SIGIR'98) — diversity-aware serving over an ANN candidate pool:
+    per query, greedily pick ``k`` of the ``n_cand`` nearest vectors,
+    each round choosing the candidate minimizing
+
+        mmr = lam_ppm * d(q, c) - (1e6 - lam_ppm) * min_{s in S} d(s, c)
+
+    (distance form of the classic relevance-vs-redundancy trade: low
+    query distance is relevant, HIGH distance to the already-selected
+    set is diverse). First pick = plain nearest. All distances are
+    fixed-point integer squared-L2 at the ADC scale, so the greedy
+    argmin (tie-break by vec_id) is bit-deterministic and the whole
+    k-round recursion hash-matches an UNROLLED generated oracle
+    (plans/datapipe.py:_mmr_oracle). Headroom: d <= 4*scale^2*d_dim
+    ~ 2.6e12 at scale 1e5, d_dim 64; times lam_ppm <= 1e6 -> 2.6e18,
+    inside int64.
+
+    Returns (q_id, vec_id, dq, pick) — pick 1..k is selection order,
+    dq the candidate's query distance; UNORDERED.
+
+    Scale shape: candidate generation is the broadcast-query
+    brute-force pass + salted top-N (one corpus scan, no corpus
+    shuffle); the k greedy rounds then operate on the
+    |queries| x n_cand candidate relation ONLY (localCheckpoint'd
+    once — the corpus is never touched again), with the selected set
+    (<= |queries| x k rows) broadcast each round. Round count is the
+    plan depth, not a data-motion multiplier."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.floor(v.cast("double") * scale).cast("long"),
+        ).alias("qf"),
+    )
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.floor(v.cast("double") * scale).cast("long"),
+        ).alias("xf"),
+    )
+    dq = F.aggregate(
+        F.zip_with(F.col("xf"), F.col("qf"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "q_id", "vec_id", "xf", dq.alias("dq")
+    )
+    cand = (
+        _topk_per_query(
+            scored.select(
+                "q_id",
+                "vec_id",
+                (-F.col("dq")).cast("double").alias("cos"),
+                "dq",
+                "xf",
+            ),
+            n_cand,
+            n_salts,
+        )
+        .select("q_id", "vec_id", "dq", "xf")
+        .localCheckpoint()
+    )
+
+    def argmin(df: DataFrame, key_col: str) -> DataFrame:
+        return (
+            df.groupBy("q_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col(key_col).alias("key"),
+                        F.col("vec_id").alias("vec_id"),
+                        F.col("dq").alias("dq"),
+                        F.col("xf").alias("xf"),
+                    )
+                ).alias("_m")
+            )
+            .select(
+                "q_id",
+                F.col("_m.vec_id").alias("vec_id"),
+                F.col("_m.dq").alias("dq"),
+                F.col("_m.xf").alias("xf"),
+            )
+        )
+
+    sel = argmin(cand, "dq").select(
+        "q_id", "vec_id", "dq", "xf", F.lit(1).cast("long").alias("pick")
+    )
+    selall = sel
+    ds = F.aggregate(
+        F.zip_with(F.col("xf"), F.col("sxf"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    for r in range(2, k + 1):
+        rem = cand.join(
+            selall.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_anti"
+        )
+        dmin = (
+            rem.join(
+                F.broadcast(
+                    selall.select(
+                        "q_id", F.col("xf").alias("sxf")
+                    )
+                ),
+                "q_id",
+            )
+            .select("q_id", "vec_id", "dq", "xf", ds.alias("d_s"))
+            .groupBy("q_id", "vec_id")
+            .agg(
+                F.min("d_s").alias("dmin"),
+                F.first("dq").alias("dq"),
+                F.first("xf").alias("xf"),
+            )
+        )
+        mmr = (
+            F.lit(lam_ppm).cast("long") * F.col("dq")
+            - F.lit(1_000_000 - lam_ppm).cast("long") * F.col("dmin")
+        )
+        pick = argmin(dmin.withColumn("mmr", mmr), "mmr").select(
+            "q_id", "vec_id", "dq", "xf", F.lit(r).cast("long").alias("pick")
+        )
+        selall = selall.unionByName(pick)
+    return selall.select("q_id", "vec_id", "dq", "pick")

@@ -6132,6 +6132,151 @@ def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mmr_oracle(
+    k: int = 5, n_cand: int = 20, lam_ppm: int = 500_000,
+    scale: int = 100_000, qmod: int = 97,
+) -> str:
+    """Generate the unrolled MMR oracle: brute-force integer
+    distances, top-n_cand candidates, then k-1 greedy rounds as
+    explicit CTEs (the generated-oracle pattern — fixed round count
+    makes the recursion plain SQL). Restates
+    operators/similarity.py:mmr_rerank bit-for-bit."""
+    dsum = ("CAST(list_sum([(c.xf[i]-s.xf[i])*(c.xf[i]-s.xf[i]) "
+            "for i in generate_series(1, len(c.xf))]) AS BIGINT)")
+    rounds = []
+    for r in range(2, k + 1):
+        prev = f"s{r - 1}"
+        rounds.append(f"""
+    dm{r} AS (
+      SELECT c.q_id, c.vec_id, min({dsum}) AS dmin, min(c.dq) AS dq
+      FROM cand c JOIN {prev} s ON s.q_id = c.q_id
+      WHERE NOT EXISTS (SELECT 1 FROM {prev} e
+                        WHERE e.q_id = c.q_id AND e.vec_id = c.vec_id)
+      GROUP BY c.q_id, c.vec_id
+    ),
+    p{r} AS (
+      SELECT d.q_id, d.vec_id, d.dq, c.xf, CAST({r} AS BIGINT) AS pick
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id
+          ORDER BY {lam_ppm} * dq - {1_000_000 - lam_ppm} * dmin, vec_id
+        ) AS rn
+        FROM dm{r}) d
+      JOIN cand c ON c.q_id = d.q_id AND c.vec_id = d.vec_id
+      WHERE d.rn = 1
+    ),
+    s{r} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM p{r})""")
+    return f"""WITH xs AS (
+      SELECT vec_id,
+             [CAST(floor(CAST(v AS DOUBLE) * {scale}.0) AS BIGINT)
+              for v in embedding] AS xf
+      FROM embeddings
+    ),
+    qs AS (
+      SELECT vec_id AS q_id, xf AS qf FROM xs WHERE vec_id % {qmod} = 0
+    ),
+    sc AS (
+      SELECT q.q_id, x.vec_id, x.xf,
+             CAST(list_sum([(x.xf[i]-q.qf[i])*(x.xf[i]-q.qf[i])
+                            for i in generate_series(1, len(x.xf))])
+                  AS BIGINT) AS dq
+      FROM xs x CROSS JOIN qs q
+    ),
+    cand AS (
+      SELECT q_id, vec_id, xf, dq FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY dq, vec_id) AS rn
+        FROM sc) WHERE rn <= {n_cand}
+    ),
+    s1 AS (
+      SELECT q_id, vec_id, dq, xf, CAST(1 AS BIGINT) AS pick FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY dq, vec_id) AS rn
+        FROM cand) WHERE rn = 1
+    ),{",".join(rounds)}
+    SELECT q_id, vec_id, dq, pick FROM s{k}
+    ORDER BY q_id, pick"""
+
+
+@register("ann_mmr_rerank", oracle=_mmr_oracle())
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware serving: MMR greedy top-5 per query over the
+    20 nearest candidates (operators/similarity.py:mmr_rerank) — the
+    rerank layer real retrieval stacks put between ANN recall and the
+    user, here in exact fixed-point so the greedy recursion
+    hash-matches its unrolled generated oracle. Workload: every 97th
+    vector queries the embeddings table, lambda = 0.5."""
+    from ..operators.similarity import mmr_rerank
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 97 == 0)
+    return mmr_rerank(e, q, k=5, n_cand=20).orderBy("q_id", "pick")
+
+
+_PHRASE_QUERIES = [
+    (1, 1, "spark"), (1, 2, "join"),
+    (2, 1, "window"), (2, 2, "filter"),
+    (3, 1, "table"), (3, 2, "table"),
+]
+
+
+@register(
+    "text_phrase_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(t) AS word, generate_subscripts(t, 1) AS pos
+      FROM (SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents)
+    ),
+    ph(q_id, term_pos, term) AS (VALUES
+      (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'spark'), (1, 2, 'join'),
+      (2, 1, 'window'), (2, 2, 'filter'),
+      (3, 1, 'table'), (3, 2, 'table')),
+    qn AS (
+      SELECT q_id, count(DISTINCT term_pos) AS n_terms FROM ph GROUP BY q_id
+    ),
+    m AS (
+      SELECT ph.q_id, toks.doc_id, toks.pos - ph.term_pos AS start,
+             count(DISTINCT ph.term_pos) AS matched
+      FROM toks JOIN ph ON toks.word = ph.term
+      GROUP BY 1, 2, 3
+    ),
+    occ AS (
+      SELECT m.q_id, m.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM m JOIN qn USING (q_id)
+      WHERE m.matched = qn.n_terms
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT q_id, doc_id, n_occurrences,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY n_occurrences DESC, doc_id
+             ) AS BIGINT) AS rank
+      FROM occ
+    )
+    SELECT q_id, doc_id, n_occurrences, rank FROM ranked WHERE rank <= 10
+    ORDER BY q_id, rank
+    """,
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search — top-10 documents per phrase by occurrence
+    count over positional postings
+    (operators/retrieval.py:phrase_search_topk): the positional-index
+    capability BM25's bag-of-words cannot express ("spark join" as
+    ADJACENT tokens). The workload includes a duplicated-term phrase
+    ("table table") to exercise the distinct-term_pos matching rule.
+    Scale shape: one positional tokenize, phrase dictionary broadcast
+    onto it, two aggregates on uniformly-distributed keys, salted
+    two-phase top-k — flat under stop-grade phrase terms by the same
+    analysis as bm25_topk."""
+    from ..operators.retrieval import phrase_search_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    ph = spark.createDataFrame(
+        _PHRASE_QUERIES, "q_id long, term_pos long, term string"
+    )
+    return phrase_search_topk(d, ph, k=10).orderBy("q_id", "rank")
+
+
 # ------------------------------------------------- time-decayed counts
 
 

@@ -214,6 +214,8 @@ BACK: tuple[str, ...] = (
     "embedding_pca_projected",
     # --- round-10 additions (first driver row next rotation) ---
     "ann_ivf_pq_residual_topk",
+    "text_phrase_search",
+    "ann_mmr_rerank",
 )
 
 

@@ -71,6 +71,8 @@ AT_RISK = [
     "events_window_anomaly_rolling",  # frames over zero windows
     "ann_ivf_pq_topk",             # coarse + 8 PQ chains on empty corpus
     "ann_ivf_pq_residual_topk",    # residual projection on empty corpus
+    "text_phrase_search",          # positional postings on empty corpus
+    "ann_mmr_rerank",              # greedy rounds over empty candidates
 ]
 
 

@@ -58,6 +58,8 @@ SENSITIVE = [
     "corpus_bigram_heavy_hitters",  # MG candidates over bigrams
     "ann_ivf_pq_topk",       # coarse probe + PQ chains + salted rank
     "ann_ivf_pq_residual_topk",  # residual requant + per-cell tables
+    "text_phrase_search",    # start-position aggregate + salted rank
+    "ann_mmr_rerank",        # salted candidate rank + greedy rounds
 ]
 
 

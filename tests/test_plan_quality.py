@@ -496,3 +496,20 @@ def test_rolling_anomaly_windows_are_type_partitioned(spark):
     plan = plan_of("events_window_anomaly_rolling", spark)
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, f"expected <=2 shuffles, got {n_exchanges}"
+
+
+def test_residual_ivf_pq_serving_plan(spark):
+    # residual IVF-PQ: distance tables and probes broadcast; the ONLY
+    # sort-merge join allowed is the corpus-sized codes-cellmap join
+    # on vec_id (both sides are corpus-derived, broadcast would be
+    # wrong) — the residual subtraction itself must add zero
+    # sort-merge joins (it is a broadcast join against the
+    # n_cells-row centroid relation)
+    plan = plan_of("ann_ivf_pq_residual_topk", spark)
+    lookup = [
+        l
+        for l in plan.splitlines()
+        if "BroadcastHashJoin" in l and "subspace" in l and "cluster" in l
+    ]
+    assert lookup, plan[:2000]
+    assert plan.count("SortMergeJoin") <= 1

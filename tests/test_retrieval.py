@@ -248,3 +248,85 @@ def test_contrib_headroom_no_int64_wrap(spark):
     # term with df ~ n_docs floors idf_ppm, hence contrib, to 0)
     assert all(0 <= w < 2**63 for w in want)
     assert want[-1] == 0 and all(w > 0 for w in want[:-1])
+
+
+def _phrase_rows(spark, docs, phrases, k=10):
+    from dev_dot_cvp_metadata_ingestion_spark.operators.retrieval import (
+        phrase_search_topk,
+    )
+    from pyspark.sql import functions as F2  # noqa: F401
+
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    p = spark.createDataFrame(phrases, "q_id long, term_pos long, term string")
+    return sorted(
+        (r.q_id, r.doc_id, r.n_occurrences, r.rank)
+        for r in phrase_search_topk(d, p, k=k).collect()
+    )
+
+
+def _phrase_replica(docs, phrases, k=10):
+    from collections import defaultdict
+
+    byq = defaultdict(list)
+    for q_id, term_pos, term in phrases:
+        byq[q_id].append((term_pos, term))
+    out = []
+    for q_id, terms in byq.items():
+        terms.sort()
+        seq = [t for _, t in terms]
+        scores = []
+        for doc_id, text in docs:
+            toks = text.split()
+            n = sum(
+                1
+                for s in range(len(toks) - len(seq) + 1)
+                if toks[s : s + len(seq)] == seq
+            )
+            if n:
+                scores.append((doc_id, n))
+        scores.sort(key=lambda x: (-x[1], x[0]))
+        out += [
+            (q_id, d, n, r + 1) for r, (d, n) in enumerate(scores[:k])
+        ]
+    return sorted(out)
+
+
+def test_phrase_search_matches_replica(spark):
+    docs = [
+        (0, "spark join spark join window"),
+        (1, "spark window join"),
+        (2, "a a a a"),
+        (3, "join spark"),
+        (4, "the spark join the"),
+    ]
+    phrases = [
+        (1, 1, "spark"), (1, 2, "join"),
+        (2, 1, "a"), (2, 2, "a"),          # duplicate term, overlaps
+        (3, 1, "join"), (3, 2, "window"),
+    ]
+    got = _phrase_rows(spark, docs, phrases)
+    want = _phrase_replica(docs, phrases)
+    assert got == want
+    # overlapping occurrences counted: "a a a a" has 3 starts of "a a"
+    assert (2, 2, 3, 1) in got
+    # adjacency required, not co-occurrence: doc 1 has spark and join
+    # but never adjacent
+    assert not any(q == 1 and d == 1 for q, d, *_ in got)
+
+
+def test_phrase_search_randomized_replica(spark):
+    import random
+
+    rnd = random.Random(7)
+    vocab = ["a", "b", "c", "d"]
+    docs = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(30))) for i in range(40)
+    ]
+    phrases = [
+        (1, 1, "a"), (1, 2, "b"),
+        (2, 1, "c"), (2, 2, "c"), (2, 3, "d"),
+        (3, 1, "b"),
+    ]
+    assert _phrase_rows(spark, docs, phrases, k=7) == _phrase_replica(
+        docs, phrases, k=7
+    )
