@@ -194,3 +194,81 @@ def triangle_stats(
             )).otherwise(F.lit(0)).cast("long").alias("clustering_ppm"),
         )
     )
+
+
+def kcore(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+    k: int = 2,
+    rounds: int = 4,
+) -> DataFrame:
+    """Fixed-round k-core peeling over an UNDIRECTED pair relation:
+    each round drops every node whose degree among the surviving
+    nodes is < ``k``; after ``rounds`` peels, report per node whether
+    it survived and its degree within the surviving subgraph. On a
+    graph whose peeling converges within ``rounds`` (near-dup graphs
+    are shallow — template stars peel in one round) the survivors ARE
+    the k-core, the standard dense-subgraph extractor behind "which
+    template/mirror families form a tightly cross-linked clump"
+    (triangles count closed wedges; the core finds the clump itself).
+    A fixed round count rather than convergence detection is the
+    repo's determinism contract for iterative ops: the DuckDB oracle
+    restates the peel as unrolled CTEs, bit-identical, and an
+    UNconverged run is still exactly reproducible (documented
+    artifact: a round-``rounds`` survivor can have core_degree < k,
+    or 0 if all its neighbors died in the final round).
+
+    Returns (id_col, in_core, core_degree) for EVERY input node,
+    UNORDERED (per-row output contract).
+
+    Scale shape: the symmetrized edge relation is materialized once;
+    each round is two semi-joins of the (shrinking) alive set against
+    it plus one degree groupBy — map-side combine absorbs hub
+    degrees, state is node-sized, lineage truncated per round.
+    Nothing corpus-sized broadcast or windowed. The alive set only
+    shrinks, so round cost is monotonically non-increasing — the
+    two-star/contraction shrinking-state argument."""
+    can = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).localCheckpoint()
+    edges = can.unionByName(
+        can.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    alive = nodes.select(F.col(id_col).alias("node"))
+    for _ in range(rounds):
+        e = edges.join(
+            alive.select(F.col("node").alias("src")), "src", "left_semi"
+        ).join(alive.select(F.col("node").alias("dst")), "dst", "left_semi")
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        alive = (
+            deg.filter(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint()
+        )
+    ef = edges.join(
+        alive.select(F.col("node").alias("src")), "src", "left_semi"
+    ).join(alive.select(F.col("node").alias("dst")), "dst", "left_semi")
+    degf = ef.groupBy("src").agg(F.count(F.lit(1)).alias("core_degree"))
+    return (
+        nodes.select(F.col(id_col))
+        .join(
+            alive.select(F.col("node").alias(id_col)).withColumn(
+                "in_core", F.lit(1).cast("long")
+            ),
+            id_col,
+            "left",
+        )
+        .join(degf.select(F.col("src").alias(id_col), "core_degree"), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("in_core"), F.lit(0).cast("long")).alias(
+                "in_core"
+            ),
+            F.coalesce(F.col("core_degree"), F.lit(0).cast("long")).alias(
+                "core_degree"
+            ),
+        )
+    )

@@ -37,7 +37,7 @@ from ..operators.dedup import (
 )
 from ..operators.anomaly import window_anomalies_from_counts, window_counts
 from ..operators.drift import source_drift_from_counts, word_counts
-from ..operators.graph import pagerank, triangle_stats
+from ..operators.graph import kcore, pagerank, triangle_stats
 from ..operators.pca import pca_project
 from ..operators.multimodal import (
     attach_binary,
@@ -5853,6 +5853,60 @@ def dedup_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", num_hashes=8, n=3, threshold=0.3
     )
     return pagerank(pairs, d.select("doc_id"), iters=4)
+
+
+def _kcore_oracle(k: int = 2, rounds: int = 4) -> str:
+    """Generate the unrolled k-core peel oracle over the shared LSH
+    pair CTEs. Restates operators/graph.py:kcore bit-for-bit (fixed
+    round count = the determinism contract for iterative ops)."""
+    ctes = ["a0 AS (SELECT doc_id AS node FROM documents)"]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""e{r} AS (
+      SELECT e.src, e.dst FROM edges e
+      JOIN a{r - 1} s ON s.node = e.src
+      JOIN a{r - 1} t ON t.node = e.dst
+    ),
+    d{r} AS (SELECT src, count(*) AS deg FROM e{r} GROUP BY src),
+    a{r} AS (SELECT src AS node FROM d{r} WHERE deg >= {k})""")
+    chain = ",\n    ".join(ctes)
+    return f"""WITH RECURSIVE {{_LSH_PAIR_CTES}},
+    can AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM lsh_pairs),
+    edges AS (SELECT src, dst FROM can UNION SELECT dst, src FROM can),
+    {chain},
+    ef AS (
+      SELECT e.src, e.dst FROM edges e
+      JOIN a{rounds} s ON s.node = e.src
+      JOIN a{rounds} t ON t.node = e.dst
+    ),
+    df AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS core_degree
+      FROM ef GROUP BY src
+    )
+    SELECT n.doc_id,
+           CAST(CASE WHEN a.node IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS in_core,
+           CAST(COALESCE(df.core_degree, 0) AS BIGINT) AS core_degree
+    FROM documents n
+    LEFT JOIN a{rounds} a ON a.node = n.doc_id
+    LEFT JOIN df ON df.src = n.doc_id
+    ORDER BY n.doc_id"""
+
+
+@register("dedup_graph_kcore", oracle=_kcore_oracle().replace("{_LSH_PAIR_CTES}", _LSH_PAIR_CTES))
+def dedup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-subgraph extraction over the near-duplicate graph: 4
+    rounds of 2-core peeling on the MinHash-LSH pair relation
+    (operators/graph.py:kcore — same banding and 0.3 Jaccard verify
+    as the other graph queries). Where triangles COUNT the clustered
+    structure and pagerank ranks positions in it, the core EXTRACTS
+    the tightly cross-linked clump — the mirror-farm/template-family
+    detector. Exact unrolled-CTE oracle; per-row output over every
+    document."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = lsh_near_duplicates(
+        d, "doc_id", "text", num_hashes=8, n=3, threshold=0.3
+    )
+    return kcore(pairs, d.select("doc_id"), k=2, rounds=4)
 
 
 @register(

@@ -216,6 +216,7 @@ BACK: tuple[str, ...] = (
     "ann_ivf_pq_residual_topk",
     "text_phrase_search",
     "ann_mmr_rerank",
+    "dedup_graph_kcore",
 )
 
 

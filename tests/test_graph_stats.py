@@ -80,3 +80,49 @@ def test_registered_single_row(spark):
     r = rows[0]
     assert r["n_nodes"] == 500
     assert 0 <= r["clustering_ppm"] <= 1_000_000
+
+
+def test_kcore_planted_structures(spark):
+    """2-core of a star is empty (leaves peel, then the center);
+    a 4-clique survives with degree 3; a chain peels completely."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.graph import kcore
+
+    pairs = [
+        # star center 0, leaves 1-4
+        (0, 1), (0, 2), (0, 3), (0, 4),
+        # 4-clique on 10-13
+        (10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13),
+        # chain 20-21-22
+        (20, 21), (21, 22),
+    ]
+    nodes = [(i,) for i in [0, 1, 2, 3, 4, 10, 11, 12, 13, 20, 21, 22, 99]]
+    p = spark.createDataFrame(pairs, "doc_id_a long, doc_id_b long")
+    n = spark.createDataFrame(nodes, "doc_id long")
+    got = {
+        r.doc_id: (r.in_core, r.core_degree)
+        for r in kcore(p, n, k=2, rounds=4).collect()
+    }
+    assert len(got) == len(nodes)  # every node reported
+    for clique_node in (10, 11, 12, 13):
+        assert got[clique_node] == (1, 3)
+    for peeled in (0, 1, 2, 3, 4, 20, 21, 22, 99):
+        assert got[peeled] == (0, 0)
+
+
+def test_kcore_k3_keeps_only_clique(spark):
+    from dev_dot_cvp_metadata_ingestion_spark.operators.graph import kcore
+
+    pairs = [
+        (10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13),
+        # a triangle (2-core but not 3-core)
+        (1, 2), (2, 3), (1, 3),
+    ]
+    nodes = [(i,) for i in [1, 2, 3, 10, 11, 12, 13]]
+    p = spark.createDataFrame(pairs, "doc_id_a long, doc_id_b long")
+    n = spark.createDataFrame(nodes, "doc_id long")
+    got = {
+        r.doc_id: (r.in_core, r.core_degree)
+        for r in kcore(p, n, k=3, rounds=4).collect()
+    }
+    assert all(got[i] == (1, 3) for i in (10, 11, 12, 13))
+    assert all(got[i] == (0, 0) for i in (1, 2, 3))

@@ -60,6 +60,7 @@ SENSITIVE = [
     "ann_ivf_pq_residual_topk",  # residual requant + per-cell tables
     "text_phrase_search",    # start-position aggregate + salted rank
     "ann_mmr_rerank",        # salted candidate rank + greedy rounds
+    "dedup_graph_kcore",     # shrinking alive-set semi-join rounds
 ]
 
 

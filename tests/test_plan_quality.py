@@ -329,6 +329,7 @@ PER_ROW_OUTPUT = [
     "documents_perplexity_buckets", "documents_repeated_substrings",
     "documents_substring_dup_stats", "documents_substring_scrubbed",
     "dedup_pagerank_centrality", "embedding_pq_codes",
+    "dedup_graph_kcore",
 ]
 
 
