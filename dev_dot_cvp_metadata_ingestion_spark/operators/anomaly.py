@@ -60,6 +60,34 @@ def window_anomalies_from_counts(wc: DataFrame) -> DataFrame:
     (floor(1000 * per-type mean)), z2_milli (floor(1000 * z^2), NULL at
     zero variance), is_anomaly (0/1 BIGINT).
     """
+    return _three_sigma(wc, ["event_type"])
+
+
+def seasonal_anomalies_from_counts(wc: DataFrame) -> DataFrame:
+    """Hour-of-day seasonal three-sigma anomalies: each window is
+    scored against the baseline of windows sharing its (event_type,
+    hour-of-day) — the deseasonalized detector. A nightly batch job
+    that makes 02:00 traffic 10× the daily mean trips the global
+    detector every single night; against the 02:00-only baseline it is
+    ordinary, while a genuinely unusual 02:00 window still fires.
+
+    hod is derived from the formatted window_start string
+    (substring, positions 12-13) so both engines slice the identical
+    bytes — no timezone-sensitive hour() extraction. The baseline key
+    just widens from |types| to |types|×24 rows; the broadcast-moments
+    scale shape of ``window_anomalies_from_counts`` is unchanged.
+
+    Output: window_start, event_type, n_events, hod, mean_milli,
+    z2_milli, is_anomaly (NULL z2 at zero seasonal variance)."""
+    wc = wc.withColumn("hod", F.substring("window_start", 12, 2))
+    return _three_sigma(wc, ["event_type", "hod"])
+
+
+def _three_sigma(wc: DataFrame, keys: list[str]) -> DataFrame:
+    """Shared exact-integer three-sigma core: group ``wc`` by ``keys``,
+    broadcast the (m, s, v) moments back, and score every row with the
+    all-DECIMAL z² predicate. Returns wc's columns (in order) +
+    mean_milli, z2_milli, is_anomaly."""
     # the count relation feeds both the moment aggregate and the final
     # join; materialize once so the tokenize/scan lineage above it runs
     # a single time (same device as operators/drift.py)
@@ -74,33 +102,173 @@ def window_anomalies_from_counts(wc: DataFrame) -> DataFrame:
     # (decimal div == DuckDB HUGEINT // whenever the quotient fits
     # int64; the oracle mirrors with HUGEINT casts). Headroom is now
     # bounded by DECIMAL(38,0) itself: |dev| < ~3e17.
-    st = wc.groupBy("event_type").agg(
+    out_cols = list(wc.columns)
+    st = wc.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("m"),
         F.sum("n_events").alias("s"),
         F.sum(
             F.col("n_events").cast("decimal(38,0)") * F.col("n_events")
         ).alias("v"),
     )
-    j = wc.join(F.broadcast(st), "event_type")
+    j = wc.join(F.broadcast(st), keys)
     dev = F.col("m").cast("decimal(38,0)") * F.col("n_events") - F.col("s")
     varm = (
         F.col("m") * F.col("v")
         - F.col("s").cast("decimal(38,0)") * F.col("s")
     )
     return j.select(
-        "window_start",
-        "event_type",
-        "n_events",
+        *out_cols,
         F.expr("CAST(s AS DECIMAL(38,0)) * 1000 div m").alias("mean_milli"),
         (dev * dev * F.lit(1000)).alias("_num"),
         varm.alias("_varm"),
     ).select(
-        "window_start",
-        "event_type",
-        "n_events",
+        *out_cols,
         "mean_milli",
         F.expr("_num div nullif(_varm, 0)").alias("z2_milli"),
         (F.col("_num") > F.lit(9000) * F.col("_varm")).cast("long").alias(
             "is_anomaly"
         ),
+    )
+
+
+def cusum_from_counts(
+    wc: DataFrame, allow_den: int = 2, h_mean_mult: int = 5
+) -> DataFrame:
+    """One-sided CUSUM change-point detection per event type over a
+    (window_start, event_type, n_events) count relation — the
+    level-SHIFT detector that complements the three-sigma spike
+    detectors: a sustained small elevation never trips a z-test but
+    accumulates in S_t = max(0, S_{t-1} + (x_t - mean - allowance)).
+
+    The recurrence's max(0, ...) floor looks iterative but is exactly
+    window-expressible via the reflection identity
+        S_t = P_t - min(0, min_{j<=t} P_j),   P_t = prefix sum of
+    deviations — so the whole detector is a cumulative sum plus a
+    running min over the bounded type-partitioned count relation (the
+    same rare windowed-form-is-the-scale-answer case as the rolling
+    anomaly: a partition is |hours-in-retention| rows regardless of
+    event volume). Everything BIGINT milli-units: deviation
+    d_t = n_t*1000 - mean_milli - allowance, allowance =
+    mean_milli div ``allow_den``, alarm when S_t > ``h_mean_mult`` *
+    mean_milli. Zero-mean degenerate types alarm only on any positive
+    deviation sum, deterministically.
+
+    Returns (window_start, event_type, n_events, cusum_milli,
+    is_alarm), one row per input window, UNORDERED. Headroom:
+    |P_t| <= m * max(n)*1000 — int64-safe to ~9e15 window-deviation
+    mass; the moments join reuses the DECIMAL-lifted mean from the
+    same broadcast relation shape as window_anomalies_from_counts."""
+    from pyspark.sql import Window as W
+
+    wc = wc.localCheckpoint()
+    st = wc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"), F.sum("n_events").alias("s")
+    )
+    j = wc.join(F.broadcast(st), "event_type").select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.expr("CAST(s AS DECIMAL(38,0)) * 1000 div m").alias("mean_milli"),
+    )
+    dev = (
+        F.col("n_events") * F.lit(1000)
+        - F.col("mean_milli")
+        - F.expr(f"mean_milli div {allow_den}")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    p = F.sum(dev).over(w)
+    return (
+        j.select(
+            "window_start",
+            "event_type",
+            "n_events",
+            "mean_milli",
+            p.alias("_p"),
+        )
+        .select(
+            "window_start",
+            "event_type",
+            "n_events",
+            "mean_milli",
+            (
+                F.col("_p")
+                - F.least(F.lit(0).cast("long"), F.min("_p").over(w))
+            ).alias("cusum_milli"),
+        )
+        .select(
+            "window_start",
+            "event_type",
+            "n_events",
+            "cusum_milli",
+            (
+                F.col("cusum_milli")
+                > F.lit(h_mean_mult).cast("long") * F.col("mean_milli")
+            )
+            .cast("long")
+            .alias("is_alarm"),
+        )
+    )
+
+
+def mad_anomalies_from_counts(wc: DataFrame) -> DataFrame:
+    """Robust (median/MAD) anomaly detection per event type over a
+    (window_start, event_type, n_events) count relation — the
+    outlier-resistant complement of the three-sigma detector: a single
+    extreme spike inflates the mean AND the variance enough to mask
+    both itself (z² caps at m-1) and everything else, while the median
+    and the median-absolute-deviation barely move.
+
+    All-integer: med = per-type lower median (the value at sorted
+    position (m+1) div 2, ties broken by window_start — exactly
+    quantile_disc(0.5)); a = |n - med|; mad = lower median of a; flag
+    when a * 10000 > 44478 * mad (3·1.4826·MAD, the normal-consistent
+    scaled-MAD fence, in tenth-milli fixed point). Degenerate mad = 0
+    (over half the windows sit exactly at the median) falls back to
+    flagging any a > 0 — deterministic, documented, mirrored in the
+    oracle. Headroom: a ≤ max(n), a*10000 wraps only past ~9e14
+    events/window — far beyond the hourly-count domain.
+
+    Scale shape: both medians are row_number picks over the bounded
+    type-partitioned count relation (|hours-in-retention| rows per
+    partition regardless of event volume — the cusum argument); the
+    |types|-row med/mad relations broadcast back. Returns
+    (window_start, event_type, n_events, med, mad, is_anomaly),
+    UNORDERED."""
+    from pyspark.sql import Window as W
+
+    wc = wc.localCheckpoint()
+    m_rel = wc.groupBy("event_type").agg(F.count(F.lit(1)).alias("m"))
+    j = wc.join(F.broadcast(m_rel), "event_type")
+    w_n = W.partitionBy("event_type").orderBy("n_events", "window_start")
+    med_rel = (
+        j.withColumn("_rn", F.row_number().over(w_n))
+        .filter(F.col("_rn") == F.expr("(m + 1) div 2"))
+        .select("event_type", F.col("n_events").alias("med"))
+    )
+    a = j.join(F.broadcast(med_rel), "event_type").withColumn(
+        "a", F.abs(F.col("n_events") - F.col("med"))
+    )
+    w_a = W.partitionBy("event_type").orderBy("a", "window_start")
+    mad_rel = (
+        a.withColumn("_rn", F.row_number().over(w_a))
+        .filter(F.col("_rn") == F.expr("(m + 1) div 2"))
+        .select("event_type", F.col("a").alias("mad"))
+    )
+    return a.join(F.broadcast(mad_rel), "event_type").select(
+        "window_start",
+        "event_type",
+        "n_events",
+        "med",
+        "mad",
+        F.when(
+            F.col("mad") > 0,
+            (F.col("a") * F.lit(10000) > F.lit(44478) * F.col("mad")),
+        )
+        .otherwise(F.col("a") > 0)
+        .cast("long")
+        .alias("is_anomaly"),
     )

@@ -35,7 +35,13 @@ from ..operators.dedup import (
     simhash16,
     winnow_fingerprints,
 )
-from ..operators.anomaly import window_anomalies_from_counts, window_counts
+from ..operators.anomaly import (
+    cusum_from_counts,
+    mad_anomalies_from_counts,
+    seasonal_anomalies_from_counts,
+    window_anomalies_from_counts,
+    window_counts,
+)
 from ..operators.drift import source_drift_from_counts, word_counts
 from ..operators.graph import kcore, pagerank, triangle_stats
 from ..operators.pca import pca_project
@@ -6847,6 +6853,174 @@ def corpus_bigram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(bg, "word", threshold_ppm=900).orderBy(
         F.col("n_occurrences").desc(), "word"
     )
+
+
+@register(
+    "events_cusum_alarm",
+    oracle="""
+    WITH wc AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+             event_type,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(n_events) AS BIGINT) AS s
+      FROM wc GROUP BY event_type
+    ),
+    j AS (
+      SELECT wc.window_start, wc.event_type, wc.n_events,
+             CAST(CAST(s AS HUGEINT) * 1000 // m AS BIGINT) AS mean_milli
+      FROM wc JOIN st USING (event_type)
+    ),
+    p AS (
+      SELECT *, CAST(sum(n_events * 1000 - mean_milli - mean_milli // 2)
+                     OVER f AS BIGINT) AS pp
+      FROM j
+      WINDOW f AS (PARTITION BY event_type ORDER BY window_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    c AS (
+      SELECT window_start, event_type, n_events, mean_milli,
+             pp - least(CAST(0 AS BIGINT), min(pp) OVER f) AS cusum_milli
+      FROM p
+      WINDOW f AS (PARTITION BY event_type ORDER BY window_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT window_start, event_type, n_events, cusum_milli,
+           CAST(cusum_milli > 5 * mean_milli AS BIGINT) AS is_alarm
+    FROM c
+    ORDER BY event_type, window_start
+    """,
+)
+def events_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift detection: one-sided CUSUM per event type over the
+    hourly window counts (operators/anomaly.py:cusum_from_counts) —
+    the sustained-small-elevation detector the three-sigma family
+    cannot express, made window-expressible by the reflection
+    identity S_t = P_t - min(0, running_min(P)). The only window
+    functions run over the bounded type-partitioned count relation
+    (|hours| rows per partition regardless of event volume — the
+    rolling-anomaly argument); the corpus-sized pass is the one
+    window-count aggregate. All-BIGINT milli arithmetic, exact
+    oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_from_counts(window_counts(ev))
+
+
+@register(
+    "events_seasonal_anomaly",
+    oracle="""
+    WITH wc AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+             event_type,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    w2 AS (
+      SELECT *, substring(window_start, 12, 2) AS hod FROM wc
+    ),
+    st AS (
+      SELECT event_type, hod,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(n_events) AS BIGINT) AS s,
+             sum(CAST(n_events AS HUGEINT) * n_events) AS v
+      FROM w2 GROUP BY event_type, hod
+    )
+    SELECT w2.window_start,
+           w2.event_type,
+           w2.n_events,
+           w2.hod,
+           CAST(CAST(s AS HUGEINT) * 1000 // m AS BIGINT) AS mean_milli,
+           CAST(((CAST(m AS HUGEINT) * w2.n_events - s)
+                 * (CAST(m AS HUGEINT) * w2.n_events - s) * 1000)
+             // nullif(CAST(m AS HUGEINT) * v - CAST(s AS HUGEINT) * s, 0)
+             AS BIGINT) AS z2_milli,
+           CAST(((CAST(m AS HUGEINT) * w2.n_events - s)
+                 * (CAST(m AS HUGEINT) * w2.n_events - s) * 1000
+                 > 9000 * (CAST(m AS HUGEINT) * v - CAST(s AS HUGEINT) * s))
+             AS BIGINT) AS is_anomaly
+    FROM w2 JOIN st USING (event_type, hod)
+    ORDER BY event_type, window_start
+    """,
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deseasonalized three-sigma anomalies: every hourly window is
+    scored against the baseline of windows sharing its (event_type,
+    hour-of-day) — operators/anomaly.py:seasonal_anomalies_from_counts.
+    The complement of ``events_window_anomaly`` for daily-periodic
+    traffic: a nightly 02:00 batch spike is ordinary against the
+    02:00-only baseline (no nightly false positive), while a genuinely
+    unusual 02:00 window still fires. hod slices the formatted
+    window_start string so both engines cut identical bytes (no
+    timezone-sensitive hour()). Same broadcast-moments scale shape —
+    the baseline relation just widens to |types|×24 rows; the one
+    corpus-sized pass is the window-count aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_anomalies_from_counts(window_counts(ev))
+
+
+@register(
+    "events_mad_anomaly",
+    oracle="""
+    WITH wc AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+             event_type,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    m_rel AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS m FROM wc GROUP BY 1
+    ),
+    rn AS (
+      SELECT wc.*, m,
+             row_number() OVER (PARTITION BY wc.event_type
+                                ORDER BY n_events, window_start) AS rn
+      FROM wc JOIN m_rel USING (event_type)
+    ),
+    med_rel AS (
+      SELECT event_type, n_events AS med FROM rn WHERE rn = (m + 1) // 2
+    ),
+    a AS (
+      SELECT rn.window_start, rn.event_type, rn.n_events, rn.m, med,
+             abs(rn.n_events - med) AS a
+      FROM rn JOIN med_rel USING (event_type)
+    ),
+    rn2 AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY a, window_start) AS rn2
+      FROM a
+    ),
+    mad_rel AS (
+      SELECT event_type, a AS mad FROM rn2 WHERE rn2 = (m + 1) // 2
+    )
+    SELECT a.window_start, a.event_type, a.n_events, med, mad,
+           CAST(CASE WHEN mad > 0 THEN a.a * 10000 > 44478 * mad
+                     ELSE a.a > 0 END AS BIGINT) AS is_anomaly
+    FROM a JOIN mad_rel USING (event_type)
+    ORDER BY event_type, window_start
+    """,
+)
+def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust median/MAD anomaly detection per event type
+    (operators/anomaly.py:mad_anomalies_from_counts) — the
+    outlier-resistant complement of ``events_window_anomaly``: extreme
+    spikes inflate the mean/variance baseline enough to mask other
+    outliers (z² caps at m−1), while the median and the
+    median-absolute-deviation barely move. All-integer lower medians
+    (row_number picks at position (m+1) div 2, the quantile_disc(0.5)
+    value) and the 3·1.4826·MAD fence in tenth-milli fixed point
+    (a·10000 > 44478·mad); mad = 0 degenerates to flagging any
+    deviation. The medians are window picks over the bounded
+    type-partitioned count relation; med/mad broadcast back at
+    |types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    return mad_anomalies_from_counts(window_counts(ev))
 
 
 @register(

@@ -217,6 +217,9 @@ BACK: tuple[str, ...] = (
     "text_phrase_search",
     "ann_mmr_rerank",
     "dedup_graph_kcore",
+    "events_cusum_alarm",
+    "events_seasonal_anomaly",
+    "events_mad_anomaly",
 )
 
 

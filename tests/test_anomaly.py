@@ -156,3 +156,189 @@ def test_headroom_no_int64_wrap_at_large_counts(spark):
         assert got[ws] == want, (ws, got[ws], want)
     # the planted 1e12 spike must fire
     assert got["2026-01-01 15:00:00"][2] == 1
+
+
+def test_cusum_reflection_identity_matches_recurrence(spark):
+    """The window-expressible form S_t = P_t - min(0, running_min(P))
+    must equal the literal recurrence S_t = max(0, S_{t-1} + d_t) —
+    the identity the operator's scale shape depends on — on counts
+    with planted level shifts and recoveries."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.anomaly import (
+        cusum_from_counts,
+    )
+
+    counts = [100, 101, 99, 100, 250, 260, 255, 100, 99, 101, 400, 50]
+    rows = [
+        (f"2026-02-01 {i:02d}:00:00", "t", c) for i, c in enumerate(counts)
+    ]
+    wc = spark.createDataFrame(
+        rows, "window_start string, event_type string, n_events long"
+    )
+    got = {
+        r.window_start: (r.cusum_milli, r.is_alarm)
+        for r in cusum_from_counts(wc).collect()
+    }
+    m, s = len(counts), sum(counts)
+    mean_milli = s * 1000 // m
+    allow = mean_milli // 2
+    S = 0
+    for i, c in enumerate(counts):
+        S = max(0, S + (c * 1000 - mean_milli - allow))
+        want = (S, int(S > 5 * mean_milli))
+        ws = f"2026-02-01 {i:02d}:00:00"
+        assert got[ws] == want, (ws, got[ws], want)
+
+
+def test_cusum_sustained_shift_alarms_spike_resets(spark):
+    """A sustained moderate elevation must eventually alarm; after the
+    level drops back, the statistic must decay to zero (one-sided
+    floor)."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.anomaly import (
+        cusum_from_counts,
+    )
+
+    counts = [100] * 10 + [250] * 10 + [1] * 10
+    rows = [
+        (f"2026-02-0{1 + i // 24} {i % 24:02d}:00:00", "t", c)
+        for i, c in enumerate(counts)
+    ]
+    wc = spark.createDataFrame(
+        rows, "window_start string, event_type string, n_events long"
+    )
+    out = sorted(
+        ((r.window_start, r.cusum_milli, r.is_alarm) for r in
+         cusum_from_counts(wc).collect())
+    )
+    alarms = [ws for ws, _, a in out if a]
+    assert alarms  # the sustained shift fired
+    # every alarm is inside the elevated run (indices 10..19)
+    elevated = {
+        f"2026-02-0{1 + i // 24} {i % 24:02d}:00:00" for i in range(10, 20)
+    }
+    assert set(alarms) <= elevated, (alarms,)
+    # after the drop the statistic floors back to 0
+    assert out[-1][1] == 0 and out[-1][2] == 0
+
+
+def test_seasonal_anomaly_ignores_periodic_spike_flags_break(spark):
+    """A nightly 02:00 spike that is the SAME every night must not
+    alarm against the hour-of-day baseline (while the global detector
+    would fire on it); an 02:00 window that breaks the nightly pattern
+    must alarm seasonally."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.anomaly import (
+        seasonal_anomalies_from_counts,
+        window_anomalies_from_counts,
+    )
+
+    def pattern(break_day=None):
+        # flat 100/hour, nightly 02:00 batch at 1000; on break_day the
+        # batch goes haywire at 5000. 12 days (a lone outlier among m
+        # windows maxes out at z^2 = m-1, so m=10 can never trip 3σ).
+        rows = []
+        for day in range(1, 13):
+            for h in range(24):
+                n = 100
+                if h == 2:
+                    n = 5000 if day == break_day else 1000
+                rows.append((f"2026-03-{day:02d} {h:02d}:00:00", "t", n))
+        return spark.createDataFrame(
+            rows, "window_start string, event_type string, n_events long"
+        )
+
+    # the steady periodic pattern: seasonal flags NOTHING, while the
+    # global detector false-positives on every nightly batch window
+    steady = pattern()
+    assert not [
+        r.window_start
+        for r in seasonal_anomalies_from_counts(steady).collect()
+        if r.is_anomaly
+    ]
+    glob = {
+        r.window_start: r.is_anomaly
+        for r in window_anomalies_from_counts(steady).collect()
+    }
+    nightly = [f"2026-03-{d:02d} 02:00:00" for d in range(1, 13)]
+    assert all(glob[ws] == 1 for ws in nightly)
+    # a broken night: seasonal flags exactly the break window
+    broken = pattern(break_day=12)
+    flagged = sorted(
+        r.window_start
+        for r in seasonal_anomalies_from_counts(broken).collect()
+        if r.is_anomaly
+    )
+    assert flagged == ["2026-03-12 02:00:00"], flagged
+
+
+def test_mad_flags_masked_outliers_three_sigma_misses(spark):
+    """The masking effect: three equal extreme spikes inflate the
+    mean/variance enough that NONE trips three-sigma (each z² = 5.67),
+    while the median/MAD fence flags exactly the three spikes."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.anomaly import (
+        mad_anomalies_from_counts,
+        window_anomalies_from_counts,
+    )
+
+    counts = [100 + (i % 3) for i in range(17)] + [5000] * 3
+    rows = [
+        (f"2026-04-01 {i:02d}:00:00", "t", c) for i, c in enumerate(counts)
+    ]
+    wc = spark.createDataFrame(
+        rows, "window_start string, event_type string, n_events long"
+    )
+    assert not [
+        r for r in window_anomalies_from_counts(wc).collect() if r.is_anomaly
+    ]
+    out = mad_anomalies_from_counts(wc).collect()
+    assert all(r.med == 101 and r.mad == 1 for r in out)
+    assert sorted(r.n_events for r in out if r.is_anomaly) == [5000] * 3
+
+
+def test_mad_matches_python_replica_randomized(spark):
+    """Lower-median and MAD picks (position (m+1) div 2, ties by
+    window_start) must match a plain-Python replica on a randomized
+    multi-type series, including the mad=0 degenerate fallback."""
+    import random
+
+    from dev_dot_cvp_metadata_ingestion_spark.operators.anomaly import (
+        mad_anomalies_from_counts,
+    )
+
+    rng = random.Random(47)
+    rows = []
+    series = {}
+    for t in ("a", "b", "flat"):
+        n = rng.randint(5, 40)
+        if t == "flat":
+            # over half the windows at one value -> mad = 0 fallback
+            cs = [50] * n + [50, 51, 49]
+        else:
+            cs = [rng.randint(0, 500) for _ in range(n)]
+        series[t] = cs
+    # distinct window_start per index (hours overflow 24 -> use days)
+    for t, cs in series.items():
+        for i, c in enumerate(cs):
+            rows.append((f"2026-04-{1 + i // 24:02d} {i % 24:02d}:00:00", t, c))
+    wc = spark.createDataFrame(
+        rows, "window_start string, event_type string, n_events long"
+    )
+    got = {
+        (r.event_type, r.window_start): (r.med, r.mad, r.is_anomaly)
+        for r in mad_anomalies_from_counts(wc).collect()
+    }
+    for t, cs in series.items():
+        m = len(cs)
+        # replicate the pick: order by (n_events, window_start)
+        keyed = sorted(
+            (c, f"2026-04-{1 + i // 24:02d} {i % 24:02d}:00:00")
+            for i, c in enumerate(cs)
+        )
+        med = keyed[(m + 1) // 2 - 1][0]
+        aa = sorted(
+            (abs(c - med), ws) for c, ws in keyed
+        )
+        mad = aa[(m + 1) // 2 - 1][0]
+        for i, c in enumerate(cs):
+            ws = f"2026-04-{1 + i // 24:02d} {i % 24:02d}:00:00"
+            a = abs(c - med)
+            flag = int(a * 10000 > 44478 * mad) if mad > 0 else int(a > 0)
+            assert got[(t, ws)] == (med, mad, flag), (t, ws)

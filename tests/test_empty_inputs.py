@@ -74,6 +74,9 @@ AT_RISK = [
     "text_phrase_search",          # positional postings on empty corpus
     "ann_mmr_rerank",              # greedy rounds over empty candidates
     "dedup_graph_kcore",           # peel rounds on empty graph
+    "events_cusum_alarm",          # prefix windows over zero windows
+    "events_seasonal_anomaly",     # seasonal moments over zero windows
+    "events_mad_anomaly",          # median picks over zero windows
 ]
 
 

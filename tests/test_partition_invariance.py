@@ -61,6 +61,7 @@ SENSITIVE = [
     "text_phrase_search",    # start-position aggregate + salted rank
     "ann_mmr_rerank",        # salted candidate rank + greedy rounds
     "dedup_graph_kcore",     # shrinking alive-set semi-join rounds
+    "events_cusum_alarm",    # type-partitioned prefix windows
 ]
 
 

@@ -329,7 +329,8 @@ PER_ROW_OUTPUT = [
     "documents_perplexity_buckets", "documents_repeated_substrings",
     "documents_substring_dup_stats", "documents_substring_scrubbed",
     "dedup_pagerank_centrality", "embedding_pq_codes",
-    "dedup_graph_kcore",
+    "dedup_graph_kcore", "events_cusum_alarm", "events_seasonal_anomaly",
+    "events_mad_anomaly",
 ]
 
 
