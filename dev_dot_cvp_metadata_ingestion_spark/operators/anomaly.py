@@ -272,3 +272,55 @@ def mad_anomalies_from_counts(wc: DataFrame) -> DataFrame:
         .cast("long")
         .alias("is_anomaly"),
     )
+
+
+def trend_from_counts(wc: DataFrame) -> DataFrame:
+    """Per-type ordinary-least-squares trend over the hourly window
+    counts: slope and intercept of n_events regressed on the window's
+    per-type time index (0, 1, 2, … by window_start) — the "is error
+    volume drifting up?" primitive that complements the point
+    detectors (a slope is visible long before any single window trips
+    a fence).
+
+    Closed-form OLS on exact integer moments, DECIMAL(38,0)-lifted:
+        slope     = (m·Σxy − Σx·Σy) / (m·Σx² − (Σx)²)
+        intercept = (Σy·Σx² − Σx·Σxy) / (m·Σx² − (Σx)²)
+    exposed as slope_micro / intercept_milli fixed-point quotients.
+    Negative slopes are exact: Spark decimal ``div`` and DuckDB
+    HUGEINT ``//`` BOTH truncate toward zero (verified -7/2 → -3 on
+    both), so no sign-splitting is needed. m = 1 (or any degenerate
+    zero x-variance) yields NULL via nullif. Headroom: Σx² ≤ m³ and
+    the cross-products sit inside DECIMAL(38,0) to m ~ 1e9 windows.
+
+    Scale shape: the x index is a row_number over the bounded
+    type-partitioned count relation (the cusum argument); everything
+    after is one |types|-row aggregate. Returns (event_type, m,
+    slope_micro, intercept_milli), one row per type."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy("window_start")
+    d = wc.withColumn("x", (F.row_number().over(w) - 1).cast("long"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    st = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("n_events").alias("sy"),
+        F.sum(dec("x") * F.col("n_events")).alias("sxy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+    )
+    return st.select(
+        "event_type",
+        "m",
+        (dec("m") * F.col("sxy") - dec("sx") * F.col("sy")).alias("_num"),
+        (dec("sy") * F.col("sxx") - dec("sx") * F.col("sxy")).alias("_inum"),
+        (dec("m") * F.col("sxx") - dec("sx") * F.col("sx")).alias("_den"),
+    ).select(
+        "event_type",
+        "m",
+        F.expr("CAST((_num * 1000000) div nullif(_den, 0) AS BIGINT)").alias(
+            "slope_micro"
+        ),
+        F.expr("CAST((_inum * 1000) div nullif(_den, 0) AS BIGINT)").alias(
+            "intercept_milli"
+        ),
+    )

@@ -39,6 +39,7 @@ from ..operators.anomaly import (
     cusum_from_counts,
     mad_anomalies_from_counts,
     seasonal_anomalies_from_counts,
+    trend_from_counts,
     window_anomalies_from_counts,
     window_counts,
 )
@@ -7021,6 +7022,55 @@ def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     |types| rows."""
     ev = load_table(spark, sf_dir, "events")
     return mad_anomalies_from_counts(window_counts(ev))
+
+
+@register(
+    "events_hourly_trend",
+    oracle="""
+    WITH wc AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+             event_type,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+                                        ORDER BY window_start) - 1
+                     AS BIGINT) AS x
+      FROM wc
+    ),
+    st AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(n_events) AS HUGEINT) AS sy,
+             sum(CAST(x AS HUGEINT) * n_events) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx
+      FROM d GROUP BY event_type
+    )
+    SELECT event_type, m,
+           CAST(((m * sxy - sx * sy) * 1000000)
+                // nullif(m * sxx - sx * sx, 0) AS BIGINT) AS slope_micro,
+           CAST(((sy * sxx - sx * sxy) * 1000)
+                // nullif(m * sxx - sx * sx, 0) AS BIGINT)
+             AS intercept_milli
+    FROM st
+    ORDER BY event_type
+    """,
+)
+def events_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend of hourly event volume
+    (operators/anomaly.py:trend_from_counts): exact-integer closed-form
+    slope/intercept over the window-count relation, in micro/milli
+    fixed point. The drift-direction primitive the point detectors
+    can't express — a slow ramp shows a significant slope long before
+    any window trips a fence. Negative slopes are exact because Spark
+    decimal ``div`` and DuckDB HUGEINT ``//`` both truncate toward
+    zero. One corpus-sized pass (the count aggregate); the x index is
+    a row_number over the bounded per-type count relation."""
+    ev = load_table(spark, sf_dir, "events")
+    return trend_from_counts(window_counts(ev))
 
 
 @register(

@@ -220,6 +220,7 @@ BACK: tuple[str, ...] = (
     "events_cusum_alarm",
     "events_seasonal_anomaly",
     "events_mad_anomaly",
+    "events_hourly_trend",
 )
 
 

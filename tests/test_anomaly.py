@@ -342,3 +342,49 @@ def test_mad_matches_python_replica_randomized(spark):
             a = abs(c - med)
             flag = int(a * 10000 > 44478 * mad) if mad > 0 else int(a > 0)
             assert got[(t, ws)] == (med, mad, flag), (t, ws)
+
+
+def test_trend_matches_python_replica_and_signs(spark):
+    """Closed-form OLS moments must match an exact-integer Python
+    replica (truncate-toward-zero quotients, matching Spark div /
+    DuckDB //) on a rising, a falling, and a single-window series."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.anomaly import (
+        trend_from_counts,
+    )
+
+    series = {
+        "up": [100 + 7 * i + (i % 5) for i in range(30)],
+        "down": [900 - 13 * i + (i % 3) for i in range(30)],
+        "single": [42],
+    }
+    rows = []
+    for t, cs in series.items():
+        for i, c in enumerate(cs):
+            rows.append((f"2026-05-{1 + i // 24:02d} {i % 24:02d}:00:00", t, c))
+    wc = spark.createDataFrame(
+        rows, "window_start string, event_type string, n_events long"
+    )
+    got = {
+        r.event_type: (r.m, r.slope_micro, r.intercept_milli)
+        for r in trend_from_counts(wc).collect()
+    }
+
+    def tdiv(a, b):  # truncate toward zero, like Spark div / DuckDB //
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    for t, cs in series.items():
+        m = len(cs)
+        sx = sum(range(m))
+        sy = sum(cs)
+        sxy = sum(i * c for i, c in enumerate(cs))
+        sxx = sum(i * i for i in range(m))
+        den = m * sxx - sx * sx
+        want = (
+            m,
+            tdiv((m * sxy - sx * sy) * 10**6, den) if den else None,
+            tdiv((sy * sxx - sx * sxy) * 1000, den) if den else None,
+        )
+        assert got[t] == want, (t, got[t], want)
+    assert got["up"][1] > 0 and got["down"][1] < 0
+    assert got["single"][1] is None

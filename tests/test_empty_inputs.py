@@ -77,6 +77,7 @@ AT_RISK = [
     "events_cusum_alarm",          # prefix windows over zero windows
     "events_seasonal_anomaly",     # seasonal moments over zero windows
     "events_mad_anomaly",          # median picks over zero windows
+    "events_hourly_trend",         # OLS moments over zero windows
 ]
 
 
