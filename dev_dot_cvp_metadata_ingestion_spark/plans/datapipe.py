@@ -5040,6 +5040,106 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_collocations_pmi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT {_TOKS.format(c="lower(text)")} AS t FROM documents
+    ),
+    bg AS (
+      SELECT unnest([{{'w1': t[i], 'w2': t[i+1]}}
+                     for i in generate_series(1, len(t) - 1)]) AS z
+      FROM toks WHERE len(t) >= 2
+    ),
+    c12 AS (
+      SELECT z.w1 AS w1, z.w2 AS w2, CAST(count(*) AS BIGINT) AS c12
+      FROM bg GROUP BY 1, 2
+    ),
+    cl AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS cl FROM c12 GROUP BY w1
+    ),
+    cr AS (
+      SELECT w2, CAST(sum(c12) AS BIGINT) AS cr FROM c12 GROUP BY w2
+    ),
+    b AS (SELECT CAST(sum(c12) AS BIGINT) AS bb FROM c12),
+    scored AS (
+      SELECT c12.w1, c12.w2, c12.c12, cl, cr,
+             CAST((CAST(c12 AS HUGEINT) * bb * 1000000)
+                  // (CAST(cl AS HUGEINT) * cr) AS BIGINT) AS lift_ppm
+      FROM c12 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN b
+      WHERE c12 >= 5
+    )
+    SELECT w1, w2, c12, cl, cr, lift_ppm
+    FROM scored
+    WHERE lift_ppm > 1000000
+    ORDER BY lift_ppm DESC, c12 DESC, w1, w2
+    LIMIT 50
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the top-50 bigrams by pointwise-mutual-
+    information LIFT — c(w1,w2)·B / (cl(w1)·cr(w2)) in exact ppm, where
+    cl/cr are the left/right bigram-slot marginals and B the total
+    bigram count. Lift is the monotone integer core of PMI
+    (PMI = log lift), so ranking by lift ranks by PMI with no libm log
+    in the hash-checked path; ``lift_ppm > 1e6`` keeps positive-PMI
+    pairs and ``c12 ≥ 5`` is the standard rare-pair guard (a
+    once-ever pair has near-infinite lift and no evidence).
+
+    Plan shape at 100 TB: one corpus pass generates bigrams map-side
+    (shifted-slice arrays_zip, the ``text_bigram_lm`` device) into the
+    single (w1,w2) count shuffle; the marginals and the scalar B are
+    derived FROM the counted relation (localCheckpoint — never a
+    second corpus scan) and the min-count filter prunes the Zipf tail
+    BEFORE the two marginal joins, so the scoring joins move only
+    evidence-bearing pairs. Global top-50 is orderBy+limit →
+    TakeOrderedAndProject (per-partition top-k, no global Window or
+    sort). Headroom: c12·B and cl·cr are DECIMAL(38,0)-lifted — exact
+    to ~1e19 bigrams."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(tokens(F.lower(F.col("text"))).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    n = F.size("t")
+    bg = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, n - 1).alias("w1"),
+                F.slice("t", 2, n - 1).alias("w2"),
+            )
+        ).alias("z")
+    ).select(F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+    c12 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint()
+    )
+    cl = c12.groupBy("w1").agg(F.sum("c12").alias("cl"))
+    cr = c12.groupBy("w2").agg(F.sum("c12").alias("cr"))
+    b = c12.agg(F.sum("c12").alias("bb"))
+    scored = (
+        c12.filter(F.col("c12") >= 5)
+        .join(cl, "w1")
+        .join(cr, "w2")
+        .crossJoin(F.broadcast(b))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "cl",
+            "cr",
+            F.expr(
+                "CAST((CAST(c12 AS DECIMAL(38,0)) * bb * 1000000)"
+                " div (CAST(cl AS DECIMAL(38,0)) * cr) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .filter(F.col("lift_ppm") > 1000000)
+    )
+    return scored.orderBy(
+        F.col("lift_ppm").desc(), F.col("c12").desc(), "w1", "w2"
+    ).limit(50)
+
+
+@register(
     "documents_classifier_score",
     oracle=f"""
     WITH tok AS (

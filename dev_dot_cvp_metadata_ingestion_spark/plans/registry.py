@@ -221,6 +221,7 @@ BACK: tuple[str, ...] = (
     "events_seasonal_anomaly",
     "events_mad_anomaly",
     "events_hourly_trend",
+    "text_collocations_pmi",
 )
 
 

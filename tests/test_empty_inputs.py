@@ -78,6 +78,7 @@ AT_RISK = [
     "events_seasonal_anomaly",     # seasonal moments over zero windows
     "events_mad_anomaly",          # median picks over zero windows
     "events_hourly_trend",         # OLS moments over zero windows
+    "text_collocations_pmi",       # marginals/scalar B on empty corpus
 ]
 
 
