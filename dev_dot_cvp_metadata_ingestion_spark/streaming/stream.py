@@ -475,7 +475,40 @@ def anomaly_monitor_sink(counts_path: str, report_path: str):
     the |event_types|-row broadcast moments join — compact the delta
     partitions periodically if batch count grows unbounded (same note
     as the drift sink)."""
-    from ..operators.anomaly import window_anomalies_from_counts, window_counts
+    from ..operators.anomaly import window_anomalies_from_counts
+
+    return _count_monitor_sink(
+        counts_path, report_path, window_anomalies_from_counts
+    )
+
+
+def cusum_monitor_sink(counts_path: str, report_path: str):
+    """foreachBatch sink for CONTINUOUS level-shift monitoring: the
+    CUSUM sibling of ``anomaly_monitor_sink`` — after every
+    micro-batch the accumulated per-hour per-type window counts are
+    re-scored with the one-sided CUSUM reflection form
+    (operators/anomaly.py:cusum_from_counts, the SAME relation the
+    batch ``events_cusum_alarm`` query computes), so a sustained small
+    elevation that no single batch's three-sigma view can see
+    accumulates across batches and alarms mid-stream. Latest batch_id
+    partition ≡ the batch query over everything ingested so far, and
+    re-delivery is idempotent (both writes are batch_id-keyed dynamic
+    partition overwrites over additive count state) — pinned in
+    tests/test_stream_anomaly.py. Same compaction note as the other
+    count monitors."""
+    from ..operators.anomaly import cusum_from_counts
+
+    return _count_monitor_sink(counts_path, report_path, cusum_from_counts)
+
+
+def _count_monitor_sink(counts_path: str, report_path: str, scorer):
+    """Shared window-count monitor skeleton: write the batch's
+    window-count DELTA under its batch_id (dynamic partition
+    overwrite), re-aggregate the accumulated deltas, score with
+    ``scorer``, and write the report under the same batch_id — the
+    additive-state-made-idempotent device all the count monitors
+    share."""
+    from ..operators.anomaly import window_counts
 
     def sink(df: DataFrame, batch_id: int) -> None:
         spark = df.sparkSession
@@ -491,9 +524,7 @@ def anomaly_monitor_sink(counts_path: str, report_path: str):
             .groupBy("window_start", "event_type")
             .agg(F.sum("n_events").alias("n_events"))
         )
-        report = window_anomalies_from_counts(acc).withColumn(
-            "batch_id", F.lit(batch_id)
-        )
+        report = scorer(acc).withColumn("batch_id", F.lit(batch_id))
         (
             report.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

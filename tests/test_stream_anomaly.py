@@ -160,3 +160,69 @@ def test_crash_between_counts_and_report_recovers(spark, tmp_path):
     shutil.rmtree(str(r2 / "batch_id=1"))  # simulate the crash window
     sink2(b1, 1)  # checkpoint never committed → re-delivery
     assert snap(c2, r2) == snap(c_clean, r_clean)
+
+
+def test_cusum_latest_report_equals_batch_and_idempotent(spark, tmp_path):
+    """The CUSUM monitor's latest report partition must equal the
+    batch events_cusum_alarm relation over everything ingested so far
+    (a sustained elevation accumulates ACROSS batches), and a
+    re-delivered batch must change nothing."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.anomaly import (
+        cusum_from_counts,
+    )
+    from dev_dot_cvp_metadata_ingestion_spark.streaming.stream import (
+        cusum_monitor_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    third = len(EVENTS) // 3
+    _write_batches(
+        src, [EVENTS[:third], EVENTS[third : 2 * third], EVENTS[2 * third :]]
+    )
+    counts, reports = tmp_path / "counts", tmp_path / "reports"
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            cusum_monitor_sink(str(counts), str(reports))
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rep = spark.read.parquet(str(reports))
+    last = rep.agg(F.max("batch_id")).first()[0]
+    assert last == 2
+    got = sorted(
+        tuple(r)
+        for r in rep.filter(F.col("batch_id") == last)
+        .drop("batch_id")
+        .collect()
+    )
+    all_events = spark.createDataFrame(
+        EVENTS, "event_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    expected = sorted(
+        tuple(r)
+        for r in cusum_from_counts(window_counts(all_events)).collect()
+    )
+    assert got == expected
+
+    # redelivery of the final batch is a no-op
+    def snapshot():
+        c = sorted(tuple(r) for r in spark.read.parquet(str(counts)).collect())
+        r = sorted(tuple(x) for x in spark.read.parquet(str(reports)).collect())
+        return c, r
+
+    before = snapshot()
+    redelivered = spark.createDataFrame(
+        EVENTS[2 * third :], "event_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    cusum_monitor_sink(str(counts), str(reports))(redelivered, 2)
+    assert snapshot() == before
