@@ -83,11 +83,15 @@ def seasonal_anomalies_from_counts(wc: DataFrame) -> DataFrame:
     return _three_sigma(wc, ["event_type", "hod"])
 
 
-def _three_sigma(wc: DataFrame, keys: list[str]) -> DataFrame:
+def _three_sigma(
+    wc: DataFrame, keys: list[str], val_col: str = "n_events"
+) -> DataFrame:
     """Shared exact-integer three-sigma core: group ``wc`` by ``keys``,
-    broadcast the (m, s, v) moments back, and score every row with the
-    all-DECIMAL z² predicate. Returns wc's columns (in order) +
-    mean_milli, z2_milli, is_anomaly."""
+    broadcast the (m, s, v) moments of ``val_col`` back, and score
+    every row with the all-DECIMAL z² predicate. Returns wc's columns
+    (in order) + mean_milli, z2_milli, is_anomaly. Also the fence
+    behind operators/similarity.py:kmeans_outliers (val_col =
+    scaled centroid distance)."""
     # the count relation feeds both the moment aggregate and the final
     # join; materialize once so the tokenize/scan lineage above it runs
     # a single time (same device as operators/drift.py)
@@ -105,13 +109,13 @@ def _three_sigma(wc: DataFrame, keys: list[str]) -> DataFrame:
     out_cols = list(wc.columns)
     st = wc.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("m"),
-        F.sum("n_events").alias("s"),
+        F.sum(val_col).alias("s"),
         F.sum(
-            F.col("n_events").cast("decimal(38,0)") * F.col("n_events")
+            F.col(val_col).cast("decimal(38,0)") * F.col(val_col)
         ).alias("v"),
     )
     j = wc.join(F.broadcast(st), keys)
-    dev = F.col("m").cast("decimal(38,0)") * F.col("n_events") - F.col("s")
+    dev = F.col("m").cast("decimal(38,0)") * F.col(val_col) - F.col("s")
     varm = (
         F.col("m") * F.col("v")
         - F.col("s").cast("decimal(38,0)") * F.col("s")

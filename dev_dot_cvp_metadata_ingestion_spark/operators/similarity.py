@@ -1291,3 +1291,49 @@ def mmr_rerank(
         )
         selall = selall.unionByName(pick)
     return selall.select("q_id", "vec_id", "dq", "pick")
+
+
+def kmeans_outliers(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dist_div: int = 1_000_000_000,
+    **kw,
+) -> DataFrame:
+    """Embedding-space outlier detection: vectors anomalously FAR from
+    their own k-means centroid — the geometric "this document's
+    embedding doesn't belong to any mode of the corpus" filter a
+    curation pipeline runs before semantic dedup trusts its
+    neighborhoods.
+
+    Composition of two exact fixed-point pieces: ``kmeans_assign``
+    (deterministic Lloyd, integer squared-L2 distances) and the
+    broadcast-moments three-sigma fence from operators/anomaly.py
+    (``_three_sigma``) applied per cluster to the DOWN-SCALED distance
+    dist_k = dist div ``dist_div``. The rescale exists for headroom,
+    not cosmetics: raw dist reaches 4·scale²·d ≈ 2.6e16, so the fence's
+    Σ dist² moment would pass DECIMAL(38,0) only to ~1e5 vectors —
+    at div 1e9, dist_k ≤ ~2.6e7 and the moment is exact past 1e20
+    vectors. The quantization drops sub-1e-9-of-full-scale distance
+    detail, identically on both engines (positive ints: Spark div ==
+    DuckDB //).
+
+    Scale shape: assignment is the broadcast crossJoin of
+    ``kmeans_assign`` (never shuffles the corpus); the fence adds one
+    k-row moments aggregate broadcast back. Returns (vec_id, cluster,
+    dist_k, mean_milli, z2_milli, is_outlier), one row per vector,
+    UNORDERED; z2 NULL at zero in-cluster variance."""
+    from .anomaly import _three_sigma
+
+    a = kmeans_assign(emb, k=k, iters=iters, **kw)
+    scaled = a.select(
+        "vec_id", "cluster", F.expr(f"dist div {dist_div}").alias("dist_k")
+    )
+    return _three_sigma(scaled, ["cluster"], val_col="dist_k").select(
+        "vec_id",
+        "cluster",
+        "dist_k",
+        "mean_milli",
+        "z2_milli",
+        F.col("is_anomaly").alias("is_outlier"),
+    )

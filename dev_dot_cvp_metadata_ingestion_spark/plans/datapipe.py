@@ -3270,6 +3270,50 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(e, k=8, iters=2)
 
 
+@register(
+    "embedding_outliers",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    sc AS (
+      SELECT vec_id, cluster, dist // 1000000000 AS dist_k FROM a2
+    ),
+    st AS (
+      SELECT cluster,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(dist_k) AS BIGINT) AS s,
+             sum(CAST(dist_k AS HUGEINT) * dist_k) AS v
+      FROM sc GROUP BY cluster
+    )
+    SELECT sc.vec_id, sc.cluster, sc.dist_k,
+           CAST(CAST(s AS HUGEINT) * 1000 // m AS BIGINT) AS mean_milli,
+           CAST(((CAST(m AS HUGEINT) * dist_k - s)
+                 * (CAST(m AS HUGEINT) * dist_k - s) * 1000)
+             // nullif(CAST(m AS HUGEINT) * v - CAST(s AS HUGEINT) * s, 0)
+             AS BIGINT) AS z2_milli,
+           CAST(((CAST(m AS HUGEINT) * dist_k - s)
+                 * (CAST(m AS HUGEINT) * dist_k - s) * 1000
+                 > 9000 * (CAST(m AS HUGEINT) * v - CAST(s AS HUGEINT) * s))
+             AS BIGINT) AS is_outlier
+    FROM sc JOIN st USING (cluster)
+    ORDER BY vec_id
+    """,
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection
+    (operators/similarity.py:kmeans_outliers): vectors anomalously far
+    from their own k-means centroid, flagged by the per-cluster
+    broadcast-moments three-sigma fence on the down-scaled integer
+    distance (div 1e9 for DECIMAL headroom past 1e20 vectors) — the
+    geometric "doesn't belong to any corpus mode" curation filter.
+    Exact composition: deterministic fixed-point Lloyd + the z²
+    integer predicate, so even this two-stage detector hash-matches
+    the unrolled DuckDB CTE chain."""
+    from ..operators.similarity import kmeans_outliers
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kmeans_outliers(e, k=8, iters=2)
+
+
 _WINNOW_CTE = """
     s AS (
       SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t

@@ -222,6 +222,7 @@ BACK: tuple[str, ...] = (
     "events_mad_anomaly",
     "events_hourly_trend",
     "text_collocations_pmi",
+    "embedding_outliers",
 )
 
 

@@ -330,7 +330,7 @@ PER_ROW_OUTPUT = [
     "documents_substring_dup_stats", "documents_substring_scrubbed",
     "dedup_pagerank_centrality", "embedding_pq_codes",
     "dedup_graph_kcore", "events_cusum_alarm", "events_seasonal_anomaly",
-    "events_mad_anomaly",
+    "events_mad_anomaly", "embedding_outliers",
 ]
 
 

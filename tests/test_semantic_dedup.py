@@ -116,3 +116,44 @@ def test_all_distinct_corpus_keeps_everything(spark, tmp_path):
     res = dedup_semantic_keep(spark, str(tmp_path)).collect()
     assert len(res) == DIM
     assert all(r.keep for r in res)
+
+
+def test_kmeans_outliers_planted_far_vector_flags(spark):
+    """A vector far from every cluster mode must flag against its own
+    cluster's distance fence; tight cluster members must not. Also
+    pins the composition against a plain-Python replica of the scaled
+    distances and the z² fence."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_outliers,
+    )
+
+    # two tight modes at +/-0.8 (ids interleaved so init picks one of
+    # each), plus one point stranded at the origin-ish midpoint
+    rows = []
+    for i in range(24):
+        base = 0.8 if i % 2 == 0 else -0.8
+        rows.append((i, [base + 0.001 * (i % 5), base, base, base]))
+    rows.append((99, [0.0, 0.05, -0.05, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in kmeans_outliers(emb, k=2, iters=2).collect()}
+    assert len(out) == 25
+    assert out[99].is_outlier == 1
+    assert all(out[i].is_outlier == 0 for i in range(24))
+    # replica: recompute the fence from kmeans_assign's exact distances
+    a = {r.vec_id: r for r in kmeans_assign(emb, k=2, iters=2).collect()}
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for v, r in a.items():
+        per[r.cluster].append((v, r.dist // 10**9))
+    for cl, members in per.items():
+        m = len(members)
+        s = sum(d for _, d in members)
+        vv = sum(d * d for _, d in members)
+        varm = m * vv - s * s
+        for vid, d in members:
+            dev = m * d - s
+            flag = int(dev * dev * 1000 > 9000 * varm)
+            assert out[vid].dist_k == d
+            assert out[vid].is_outlier == flag, vid
