@@ -1337,3 +1337,98 @@ def kmeans_outliers(
         "z2_milli",
         F.col("is_anomaly").alias("is_outlier"),
     )
+
+
+def kmeans_silhouette(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000_000,
+) -> DataFrame:
+    """Centroid-based silhouette score per cluster — the standard
+    "are these clusters real?" diagnostic (Rousseeuw 1987, simplified
+    to centroid distances as in Spark MLlib's ClusteringEvaluator):
+    for each vector, a = squared distance to its own (nearest)
+    centroid, b = squared distance to the second-nearest, and
+    sil = (b − a) / b ∈ [0, 1] in exact ppm (b ≥ a by construction, so
+    max(a,b) = b; b = 0 ⇒ sil = 0). Per-cluster mean in floor ppm.
+
+    Shuffle-free scoring: the k final centroids collapse to ONE
+    broadcast array row (sorted struct list), every vector computes
+    its full distance array map-side with zip_with/aggregate, and
+    array_sort picks (a, b) with the same (dist, cluster) tie-break
+    as ``kmeans_assign``'s argmin — so the only shuffles in the whole
+    query are Lloyd's centroid re-estimations plus the final k-row
+    groupBy. Vectors with no second centroid (degenerate single-
+    cluster corpus) are excluded, mirroring the oracle's rn=2 join.
+
+    Fixed-point exact: distances are int64 (≤ 4·scale²·d), the ppm
+    quotient and the per-cluster mean are DECIMAL-lifted floor
+    divisions. Returns (cluster, n, mean_sil_ppm), one row per
+    non-empty cluster."""
+    _, cents = kmeans_assign(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        scale=scale, return_centroids=True,
+    )
+    x = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.floor(v.cast("double") * scale).cast("long"),
+        ).alias("xf"),
+    )
+    carr = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cluster", "cf"))).alias("cs")
+    )
+    dist_to = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("xf"), c.getField("cf"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    per = (
+        x.crossJoin(F.broadcast(carr))
+        .select(
+            "vec_id",
+            F.array_sort(
+                F.transform(
+                    F.col("cs"),
+                    lambda c: F.struct(
+                        dist_to(c).alias("dist"),
+                        c.getField("cluster").alias("cluster"),
+                    ),
+                )
+            ).alias("ds"),
+        )
+        .select(
+            F.col("ds")[0].getField("cluster").alias("cluster"),
+            F.col("ds")[0].getField("dist").alias("a"),
+            F.col("ds")[1].getField("dist").alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+    )
+    sil = per.select(
+        "cluster",
+        F.when(
+            F.col("b") > 0,
+            F.expr(
+                "CAST(((CAST(b AS DECIMAL(38,0)) - a) * 1000000) div b"
+                " AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("sil_ppm"),
+    )
+    return (
+        sil.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("sil_ppm").cast("decimal(38,0)")).alias("_s"),
+        )
+        .select(
+            "cluster",
+            "n",
+            F.expr("CAST(_s div n AS BIGINT)").alias("mean_sil_ppm"),
+        )
+    )

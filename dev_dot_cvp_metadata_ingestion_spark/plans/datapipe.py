@@ -3314,6 +3314,53 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_outliers(e, k=8, iters=2)
 
 
+@register(
+    "embedding_silhouette",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    r AS (
+      SELECT vec_id, cluster, dist,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cluster) AS rn
+      FROM d2
+    ),
+    ab AS (
+      SELECT a.vec_id, a.cluster, a.dist AS a, b.dist AS b
+      FROM (SELECT * FROM r WHERE rn = 1) a
+      JOIN (SELECT * FROM r WHERE rn = 2) b USING (vec_id)
+    ),
+    sil AS (
+      SELECT cluster,
+             CASE WHEN b > 0
+                  THEN CAST(((CAST(b AS HUGEINT) - a) * 1000000) // b
+                            AS BIGINT)
+                  ELSE 0 END AS sil_ppm
+      FROM ab
+    )
+    SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(sum(sil_ppm) AS HUGEINT) // count(*) AS BIGINT)
+             AS mean_sil_ppm
+    FROM sil GROUP BY cluster
+    ORDER BY cluster
+    """,
+)
+def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster centroid-silhouette quality
+    (operators/similarity.py:kmeans_silhouette): sil = (b−a)/b in
+    exact ppm over the two nearest final k-means centroids — the
+    "are these clusters real?" evaluation that belongs next to
+    ``embedding_kmeans``. Scoring is shuffle-free: the k centroids
+    collapse to one broadcast array row and every vector ranks its
+    full distance array map-side (zip_with + array_sort, same
+    (dist, cluster) tie-break as the argmin); only Lloyd itself and
+    the final k-row groupBy shuffle. Exact fixed-point end to end —
+    hash-matches the unrolled DuckDB chain's rn=1/rn=2 construction."""
+    from ..operators.similarity import kmeans_silhouette
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kmeans_silhouette(e, k=8, iters=2)
+
+
 _WINNOW_CTE = """
     s AS (
       SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t

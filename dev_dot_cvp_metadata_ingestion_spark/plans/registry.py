@@ -223,6 +223,7 @@ BACK: tuple[str, ...] = (
     "events_hourly_trend",
     "text_collocations_pmi",
     "embedding_outliers",
+    "embedding_silhouette",
 )
 
 

@@ -80,6 +80,7 @@ AT_RISK = [
     "events_hourly_trend",         # OLS moments over zero windows
     "text_collocations_pmi",       # marginals/scalar B on empty corpus
     "embedding_outliers",          # kmeans + fence on empty embeddings
+    "embedding_silhouette",        # two-nearest ranks on empty embeddings
 ]
 
 

@@ -157,3 +157,30 @@ def test_kmeans_outliers_planted_far_vector_flags(spark):
             flag = int(dev * dev * 1000 > 9000 * varm)
             assert out[vid].dist_k == d
             assert out[vid].is_outlier == flag, vid
+
+
+def test_kmeans_silhouette_separated_beats_overlapping(spark):
+    """Two well-separated tight modes must score near-1e6 mean
+    silhouette; the same points collapsed into one overlapping blob
+    (split across two forced clusters) must score much lower."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.similarity import (
+        kmeans_silhouette,
+    )
+
+    tight = []
+    for i in range(20):
+        base = 0.9 if i % 2 == 0 else -0.9
+        tight.append((i, [base + 0.0005 * (i % 4), base, base, base]))
+    emb = spark.createDataFrame(tight, "vec_id long, embedding array<double>")
+    sep = kmeans_silhouette(emb, k=2, iters=2).collect()
+    assert len(sep) == 2
+    assert all(r.mean_sil_ppm > 900_000 for r in sep)
+    assert sum(r.n for r in sep) == 20
+
+    blob = [
+        (i, [0.001 * i, -0.001 * i, 0.0005 * i, 0.0]) for i in range(20)
+    ]
+    emb2 = spark.createDataFrame(blob, "vec_id long, embedding array<double>")
+    ov = kmeans_silhouette(emb2, k=2, iters=2).collect()
+    assert sum(r.n for r in ov) == 20
+    assert all(r.mean_sil_ppm < 900_000 for r in ov)
