@@ -1367,17 +1367,20 @@ def kmeans_silhouette(
     Fixed-point exact: distances are int64 (≤ 4·scale²·d), the ppm
     quotient and the per-cluster mean are DECIMAL-lifted floor
     divisions. Returns (cluster, n, mean_sil_ppm), one row per
-    non-empty cluster."""
-    _, cents = kmeans_assign(
-        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
-        scale=scale, return_centroids=True,
-    )
+    non-empty cluster. The quantized projection is materialized ONCE
+    (localCheckpoint) and fed to Lloyd prescaled — the PQ-family
+    device that keeps the whole query at zero repeated corpus
+    scans."""
     x = emb.select(
         F.col(id_col).alias("vec_id"),
         F.transform(
             F.col(vec_col),
             lambda v: F.floor(v.cast("double") * scale).cast("long"),
         ).alias("xf"),
+    ).localCheckpoint()
+    _, cents = kmeans_assign(
+        x, k=k, iters=iters, id_col="vec_id", vec_col="xf",
+        prescaled=True, return_centroids=True,
     )
     carr = cents.agg(
         F.array_sort(F.collect_list(F.struct("cluster", "cf"))).alias("cs")
