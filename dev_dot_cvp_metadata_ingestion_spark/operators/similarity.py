@@ -1435,3 +1435,44 @@ def kmeans_silhouette(
             F.expr("CAST(_s div n AS BIGINT)").alias("mean_sil_ppm"),
         )
     )
+
+
+def assign_to_centroids(
+    emb: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000_000,
+) -> DataFrame:
+    """Single argmin assignment of vectors against a FROZEN centroid
+    relation (``cluster``, ``cf`` fixed-point arrays) — the add-
+    without-retrain step of an IVF index (FAISS ``add`` vs ``train``),
+    used by ``sources/catalog.py:append_ivf_layout``. Exactly one
+    Lloyd assignment half-step: quantize, broadcast-crossJoin the k
+    centroids, integer squared-L2, ties to the smaller cluster id via
+    the lexicographic struct min — bit-identical to the assignment a
+    ``kmeans_assign`` iteration would make against the same centroids.
+    Returns (vec_id, cluster, dist)."""
+    x = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.floor(v.cast("double") * scale).cast("long"),
+        ).alias("xf"),
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("xf"), F.col("cf"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    return (
+        x.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cluster", dist.alias("dist"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cluster")).alias("_m"))
+        .select(
+            "vec_id",
+            F.col("_m.cluster").alias("cluster"),
+            F.col("_m.dist").alias("dist"),
+        )
+    )

@@ -508,6 +508,55 @@ def write_ivf_layout(
             .parquet(f"{path}/cells")
         )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    # build-parameter sidecar (one row) so appends can't silently
+    # assign with a different quantization scale than the build used —
+    # the same can't-drift device as the LSH/text-index meta tables
+    emb.sparkSession.createDataFrame(
+        [(int(scale),)], "scale long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def append_ivf_layout(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Grow a persisted IVF layout with new vectors — FAISS ``add``
+    without ``train``: assign the shard against the layout's FROZEN
+    centroids (read back, k rows, with the build's recorded
+    quantization scale) and append the rows as new files under their
+    cells' partitions. Existing cell files are never rewritten, and a
+    probe over the grown layout is row-for-row what ``ivf_probe_join``
+    computes over the union of old and newly-assigned vectors
+    (pinned in tests/test_ivf_layout.py).
+
+    The deliberate trade (same as FAISS): centroids do NOT adapt to
+    the appended distribution — recall degrades if the new data
+    drifts far from the trained modes, and the fix is a rebuild
+    (``write_ivf_layout``), not an append. Callers own id uniqueness
+    across shards, same as every append sink here."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import assign_to_centroids
+
+    if emb.isEmpty():
+        return
+    spark = emb.sparkSession
+    cents = spark.read.parquet(f"{path}/centroids")
+    scale = int(spark.read.parquet(f"{path}/meta").collect()[0]["scale"])
+    asg = assign_to_centroids(
+        emb, cents, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+    keyed = emb.select(F.col(id_col).alias("vec_id"), vec_col).join(
+        asg.select("vec_id", "cluster"), "vec_id"
+    )
+    (
+        keyed.repartition(F.col("cluster"))
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(f"{path}/cells")
+    )
 
 
 def read_ivf_layout(

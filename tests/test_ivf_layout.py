@@ -97,3 +97,91 @@ def test_empty_and_nonempty_cells_schemas_match(spark, emb, tmp_path):
         for f in read_ivf_layout(spark, pn)[0].schema.fields
     }
     assert se == sn
+
+
+def test_append_assigns_against_frozen_centroids_and_leaves_old_files(
+    spark, emb, tmp_path
+):
+    """append_ivf_layout: (1) pre-append cell files stay byte-identical
+    on disk; (2) every appended vector's cluster is the argmin against
+    the layout's FROZEN centroids; (3) a probe over the grown layout
+    equals ivf_probe_join over old ∪ newly-assigned vectors."""
+    import os
+
+    from dev_dot_cvp_metadata_ingestion_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+        append_ivf_layout,
+    )
+
+    first = emb.filter(F.col("vec_id") % 3 != 0)
+    second = emb.filter(F.col("vec_id") % 3 == 0)
+    p = str(tmp_path / "grow")
+    write_ivf_layout(first, p, n_cells=8, iters=2)
+
+    def snapshot():
+        out = {}
+        for dirpath, _dirs, files in os.walk(f"{p}/cells"):
+            for f in files:
+                if f.endswith(".parquet"):
+                    fp = os.path.join(dirpath, f)
+                    st = os.stat(fp)
+                    out[fp] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = snapshot()
+    assert before
+    append_ivf_layout(second, p)
+    after = snapshot()
+    for fp, sig in before.items():
+        assert after[fp] == sig, f"pre-append file rewritten: {fp}"
+    assert len(after) > len(before)
+
+    cells, cents = read_ivf_layout(spark, p)
+    assert cells.count() == emb.count()
+    # appended rows carry the frozen-centroid argmin
+    want = {
+        r.vec_id: r.cluster
+        for r in assign_to_centroids(second, cents).collect()
+    }
+    got = {
+        r.vec_id: r.cluster
+        for r in cells.join(second.select("vec_id"), "vec_id").collect()
+    }
+    assert got == want
+    # probe over the grown layout == probe over old ∪ assigned-new
+    queries = emb.filter(F.col("vec_id") % 11 == 0)
+    # re-derive the union independently so the pin is non-circular
+    pre = ivf_probe_join(cells, cents, queries, k=3, nprobe=2)
+    old_asg = assign_to_centroids(first, cents).select("vec_id", "cluster")
+    union_corpus = (
+        emb.join(
+            old_asg.unionByName(
+                assign_to_centroids(second, cents).select(
+                    "vec_id", "cluster"
+                )
+            ),
+            "vec_id",
+        )
+    )
+    ref = ivf_probe_join(union_corpus, cents, queries, k=3, nprobe=2)
+    assert _rows(pre) == _rows(ref)
+    assert _rows(pre)  # non-vacuous
+
+
+def test_append_empty_shard_is_noop(spark, emb, tmp_path):
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+        append_ivf_layout,
+    )
+
+    p = str(tmp_path / "noop")
+    write_ivf_layout(emb.limit(20), p, n_cells=4, iters=2)
+    cells_before = sorted(
+        r.vec_id for r in read_ivf_layout(spark, p)[0].collect()
+    )
+    append_ivf_layout(emb.filter(F.lit(False)), p)
+    cells_after = sorted(
+        r.vec_id for r in read_ivf_layout(spark, p)[0].collect()
+    )
+    assert cells_after == cells_before
