@@ -328,3 +328,75 @@ def trend_from_counts(wc: DataFrame) -> DataFrame:
             "intercept_milli"
         ),
     )
+
+
+def seasonal_decompose_counts(wc: DataFrame, period: int = 24) -> DataFrame:
+    """Classical additive seasonal decomposition of the per-type hourly
+    count series — count = trend + seasonal + residual — the
+    "subtract the predictable parts, alert on what's left" monitoring
+    primitive (the moving-average decomposition behind STL, kept to
+    its exact-integer classical form).
+
+    All milli fixed point, engine-exact: trend = centered ±period/2
+    moving average (NULL until the frame is full — no half-window
+    estimates at the series edges), detrended = n·1000 − trend,
+    seasonal = per-(type, hour-of-day) floor mean of the non-NULL
+    detrended values (negative means truncate toward zero identically
+    on both engines), residual = detrended − seasonal. hod slices the
+    formatted window_start string, as ``seasonal_anomalies_from_counts``
+    does.
+
+    Scale shape: one ±period/2 ROWS frame over the bounded
+    type-partitioned count relation (the cusum argument), one
+    |types|×period seasonal relation broadcast back. Returns
+    (window_start, event_type, n_events, trend_milli, seasonal_milli,
+    resid_milli), one row per window; the three parts are NULL in the
+    edge windows where the trend frame is incomplete."""
+    from pyspark.sql import Window as W
+
+    half = period // 2
+    frame = 2 * half + 1
+    wc = wc.localCheckpoint()
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(-half, half)
+    )
+    # trend: full-frame centered moving average in milli (floor);
+    # NULL at the series edges where fewer than `frame` rows exist
+    d = wc.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.substring("window_start", 12, 2).alias("hod"),
+        F.when(
+            F.count(F.lit(1)).over(w) == frame,
+            F.expr(
+                f"(sum(n_events) OVER (PARTITION BY event_type"
+                f" ORDER BY window_start"
+                f" ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING))"
+                f" * 1000 div {frame}"
+            ),
+        ).alias("trend_milli"),
+    ).withColumn(
+        "detrended", F.col("n_events") * F.lit(1000) - F.col("trend_milli")
+    )
+    seas = d.filter(F.col("detrended").isNotNull()).groupBy(
+        "event_type", "hod"
+    ).agg(
+        F.sum("detrended").alias("sd"), F.count(F.lit(1)).alias("cd")
+    ).select(
+        "event_type",
+        "hod",
+        F.expr("sd div cd").alias("seasonal_milli"),
+    )
+    return d.join(F.broadcast(seas), ["event_type", "hod"], "left").select(
+        "window_start",
+        "event_type",
+        "n_events",
+        "trend_milli",
+        F.when(
+            F.col("trend_milli").isNotNull(), F.col("seasonal_milli")
+        ).alias("seasonal_milli"),
+        (F.col("detrended") - F.col("seasonal_milli")).alias("resid_milli"),
+    )

@@ -39,6 +39,7 @@ from ..operators.anomaly import (
     cusum_from_counts,
     mad_anomalies_from_counts,
     seasonal_anomalies_from_counts,
+    seasonal_decompose_counts,
     trend_from_counts,
     window_anomalies_from_counts,
     window_counts,
@@ -7262,6 +7263,58 @@ def events_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     a row_number over the bounded per-type count relation."""
     ev = load_table(spark, sf_dir, "events")
     return trend_from_counts(window_counts(ev))
+
+
+@register(
+    "events_seasonal_decomposition",
+    oracle="""
+    WITH wc AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+             event_type,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT window_start, event_type, n_events,
+             substring(window_start, 12, 2) AS hod,
+             CASE WHEN count(*) OVER f = 25
+                  THEN (sum(n_events) OVER f) * 1000 // 25 END
+               AS trend_milli
+      FROM wc
+      WINDOW f AS (PARTITION BY event_type ORDER BY window_start
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    d2 AS (
+      SELECT *, n_events * 1000 - trend_milli AS detrended FROM d
+    ),
+    seas AS (
+      SELECT event_type, hod,
+             CAST(sum(detrended) AS BIGINT) AS sd,
+             CAST(count(*) AS BIGINT) AS cd
+      FROM d2 WHERE detrended IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT d2.window_start, d2.event_type, d2.n_events, d2.trend_milli,
+           CASE WHEN trend_milli IS NOT NULL THEN sd // cd END
+             AS seasonal_milli,
+           detrended - (sd // cd) AS resid_milli
+    FROM d2 LEFT JOIN seas USING (event_type, hod)
+    ORDER BY event_type, window_start
+    """,
+)
+def events_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the hourly count series —
+    count = trend + seasonal + residual
+    (operators/anomaly.py:seasonal_decompose_counts): centered ±12h
+    moving-average trend (NULL until the 25-row frame is full),
+    per-(type, hour-of-day) floor-mean seasonal, residual what's left
+    — the "subtract the predictable parts, alert on the rest"
+    monitoring primitive, exact in milli fixed point (negative means
+    truncate toward zero identically on both engines). One bounded
+    ROWS frame + one |types|×24 broadcast; the corpus-sized pass is
+    the window-count aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_decompose_counts(window_counts(ev))
 
 
 @register(

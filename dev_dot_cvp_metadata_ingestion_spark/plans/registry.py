@@ -224,6 +224,7 @@ BACK: tuple[str, ...] = (
     "text_collocations_pmi",
     "embedding_outliers",
     "embedding_silhouette",
+    "events_seasonal_decomposition",
 )
 
 

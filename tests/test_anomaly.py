@@ -388,3 +388,49 @@ def test_trend_matches_python_replica_and_signs(spark):
         assert got[t] == want, (t, got[t], want)
     assert got["up"][1] > 0 and got["down"][1] < 0
     assert got["single"][1] is None
+
+
+def test_seasonal_decomposition_recovers_planted_structure(spark):
+    """counts = level + daily seasonal pattern: the decomposition must
+    put the daily pattern into seasonal_milli (not residual), keep
+    interior residuals near zero, and surface a planted one-hour break
+    as the dominant residual."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.anomaly import (
+        seasonal_decompose_counts,
+    )
+
+    pattern = [100 + (20 if h == 2 else 0) + (10 if h == 14 else 0)
+               for h in range(24)]
+    counts = []
+    for day in range(6):
+        for h in range(24):
+            counts.append(pattern[h])
+    break_idx = 3 * 24 + 7  # day 4, 07:00 — interior, full trend frame
+    counts[break_idx] += 500
+    rows = [
+        (f"2026-06-{1 + i // 24:02d} {i % 24:02d}:00:00", "t", c)
+        for i, c in enumerate(counts)
+    ]
+    wc = spark.createDataFrame(
+        rows, "window_start string, event_type string, n_events long"
+    )
+    out = {r.window_start: r for r in seasonal_decompose_counts(wc).collect()}
+    assert len(out) == len(counts)
+    # edges: first/last 12 windows have no trend, hence no parts
+    first = "2026-06-01 00:00:00"
+    assert out[first].trend_milli is None
+    assert out[first].seasonal_milli is None and out[first].resid_milli is None
+    # the planted break dominates every residual
+    bws = f"2026-06-{1 + break_idx // 24:02d} {break_idx % 24:02d}:00:00"
+    resids = {
+        ws: r.resid_milli for ws, r in out.items()
+        if r.resid_milli is not None
+    }
+    assert max(resids, key=lambda ws: abs(resids[ws])) == bws
+    assert resids[bws] > 300_000  # most of the +500 lands in residual
+    # the 02:00 bump is explained by seasonal, not residual: its
+    # UNBROKEN instances have small residuals
+    for day in range(2, 5):
+        ws = f"2026-06-{day:02d} 02:00:00"
+        assert abs(resids[ws]) < 60_000, (ws, resids[ws])
+        assert out[ws].seasonal_milli > 10_000

@@ -81,6 +81,7 @@ AT_RISK = [
     "text_collocations_pmi",       # marginals/scalar B on empty corpus
     "embedding_outliers",          # kmeans + fence on empty embeddings
     "embedding_silhouette",        # two-nearest ranks on empty embeddings
+    "events_seasonal_decomposition",  # frames + seasonal join on empty
 ]
 
 
