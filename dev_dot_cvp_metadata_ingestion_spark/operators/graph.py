@@ -272,3 +272,70 @@ def kcore(
             ),
         )
     )
+
+
+def markov_stationary(trans: DataFrame, rounds: int = 10) -> DataFrame:
+    """Stationary distribution of the first-order Markov chain defined
+    by a (from_type, to_type, c) transition-count relation — "where
+    does a user session spend its time in the long run", the
+    steady-state summary on top of ``events_top_transitions``'s
+    matrix. Power iteration in exact floor-ppm integers:
+
+        p_ppm(a,b) = c(a,b)·1e6 div Σ_b c(a,b)      (row-stochastic)
+        π_{t+1}(b) = (Σ_a π_t(a)·p_ppm(a,b)) div 1e6
+
+    started uniform over the state set S = types WITH outgoing
+    transitions. Two deterministic, documented approximations: floors
+    leak a little mass per round (bounded by |S| ppm), and transitions
+    into types outside S (absorbing sinks) drop their mass — both
+    identical on both engines, so the result hash-matches the
+    unrolled-CTE oracle, the same device as ppm pagerank.
+
+    Scale shape: everything after the transition count is config-scale
+    (|types|² edges, |types| states); the relation and each round's π
+    are localCheckpointed (the pagerank plan-growth device). Returns
+    (event_type, pi_ppm) after ``rounds`` iterations."""
+    trans = trans.localCheckpoint()
+    rt = trans.groupBy("from_type").agg(F.sum("c").alias("rt"))
+    p = (
+        trans.join(F.broadcast(rt), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.expr(
+                "CAST(CAST(c AS DECIMAL(38,0)) * 1000000 div rt AS BIGINT)"
+            ).alias("p_ppm"),
+        )
+        .localCheckpoint()
+    )
+    s = (
+        trans.select(F.col("from_type").alias("event_type"))
+        .distinct()
+        .localCheckpoint()
+    )
+    ns = s.agg(F.count(F.lit(1)).alias("ns"))
+    pi = s.crossJoin(F.broadcast(ns)).select(
+        "event_type",
+        F.expr("CAST(1000000 div ns AS BIGINT)").alias("pi_ppm"),
+    )
+    for _ in range(rounds):
+        m = (
+            p.join(pi, p["from_type"] == pi["event_type"])
+            .groupBy("to_type")
+            .agg(
+                F.expr(
+                    "CAST(sum(CAST(pi_ppm AS DECIMAL(38,0)) * p_ppm)"
+                    " div 1000000 AS BIGINT)"
+                ).alias("pi_new")
+            )
+            .withColumnRenamed("to_type", "event_type")
+        )
+        pi = (
+            s.join(m, "event_type", "left")
+            .select(
+                "event_type",
+                F.coalesce("pi_new", F.lit(0).cast("long")).alias("pi_ppm"),
+            )
+            .localCheckpoint()
+        )
+    return pi

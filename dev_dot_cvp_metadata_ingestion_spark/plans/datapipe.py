@@ -5746,6 +5746,89 @@ def documents_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _markov_oracle(rounds: int = 10) -> str:
+    """Generated unrolled-CTE oracle for ``events_markov_stationary``
+    (the ppm-pagerank device: fixed rounds + all-integer recurrence ⇒
+    plain CTE chain, no recursion)."""
+    ctes = [
+        """o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )""",
+        """t AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS c
+      FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2
+    )""",
+        """rt AS (
+      SELECT from_type, CAST(sum(c) AS BIGINT) AS rt FROM t GROUP BY 1
+    )""",
+        """p AS (
+      SELECT t.from_type, t.to_type,
+             CAST(CAST(c AS HUGEINT) * 1000000 // rt AS BIGINT) AS p_ppm
+      FROM t JOIN rt USING (from_type)
+    )""",
+        "s AS (SELECT DISTINCT from_type AS event_type FROM t)",
+        "k AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM s)",
+        """pi0 AS (
+      SELECT event_type, CAST(1000000 // ns AS BIGINT) AS pi_ppm
+      FROM s CROSS JOIN k
+    )""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""m{i} AS (
+      SELECT p.to_type AS event_type,
+             CAST(sum(CAST(prev.pi_ppm AS HUGEINT) * p.p_ppm) // 1000000
+                  AS BIGINT) AS pi_new
+      FROM p JOIN pi{i - 1} prev ON p.from_type = prev.event_type
+      GROUP BY p.to_type
+    )""")
+        ctes.append(f"""pi{i} AS (
+      SELECT s.event_type,
+             coalesce(m{i}.pi_new, CAST(0 AS BIGINT)) AS pi_ppm
+      FROM s LEFT JOIN m{i} ON m{i}.event_type = s.event_type
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT event_type, pi_ppm FROM pi{rounds}"
+        + " ORDER BY event_type"
+    )
+
+
+@register("events_markov_stationary", oracle=_markov_oracle(10))
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-run state occupancy of the user clickstream: the Markov
+    stationary distribution of the event-type transition matrix
+    (operators/graph.py:markov_stationary), power-iterated 10 rounds
+    in exact floor-ppm integers — the steady-state companion of
+    ``events_top_transitions``. The one corpus-sized pass is the
+    transition count (the same user_id-clustered lead() the sequence
+    family shares); everything after is |types|-scale with
+    checkpointed rounds (the ppm-pagerank plan-growth device), and the
+    two floor approximations (per-round mass leak ≤ |S| ppm, absorbing
+    out-of-S drops) are deterministic on both engines — so the
+    iterative result still hash-matches the generated unrolled-CTE
+    oracle."""
+    from ..operators.graph import markov_stationary
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return markov_stationary(trans, rounds=10)
+
+
+
 @register(
     "events_top_transitions",
     oracle="""

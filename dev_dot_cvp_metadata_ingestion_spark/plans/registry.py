@@ -225,6 +225,7 @@ BACK: tuple[str, ...] = (
     "embedding_outliers",
     "embedding_silhouette",
     "events_seasonal_decomposition",
+    "events_markov_stationary",
 )
 
 

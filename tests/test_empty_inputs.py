@@ -82,6 +82,7 @@ AT_RISK = [
     "embedding_outliers",          # kmeans + fence on empty embeddings
     "embedding_silhouette",        # two-nearest ranks on empty embeddings
     "events_seasonal_decomposition",  # frames + seasonal join on empty
+    "events_markov_stationary",    # ppm rounds over an empty chain
 ]
 
 

@@ -126,3 +126,60 @@ def test_kcore_k3_keeps_only_clique(spark):
     }
     assert all(got[i] == (1, 3) for i in (10, 11, 12, 13))
     assert all(got[i] == (0, 0) for i in (1, 2, 3))
+
+
+def test_markov_stationary_matches_replica_and_converges(spark):
+    """The floor-ppm power iteration must match a plain-Python integer
+    replica exactly, and on a strongly-connected 2-state chain it must
+    approach the analytic stationary distribution."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.graph import (
+        markov_stationary,
+    )
+
+    # chain: a->b 3, a->a 1, b->a 2, b->b 2, plus an absorbing sink c
+    # (a->c 0 edges out of c): transitions INTO c drop mass
+    trans = spark.createDataFrame(
+        [
+            ("a", "b", 3),
+            ("a", "a", 1),
+            ("b", "a", 2),
+            ("b", "b", 2),
+            ("a", "c", 1),
+        ],
+        "from_type string, to_type string, c long",
+    )
+    got = {
+        r.event_type: r.pi_ppm
+        for r in markov_stationary(trans, rounds=10).collect()
+    }
+    # replica
+    edges = {("a", "b"): 3, ("a", "a"): 1, ("b", "a"): 2, ("b", "b"): 2,
+             ("a", "c"): 1}
+    rt = {}
+    for (a, _b), c in edges.items():
+        rt[a] = rt.get(a, 0) + c
+    p = {k: (c * 10**6) // rt[k[0]] for k, c in edges.items()}
+    s = sorted(rt)
+    pi = {t: 10**6 // len(s) for t in s}
+    for _ in range(10):
+        nxt = {t: 0 for t in s}
+        acc = {}
+        for (a, b), pp in p.items():
+            acc[b] = acc.get(b, 0) + pi[a] * pp
+        for t in s:
+            nxt[t] = acc.get(t, 0) // 10**6
+        pi = nxt
+    assert got == pi, (got, pi)
+    assert "c" not in got  # absorbing sink is outside the state set
+    # strongly-connected control converges near the analytic answer:
+    # p(a->b)=0.75, p(b->a)=0.5 -> pi = (0.4, 0.6)
+    t2 = spark.createDataFrame(
+        [("a", "b", 3), ("a", "a", 1), ("b", "a", 2), ("b", "b", 2)],
+        "from_type string, to_type string, c long",
+    )
+    got2 = {
+        r.event_type: r.pi_ppm
+        for r in markov_stationary(t2, rounds=10).collect()
+    }
+    assert abs(got2["a"] - 400_000) < 5_000
+    assert abs(got2["b"] - 600_000) < 5_000
