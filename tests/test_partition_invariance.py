@@ -62,6 +62,12 @@ SENSITIVE = [
     "ann_mmr_rerank",        # salted candidate rank + greedy rounds
     "dedup_graph_kcore",     # shrinking alive-set semi-join rounds
     "events_cusum_alarm",    # type-partitioned prefix windows
+    "events_mad_anomaly",    # row_number median/MAD picks
+    "events_seasonal_decomposition",  # centered frames + seasonal join
+    "events_markov_stationary",  # checkpointed ppm rounds
+    "text_collocations_pmi", # count shuffle + marginal joins + top-50
+    "embedding_outliers",    # kmeans + per-cluster fence
+    "embedding_silhouette",  # kmeans + two-nearest ranks
 ]
 
 
