@@ -89,3 +89,81 @@ def word_counts(docs: DataFrame, tokens_expr) -> DataFrame:
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).alias("c_sw"))
     )
+
+
+def welch_source_pairs(per_doc: DataFrame) -> DataFrame:
+    """Welch's two-sample t-test between every pair of sources on a
+    per-document measure — "is src7's document length DISTRIBUTION
+    actually different from src3's, or is the gap noise?" — the
+    hypothesis-testing primitive behind corpus-mix audits, in exact
+    fixed point (no sqrt: the |t| > 2 fence is squared into
+    diff² > 4·se², the three-sigma algebra device).
+
+    Input: (source, x) one row per document. Per source: n, Σx, Σx²
+    (DECIMAL-lifted). Per pair (a < b), all floor-integer:
+        mean_milli  = Σx·1000 div n
+        var_milli2  = (n·Σx² − (Σx)²)·1e6 div (n²·(n−1))  [sample]
+        se2         = var_a div n_a + var_b div n_b
+        t2_milli    = diff²·1000 div se2,  diff = mean_a − mean_b
+        is_significant = diff² > 4·se²    (|t| > 2, ≈95%)
+    n < 2 makes the variance NULL and the verdict NULL (propagated,
+    not hidden); se² = 0 with equal means is 0/NULL-t² but a defined
+    verdict (any nonzero diff against zero variance is significant).
+
+    Scale shape: one corpus-sized aggregate down to |sources| rows;
+    the pair relation is |sources|² — config-scale (a broadcast
+    nested-loop on the < condition). Headroom: n·Σx² ≤ n²·L²·1e6
+    inside DECIMAL(38,0) to ~1e12 docs at L ~ 1e3 tokens.
+
+    Returns (source_a, source_b, n_a, n_b, mean_milli_a, mean_milli_b,
+    t2_milli, is_significant), one row per unordered pair."""
+    st = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("v"),
+    )
+
+    def side(tag: str) -> DataFrame:
+        return st.select(
+            F.col("source").alias(f"source_{tag}"),
+            F.col("n").alias(f"n_{tag}"),
+            F.expr("CAST(CAST(s AS DECIMAL(38,0)) * 1000 div n AS BIGINT)")
+            .alias(f"mean_milli_{tag}"),
+            F.expr(
+                "CAST(((CAST(n AS DECIMAL(38,0)) * v"
+                " - CAST(s AS DECIMAL(38,0)) * s) * 1000000)"
+                " div nullif(CAST(n AS DECIMAL(38,0)) * n * (n - 1), 0)"
+                " AS BIGINT)"
+            ).alias(f"var_{tag}"),
+        )
+    a, b = side("a"), side("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("source_a") < F.col("source_b")
+    ).select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        "mean_milli_a",
+        "mean_milli_b",
+        (F.expr("var_a div n_a") + F.expr("var_b div n_b")).alias("_se2"),
+        (F.col("mean_milli_a") - F.col("mean_milli_b")).alias("_d"),
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        "mean_milli_a",
+        "mean_milli_b",
+        F.expr(
+            "CAST(CAST(_d AS DECIMAL(38,0)) * _d * 1000"
+            " div nullif(_se2, 0) AS BIGINT)"
+        ).alias("t2_milli"),
+        (
+            F.col("_d").cast("decimal(38,0)") * F.col("_d")
+            > F.lit(4).cast("decimal(38,0)") * F.col("_se2")
+        )
+        .cast("long")
+        .alias("is_significant"),
+    )

@@ -5132,6 +5132,62 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_source_ab_test",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             CAST(len({_TOKS.format(c="text")}) AS BIGINT) AS x
+      FROM documents
+    ),
+    st AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             sum(CAST(x AS HUGEINT) * x) AS v
+      FROM per GROUP BY source
+    ),
+    sides AS (
+      SELECT source, n,
+             CAST(CAST(s AS HUGEINT) * 1000 // n AS BIGINT) AS mean_milli,
+             CAST(((CAST(n AS HUGEINT) * v - CAST(s AS HUGEINT) * s)
+                   * 1000000)
+               // nullif(CAST(n AS HUGEINT) * n * (n - 1), 0) AS BIGINT)
+               AS var_m
+      FROM st
+    ),
+    p AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.n AS n_a, b.n AS n_b,
+             a.mean_milli AS mean_milli_a, b.mean_milli AS mean_milli_b,
+             a.var_m // a.n + b.var_m // b.n AS se2,
+             a.mean_milli - b.mean_milli AS d
+      FROM sides a JOIN sides b ON a.source < b.source
+    )
+    SELECT source_a, source_b, n_a, n_b, mean_milli_a, mean_milli_b,
+           CAST(CAST(d AS HUGEINT) * d * 1000 // nullif(se2, 0) AS BIGINT)
+             AS t2_milli,
+           CAST(CAST(d AS HUGEINT) * d > 4 * CAST(se2 AS HUGEINT)
+                AS BIGINT) AS is_significant
+    FROM p ORDER BY source_a, source_b
+    """,
+)
+def corpus_source_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test between every source pair on
+    per-document token counts
+    (operators/drift.py:welch_source_pairs) — "is src7's length
+    distribution actually different from src3's, or is the gap
+    noise?", the corpus-mix audit primitive. No sqrt anywhere: the
+    |t| > 2 (≈95%) fence is squared into the exact predicate
+    diff² > 4·se² with DECIMAL-lifted products (the three-sigma
+    algebra device). One corpus aggregate down to |sources| rows; the
+    pair relation is |sources|² config-scale."""
+    from ..operators.drift import welch_source_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select("source", token_count(F.col("text")).alias("x"))
+    return welch_source_pairs(per)
+
+
+@register(
     "text_collocations_pmi",
     oracle=f"""
     WITH toks AS (

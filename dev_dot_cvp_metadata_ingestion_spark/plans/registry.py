@@ -226,6 +226,7 @@ BACK: tuple[str, ...] = (
     "embedding_silhouette",
     "events_seasonal_decomposition",
     "events_markov_stationary",
+    "corpus_source_ab_test",
 )
 
 

@@ -174,3 +174,47 @@ def test_headroom_no_int64_wrap_at_large_counts(spark):
         top = min(pres, key=lambda x: (-x[1], x[0]))
         want = (ns[src], tv, top[0], max(d for _, d in pres))
         assert got[src] == want, (src, got[src], want)
+
+
+def test_welch_ab_test_flags_real_shift_not_noise(spark):
+    """Two sources drawn as near-identical length distributions must
+    NOT be significant; a source with a genuinely shifted mean must
+    flag against both. Verdicts and t2 match an exact Python
+    replica (floor arithmetic, truncate-toward-zero)."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.drift import (
+        welch_source_pairs,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    a_vals = [100 + rng.randint(-10, 10) for _ in range(60)]
+    b_vals = list(reversed(a_vals))  # same multiset => identical mean,
+    # so the null pair is deterministically insignificant (a fresh
+    # random draw would false-positive ~5% of the time by design)
+    s_vals = [160 + rng.randint(-10, 10) for _ in range(60)]
+    series = {"a": a_vals, "b": b_vals, "shifted": s_vals}
+    rows = [(src, x) for src, xs in series.items() for x in xs]
+    per = spark.createDataFrame(rows, "source string, x long")
+    got = {
+        (r.source_a, r.source_b): (r.t2_milli, r.is_significant)
+        for r in welch_source_pairs(per).collect()
+    }
+    assert got[("a", "b")][1] == 0
+    assert got[("a", "shifted")][1] == 1
+    assert got[("b", "shifted")][1] == 1
+
+    # exact replica
+    def stats(xs):
+        n, s, v = len(xs), sum(xs), sum(x * x for x in xs)
+        mean = s * 1000 // n
+        var = ((n * v - s * s) * 10**6) // (n * n * (n - 1))
+        return n, mean, var
+
+    for (sa, sb), (t2, sig) in got.items():
+        na, ma, va = stats(series[sa])
+        nb, mb, vb = stats(series[sb])
+        se2 = va // na + vb // nb
+        d = ma - mb
+        wt2 = (d * d * 1000) // se2 if se2 else None
+        assert t2 == wt2 and sig == int(d * d > 4 * se2), (sa, sb)

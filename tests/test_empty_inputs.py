@@ -83,6 +83,7 @@ AT_RISK = [
     "embedding_silhouette",        # two-nearest ranks on empty embeddings
     "events_seasonal_decomposition",  # frames + seasonal join on empty
     "events_markov_stationary",    # ppm rounds over an empty chain
+    "corpus_source_ab_test",       # pair join over zero sources
 ]
 
 
