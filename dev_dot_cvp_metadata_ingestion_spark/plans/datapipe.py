@@ -7457,6 +7457,53 @@ def events_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "events_user_outliers",
+    oracle="""
+    WITH uc AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    ),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(n_events) AS BIGINT) AS s,
+             sum(CAST(n_events AS HUGEINT) * n_events) AS v
+      FROM uc
+    )
+    SELECT uc.user_id, uc.n_events,
+           CAST(CAST(s AS HUGEINT) * 1000 // m AS BIGINT) AS mean_milli,
+           CAST(((CAST(m AS HUGEINT) * uc.n_events - s)
+                 * (CAST(m AS HUGEINT) * uc.n_events - s) * 1000)
+             // nullif(CAST(m AS HUGEINT) * v - CAST(s AS HUGEINT) * s, 0)
+             AS BIGINT) AS z2_milli,
+           CAST(((CAST(m AS HUGEINT) * uc.n_events - s)
+                 * (CAST(m AS HUGEINT) * uc.n_events - s) * 1000
+                 > 9000 * (CAST(m AS HUGEINT) * v - CAST(s AS HUGEINT) * s))
+             AS BIGINT) AS is_anomaly
+    FROM uc CROSS JOIN st
+    ORDER BY user_id
+    """,
+)
+def events_user_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-USER activity outliers — the bot/abuse-detection dimension
+    of the fence family: users whose total event count is anomalous
+    against the population (the z² integer predicate of
+    ``events_window_anomaly``, applied across users instead of across
+    a type's windows). One corpus-sized groupBy(user_id) with map-side
+    combine, then ONE global moment row broadcast back (the
+    ``_three_sigma`` core with a constant grouping key). Output is
+    per-user — at 100 TB that's |users| rows, already aggregated."""
+    ev = load_table(spark, sf_dir, "events")
+    uc = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("_g", F.lit(1))
+    )
+    from ..operators.anomaly import _three_sigma
+
+    return _three_sigma(uc, ["_g"]).drop("_g")
+
+
+@register(
     "events_window_anomaly_rolling",
     oracle="""
     WITH wc AS (

@@ -227,6 +227,7 @@ BACK: tuple[str, ...] = (
     "events_seasonal_decomposition",
     "events_markov_stationary",
     "corpus_source_ab_test",
+    "events_user_outliers",
 )
 
 

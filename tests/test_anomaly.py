@@ -434,3 +434,34 @@ def test_seasonal_decomposition_recovers_planted_structure(spark):
         ws = f"2026-06-{day:02d} 02:00:00"
         assert abs(resids[ws]) < 60_000, (ws, resids[ws])
         assert out[ws].seasonal_milli > 10_000
+
+
+def test_user_outliers_flags_planted_bot(spark):
+    """A user with 50x the population's event rate must flag; ordinary
+    users must not (the per-user dimension of the z^2 fence)."""
+    import os
+    import tempfile
+
+    from dev_dot_cvp_metadata_ingestion_spark.plans import registry
+
+    registry.load_all()
+    rows = []
+    eid = 0
+    for u in range(20):
+        n = 2000 if u == 7 else 40 + u  # user 7 is the bot
+        for i in range(n):
+            rows.append((eid, f"2024-05-01 {i % 24:02d}:00:00", u, "click"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r.user_id: r.is_anomaly
+            for r in registry.QUERIES["events_user_outliers"](
+                spark, d
+            ).collect()
+        }
+    assert out[7] == 1
+    assert all(v == 0 for u, v in out.items() if u != 7)

@@ -84,6 +84,7 @@ AT_RISK = [
     "events_seasonal_decomposition",  # frames + seasonal join on empty
     "events_markov_stationary",    # ppm rounds over an empty chain
     "corpus_source_ab_test",       # pair join over zero sources
+    "events_user_outliers",        # global moment row on empty events
 ]
 
 
