@@ -7457,6 +7457,100 @@ def events_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "events_association_rules",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events),
+    ct AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM ut GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.event_type AS ante, b.event_type AS cons,
+             CAST(count(*) AS BIGINT) AS c_xy
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT ante, cons, c_xy,
+           ca.c AS c_ante, cb.c AS c_cons,
+           CAST(CAST(c_xy AS HUGEINT) * 1000000 // n AS BIGINT)
+             AS support_ppm,
+           CAST(CAST(c_xy AS HUGEINT) * 1000000 // ca.c AS BIGINT)
+             AS confidence_ppm,
+           CAST(CAST(c_xy AS HUGEINT) * n * 1000000
+                // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS lift_ppm
+    FROM pairs
+    JOIN ct ca ON ca.event_type = ante
+    JOIN ct cb ON cb.event_type = cons
+    CROSS JOIN nu
+    WHERE c_xy >= 2
+    ORDER BY ante, cons
+    """,
+)
+def events_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over per-user event-type sets —
+    UNORDERED co-occurrence ("users who trigger x also trigger y"),
+    the complement of ``events_top_transitions``'s sequential bigrams.
+    Exact integer Agrawal-style metrics in ppm: support = c(x,y)/N
+    users, confidence = c(x,y)/c(x), lift = c(x,y)·N/(c(x)·c(y)); the
+    c_xy ≥ 2 guard is the standard min-support prune.
+
+    Scale shape: one corpus pass dedups to the (user, type) item
+    relation; the pair self-join keys on user_id with fan-out bounded
+    by |types|² PER USER (never all-pairs across users); the type
+    marginals and the scalar N broadcast back onto the |types|²-row
+    pair relation. DECIMAL-lifted products are exact to ~1e19
+    user-type incidences."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct().localCheckpoint()
+    nu = ev.agg(F.countDistinct("user_id").alias("n"))
+    ct = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = ut.select("user_id", F.col("event_type").alias("ante"))
+    b = ut.select("user_id", F.col("event_type").alias("cons"))
+    pairs = (
+        a.join(b, ["user_id"])
+        .filter(F.col("ante") < F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= 2)
+    )
+    return (
+        pairs.join(
+            F.broadcast(ct.select(F.col("event_type").alias("ante"),
+                                  F.col("c").alias("c_ante"))),
+            "ante",
+        )
+        .join(
+            F.broadcast(ct.select(F.col("event_type").alias("cons"),
+                                  F.col("c").alias("c_cons"))),
+            "cons",
+        )
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "ante",
+            "cons",
+            "c_xy",
+            "c_ante",
+            "c_cons",
+            F.expr(
+                "CAST(CAST(c_xy AS DECIMAL(38,0)) * 1000000 div n"
+                " AS BIGINT)"
+            ).alias("support_ppm"),
+            F.expr(
+                "CAST(CAST(c_xy AS DECIMAL(38,0)) * 1000000 div c_ante"
+                " AS BIGINT)"
+            ).alias("confidence_ppm"),
+            F.expr(
+                "CAST(CAST(c_xy AS DECIMAL(38,0)) * n * 1000000"
+                " div (CAST(c_ante AS DECIMAL(38,0)) * c_cons) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+@register(
     "events_user_outliers",
     oracle="""
     WITH uc AS (

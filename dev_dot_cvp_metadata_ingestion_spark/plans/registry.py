@@ -228,6 +228,7 @@ BACK: tuple[str, ...] = (
     "events_markov_stationary",
     "corpus_source_ab_test",
     "events_user_outliers",
+    "events_association_rules",
 )
 
 

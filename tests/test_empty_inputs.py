@@ -85,6 +85,7 @@ AT_RISK = [
     "events_markov_stationary",    # ppm rounds over an empty chain
     "corpus_source_ab_test",       # pair join over zero sources
     "events_user_outliers",        # global moment row on empty events
+    "events_association_rules",    # pair join + scalar N on empty
 ]
 
 
