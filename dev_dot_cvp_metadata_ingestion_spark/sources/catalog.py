@@ -849,16 +849,114 @@ def append_text_index(
 
 
 def read_text_index(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, include_deleted: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """Load a persisted text index: (postings, totals). ``postings``
     has (doc_id, word, tf, dl, bucket) with ``bucket`` as the on-disk
     partition column, so a probe's bucket predicate reaches the scan
-    as a partition filter."""
-    return (
-        spark.read.parquet(f"{path}/postings"),
-        spark.read.parquet(f"{path}/totals"),
+    as a partition filter. If the index carries tombstones
+    (``delete_from_text_index``), the deleted docs' rows are
+    broadcast-anti-joined out HERE, so every consumer (probe, sink)
+    gets exact post-delete semantics without knowing deletes exist;
+    ``include_deleted=True`` is the maintenance view compaction uses."""
+    posts = spark.read.parquet(f"{path}/postings")
+    if not include_deleted:
+        tomb = _read_tombstones(spark, path)
+        if tomb is not None:
+            from pyspark.sql import functions as F
+
+            posts = posts.join(F.broadcast(tomb), "doc_id", "left_anti")
+    return posts, spark.read.parquet(f"{path}/totals")
+
+
+def _read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    import os
+
+    p = f"{path}/tombstones"
+    if not os.path.isdir(p):
+        return None
+    df = spark.read.parquet(p)
+    return df if not df.isEmpty() else None
+
+
+def delete_from_text_index(
+    spark: SparkSession, path: str, doc_ids: DataFrame
+) -> None:
+    """Logical (tombstone) delete from the persisted text index — the
+    right-to-be-forgotten primitive, EXACT without rewriting a single
+    postings file: postings are word-bucket-partitioned (a doc's rows
+    scatter across every bucket), so a physical per-delete rewrite
+    would be a full-index rewrite. Instead the doc ids append to a
+    ``tombstones/`` sidecar that ``read_text_index`` broadcast-
+    anti-joins out, and the single-row totals sidecar is delta-
+    corrected HERE (one index scan finds the victims' denormalized
+    per-doc lengths) — df needs no correction because probes derive it
+    from the surviving postings. Probe-after-delete ≡
+    rebuild-without-those-docs row-for-row (pinned in
+    tests/test_text_index.py); re-deleting the same ids is a no-op
+    (already-tombstoned ids are excluded from the totals delta).
+
+    The tombstone set is broadcast at every probe — config-scale only
+    while deletes are a small fraction; ``compact_text_index`` is the
+    amortized physical reclaim (the Lucene/LSM deletes model)."""
+    from pyspark.sql import functions as F
+
+    ids = doc_ids.select("doc_id").distinct()
+    existing = _read_tombstones(spark, path)
+    if existing is not None:
+        ids = ids.join(existing.select("doc_id"), "doc_id", "left_anti")
+    ids = ids.localCheckpoint()
+    victims = (
+        spark.read.parquet(f"{path}/postings")
+        .join(F.broadcast(ids), "doc_id")
+        .select("doc_id", "dl")
+        .distinct()
     )
+    corp = spark.read.parquet(f"{path}/totals")
+    new_tot = (
+        corp.crossJoin(
+            victims.agg(
+                F.count(F.lit(1)).alias("_dn"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("_dt"),
+            )
+        )
+        .select(
+            (F.col("n_docs") - F.col("_dn")).alias("n_docs"),
+            (F.col("t_tokens") - F.col("_dt")).alias("t_tokens"),
+        )
+        .localCheckpoint()  # materialize before overwriting its source
+    )
+    new_tot.coalesce(1).write.mode("overwrite").parquet(f"{path}/totals")
+    ids.write.mode("append").parquet(f"{path}/tombstones")
+
+
+def compact_text_index(spark: SparkSession, path: str) -> None:
+    """Physically reclaim tombstoned docs: rewrite the postings minus
+    the tombstone set (one full-index rewrite — the amortized cost the
+    per-delete path avoids) and clear the tombstones. Totals were
+    already corrected at delete time, so probes are row-for-row
+    unchanged across compaction (pinned). The rewrite lands in a
+    sibling directory and swaps in driver-side — never
+    read-and-overwrite the same parquet path."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    tomb = _read_tombstones(spark, path)
+    if tomb is None:
+        return
+    posts, _tot = read_text_index(spark, path)  # tombstones applied
+    tmp = f"{path}/postings_compact"
+    (
+        posts.repartition(F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+    shutil.rmtree(f"{path}/postings")
+    os.rename(tmp, f"{path}/postings")
+    shutil.rmtree(f"{path}/tombstones")
 
 
 def write_pq_layout(

@@ -163,3 +163,65 @@ def test_append_empty_shard_is_noop(spark, docs, tmp_path):
     append_text_index(docs.filter(F.lit(False)), p)
     after = _rows(bm25_probe_index(spark, p, _q(spark), k=10))
     assert before == after
+
+
+def test_tombstone_delete_equals_rebuild_then_compact(spark, docs, tmp_path):
+    """delete_from_text_index must serve EXACTLY what a rebuild over
+    the surviving docs serves (postings anti-joined, totals delta-
+    corrected, df re-derived from survivors) WITHOUT rewriting any
+    postings file; compaction must physically drop the rows, clear the
+    tombstones, and leave probe results row-for-row unchanged.
+    Re-deleting the same ids must be a no-op (no totals double-count)."""
+    import os
+
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+        compact_text_index,
+        delete_from_text_index,
+    )
+
+    p = str(tmp_path / "deletable")
+    write_text_index(docs, p, n_buckets=16)
+
+    def postings_files():
+        out = {}
+        for dirpath, _dirs, files in os.walk(f"{p}/postings"):
+            for f in files:
+                if f.endswith(".parquet"):
+                    fp = os.path.join(dirpath, f)
+                    st = os.stat(fp)
+                    out[fp] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    victims = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    survivors = docs.filter(F.col("doc_id") % 5 != 0)
+
+    before = postings_files()
+    delete_from_text_index(spark, p, victims)
+    assert postings_files() == before  # logical delete: zero rewrites
+
+    ref_path = str(tmp_path / "rebuild")
+    write_text_index(survivors, ref_path, n_buckets=16)
+    got = _rows(bm25_probe_index(spark, p, _q(spark), k=10))
+    want = _rows(bm25_probe_index(spark, ref_path, _q(spark), k=10))
+    assert got == want and got  # exact and non-vacuous
+    # totals delta-corrected exactly
+    _po, tot = read_text_index(spark, p)
+    _pr, tot_ref = read_text_index(spark, ref_path)
+    assert tot.collect() == tot_ref.collect()
+    # no deleted doc is served
+    assert not {d for _q_, d, _s, _r in got} & {
+        r.doc_id for r in victims.collect()
+    }
+
+    # double-delete is a no-op
+    delete_from_text_index(spark, p, victims)
+    _po2, tot2 = read_text_index(spark, p)
+    assert tot2.collect() == tot_ref.collect()
+    assert _rows(bm25_probe_index(spark, p, _q(spark), k=10)) == want
+
+    # compaction: physical reclaim, probes unchanged, tombstones gone
+    compact_text_index(spark, p)
+    assert not os.path.isdir(f"{p}/tombstones")
+    raw = spark.read.parquet(f"{p}/postings")
+    assert raw.join(victims, "doc_id").count() == 0
+    assert _rows(bm25_probe_index(spark, p, _q(spark), k=10)) == want
