@@ -677,17 +677,83 @@ def append_lsh_index(
 
 
 def read_lsh_index(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, include_deleted: bool = False
 ) -> tuple[DataFrame, DataFrame, dict]:
     """Load a persisted LSH index: (bands, shingles, params) with
     ``params`` the build-time ``{"num_hashes": ..., "n": ...}`` a
-    probe must minhash its own side with."""
+    probe must minhash its own side with. Tombstoned docs
+    (``delete_from_lsh_index``) are broadcast-anti-joined out of BOTH
+    tables here, so every consumer — including the streaming ingest
+    gate — serves exact post-delete candidates without knowing
+    deletes exist."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    bands = spark.read.parquet(f"{path}/bands")
+    shingles = spark.read.parquet(f"{path}/shingles")
+    if not include_deleted:
+        tomb = _read_tombstones(spark, path)
+        if tomb is not None:
+            from pyspark.sql import functions as F
+
+            bands = bands.join(F.broadcast(tomb), "doc_id", "left_anti")
+            shingles = shingles.join(
+                F.broadcast(tomb), "doc_id", "left_anti"
+            )
     return (
-        spark.read.parquet(f"{path}/bands"),
-        spark.read.parquet(f"{path}/shingles"),
+        bands,
+        shingles,
         {"num_hashes": meta["num_hashes"], "n": meta["n"]},
     )
+
+
+def delete_from_lsh_index(
+    spark: SparkSession, path: str, doc_ids: DataFrame
+) -> None:
+    """Tombstone delete for the LSH index — same model as
+    ``delete_from_text_index`` (the bands table is (band, value)-
+    clustered, so a doc's rows scatter across the whole layout and a
+    physical per-delete rewrite would be a full rewrite): ids append
+    to the ``tombstones/`` sidecar that ``read_lsh_index`` anti-joins
+    out of bands AND shingles. No totals to correct here — candidate
+    generation and Jaccard verification are both per-pair. Re-deletes
+    de-dup against the existing tombstone set."""
+    ids = doc_ids.select("doc_id").distinct()
+    existing = _read_tombstones(spark, path)
+    if existing is not None:
+        ids = ids.join(existing.select("doc_id"), "doc_id", "left_anti")
+    ids.write.mode("append").parquet(f"{path}/tombstones")
+
+
+def compact_lsh_index(spark: SparkSession, path: str) -> None:
+    """Physically reclaim tombstoned docs from both LSH tables and
+    clear the tombstones (sibling-dir rewrite + driver-side swap —
+    never read-and-overwrite one parquet path). Probes are
+    row-for-row unchanged across compaction (pinned)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    tomb = _read_tombstones(spark, path)
+    if tomb is None:
+        return
+    bands, shingles, _params = read_lsh_index(spark, path)
+    for name, df, cluster in (
+        ("bands", bands, ("band", "value")),
+        ("shingles", shingles, None),
+    ):
+        tmp = f"{path}/{name}_compact"
+        if cluster:
+            (
+                df.repartition(*[F.col(c) for c in cluster])
+                .sortWithinPartitions(*cluster)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+        else:
+            df.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(f"{path}/{name}")
+        os.rename(tmp, f"{path}/{name}")
+    shutil.rmtree(f"{path}/tombstones")
 
 
 def write_pair_graph(

@@ -201,3 +201,65 @@ def test_probe_tolerates_duplicate_index_rows(spark, split, index_path):
         probe, corpus, "doc_id", "text", num_hashes=8, n=3, threshold=0.3
     )
     assert _rows(doubled) == _rows(ref)
+
+
+def test_tombstone_delete_equals_rebuild_then_compact(spark, split, tmp_path):
+    """delete_from_lsh_index must make probes serve EXACTLY what an
+    index rebuilt without the deleted docs serves, with zero band/
+    shingle file rewrites; compaction must physically drop the rows
+    and leave probe results unchanged; double-delete is a no-op."""
+    import os
+
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+        compact_lsh_index,
+        delete_from_lsh_index,
+    )
+
+    corpus, probe = split
+    p = str(tmp_path / "deletable")
+    write_lsh_index(corpus, p, num_hashes=8, n=3)
+
+    def files():
+        out = {}
+        for sub in ("bands", "shingles"):
+            for dirpath, _d, fs in os.walk(f"{p}/{sub}"):
+                for f in fs:
+                    if f.endswith(".parquet"):
+                        fp = os.path.join(dirpath, f)
+                        st = os.stat(fp)
+                        out[fp] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    victims = corpus.filter(F.col("doc_id") % 4 == 0).select("doc_id")
+    survivors = corpus.filter(F.col("doc_id") % 4 != 0)
+
+    before = files()
+    delete_from_lsh_index(spark, p, victims)
+    assert files() == before  # logical delete: zero rewrites
+
+    ref_p = str(tmp_path / "rebuild")
+    write_lsh_index(survivors, ref_p, num_hashes=8, n=3)
+
+    def probe_rows(path):
+        bands, shingles, params = read_lsh_index(spark, path)
+        return _rows(
+            lsh_probe_index(
+                bands, shingles, probe, "doc_id", "text",
+                threshold=0.3, **params,
+            )
+        )
+
+    want = probe_rows(ref_p)
+    got = probe_rows(p)
+    assert got == want and got  # exact and non-vacuous
+    vset = {r.doc_id for r in victims.collect()}
+    assert not {b for _a, b, _j in got} & vset
+
+    delete_from_lsh_index(spark, p, victims)  # no-op re-delete
+    assert probe_rows(p) == want
+
+    compact_lsh_index(spark, p)
+    assert not os.path.isdir(f"{p}/tombstones")
+    raw_bands = spark.read.parquet(f"{p}/bands")
+    assert raw_bands.join(victims, "doc_id").count() == 0
+    assert probe_rows(p) == want
