@@ -167,3 +167,61 @@ def welch_source_pairs(per_doc: DataFrame) -> DataFrame:
         .cast("long")
         .alias("is_significant"),
     )
+
+
+def robust_source_stats(per_doc: DataFrame) -> DataFrame:
+    """Robust per-source statistics of a per-document integer measure
+    — median, p90, and the 10%-trimmed mean — WITHOUT any window over
+    the per-document relation: the corpus pass collapses to a
+    (source, x) histogram first (the ``documents_token_quantiles_hist``
+    scale device), and every statistic is exact integer arithmetic
+    over the bounded histogram's cumulative counts. Trimming handles
+    PARTIAL buckets exactly: with lo = n div 10 and hi = n − lo, a
+    bucket spanning cumulative ranks (s, e] contributes
+    max(0, min(e, hi) − max(s, lo)) copies of its value — so the
+    result equals sorting each source's values and averaging ranks
+    lo+1..hi, at histogram (not corpus) cost. median/p90 are
+    quantile_disc picks: the smallest value whose cumulative count
+    reaches (n+1) div 2 / 9·n (cross-multiplied, no division).
+
+    Returns (source, n, median, p90, trimmed_mean_milli) — one row per
+    source; trimmed_mean is a floor-milli mean, NULL only when the
+    trim empties the sample (n = 0 cannot reach here)."""
+    from pyspark.sql import Window as W
+
+    h = per_doc.groupBy("source", "x").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        W.partitionBy("source")
+        .orderBy("x")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    h = h.select(
+        "source", "x", "c", F.sum("c").over(w).alias("e")
+    ).withColumn("s", F.col("e") - F.col("c"))
+    tot = h.groupBy("source").agg(F.max("e").alias("n"))
+    j = h.join(F.broadcast(tot), "source")
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("e"), F.expr("n - n div 10"))
+        - F.greatest(F.col("s"), F.expr("n div 10")),
+    )
+    return (
+        j.groupBy("source", "n")
+        .agg(
+            F.min(F.when(F.expr("e >= (n + 1) div 2"), F.col("x"))).alias(
+                "median"
+            ),
+            F.min(F.when(F.expr("10 * e >= 9 * n"), F.col("x"))).alias("p90"),
+            F.sum(F.col("x").cast("decimal(38,0)") * kept).alias("_ts"),
+            F.sum(kept).alias("_tn"),
+        )
+        .select(
+            "source",
+            "n",
+            "median",
+            "p90",
+            F.expr(
+                "CAST(_ts * 1000 div nullif(_tn, 0) AS BIGINT)"
+            ).alias("trimmed_mean_milli"),
+        )
+    )

@@ -5188,6 +5188,59 @@ def corpus_source_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_source_robust_stats",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             CAST(len({_TOKS.format(c="text")}) AS BIGINT) AS x
+      FROM documents
+    ),
+    h AS (
+      SELECT source, x, CAST(count(*) AS BIGINT) AS c
+      FROM per GROUP BY 1, 2
+    ),
+    h2 AS (
+      SELECT *, CAST(sum(c) OVER (PARTITION BY source ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS e
+      FROM h
+    ),
+    h3 AS (SELECT *, e - c AS s FROM h2),
+    tot AS (SELECT source, max(e) AS n FROM h3 GROUP BY source),
+    k AS (
+      SELECT h3.*, n,
+             greatest(CAST(0 AS BIGINT),
+                      least(e, n - n // 10) - greatest(s, n // 10))
+               AS kept
+      FROM h3 JOIN tot USING (source)
+    )
+    SELECT source, n,
+           min(CASE WHEN e >= (n + 1) // 2 THEN x END) AS median,
+           min(CASE WHEN 10 * e >= 9 * n THEN x END) AS p90,
+           CAST(sum(CAST(x AS HUGEINT) * kept) * 1000
+                // nullif(sum(kept), 0) AS BIGINT) AS trimmed_mean_milli
+    FROM k GROUP BY source, n
+    ORDER BY source
+    """,
+)
+def corpus_source_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source token-count statistics — median, p90, and the
+    exact 10%-trimmed mean (operators/drift.py:robust_source_stats) —
+    the outlier-resistant companion of ``corpus_source_ab_test``'s
+    moment tests. No window ever touches the per-document relation:
+    the corpus pass collapses to a (source, length) histogram and
+    every statistic is integer arithmetic over the bounded cumulative
+    counts, with PARTIAL trim buckets handled exactly
+    (max(0, min(e, hi) − max(s, lo)) copies of a bucket's value) — so
+    the result equals per-source sorting at histogram cost."""
+    from ..operators.drift import robust_source_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select("source", token_count(F.col("text")).alias("x"))
+    return robust_source_stats(per)
+
+
+@register(
     "text_collocations_pmi",
     oracle=f"""
     WITH toks AS (

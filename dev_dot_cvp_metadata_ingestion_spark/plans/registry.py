@@ -229,6 +229,7 @@ BACK: tuple[str, ...] = (
     "corpus_source_ab_test",
     "events_user_outliers",
     "events_association_rules",
+    "corpus_source_robust_stats",
 )
 
 

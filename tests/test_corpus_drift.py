@@ -218,3 +218,41 @@ def test_welch_ab_test_flags_real_shift_not_noise(spark):
         d = ma - mb
         wt2 = (d * d * 1000) // se2 if se2 else None
         assert t2 == wt2 and sig == int(d * d > 4 * se2), (sa, sb)
+
+
+def test_robust_stats_match_sorted_replica(spark):
+    """median/p90/trimmed-mean from the histogram CDF must equal the
+    sort-based definitions exactly — including partial trim buckets
+    (heavy ties across the lo/hi rank boundaries) and an extreme
+    outlier the trimmed mean must ignore."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.drift import (
+        robust_source_stats,
+    )
+
+    series = {
+        # heavy ties at the trim boundaries: 23 values, lo=2, hi=21
+        "ties": [5] * 7 + [6] * 9 + [7] * 7,
+        # outlier: trimmed mean ignores the 1e6 spike, plain mean can't
+        "spiky": list(range(10, 29)) + [10**6],
+        "single": [42],
+    }
+    rows = [(src, x) for src, xs in series.items() for x in xs]
+    got = {
+        r.source: (r.n, r.median, r.p90, r.trimmed_mean_milli)
+        for r in robust_source_stats(
+            spark.createDataFrame(rows, "source string, x long")
+        ).collect()
+    }
+    for src, xs in series.items():
+        xs_sorted = sorted(xs)
+        n = len(xs)
+        median = xs_sorted[(n + 1) // 2 - 1]
+        p90 = next(
+            x for i, x in enumerate(xs_sorted, 1) if 10 * i >= 9 * n
+        )
+        lo, hi = n // 10, n - n // 10
+        trimmed = xs_sorted[lo:hi]
+        tm = sum(trimmed) * 1000 // len(trimmed) if trimmed else None
+        assert got[src] == (n, median, p90, tm), src
+    # the spike is actually ignored
+    assert got["spiky"][3] < 30_000

@@ -86,6 +86,7 @@ AT_RISK = [
     "corpus_source_ab_test",       # pair join over zero sources
     "events_user_outliers",        # global moment row on empty events
     "events_association_rules",    # pair join + scalar N on empty
+    "corpus_source_robust_stats",  # histogram CDF on empty corpus
 ]
 
 
