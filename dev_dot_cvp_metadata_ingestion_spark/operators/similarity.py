@@ -1476,3 +1476,54 @@ def assign_to_centroids(
             F.col("_m.dist").alias("dist"),
         )
     )
+
+
+def range_search(
+    emb: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Radius (range) search — FAISS ``range_search`` parity: ALL
+    corpus neighbors with cosine ≥ ``threshold`` for each broadcast
+    query, not a fixed top-k. The retrieval shape for "give me every
+    candidate above the similarity bar" consumers (dedup verification,
+    recall-oriented candidate generation) where k is unknowable a
+    priori.
+
+    Pure map-side: broadcast queries, per-pair fold cosine (the
+    ``knn_join`` scoring lineage — cached norms, one dot fold), filter
+    — ZERO shuffles, no window, no rank. The threshold compare is on
+    the identical IEEE double both engines compute from the same
+    sequential fold, so even the boundary rows hash-match. Returns
+    (q_id, vec_id, cos), UNORDERED; self-matches excluded."""
+    from ..functions.vectors import _as_double, l2_norm
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        _as_double(F.col(vec_col)).alias("qd"),
+        l2_norm(F.col(vec_col)).alias("nq"),
+    )
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("vd"),
+        l2_norm(F.col(vec_col)).alias("na"),
+    )
+    return (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                F.aggregate(
+                    F.zip_with("vd", "qd", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                / (F.col("na") * F.col("nq"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+    )

@@ -2222,6 +2222,36 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_range_search",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q_id, e.vec_id, {_cos_sql("v", "qv")} AS cos
+      FROM e, q WHERE e.vec_id <> q_id
+    )
+    SELECT q_id, vec_id, cos FROM scored WHERE cos >= 0.15
+    ORDER BY q_id, vec_id
+    """,
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search (operators/similarity.py:range_search) — FAISS
+    ``range_search`` parity: every corpus neighbor with cosine ≥ 0.15
+    for each of 5 broadcast queries, k-free. Pure map-side (broadcast
+    queries, fold cosine, filter): zero shuffles, no window — the one
+    ANN surface where even the SCAN output is the answer. Boundary
+    rows hash-match because both engines compare the identical
+    sequential-fold double against the same literal."""
+    from ..operators.similarity import range_search
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return range_search(e, e.filter(F.col("vec_id") < 5), threshold=0.15)
+
+
+@register(
     "ann_knn_join",
     oracle=f"""
     WITH e AS (

@@ -230,6 +230,7 @@ BACK: tuple[str, ...] = (
     "events_user_outliers",
     "events_association_rules",
     "corpus_source_robust_stats",
+    "ann_range_search",
 )
 
 

@@ -98,3 +98,38 @@ def test_ivf_knn_join_recall_and_exhaustive_equality(spark):
     )
     ref = sorted(tuple(r) for r in knn_join(e, queries, k=5).collect())
     assert full == ref
+
+
+def test_range_search_matches_bruteforce_threshold(spark):
+    """range_search must return EXACTLY the rows a full brute-force
+    scoring pass keeps at the threshold — k-free radius semantics —
+    and its plan must be shuffle-free (broadcast + filter only)."""
+    import pyspark.sql.functions as F
+
+    from dev_dot_cvp_metadata_ingestion_spark.operators.similarity import (
+        knn_join,
+        range_search,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    got = sorted(
+        (r.q_id, r.vec_id, round(r.cos, 9))
+        for r in range_search(emb, q, threshold=0.15).collect()
+    )
+    # reference: score everything via the knn machinery with k = corpus
+    n = emb.count()
+    ref = sorted(
+        (r.q_id, r.vec_id, round(r.cos, 9))
+        for r in knn_join(emb, q, k=n).collect()
+        if r.cos >= 0.15
+    )
+    assert got == ref and got
+    plan = (
+        range_search(emb, q, threshold=0.15)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert "Window" not in plan

@@ -87,6 +87,7 @@ AT_RISK = [
     "events_user_outliers",        # global moment row on empty events
     "events_association_rules",    # pair join + scalar N on empty
     "corpus_source_robust_stats",  # histogram CDF on empty corpus
+    "ann_range_search",            # broadcast of zero queries
 ]
 
 
