@@ -68,6 +68,8 @@ SENSITIVE = [
     "text_collocations_pmi", # count shuffle + marginal joins + top-50
     "embedding_outliers",    # kmeans + per-cluster fence
     "embedding_silhouette",  # kmeans + two-nearest ranks
+    "corpus_source_robust_stats",  # histogram-CDF cumulative windows
+    "events_association_rules",    # distinct + per-user pair join
 ]
 
 
