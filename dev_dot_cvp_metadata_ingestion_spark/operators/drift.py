@@ -102,10 +102,13 @@ def welch_source_pairs(per_doc: DataFrame) -> DataFrame:
     Input: (source, x) one row per document. Per source: n, Σx, Σx²
     (DECIMAL-lifted). Per pair (a < b), all floor-integer:
         mean_milli  = Σx·1000 div n
-        var_milli2  = (n·Σx² − (Σx)²)·1e6 div (n²·(n−1))  [sample]
-        se2         = var_a div n_a + var_b div n_b
+        var_milli2  = (n·Σx² − (Σx)²)·1e6 div (n·(n−1))  [sample s²]
+        se2         = var_a div n_a + var_b div n_b      [s²_a/n_a + s²_b/n_b]
         t2_milli    = diff²·1000 div se2,  diff = mean_a − mean_b
         is_significant = diff² > 4·se²    (|t| > 2, ≈95%)
+    (Fixed in r11 per ADVICE: the variance denominator was n²·(n−1),
+    which already baked the /n into var and then divided by n AGAIN in
+    se2, inflating t² ~n-fold so noise flagged as significant.)
     n < 2 makes the variance NULL and the verdict NULL (propagated,
     not hidden); se² = 0 with equal means is 0/NULL-t² but a defined
     verdict (any nonzero diff against zero variance is significant).
@@ -132,7 +135,7 @@ def welch_source_pairs(per_doc: DataFrame) -> DataFrame:
             F.expr(
                 "CAST(((CAST(n AS DECIMAL(38,0)) * v"
                 " - CAST(s AS DECIMAL(38,0)) * s) * 1000000)"
-                " div nullif(CAST(n AS DECIMAL(38,0)) * n * (n - 1), 0)"
+                " div nullif(CAST(n AS DECIMAL(38,0)) * (n - 1), 0)"
                 " AS BIGINT)"
             ).alias(f"var_{tag}"),
         )

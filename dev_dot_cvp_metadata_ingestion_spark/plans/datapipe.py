@@ -5180,7 +5180,7 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(CAST(s AS HUGEINT) * 1000 // n AS BIGINT) AS mean_milli,
              CAST(((CAST(n AS HUGEINT) * v - CAST(s AS HUGEINT) * s)
                    * 1000000)
-               // nullif(CAST(n AS HUGEINT) * n * (n - 1), 0) AS BIGINT)
+               // nullif(CAST(n AS HUGEINT) * (n - 1), 0) AS BIGINT)
                AS var_m
       FROM st
     ),

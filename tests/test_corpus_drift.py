@@ -208,7 +208,7 @@ def test_welch_ab_test_flags_real_shift_not_noise(spark):
     def stats(xs):
         n, s, v = len(xs), sum(xs), sum(x * x for x in xs)
         mean = s * 1000 // n
-        var = ((n * v - s * s) * 10**6) // (n * n * (n - 1))
+        var = ((n * v - s * s) * 10**6) // (n * (n - 1))
         return n, mean, var
 
     for (sa, sb), (t2, sig) in got.items():
@@ -218,6 +218,31 @@ def test_welch_ab_test_flags_real_shift_not_noise(spark):
         d = ma - mb
         wt2 = (d * d * 1000) // se2 if se2 else None
         assert t2 == wt2 and sig == int(d * d > 4 * se2), (sa, sb)
+
+
+def test_welch_independent_null_draws_not_significant(spark):
+    """Two INDEPENDENT same-distribution draws (fixed deterministic
+    lists, seed 1 of uniform 100±10, n=60 each) must not be
+    significant — the regression for the r10 ADVICE bug where the
+    variance denominator n²(n−1) baked /n into var and se2 divided by
+    n AGAIN, inflating t² ~n-fold: on exactly these lists the buggy
+    code computed t² = 99.9 (flagged) where true Welch t² = 1.665."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.drift import (
+        welch_source_pairs,
+    )
+
+    import random
+
+    rng = random.Random(1)
+    c_vals = [100 + rng.randint(-10, 10) for _ in range(60)]
+    d_vals = [100 + rng.randint(-10, 10) for _ in range(60)]
+    rows = [("c", x) for x in c_vals] + [("d", x) for x in d_vals]
+    per = spark.createDataFrame(rows, "source string, x long")
+    [r] = welch_source_pairs(per).collect()
+    assert r.is_significant == 0, r
+    # t2_milli ≈ 1665 (true Welch 1.67) — and far below the old
+    # inflated 99907 the n²(n−1) bug produced on these exact lists.
+    assert 1000 < r.t2_milli < 2500, r.t2_milli
 
 
 def test_robust_stats_match_sorted_replica(spark):
