@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     STOPWORDS,
+    ascii_lower,
     bpe_token_count,
     content_fingerprint,
     lang_id,
@@ -5274,7 +5275,7 @@ def corpus_source_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_collocations_pmi",
     oracle=f"""
     WITH toks AS (
-      SELECT {_TOKS.format(c="lower(text)")} AS t FROM documents
+      SELECT {_TOKS.format(c=_ASCII_LOWER)} AS t FROM documents
     ),
     bg AS (
       SELECT unnest([{{'w1': t[i], 'w2': t[i+1]}}
@@ -5327,7 +5328,10 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort). Headroom: c12·B and cl·cr are DECIMAL(38,0)-lifted — exact
     to ~1e19 bigrams."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(tokens(F.lower(F.col("text"))).alias("t")).filter(
+    # ascii_lower, not lower(): hash-checked group keys; full lower()
+    # is Unicode-version-dependent across JVM/DuckDB (r10 ADVICE;
+    # functions/text.py:ascii_lower contract).
+    toks = d.select(tokens(ascii_lower(F.col("text"))).alias("t")).filter(
         F.size("t") >= 2
     )
     n = F.size("t")

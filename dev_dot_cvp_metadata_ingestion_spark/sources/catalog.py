@@ -964,7 +964,16 @@ def delete_from_text_index(
 
     The tombstone set is broadcast at every probe — config-scale only
     while deletes are a small fraction; ``compact_text_index`` is the
-    amortized physical reclaim (the Lucene/LSM deletes model)."""
+    amortized physical reclaim (the Lucene/LSM deletes model).
+
+    Crash ordering (r10 ADVICE): the tombstones append FIRST and the
+    totals overwrite second. A crash between the two leaves the ids
+    tombstoned with totals merely STALE-high (length normalization a
+    touch conservative) — repaired by ``compact_text_index``, which
+    recomputes totals from surviving postings. The old order (totals
+    first) was worse than stale: a crash left the ids un-tombstoned,
+    and a retried delete recomputed the same victims and subtracted
+    the delta a SECOND time, permanently corrupting n_docs/t_tokens."""
     from pyspark.sql import functions as F
 
     ids = doc_ids.select("doc_id").distinct()
@@ -992,18 +1001,23 @@ def delete_from_text_index(
         )
         .localCheckpoint()  # materialize before overwriting its source
     )
-    new_tot.coalesce(1).write.mode("overwrite").parquet(f"{path}/totals")
     ids.write.mode("append").parquet(f"{path}/tombstones")
+    new_tot.coalesce(1).write.mode("overwrite").parquet(f"{path}/totals")
 
 
 def compact_text_index(spark: SparkSession, path: str) -> None:
     """Physically reclaim tombstoned docs: rewrite the postings minus
     the tombstone set (one full-index rewrite — the amortized cost the
-    per-delete path avoids) and clear the tombstones. Totals were
-    already corrected at delete time, so probes are row-for-row
-    unchanged across compaction (pinned). The rewrite lands in a
-    sibling directory and swaps in driver-side — never
-    read-and-overwrite the same parquet path."""
+    per-delete path avoids) and clear the tombstones. Probes are
+    row-for-row unchanged across compaction (pinned). The rewrite
+    lands in a sibling directory and swaps in driver-side — never
+    read-and-overwrite the same parquet path.
+
+    Self-healing (r10 ADVICE): totals are RECOMPUTED from surviving
+    postings here (one distinct over the relation the rewrite already
+    scans), not trusted from the delete-time delta — so a crash inside
+    ``delete_from_text_index``'s tombstone→totals window (which leaves
+    totals stale-high) is repaired by the next compaction."""
     import os
     import shutil
 
@@ -1020,8 +1034,19 @@ def compact_text_index(spark: SparkSession, path: str) -> None:
         .partitionBy("bucket")
         .parquet(tmp)
     )
+    fresh_tot = (
+        spark.read.parquet(tmp)
+        .select("doc_id", "dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("t_tokens"),
+        )
+        .localCheckpoint()
+    )
     shutil.rmtree(f"{path}/postings")
     os.rename(tmp, f"{path}/postings")
+    fresh_tot.coalesce(1).write.mode("overwrite").parquet(f"{path}/totals")
     shutil.rmtree(f"{path}/tombstones")
 
 

@@ -225,3 +225,47 @@ def test_tombstone_delete_equals_rebuild_then_compact(spark, docs, tmp_path):
     raw = spark.read.parquet(f"{p}/postings")
     assert raw.join(victims, "doc_id").count() == 0
     assert _rows(bm25_probe_index(spark, p, _q(spark), k=10)) == want
+
+
+def test_delete_crash_window_never_double_subtracts(spark, docs, tmp_path):
+    """r10 ADVICE: delete_from_text_index appends tombstones BEFORE
+    overwriting totals. A crash between the two (simulated here as the
+    exact on-disk state: ids tombstoned, totals untouched) must leave
+    (a) reads already serving post-delete postings, (b) a RETRIED
+    delete a true no-op — totals must NOT be subtracted for ids that
+    are already tombstoned (the old order made retry double-subtract,
+    permanently corrupting BM25 length normalization), and (c)
+    compaction self-healing totals to the rebuild-without-victims
+    value by recomputing them from surviving postings."""
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+        compact_text_index,
+        delete_from_text_index,
+    )
+
+    p = str(tmp_path / "crashy")
+    write_text_index(docs, p, n_buckets=16)
+    victims = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    survivors = docs.filter(F.col("doc_id") % 5 != 0)
+    tot_before = read_text_index(spark, p)[1].first().asDict()
+
+    # crash state: tombstones landed, totals write never ran
+    victims.distinct().write.mode("append").parquet(f"{p}/tombstones")
+    posts, tot_stale = read_text_index(spark, p)
+    assert posts.join(victims, "doc_id").count() == 0  # reads correct
+    assert tot_stale.first().asDict() == tot_before  # stale-high, not corrupt
+
+    # the retry: every id is already tombstoned => totals delta is 0
+    delete_from_text_index(spark, p, victims)
+    assert read_text_index(spark, p)[1].first().asDict() == tot_before
+
+    # compaction recomputes totals from survivors — full repair
+    compact_text_index(spark, p)
+    ref_path = str(tmp_path / "rebuild")
+    write_text_index(survivors, ref_path, n_buckets=16)
+    assert (
+        read_text_index(spark, p)[1].first().asDict()
+        == read_text_index(spark, ref_path)[1].first().asDict()
+    )
+    got = _rows(bm25_probe_index(spark, p, _q(spark), k=10))
+    want = _rows(bm25_probe_index(spark, ref_path, _q(spark), k=10))
+    assert got == want and got
