@@ -1155,6 +1155,129 @@ def ivf_pq_residual_topk(
     )
 
 
+def ivf_pq_residual_probe_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Residual IVF-PQ serving against the persisted layout
+    (sources/catalog.py:write_ivf_pq_residual_layout) — the build-once
+    path for the catalog's best encoder: coarse probes come from the
+    centroid sidecar, the probed cells' union is collected driver-side
+    (|queries| × nprobe values, config-scale) so the cell predicate
+    reaches the codes scan as a STATIC PartitionFilter, the QUERY
+    residual against each probed cell's centroid is re-quantized with
+    the build's exact floor map, and ADC ranks from code lookups — no
+    kmeans chain, no corpus residual projection, no embedding float
+    ever read at query time. Row-for-row equal to the in-query
+    ``ivf_pq_residual_topk`` at the build params (pinned in
+    tests/test_ivf_pq_residual_layout.py)."""
+    from pyspark.sql import Window
+
+    from ..sources.catalog import read_ivf_pq_residual_layout
+
+    codes, coarse_cents, cbs, meta = read_ivf_pq_residual_layout(spark, path)
+    d, m, scale, coarse_scale = (
+        meta["d"], meta["m"], meta["scale"], meta["coarse_scale"],
+    )
+    ratio = coarse_scale // scale
+    off = 4 * coarse_scale
+    off_r = off // ratio
+    sub = d // m
+    qx = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.floor(v.cast("double") * coarse_scale).cast("long"),
+        ).alias("qxf"),
+    )
+    qdist = F.aggregate(
+        F.zip_with(F.col("qxf"), F.col("cf"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    w_probe = Window.partitionBy("q_id").orderBy("qdist", "cell")
+    probes = (
+        qx.crossJoin(F.broadcast(coarse_cents))
+        .select(
+            "q_id",
+            F.col("cluster").alias("cell"),
+            qdist.alias("qdist"),
+            "qxf",
+        )
+        .withColumn("_pr", F.row_number().over(w_probe))
+        .filter(F.col("_pr") <= nprobe)
+        .select("q_id", F.col("cell").cast("int").alias("cell"), "qxf")
+    )
+    q_requant = (
+        f"transform(zip_with(qxf, cf, (a, b) -> a - b), "
+        f"r -> ((r + {off}L) div {ratio}L) - {off_r}L)"
+    )
+    qr = (
+        probes.join(
+            F.broadcast(
+                coarse_cents.select(
+                    F.col("cluster").cast("int").alias("cell"), "cf"
+                )
+            ),
+            "cell",
+        )
+        .select("q_id", "cell", F.expr(q_requant).alias("qrf"))
+        .localCheckpoint()
+    )
+    probed_cells = [r.cell for r in qr.select("cell").distinct().collect()]
+    dt_parts = []
+    for s in range(m):
+        qf = qr.select(
+            "q_id", "cell", F.slice(F.col("qrf"), s * sub + 1, sub).alias("qf")
+        )
+        qd = F.aggregate(
+            F.zip_with(F.col("qf"), F.col("cf"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, y: acc + y,
+        )
+        dt_parts.append(
+            qf.join(
+                F.broadcast(cbs.filter(F.col("subspace") == s)), how="cross"
+            ).select(
+                F.lit(s).alias("subspace"),
+                "q_id",
+                "cell",
+                "cluster",
+                qd.alias("qd"),
+            )
+        )
+    dts = dt_parts[0]
+    for t in dt_parts[1:]:
+        dts = dts.unionByName(t)
+    scored = (
+        codes.filter(
+            F.col("cell").isin(probed_cells) if probed_cells else F.lit(False)
+        )
+        .join(F.broadcast(dts), ["subspace", "cluster", "cell"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("qd").alias("adc_dist"))
+    )
+    ranked = _topk_per_query(
+        scored.select(
+            "q_id",
+            "vec_id",
+            (-F.col("adc_dist")).cast("double").alias("cos"),
+            "adc_dist",
+        ),
+        k,
+        n_salts,
+    )
+    return ranked.select(
+        "q_id", "vec_id", "adc_dist", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def mmr_rerank(
     emb: DataFrame,
     queries: DataFrame,

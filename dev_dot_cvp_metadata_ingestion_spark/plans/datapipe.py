@@ -8080,7 +8080,17 @@ def ann_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py:ivf_pq_residual_topk has the algebra and
     the engine-portable floor-requantization). Every layer is
     fixed-point, so even this approximate search hash-matches its
-    generated oracle. Recall-vs-global comparison: SCALE.md."""
+    generated oracle. Recall-vs-global comparison: SCALE.md.
+
+    The in-query form self-contains codebook TRAINING (a registered
+    query must be a pure function of (spark, sf_dir)); production
+    serving is the persisted layout —
+    sources/catalog.py:write_ivf_pq_residual_layout +
+    operators/similarity.py:ivf_pq_residual_probe_topk — which pays
+    the coarse chain, residual projection, and m codebooks once and
+    then serves from cell-pruned code scans (probe ≡ this query
+    row-for-row, tests/test_ivf_pq_residual_layout.py; amortization
+    measured in SCALE.md)."""
     from ..operators.similarity import ivf_pq_residual_topk
 
     e = load_table(spark, sf_dir, "embeddings")

@@ -64,35 +64,37 @@ def query_names() -> list[str]:
 # row keeps the strongest (hash) check. embedding_quantize stays for
 # its first green row after the r8 surface fix (long form).
 BOARD: tuple[str, ...] = (
-    # ROTATION (round 10, VERDICT r9 item 2): the 19 never-driver-
-    # checked round-9 additions swapped in (substring family, drift,
-    # token quantiles, graph pair — pagerank + triangles, anomaly
-    # trio, retrieval trio — BM25/AND/RRF, heavy-hitter pair, PQ
-    # family — codes/ADC/IVF-PQ, perplexity buckets); the 19 reps
-    # that yielded each carried 2+ consecutive fully-green driver
-    # rounds (r8+r9) and remain hash-checked locally every pytest
-    # run. The 13 round-9 first-timers stay for their second green
-    # round, as does embedding_quantize (first green row was r9).
-    "suppliers_with_large_shipments",
-    "orders_grouping_sets",
-    "orders_status_pivot",
-    "cv_validation_results",
-    "cv_sequential_checks",
-    "file_metadata_docs",
-    "events_hourly_windows",
-    "rules_catalog",
-    "csv_rule_validation",
-    "documents_curation_funnel",
-    "documents_contamination",
-    "documents_budget_selected",
-    "dedup_keep_best",
-    "ann_ivf_kmeans_topk",
-    "embedding_label_propagation_ivf",
-    "embedding_contamination_semantic_ivf",
-    "embedding_quantize",
-    "events_range_join",
-    "multimodal_resized",
-    # --- round-9 additions, first driver rows this round ---
+    # ROTATION (round 11, VERDICT r10 item 1): the 18 never-driver-
+    # checked round-10 additions swapped in (monitoring/analytics
+    # family — CUSUM, seasonal anomaly + decomposition, MAD, OLS
+    # trend, Markov stationary, user outliers, association rules,
+    # Welch A/B, robust stats; retrieval — phrase search, PMI
+    # collocations; ANN — residual IVF-PQ, MMR rerank, range search;
+    # graph k-core; embedding outliers + silhouette). The 18 original
+    # reps that yielded each carried 2+ consecutive fully-green
+    # driver rounds (many since r6) and remain hash-checked locally
+    # every pytest run. The 19 round-10-rotated rows stay for their
+    # second green round; the 13 round-9 first-timers (incl.
+    # embedding_quantize) stay with two greens (r9+r10 / r10).
+    "events_cusum_alarm",
+    "events_seasonal_anomaly",
+    "events_mad_anomaly",
+    "events_hourly_trend",
+    "events_seasonal_decomposition",
+    "events_markov_stationary",
+    "events_user_outliers",
+    "events_association_rules",
+    "corpus_source_ab_test",
+    "corpus_source_robust_stats",
+    "text_collocations_pmi",
+    "text_phrase_search",
+    "ann_mmr_rerank",
+    "ann_range_search",
+    "ann_ivf_pq_residual_topk",
+    "dedup_graph_kcore",
+    "embedding_outliers",
+    "embedding_silhouette",
+    # --- round-10 rotation, second driver rows this round ---
     "documents_perplexity_buckets",
     "documents_repeated_substrings",
     "documents_substring_dup_stats",
@@ -124,9 +126,31 @@ BOARD: tuple[str, ...] = (
     "dedup_ngram_pairs_capped",
     "dedup_containment_pairs_capped",
     "embedding_kmeans",
+    "embedding_quantize",
 )
 
 BACK: tuple[str, ...] = (
+    # --- rotated off the board in round 11 (2+ green driver rounds
+    # each, most since r6; family coverage continues via the promoted
+    # variants and the local hash-parity suite) ---
+    "suppliers_with_large_shipments",
+    "orders_grouping_sets",
+    "orders_status_pivot",
+    "cv_validation_results",
+    "cv_sequential_checks",
+    "file_metadata_docs",
+    "events_hourly_windows",
+    "rules_catalog",
+    "csv_rule_validation",
+    "documents_curation_funnel",
+    "documents_contamination",
+    "documents_budget_selected",
+    "dedup_keep_best",
+    "ann_ivf_kmeans_topk",
+    "embedding_label_propagation_ivf",
+    "embedding_contamination_semantic_ivf",
+    "events_range_join",
+    "multimodal_resized",
     # --- rotated off the board in round 10 (2+ green driver rounds
     # each — r8+r9; family coverage continues via the promoted variants
     # and the local hash-parity suite) ---
@@ -212,25 +236,6 @@ BACK: tuple[str, ...] = (
     # --- round-9 additions not board-eligible (no SQL oracle; PCA's
     # driver-side eigensolve is Python-replica-pinned instead) ---
     "embedding_pca_projected",
-    # --- round-10 additions (first driver row next rotation) ---
-    "ann_ivf_pq_residual_topk",
-    "text_phrase_search",
-    "ann_mmr_rerank",
-    "dedup_graph_kcore",
-    "events_cusum_alarm",
-    "events_seasonal_anomaly",
-    "events_mad_anomaly",
-    "events_hourly_trend",
-    "text_collocations_pmi",
-    "embedding_outliers",
-    "embedding_silhouette",
-    "events_seasonal_decomposition",
-    "events_markov_stationary",
-    "corpus_source_ab_test",
-    "events_user_outliers",
-    "events_association_rules",
-    "corpus_source_robust_stats",
-    "ann_range_search",
 )
 
 

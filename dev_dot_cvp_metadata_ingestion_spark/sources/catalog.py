@@ -1210,3 +1210,153 @@ def read_ivf_pq_layout(
         spark.read.parquet(f"{path}/codebooks"),
         meta,
     )
+
+
+def write_ivf_pq_residual_layout(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    d: int = 64,
+    m: int = 8,
+    k_codebook: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 100_000,
+    coarse_scale: int = 10_000_000,
+) -> None:
+    """Persist the RESIDUAL IVF-PQ serving layout — the build-once
+    home of the best encoder in the catalog (the true FAISS IVFPQ:
+    PQ codebooks trained on ``x − c_cell(x)`` residuals, Jégou et al.
+    TPAMI'11 §III — see ``operators/similarity.py:ivf_pq_residual_topk``
+    for the encoding and its fixed-point re-quantization doctrine).
+    Before this layout the registered residual query re-trained its
+    codebooks on every run (~11 s of in-query Lloyd chains at sf0.1);
+    here the coarse quantizer, the corpus residual projection, and the
+    m residual codebooks are all paid ONCE, and
+    ``ivf_pq_residual_probe_topk`` serves any query batch from the
+    compact code table alone — cell-partition-pruned at the file
+    level, codes (m small ints) read instead of embedding floats,
+    never a kmeans chain at query time.
+
+    Layout: ``codes/`` (subspace, vec_id, cluster, cell) partitioned
+    by cell; ``coarse_centroids/`` (cluster, cf) — the residual frame
+    every probe must subtract in; ``codebooks/`` (subspace, cluster,
+    cf) RESIDUAL-space codebooks; ``meta/`` one row of
+    (d, m, scale, coarse_scale). Probe ≡ the in-query
+    ``ivf_pq_residual_topk`` row-for-row at the build params (pinned
+    in tests/test_ivf_pq_residual_layout.py)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import kmeans_assign
+
+    if coarse_scale % scale:
+        raise ValueError(
+            f"coarse_scale={coarse_scale} not divisible by scale={scale}"
+        )
+    ratio = coarse_scale // scale
+    off = 4 * coarse_scale
+    off_r = off // ratio
+    sub = d // m
+    spark = emb.sparkSession
+    empty = emb.isEmpty()
+    emb = emb.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
+    coarse_asg, coarse_cents = kmeans_assign(
+        emb,
+        k=n_cells,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        scale=coarse_scale,
+        return_centroids=True,
+    )
+    coarse_cents = coarse_cents.localCheckpoint()
+    requant = (
+        f"transform(zip_with(xf, cf, (a, b) -> a - b), "
+        f"r -> ((r + {off}L) div {ratio}L) - {off_r}L)"
+    )
+    xr = (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(
+                F.col(vec_col),
+                lambda v: F.floor(v.cast("double") * coarse_scale).cast("long"),
+            ).alias("xf"),
+        )
+        .join(
+            coarse_asg.select("vec_id", F.col("cluster").alias("cell")),
+            "vec_id",
+        )
+        .join(
+            F.broadcast(
+                coarse_cents.select(F.col("cluster").alias("cell"), "cf")
+            ),
+            "cell",
+        )
+        .select("vec_id", "cell", F.expr(requant).alias("rf"))
+        .localCheckpoint()
+    )
+    code_parts, cb_parts = [], []
+    for s in range(m):
+        sl = xr.select(
+            "vec_id", F.slice(F.col("rf"), s * sub + 1, sub).alias("rslice")
+        )
+        asg, cents = kmeans_assign(
+            sl,
+            k=k_codebook,
+            iters=iters,
+            vec_col="rslice",
+            scale=scale,
+            return_centroids=True,
+            prescaled=True,
+        )
+        code_parts.append(
+            asg.select(F.lit(s).alias("subspace"), "vec_id", "cluster")
+        )
+        cb_parts.append(
+            cents.select(F.lit(s).alias("subspace"), "cluster", "cf")
+        )
+    codes = code_parts[0]
+    for c in code_parts[1:]:
+        codes = codes.unionByName(c)
+    cbs = cb_parts[0]
+    for c in cb_parts[1:]:
+        cbs = cbs.unionByName(c)
+    keyed = codes.join(xr.select("vec_id", "cell"), "vec_id").withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    if empty:
+        # sibling layout writers' empty-input contract: plain write,
+        # cell already int so the read-back schema matches
+        keyed.write.mode("overwrite").parquet(f"{path}/codes")
+    else:
+        (
+            keyed.repartition(F.col("cell"))
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{path}/codes")
+        )
+    coarse_cents.write.mode("overwrite").parquet(f"{path}/coarse_centroids")
+    cbs.write.mode("overwrite").parquet(f"{path}/codebooks")
+    spark.createDataFrame(
+        [(int(d), int(m), int(scale), int(coarse_scale))],
+        "d int, m int, scale int, coarse_scale int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_ivf_pq_residual_layout(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
+    """Load a persisted residual IVF-PQ layout:
+    (codes, coarse_centroids, codebooks, meta-dict). ``codes`` has
+    (subspace, vec_id, cluster, cell) with ``cell`` the on-disk
+    partition column; ``codebooks`` live in RESIDUAL space — a probe
+    must subtract the probed cell's coarse centroid from the query
+    (same re-quantization map as the build) before using them."""
+    meta = spark.read.parquet(f"{path}/meta").first().asDict()
+    return (
+        spark.read.parquet(f"{path}/codes"),
+        spark.read.parquet(f"{path}/coarse_centroids"),
+        spark.read.parquet(f"{path}/codebooks"),
+        meta,
+    )
