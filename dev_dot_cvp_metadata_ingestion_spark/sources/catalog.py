@@ -597,6 +597,12 @@ def _write_lsh_index_frames(
     try:
         bands = _band_frame(hs, num_hashes)
         shingles = hs.select("doc_id", F.array_distinct("hs").alias("shd"))
+        if mode == "overwrite":
+            # fresh build returns the index to generation 0
+            os.makedirs(path, exist_ok=True)
+            _reset_generations(path, ("bands", "shingles"))
+        bands_dir = _table_dir(path, "bands")
+        shingles_dir = _table_dir(path, "shingles")
         if docs.isEmpty():
             if mode == "append":
                 return
@@ -604,16 +610,16 @@ def _write_lsh_index_frames(
             # leaving the table unreadable (UNABLE_TO_INFER_SCHEMA) —
             # write plain empty tables instead, same contract as the
             # sibling layout writers
-            bands.write.mode(mode).parquet(f"{path}/bands")
-            shingles.write.mode(mode).parquet(f"{path}/shingles")
+            bands.write.mode(mode).parquet(bands_dir)
+            shingles.write.mode(mode).parquet(shingles_dir)
             return
         (
             bands.repartition(F.col("band"), F.col("value"))
             .sortWithinPartitions("band", "value")
             .write.mode(mode)
-            .parquet(f"{path}/bands")
+            .parquet(bands_dir)
         )
-        shingles.write.mode(mode).parquet(f"{path}/shingles")
+        shingles.write.mode(mode).parquet(shingles_dir)
     finally:
         hs.unpersist()
 
@@ -687,8 +693,8 @@ def read_lsh_index(
     gate — serves exact post-delete candidates without knowing
     deletes exist."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
-    bands = spark.read.parquet(f"{path}/bands")
-    shingles = spark.read.parquet(f"{path}/shingles")
+    bands = spark.read.parquet(_table_dir(path, "bands"))
+    shingles = spark.read.parquet(_table_dir(path, "shingles"))
     if not include_deleted:
         tomb = _read_tombstones(spark, path)
         if tomb is not None:
@@ -725,10 +731,18 @@ def delete_from_lsh_index(
 
 def compact_lsh_index(spark: SparkSession, path: str) -> None:
     """Physically reclaim tombstoned docs from both LSH tables and
-    clear the tombstones (sibling-dir rewrite + driver-side swap —
-    never read-and-overwrite one parquet path). Probes are
-    row-for-row unchanged across compaction (pinned)."""
-    import os
+    clear the tombstones. Probes are row-for-row unchanged across
+    compaction (pinned).
+
+    Atomic generation swap (r10 VERDICT; the text-index model): BOTH
+    compacted tables land as ``bands_v<n+1>`` / ``shingles_v<n+1>``
+    and become current together when the single ``_gen_v<n+1>
+    .committed`` marker lands — one PUT, so the two tables can never
+    be served from mixed generations. A crash before the marker
+    leaves the old generation fully readable with tombstones active;
+    after it, the not-yet-cleared tombstones anti-join absent rows (a
+    no-op). Old generations stay for in-flight readers until
+    ``prune_lsh_index_generations``."""
     import shutil
 
     from pyspark.sql import functions as F
@@ -737,23 +751,29 @@ def compact_lsh_index(spark: SparkSession, path: str) -> None:
     if tomb is None:
         return
     bands, shingles, _params = read_lsh_index(spark, path)
+    gen = _current_gen(path)
     for name, df, cluster in (
         ("bands", bands, ("band", "value")),
         ("shingles", shingles, None),
     ):
-        tmp = f"{path}/{name}_compact"
+        new_dir = f"{path}/{name}_v{gen + 1}"
         if cluster:
             (
                 df.repartition(*[F.col(c) for c in cluster])
                 .sortWithinPartitions(*cluster)
                 .write.mode("overwrite")
-                .parquet(tmp)
+                .parquet(new_dir)
             )
         else:
-            df.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(f"{path}/{name}")
-        os.rename(tmp, f"{path}/{name}")
+            df.write.mode("overwrite").parquet(new_dir)
+    _commit_gen(path, gen + 1)  # one marker flips both tables
     shutil.rmtree(f"{path}/tombstones")
+
+
+def prune_lsh_index_generations(spark: SparkSession, path: str) -> None:
+    """Reclaim superseded bands/shingles generations once in-flight
+    readers of the old generation have drained."""
+    prune_index_generations(path, ("bands", "shingles"))
 
 
 def write_pair_graph(
@@ -834,6 +854,10 @@ def write_text_index(
 
     from ..operators.retrieval import corpus_postings
 
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    _reset_generations(path, ("postings",))
     tf_dl, corp = corpus_postings(docs, id_col, text_col)
     keyed = tf_dl.select(
         "doc_id",
@@ -904,7 +928,7 @@ def append_text_index(
         keyed.repartition(F.col("bucket"))
         .write.mode("append")
         .partitionBy("bucket")
-        .parquet(f"{path}/postings")
+        .parquet(_table_dir(path, "postings"))
     )
     old = spark.read.parquet(f"{path}/totals").collect()[0]
     add = corp.collect()[0]
@@ -925,7 +949,7 @@ def read_text_index(
     broadcast-anti-joined out HERE, so every consumer (probe, sink)
     gets exact post-delete semantics without knowing deletes exist;
     ``include_deleted=True`` is the maintenance view compaction uses."""
-    posts = spark.read.parquet(f"{path}/postings")
+    posts = spark.read.parquet(_table_dir(path, "postings"))
     if not include_deleted:
         tomb = _read_tombstones(spark, path)
         if tomb is not None:
@@ -943,6 +967,88 @@ def _read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
         return None
     df = spark.read.parquet(p)
     return df if not df.isEmpty() else None
+
+
+# ------------------------------------------------- index generations
+#
+# Compaction never rewrites a table in place and never renames
+# directories (r10 VERDICT: rmtree+rename is neither atomic nor cheap
+# on an object store, and a driver crash between the two left the
+# index with NO postings directory). Instead each compaction writes
+# the whole new table set as a VERSIONED sibling (``<table>_v<n>``)
+# and then flips a single zero-byte commit marker
+# (``_gen_v<n>.committed`` — one PUT, atomic on object stores; one
+# marker covers ALL of an index's tables, so multi-table indexes like
+# LSH flip together). Readers resolve the highest committed
+# generation; generation 0 is the writer's plain ``<table>/`` dir
+# (implicitly committed — full back-compat with pre-generation
+# layouts). The old generation stays on disk for in-flight readers
+# until ``prune_index_generations`` reclaims it.
+
+
+def _current_gen(path: str) -> int:
+    import glob
+    import re
+
+    gens = [0]
+    for f in glob.glob(f"{path}/_gen_v*.committed"):
+        m = re.search(r"_gen_v(\d+)\.committed$", f)
+        if m:
+            gens.append(int(m.group(1)))
+    return max(gens)
+
+
+def _table_dir(path: str, name: str, gen: int | None = None) -> str:
+    g = _current_gen(path) if gen is None else gen
+    return f"{path}/{name}" if g == 0 else f"{path}/{name}_v{g}"
+
+
+def _commit_gen(path: str, gen: int) -> None:
+    """The atomic flip: one zero-byte marker file makes generation
+    ``gen`` current for every table of the index at once."""
+    with open(f"{path}/_gen_v{gen}.committed", "w"):
+        pass
+
+
+def _reset_generations(path: str, tables: tuple[str, ...]) -> None:
+    """Fresh-build contract: a full (over)write returns the index to
+    generation 0 — stale markers and versioned table dirs from a
+    previous life of the path are removed first."""
+    import glob
+    import os
+    import shutil
+
+    for f in glob.glob(f"{path}/_gen_v*.committed"):
+        os.remove(f)
+    for t in tables:
+        for d in glob.glob(f"{path}/{t}_v[0-9]*"):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def prune_index_generations(path: str, tables: tuple[str, ...]) -> None:
+    """Physically reclaim superseded generations (every table dir and
+    marker below the current generation). Separate from compaction by
+    design: the compacting writer cannot know when in-flight readers
+    of the old generation drain, so the storage reclaim is the
+    operator's explicit second step (the object-store analog of
+    Iceberg's ``expire_snapshots``)."""
+    import glob
+    import os
+    import re
+    import shutil
+
+    cur = _current_gen(path)
+    for t in tables:
+        if cur > 0 and os.path.isdir(f"{path}/{t}"):
+            shutil.rmtree(f"{path}/{t}", ignore_errors=True)
+        for d in glob.glob(f"{path}/{t}_v[0-9]*"):
+            m = re.search(r"_v(\d+)$", d)
+            if m and int(m.group(1)) < cur:
+                shutil.rmtree(d, ignore_errors=True)
+    for f in glob.glob(f"{path}/_gen_v*.committed"):
+        m = re.search(r"_gen_v(\d+)\.committed$", f)
+        if m and int(m.group(1)) < cur:
+            os.remove(f)
 
 
 def delete_from_text_index(
@@ -982,7 +1088,7 @@ def delete_from_text_index(
         ids = ids.join(existing.select("doc_id"), "doc_id", "left_anti")
     ids = ids.localCheckpoint()
     victims = (
-        spark.read.parquet(f"{path}/postings")
+        spark.read.parquet(_table_dir(path, "postings"))
         .join(F.broadcast(ids), "doc_id")
         .select("doc_id", "dl")
         .distinct()
@@ -1017,8 +1123,17 @@ def compact_text_index(spark: SparkSession, path: str) -> None:
     postings here (one distinct over the relation the rewrite already
     scans), not trusted from the delete-time delta — so a crash inside
     ``delete_from_text_index``'s tombstone→totals window (which leaves
-    totals stale-high) is repaired by the next compaction."""
-    import os
+    totals stale-high) is repaired by the next compaction.
+
+    Atomic generation swap (r10 VERDICT): the compacted postings land
+    in ``postings_v<n+1>`` and become current only when the zero-byte
+    ``_gen_v<n+1>.committed`` marker lands (one PUT — atomic on object
+    stores, unlike directory rename). A crash anywhere leaves a fully
+    readable index: before the marker, readers still resolve the old
+    generation with tombstones active; after it, the new generation is
+    complete and the not-yet-cleared tombstones anti-join rows that no
+    longer exist (a no-op). The old generation stays on disk for
+    in-flight readers until ``prune_text_index_generations``."""
     import shutil
 
     from pyspark.sql import functions as F
@@ -1027,15 +1142,16 @@ def compact_text_index(spark: SparkSession, path: str) -> None:
     if tomb is None:
         return
     posts, _tot = read_text_index(spark, path)  # tombstones applied
-    tmp = f"{path}/postings_compact"
+    gen = _current_gen(path)
+    new_dir = f"{path}/postings_v{gen + 1}"
     (
         posts.repartition(F.col("bucket"))
         .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(tmp)
+        .parquet(new_dir)
     )
     fresh_tot = (
-        spark.read.parquet(tmp)
+        spark.read.parquet(new_dir)
         .select("doc_id", "dl")
         .distinct()
         .agg(
@@ -1044,10 +1160,16 @@ def compact_text_index(spark: SparkSession, path: str) -> None:
         )
         .localCheckpoint()
     )
-    shutil.rmtree(f"{path}/postings")
-    os.rename(tmp, f"{path}/postings")
+    _commit_gen(path, gen + 1)  # the atomic flip
     fresh_tot.coalesce(1).write.mode("overwrite").parquet(f"{path}/totals")
     shutil.rmtree(f"{path}/tombstones")
+
+
+def prune_text_index_generations(spark: SparkSession, path: str) -> None:
+    """Reclaim superseded postings generations once in-flight readers
+    of the old generation have drained (the operator-driven second
+    step of compaction's write→flip→prune lifecycle)."""
+    prune_index_generations(path, ("postings",))
 
 
 def write_pq_layout(

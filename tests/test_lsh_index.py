@@ -260,6 +260,68 @@ def test_tombstone_delete_equals_rebuild_then_compact(spark, split, tmp_path):
 
     compact_lsh_index(spark, p)
     assert not os.path.isdir(f"{p}/tombstones")
-    raw_bands = spark.read.parquet(f"{p}/bands")
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+        _table_dir,
+        prune_lsh_index_generations,
+    )
+
+    raw_bands = spark.read.parquet(_table_dir(p, "bands"))
     assert raw_bands.join(victims, "doc_id").count() == 0
     assert probe_rows(p) == want
+    # old generation stays for in-flight readers until pruned; ONE
+    # marker flips bands and shingles together (never mixed gens)
+    assert os.path.isdir(f"{p}/bands") and os.path.isdir(f"{p}/shingles")
+    assert _table_dir(p, "shingles") == f"{p}/shingles_v1"
+    prune_lsh_index_generations(spark, p)
+    assert not os.path.isdir(f"{p}/bands")
+    assert not os.path.isdir(f"{p}/shingles")
+    assert probe_rows(p) == want
+
+
+def test_compact_crash_before_flip_leaves_old_generation_readable(
+    spark, split, tmp_path
+):
+    """A kill between the compacted generation's write and the single
+    commit-marker flip must leave BOTH tables resolving to the old
+    generation with tombstones active — probes unchanged even when one
+    next-gen table dir is complete and the other is garbage (the mixed
+    state a two-rename swap could serve). Retry converges."""
+    import os
+
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+        _table_dir,
+        compact_lsh_index,
+        delete_from_lsh_index,
+    )
+
+    corpus, probe = split
+    p = str(tmp_path / "crashy")
+    write_lsh_index(corpus, p, num_hashes=8, n=3)
+    victims = corpus.filter(F.col("doc_id") % 4 == 0).select("doc_id")
+    delete_from_lsh_index(spark, p, victims)
+
+    def probe_rows():
+        bands, shingles, params = read_lsh_index(spark, p)
+        return _rows(
+            lsh_probe_index(
+                bands, shingles, probe, "doc_id", "text",
+                threshold=0.3, **params,
+            )
+        )
+
+    want = probe_rows()
+
+    # crash state: bands_v1 fully written, shingles_v1 garbage, no marker
+    bands, shingles, _params = read_lsh_index(spark, p)
+    bands.write.mode("overwrite").parquet(f"{p}/bands_v1")
+    os.makedirs(f"{p}/shingles_v1", exist_ok=True)
+    with open(f"{p}/shingles_v1/part-garbage.parquet", "wb") as f:
+        f.write(b"\x00not a parquet file")
+    assert _table_dir(p, "bands") == f"{p}/bands"  # old gen current
+    assert probe_rows() == want
+
+    compact_lsh_index(spark, p)  # retry: overwrites v1, flips once
+    assert _table_dir(p, "bands") == f"{p}/bands_v1"
+    assert _table_dir(p, "shingles") == f"{p}/shingles_v1"
+    assert not os.path.isdir(f"{p}/tombstones")
+    assert probe_rows() == want

@@ -222,9 +222,60 @@ def test_tombstone_delete_equals_rebuild_then_compact(spark, docs, tmp_path):
     # compaction: physical reclaim, probes unchanged, tombstones gone
     compact_text_index(spark, p)
     assert not os.path.isdir(f"{p}/tombstones")
-    raw = spark.read.parquet(f"{p}/postings")
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+        _table_dir,
+        prune_text_index_generations,
+    )
+
+    raw = spark.read.parquet(_table_dir(p, "postings"))
     assert raw.join(victims, "doc_id").count() == 0
     assert _rows(bm25_probe_index(spark, p, _q(spark), k=10)) == want
+    # the old generation stays for in-flight readers until pruned
+    assert os.path.isdir(f"{p}/postings")
+    prune_text_index_generations(spark, p)
+    assert not os.path.isdir(f"{p}/postings")
+    assert _rows(bm25_probe_index(spark, p, _q(spark), k=10)) == want
+
+
+def test_compact_crash_before_flip_leaves_old_generation_readable(
+    spark, docs, tmp_path
+):
+    """r10 VERDICT: a kill between the compacted generation's write
+    and the commit-marker flip must leave the index exactly as it was
+    — old generation resolved, tombstones active, probes unchanged.
+    Simulated as the exact on-disk state: a complete-looking (even a
+    HALF-written) postings_v1 dir with NO _gen_v1.committed marker.
+    A subsequent compaction retry must converge (overwrites v1, then
+    flips)."""
+    import os
+
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+        _table_dir,
+        compact_text_index,
+        delete_from_text_index,
+    )
+
+    p = str(tmp_path / "crashcompact")
+    write_text_index(docs, p, n_buckets=16)
+    victims = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    delete_from_text_index(spark, p, victims)
+    want = _rows(bm25_probe_index(spark, p, _q(spark), k=10))
+    tot_want = read_text_index(spark, p)[1].first().asDict()
+
+    # crash state: a half-written next generation, no marker
+    os.makedirs(f"{p}/postings_v1/bucket=0", exist_ok=True)
+    with open(f"{p}/postings_v1/bucket=0/part-garbage.parquet", "wb") as f:
+        f.write(b"\x00not a parquet file")
+    assert _table_dir(p, "postings") == f"{p}/postings"  # old gen current
+    assert _rows(bm25_probe_index(spark, p, _q(spark), k=10)) == want
+    assert read_text_index(spark, p)[1].first().asDict() == tot_want
+
+    # the retry overwrites the dead generation and flips atomically
+    compact_text_index(spark, p)
+    assert _table_dir(p, "postings") == f"{p}/postings_v1"
+    assert not os.path.isdir(f"{p}/tombstones")
+    assert _rows(bm25_probe_index(spark, p, _q(spark), k=10)) == want
+    assert read_text_index(spark, p)[1].first().asDict() == tot_want
 
 
 def test_delete_crash_window_never_double_subtracts(spark, docs, tmp_path):
