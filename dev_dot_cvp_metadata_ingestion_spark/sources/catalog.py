@@ -476,6 +476,8 @@ def write_ivf_layout(
     from ..operators.similarity import kmeans_assign
     from pyspark.sql import functions as F
 
+    os.makedirs(path, exist_ok=True)
+    _reset_generations(path, ("cells",))
     assigned, cents = kmeans_assign(
         emb,
         k=n_cells,
@@ -555,21 +557,76 @@ def append_ivf_layout(
         keyed.repartition(F.col("cluster"))
         .write.mode("append")
         .partitionBy("cluster")
-        .parquet(f"{path}/cells")
+        .parquet(_table_dir(path, "cells"))
     )
 
 
 def read_ivf_layout(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, include_deleted: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """Load a persisted IVF layout: (cells, centroids). ``cells`` has
     (vec_id, embedding, cluster) with ``cluster`` as the on-disk
     partition column, so a probe join's cluster predicate reaches the
-    scan as a partition filter (dynamic partition pruning)."""
-    return (
-        spark.read.parquet(f"{path}/cells"),
-        spark.read.parquet(f"{path}/centroids"),
+    scan as a partition filter (dynamic partition pruning). Tombstoned
+    vectors (``delete_from_ivf_layout``) are broadcast-anti-joined out
+    HERE, so every probe serves exact post-delete candidates without
+    knowing deletes exist."""
+    cells = spark.read.parquet(_table_dir(path, "cells"))
+    if not include_deleted:
+        tomb = _read_tombstones(spark, path)
+        if tomb is not None:
+            from pyspark.sql import functions as F
+
+            cells = cells.join(F.broadcast(tomb), "vec_id", "left_anti")
+    return cells, spark.read.parquet(f"{path}/centroids")
+
+
+def delete_from_ivf_layout(
+    spark: SparkSession, path: str, vec_ids: DataFrame
+) -> None:
+    """Tombstone delete for the IVF layout — the right-to-be-forgotten
+    primitive for persisted EMBEDDINGS (r10 VERDICT: the text/LSH
+    recipe replicated to the vector layouts): ids append to the
+    ``tombstones/`` sidecar that ``read_ivf_layout`` anti-joins out of
+    the cells table. No totals/statistics to correct — probes rank
+    per-candidate. Re-deletes de-dup against the existing set; physical
+    reclaim is ``compact_ivf_layout``."""
+    ids = vec_ids.select("vec_id").distinct()
+    existing = _read_tombstones(spark, path)
+    if existing is not None:
+        ids = ids.join(existing.select("vec_id"), "vec_id", "left_anti")
+    ids.write.mode("append").parquet(f"{path}/tombstones")
+
+
+def compact_ivf_layout(spark: SparkSession, path: str) -> None:
+    """Physically reclaim tombstoned vectors: rewrite the cells table
+    minus the tombstone set as the next generation (atomic marker
+    flip — see ``compact_text_index``), preserving the cluster
+    partitioning, then clear the tombstones."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    tomb = _read_tombstones(spark, path)
+    if tomb is None:
+        return
+    cells, _cents = read_ivf_layout(spark, path)  # tombstones applied
+    gen = _current_gen(path)
+    new_dir = f"{path}/cells_v{gen + 1}"
+    (
+        cells.repartition(F.col("cluster"))
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(new_dir)
     )
+    _commit_gen(path, gen + 1)
+    shutil.rmtree(f"{path}/tombstones")
+
+
+def prune_ivf_layout_generations(spark: SparkSession, path: str) -> None:
+    """Reclaim superseded cells generations once in-flight readers of
+    the old generation have drained."""
+    prune_index_generations(path, ("cells",))
 
 
 def _write_lsh_index_frames(
@@ -1012,8 +1069,10 @@ def _commit_gen(path: str, gen: int) -> None:
 
 def _reset_generations(path: str, tables: tuple[str, ...]) -> None:
     """Fresh-build contract: a full (over)write returns the index to
-    generation 0 — stale markers and versioned table dirs from a
-    previous life of the path are removed first."""
+    generation 0 — stale markers, versioned table dirs, AND tombstones
+    from a previous life of the path are removed first (stale
+    tombstones would silently delete same-keyed rows of the NEW
+    corpus)."""
     import glob
     import os
     import shutil
@@ -1023,6 +1082,7 @@ def _reset_generations(path: str, tables: tuple[str, ...]) -> None:
     for t in tables:
         for d in glob.glob(f"{path}/{t}_v[0-9]*"):
             shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(f"{path}/tombstones", ignore_errors=True)
 
 
 def prune_index_generations(path: str, tables: tuple[str, ...]) -> None:
@@ -1198,6 +1258,8 @@ def write_pq_layout(
 
     from ..operators.similarity import kmeans_assign
 
+    os.makedirs(path, exist_ok=True)
+    _reset_generations(path, ("codes",))
     sub = d // m
     code_parts, cb_parts = [], []
     for s in range(m):
@@ -1228,15 +1290,60 @@ def write_pq_layout(
 
 
 def read_pq_layout(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, include_deleted: bool = False
 ) -> tuple[DataFrame, DataFrame, dict]:
-    """Load a persisted PQ layout: (codes, codebooks, meta-dict)."""
+    """Load a persisted PQ layout: (codes, codebooks, meta-dict).
+    Tombstoned vectors (``delete_from_pq_layout``) are broadcast-
+    anti-joined out of the code table here."""
     meta = spark.read.parquet(f"{path}/meta").first().asDict()
+    codes = spark.read.parquet(_table_dir(path, "codes"))
+    if not include_deleted:
+        tomb = _read_tombstones(spark, path)
+        if tomb is not None:
+            from pyspark.sql import functions as F
+
+            codes = codes.join(F.broadcast(tomb), "vec_id", "left_anti")
     return (
-        spark.read.parquet(f"{path}/codes"),
+        codes,
         spark.read.parquet(f"{path}/codebooks"),
         meta,
     )
+
+
+def delete_from_pq_layout(
+    spark: SparkSession, path: str, vec_ids: DataFrame
+) -> None:
+    """Tombstone delete for the PQ layout (sidecar anti-join model —
+    see ``delete_from_ivf_layout``). Codebooks are NOT retrained: like
+    FAISS ``remove_ids``, deletion removes candidates without touching
+    the trained quantizer."""
+    ids = vec_ids.select("vec_id").distinct()
+    existing = _read_tombstones(spark, path)
+    if existing is not None:
+        ids = ids.join(existing.select("vec_id"), "vec_id", "left_anti")
+    ids.write.mode("append").parquet(f"{path}/tombstones")
+
+
+def compact_pq_layout(spark: SparkSession, path: str) -> None:
+    """Physically reclaim tombstoned vectors from the PQ code table
+    (atomic generation swap; codebooks/meta untouched)."""
+    import shutil
+
+    tomb = _read_tombstones(spark, path)
+    if tomb is None:
+        return
+    codes, _cbs, _meta = read_pq_layout(spark, path)  # tombstones applied
+    gen = _current_gen(path)
+    new_dir = f"{path}/codes_v{gen + 1}"
+    codes.write.mode("overwrite").parquet(new_dir)
+    _commit_gen(path, gen + 1)
+    shutil.rmtree(f"{path}/tombstones")
+
+
+def prune_pq_layout_generations(spark: SparkSession, path: str) -> None:
+    """Reclaim superseded code generations once in-flight readers of
+    the old generation have drained."""
+    prune_index_generations(path, ("codes",))
 
 
 def write_ivf_pq_layout(
@@ -1264,6 +1371,8 @@ def write_ivf_pq_layout(
 
     from ..operators.similarity import kmeans_assign
 
+    os.makedirs(path, exist_ok=True)
+    _reset_generations(path, ("codes",))
     sub = d // m
     coarse_asg, coarse_cents = kmeans_assign(
         emb,
@@ -1319,19 +1428,71 @@ def write_ivf_pq_layout(
 
 
 def read_ivf_pq_layout(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, include_deleted: bool = False
 ) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
     """Load a persisted IVF-PQ layout:
     (codes, coarse_centroids, codebooks, meta-dict). ``codes`` has
     (vec_id, subspace, cluster, cell) with ``cell`` as the on-disk
-    partition column."""
+    partition column. Tombstoned vectors
+    (``delete_from_ivf_pq_layout``) are broadcast-anti-joined out
+    here."""
     meta = spark.read.parquet(f"{path}/meta").first().asDict()
+    codes = spark.read.parquet(_table_dir(path, "codes"))
+    if not include_deleted:
+        tomb = _read_tombstones(spark, path)
+        if tomb is not None:
+            from pyspark.sql import functions as F
+
+            codes = codes.join(F.broadcast(tomb), "vec_id", "left_anti")
     return (
-        spark.read.parquet(f"{path}/codes"),
+        codes,
         spark.read.parquet(f"{path}/coarse_centroids"),
         spark.read.parquet(f"{path}/codebooks"),
         meta,
     )
+
+
+def delete_from_ivf_pq_layout(
+    spark: SparkSession, path: str, vec_ids: DataFrame
+) -> None:
+    """Tombstone delete for the IVF-PQ layout (sidecar anti-join
+    model — see ``delete_from_ivf_layout``; quantizers untouched,
+    like FAISS ``remove_ids``)."""
+    ids = vec_ids.select("vec_id").distinct()
+    existing = _read_tombstones(spark, path)
+    if existing is not None:
+        ids = ids.join(existing.select("vec_id"), "vec_id", "left_anti")
+    ids.write.mode("append").parquet(f"{path}/tombstones")
+
+
+def compact_ivf_pq_layout(spark: SparkSession, path: str) -> None:
+    """Physically reclaim tombstoned vectors from the IVF-PQ code
+    table (atomic generation swap, cell partitioning preserved;
+    centroid/codebook sidecars untouched)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    tomb = _read_tombstones(spark, path)
+    if tomb is None:
+        return
+    codes, _cc, _cbs, _meta = read_ivf_pq_layout(spark, path)
+    gen = _current_gen(path)
+    new_dir = f"{path}/codes_v{gen + 1}"
+    (
+        codes.repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(new_dir)
+    )
+    _commit_gen(path, gen + 1)
+    shutil.rmtree(f"{path}/tombstones")
+
+
+def prune_ivf_pq_layout_generations(spark: SparkSession, path: str) -> None:
+    """Reclaim superseded code generations once in-flight readers of
+    the old generation have drained."""
+    prune_index_generations(path, ("codes",))
 
 
 def write_ivf_pq_residual_layout(
@@ -1381,6 +1542,8 @@ def write_ivf_pq_residual_layout(
     off_r = off // ratio
     sub = d // m
     spark = emb.sparkSession
+    os.makedirs(path, exist_ok=True)
+    _reset_generations(path, ("codes",))
     empty = emb.isEmpty()
     emb = emb.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
     coarse_asg, coarse_cents = kmeans_assign(
@@ -1467,18 +1630,71 @@ def write_ivf_pq_residual_layout(
 
 
 def read_ivf_pq_residual_layout(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, include_deleted: bool = False
 ) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
     """Load a persisted residual IVF-PQ layout:
     (codes, coarse_centroids, codebooks, meta-dict). ``codes`` has
     (subspace, vec_id, cluster, cell) with ``cell`` the on-disk
     partition column; ``codebooks`` live in RESIDUAL space — a probe
     must subtract the probed cell's coarse centroid from the query
-    (same re-quantization map as the build) before using them."""
+    (same re-quantization map as the build) before using them.
+    Tombstoned vectors (``delete_from_ivf_pq_residual_layout``) are
+    broadcast-anti-joined out here."""
     meta = spark.read.parquet(f"{path}/meta").first().asDict()
+    codes = spark.read.parquet(_table_dir(path, "codes"))
+    if not include_deleted:
+        tomb = _read_tombstones(spark, path)
+        if tomb is not None:
+            from pyspark.sql import functions as F
+
+            codes = codes.join(F.broadcast(tomb), "vec_id", "left_anti")
     return (
-        spark.read.parquet(f"{path}/codes"),
+        codes,
         spark.read.parquet(f"{path}/coarse_centroids"),
         spark.read.parquet(f"{path}/codebooks"),
         meta,
     )
+
+
+def delete_from_ivf_pq_residual_layout(
+    spark: SparkSession, path: str, vec_ids: DataFrame
+) -> None:
+    """Tombstone delete for the residual IVF-PQ layout (sidecar
+    anti-join model; residual codebooks untouched — FAISS
+    ``remove_ids`` semantics)."""
+    ids = vec_ids.select("vec_id").distinct()
+    existing = _read_tombstones(spark, path)
+    if existing is not None:
+        ids = ids.join(existing.select("vec_id"), "vec_id", "left_anti")
+    ids.write.mode("append").parquet(f"{path}/tombstones")
+
+
+def compact_ivf_pq_residual_layout(spark: SparkSession, path: str) -> None:
+    """Physically reclaim tombstoned vectors from the residual code
+    table (atomic generation swap, cell partitioning preserved)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    tomb = _read_tombstones(spark, path)
+    if tomb is None:
+        return
+    codes, _cc, _cbs, _meta = read_ivf_pq_residual_layout(spark, path)
+    gen = _current_gen(path)
+    new_dir = f"{path}/codes_v{gen + 1}"
+    (
+        codes.repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(new_dir)
+    )
+    _commit_gen(path, gen + 1)
+    shutil.rmtree(f"{path}/tombstones")
+
+
+def prune_ivf_pq_residual_layout_generations(
+    spark: SparkSession, path: str
+) -> None:
+    """Reclaim superseded code generations once in-flight readers of
+    the old generation have drained."""
+    prune_index_generations(path, ("codes",))
