@@ -63,7 +63,11 @@ def punct_ratio(text: Column) -> Column:
 
 
 def _hits(toks: Column, words: list[str]) -> Column:
-    return F.size(F.filter(toks, lambda t: F.lower(t).isin(words)))
+    # ascii_lower, not lower(): the word lists are all-ASCII, so the
+    # ASCII-only fold matches the same tokens while staying
+    # Unicode-version-stable across engines (hash-checked oracles
+    # mirror the translate fold; see ascii_lower's contract note).
+    return F.size(F.filter(toks, lambda t: ascii_lower(t).isin(words)))
 
 
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
@@ -127,7 +131,8 @@ def content_fingerprint(text: Column) -> Column:
 
 
 def lang_scores(text: Column) -> list[tuple[str, Column]]:
-    toks = tokens(F.lower(text))
+    # engine-stable fold (r10 VERDICT casing sweep): see _hits
+    toks = tokens(ascii_lower(text))
     return [(lang, _hits(toks, words)) for lang, words in STOPWORDS.items()]
 
 

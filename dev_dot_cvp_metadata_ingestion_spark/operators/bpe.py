@@ -32,15 +32,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.text import tokens
+from ..functions.text import ascii_lower, tokens
 
 
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(word, freq) over lowercased whitespace tokens — the one
-    corpus-scale aggregation BPE training needs."""
+    """(word, freq) over case-folded whitespace tokens — the one
+    corpus-scale aggregation BPE training needs. The fold is the
+    engine-stable ASCII-only translate (r10 VERDICT casing sweep):
+    the initial BPE alphabet and merge table must not depend on the
+    engine's Unicode casing version."""
     return (
         docs.select(
-            F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
+            F.explode(tokens(ascii_lower(F.col(text_col)))).alias("w")
         )
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))

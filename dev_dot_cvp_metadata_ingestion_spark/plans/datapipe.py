@@ -67,13 +67,24 @@ from .registry import register
 
 _TOKS = "list_filter(string_split_regex({c}, '\\s+'), x -> x <> '')"
 _BASE_HASH = "(('0x' || substr(md5({s}), 1, 8))::BIGINT)"
-# the fingerprint's engine-stable ASCII-only case fold — the SQL twin
-# of functions.text.ascii_lower (full `lower()` is Unicode-version-
-# dependent across JVM/DuckDB/CPython; see that docstring)
-_ASCII_LOWER = (
-    "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
-    " 'abcdefghijklmnopqrstuvwxyz')"
-)
+# the engine-stable ASCII-only case fold — the SQL twin of
+# functions.text.ascii_lower (full `lower()` is Unicode-version-
+# dependent across JVM/DuckDB/CPython; see that docstring). Applied
+# to EVERY hash-checked tokenize/stopword path since r11 (r10 VERDICT
+# casing sweep); the only surviving `lower()` sites are the
+# reference-parity enum/header compares in plans/cvp.py and
+# sources/files.py, which replicate the reference validator's own
+# case-insensitive semantics over controlled ASCII domains.
+
+
+def _ascii_lower_sql(col: str) -> str:
+    return (
+        f"translate({col}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+        f" 'abcdefghijklmnopqrstuvwxyz')"
+    )
+
+
+_ASCII_LOWER = _ascii_lower_sql("text")
 
 
 def _shingle_sql(n: int) -> str:
@@ -89,7 +100,9 @@ def _shingle_sql(n: int) -> str:
 
 def _stop_hits(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-    return f"len(list_filter(t, x -> lower(x) IN ({words})))"
+    return (
+        f"len(list_filter(t, x -> {_ascii_lower_sql('x')} IN ({words})))"
+    )
 
 
 _MINHASH = [
@@ -214,7 +227,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_lang_id",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, lang, {_TOKS.format(c="lower(text)")} AS t FROM documents
+      SELECT doc_id, lang, {_TOKS.format(c=_ASCII_LOWER)} AS t FROM documents
     ),
     hits AS (
       SELECT doc_id, lang,
@@ -3641,7 +3654,7 @@ def embedding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "documents_rarity_score",
     oracle=f"""
     WITH tok AS (
-      SELECT doc_id, unnest({_TOKS.format(c="lower(text)")}) AS token
+      SELECT doc_id, unnest({_TOKS.format(c=_ASCII_LOWER)}) AS token
       FROM documents
     ),
     freq AS (SELECT token, count(*) AS cf FROM tok GROUP BY token),
@@ -3672,7 +3685,7 @@ def documents_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     one per-doc aggregate — all partial-aggregated, no windows."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
-        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+        "doc_id", F.explode(tokens(ascii_lower(F.col("text")))).alias("token")
     )
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cf"))
     return (
@@ -3853,7 +3866,7 @@ def dedup_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_vocab_by_source",
     oracle=f"""
     WITH tok AS (
-      SELECT source, unnest({_TOKS.format(c="lower(text)")}) AS token
+      SELECT source, unnest({_TOKS.format(c=_ASCII_LOWER)}) AS token
       FROM documents
     ),
     per AS (
@@ -3875,7 +3888,7 @@ def corpus_vocab_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     token) pair; fine here, not the form to run at 100 TB."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
-        "source", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+        "source", F.explode(tokens(ascii_lower(F.col("text")))).alias("token")
     )
     per = tok.groupBy("source").agg(
         F.count_distinct("token").alias("n_distinct_tokens")
@@ -3900,7 +3913,7 @@ def corpus_vocab_by_source_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     form in tests/test_corpus_filters.py."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
-        "source", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+        "source", F.explode(tokens(ascii_lower(F.col("text")))).alias("token")
     )
     sketches = tok.groupBy("source").agg(
         F.hll_sketch_agg("token").alias("sk")
@@ -4084,7 +4097,7 @@ def ann_ivf_kmeans_topk(
     oracle=f"""
     WITH post AS (
       SELECT DISTINCT source, token FROM (
-        SELECT source, unnest({_TOKS.format(c="lower(text)")}) AS token
+        SELECT source, unnest({_TOKS.format(c=_ASCII_LOWER)}) AS token
         FROM documents
       )
     ),
@@ -4122,7 +4135,7 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized) — that's the ``_approx`` sketch twin below."""
     d = load_table(spark, sf_dir, "documents")
     post = d.select(
-        "source", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+        "source", F.explode(tokens(ascii_lower(F.col("text")))).alias("token")
     ).distinct()
     sizes = post.groupBy("source").agg(F.count(F.lit(1)).alias("vocab"))
     a = post.select(F.col("source").alias("source_a"), "token")
@@ -4171,7 +4184,7 @@ def corpus_source_overlap_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_corpus_filters.py."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
-        "source", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+        "source", F.explode(tokens(ascii_lower(F.col("text")))).alias("token")
     )
     sk = tok.groupBy("source").agg(F.hll_sketch_agg("token").alias("sk"))
     a = sk.select(F.col("source").alias("source_a"), F.col("sk").alias("sk_a"))
@@ -4332,7 +4345,7 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     "documents_lm_score",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, {_TOKS.format(c="lower(text)")} AS t FROM documents
+      SELECT doc_id, {_TOKS.format(c=_ASCII_LOWER)} AS t FROM documents
     ),
     bg AS (
       SELECT doc_id,
@@ -4377,7 +4390,7 @@ def documents_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, no collect."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id", tokens(F.lower(F.col("text"))).alias("t")
+        "doc_id", tokens(ascii_lower(F.col("text"))).alias("t")
     ).filter(F.size("t") >= 2)
     n = F.size("t")
     db = toks.select(
@@ -4412,7 +4425,7 @@ def documents_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "documents_perplexity_buckets",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, {_TOKS.format(c="lower(text)")} AS t FROM documents
+      SELECT doc_id, {_TOKS.format(c=_ASCII_LOWER)} AS t FROM documents
     ),
     bg AS (
       SELECT doc_id,
@@ -4502,7 +4515,7 @@ def _perplexity_plan(d: DataFrame, pin=lambda df: df) -> DataFrame:
     the two diamonds every downstream branch re-derives in the pure
     form (20 pruned scans at last audit)."""
     toks = d.select(
-        "doc_id", tokens(F.lower(F.col("text"))).alias("t")
+        "doc_id", tokens(ascii_lower(F.col("text"))).alias("t")
     ).filter(F.size("t") >= 2)
     n = F.size("t")
     db = toks.select(
@@ -5085,7 +5098,7 @@ def text_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_bigram_lm",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, {_TOKS.format(c="lower(text)")} AS t FROM documents
+      SELECT doc_id, {_TOKS.format(c=_ASCII_LOWER)} AS t FROM documents
     ),
     bg AS (
       SELECT unnest([{{'w1': t[i], 'w2': t[i+1]}}
@@ -5134,7 +5147,7 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     The probability is one IEEE division of exact integers, so engines
     agree bit-for-bit; ties rank by (count desc, w2) for determinism."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(tokens(F.lower(F.col("text"))).alias("t")).filter(
+    toks = d.select(tokens(ascii_lower(F.col("text"))).alias("t")).filter(
         F.size("t") >= 2
     )
     n = F.size("t")
@@ -5378,7 +5391,7 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "documents_classifier_score",
     oracle=f"""
     WITH tok AS (
-      SELECT doc_id, {_TOKS.format(c="lower(text)")} AS t FROM documents
+      SELECT doc_id, {_TOKS.format(c=_ASCII_LOWER)} AS t FROM documents
     ),
     scored AS (
       SELECT doc_id,
@@ -5424,7 +5437,7 @@ def documents_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % 1024
         return (bucket * 2654435761 + 101) % 2001 - 1000
 
-    toks = tokens(F.lower(F.col("text")))
+    toks = tokens(ascii_lower(F.col("text")))
     scored = d.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
@@ -5804,7 +5817,7 @@ def budget_select_scoped(d: DataFrame):
              CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]')))
                AS BIGINT) AS n_alpha_words,
              CAST(len(list_filter(tk,
-               x -> lower(x) IN ('the','a','of','and','to','in','is','it',
+               x -> {_ascii_lower_sql('x')} IN ('the','a','of','and','to','in','is','it',
                                  'for','on'))) AS BIGINT) AS n_stop_hits,
              CAST(length(array_to_string(tk, '')) AS BIGINT) AS n_chars,
              CAST(length(text) - length(regexp_replace(text, '[#…]|\\.\\.\\.',
@@ -5849,7 +5862,8 @@ def documents_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_hits = F.size(
         F.filter(
             tk,
-            lambda x: F.lower(x).isin(
+            # engine-stable ASCII fold (all-ASCII stopword set)
+            lambda x: ascii_lower(x).isin(
                 ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
             ),
         )

@@ -11,6 +11,10 @@ from collections import Counter
 
 from pyspark.sql import functions as F
 
+from dev_dot_cvp_metadata_ingestion_spark.functions.text import (
+    ascii_lower,
+)
+
 from dev_dot_cvp_metadata_ingestion_spark.operators.bpe import bpe_merges
 from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import load_table
 
@@ -118,7 +122,7 @@ def _word_freqs(spark):
         for r in docs.select(
             F.explode(
                 F.filter(
-                    F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+                    F.split(ascii_lower(F.col("text")), r"\s+"), lambda t: t != ""
                 )
             ).alias("w")
         )
@@ -278,7 +282,7 @@ def test_bpe_merges_match_python_reference(spark):
         for r in docs.select(
             F.explode(
                 F.filter(
-                    F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+                    F.split(ascii_lower(F.col("text")), r"\s+"), lambda t: t != ""
                 )
             ).alias("w")
         )
@@ -324,7 +328,7 @@ def test_bpe_subword_vocabulary_matches_python(spark):
         for r in docs.select(
             F.explode(
                 F.filter(
-                    F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+                    F.split(ascii_lower(F.col("text")), r"\s+"), lambda t: t != ""
                 )
             ).alias("w")
         )

@@ -27,6 +27,10 @@ def _oracle_keep(rows):
     """Reference: global cumsum over (quality_fp DESC, doc_id)."""
     import math
 
+    _ASCII_FOLD = str.maketrans(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+    )
+
     def toks(s):
         return [w for w in s.split() if w]
 
@@ -36,7 +40,9 @@ def _oracle_keep(rows):
         len_term = min(n / 100.0, 1.0)
         # must mirror functions.text.STOPWORDS["en"] exactly
         stop = {"the", "a", "of", "and", "to", "in", "is", "it", "for", "on"}
-        stop_term = (sum(1 for w in t if w.lower() in stop) / n) if n else 0.0
+        stop_term = (
+            sum(1 for w in t if w.translate(_ASCII_FOLD) in stop) / n
+        ) if n else 0.0
         if len(s) > 0:
             punct = sum(1 for c in s if c in ".,!?;:") / len(s)
         else:

@@ -14,11 +14,16 @@ from dev_dot_cvp_metadata_ingestion_spark.plans import registry
 registry.load_all()
 QUERIES = registry.QUERIES
 
+# the engine-stable ASCII-only fold (functions.text.ascii_lower twin)
+_ASCII_FOLD = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
 
 def _replica_top50(texts):
     c12: Counter = Counter()
     for txt in texts:
-        t = [w for w in txt.lower().split() if w]
+        t = [w for w in txt.translate(_ASCII_FOLD).split() if w]
         for i in range(len(t) - 1):
             c12[(t[i], t[i + 1])] += 1
     cl: Counter = Counter()

@@ -50,11 +50,18 @@ def _toks(s):
     return [w for w in s.split() if w]
 
 
+_ASCII_FOLD = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
+
 def _quality_fp(s):
     t = _toks(s)
     n = len(t)
     len_term = min(n / 100.0, 1.0)
-    stop_term = (sum(1 for w in t if w.lower() in STOP) / n) if n else 0.0
+    stop_term = (
+        sum(1 for w in t if w.translate(_ASCII_FOLD) in STOP) / n
+    ) if n else 0.0
     punct = (sum(1 for c in s if c in ".,!?;:") / len(s)) if s else 0.0
     punct_term = 1.0 if punct < 0.1 else 0.0
     q = len_term * 0.3 + stop_term * 0.5 + punct_term * 0.2

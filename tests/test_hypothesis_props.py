@@ -134,3 +134,70 @@ def test_hash_and_fingerprint_models(spark, texts):
         assert r.rh == _py_rolling(s), repr(s)
         norm = " ".join(_py_tokens(_py_ascii_lower(s)))
         assert r.fp == hashlib.md5(norm.encode("utf-8")).hexdigest(), repr(s)
+
+
+@given(st.lists(_text, min_size=1, max_size=16))
+# the r9 Unicode-16-vs-14 falsifier and the classic casing hazards
+# must leave the ASCII-only fold untouched on EVERY tokenize path
+@example(["Ᲊ"])
+@example(["K İ MiXeD AsCiI", "THE the ThE tHe"])
+@_settings
+def test_tokenize_fold_parity_all_engines(spark, texts):
+    """r10 VERDICT casing sweep: every hash-checked tokenize entry
+    point is the composition tokens(ascii_lower(text)) on the Spark
+    side and _TOKS(_ASCII_LOWER) in the DuckDB oracles. This property
+    pins the composition — and the stopword-hit count built on it —
+    to the pure-Python model AND to DuckDB itself on arbitrary
+    Unicode, so no corpus can make the engines' group keys diverge."""
+    import duckdb
+
+    from dev_dot_cvp_metadata_ingestion_spark.functions.text import (
+        STOPWORDS,
+        ascii_lower,
+        lang_scores,
+    )
+    from dev_dot_cvp_metadata_ingestion_spark.plans.datapipe import (
+        _TOKS,
+        _ascii_lower_sql,
+        _stop_hits,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    en_hits = dict(lang_scores(F.col("text")))["en"]
+    rows = df.select(
+        "id",
+        tokens(ascii_lower(F.col("text"))).alias("toks"),
+        en_hits.alias("h_en"),
+    ).collect()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, s) for i, s in enumerate(texts)]
+    )
+    duck = {
+        r[0]: (list(r[1]), r[2])
+        for r in con.execute(
+            f"""
+            WITH toks AS (
+              SELECT id, {_TOKS.format(c=_ascii_lower_sql('text'))} AS t
+              FROM t
+            )
+            SELECT id, t, {_stop_hits('en')} AS h_en FROM toks
+            """
+        ).fetchall()
+    }
+    stop_en = set(STOPWORDS["en"])
+    for r in rows:
+        s = texts[r.id]
+        want_toks = _py_tokens(_py_ascii_lower(s))
+        want_hits = sum(
+            1 for w in _py_tokens(s) if _py_ascii_lower(w) in stop_en
+        )
+        assert list(r.toks) == want_toks, repr(s)
+        assert r.h_en == want_hits, repr(s)
+        dt, dh = duck[r.id]
+        assert dt == want_toks, repr(s)
+        assert dh == want_hits, repr(s)
