@@ -1232,6 +1232,110 @@ def prune_text_index_generations(spark: SparkSession, path: str) -> None:
     prune_index_generations(path, ("postings",))
 
 
+def write_window_counts(
+    events: DataFrame, path: str, ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> None:
+    """Persist the MONITOR FAMILY's shared front half — the
+    (window_start, event_type, n_events) hourly count relation that
+    every events_* detector (three-sigma, seasonal, CUSUM, MAD, OLS
+    trend, seasonal decomposition) scores from (SCALE.md r10: "the
+    detector family shares one physical front half ... the natural
+    cached/persisted artifact"). The ONE corpus-sized pass — the
+    window-count aggregate over raw events — is paid here; every
+    detector probe then runs over a |types|×|hours| relation that is
+    orders of magnitude below the events table, so running ALL
+    detectors costs one corpus pass total.
+
+    On-disk format = the delta-state format the streaming count
+    monitors (streaming/stream.py:_count_monitor_sink) already
+    maintain: batch_id-partitioned additive count deltas, re-aggregated
+    at read. A batch bootstrap writes the whole history as batch_id=0;
+    ``append_window_counts`` adds a shard as the next batch_id
+    partition (idempotent per batch_id — dynamic partition overwrite,
+    the streaming sinks' exactly-once device); a path GROWN BY a
+    streaming monitor sink reads back through the same
+    ``read_window_counts`` with no conversion. Probe ≡ in-query pinned
+    for all six detectors in tests/test_window_counts_layout.py."""
+    from pyspark.sql import functions as F
+
+    from ..operators.anomaly import window_counts
+
+    (
+        window_counts(events, ts_col=ts_col, type_col=type_col)
+        .withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
+def append_window_counts(
+    events: DataFrame, path: str, batch_id: int | None = None,
+    ts_col: str = "ts", type_col: str = "event_type",
+) -> None:
+    """Fold a new event shard into a persisted window-count relation
+    as an additive DELTA partition (never a rewrite of existing
+    deltas; counts for a window split across shards re-aggregate at
+    read). ``batch_id`` defaults to max+1; passing an explicit id
+    makes re-delivery idempotent (dynamic partition overwrite rewrites
+    the same partition instead of double-counting — the streaming
+    sinks' device)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.anomaly import window_counts
+
+    if events.isEmpty():
+        return
+    spark = events.sparkSession
+    if batch_id is None:
+        prev = spark.read.parquet(path).agg(F.max("batch_id")).first()[0]
+        batch_id = int(prev) + 1 if prev is not None else 0
+    (
+        window_counts(events, ts_col=ts_col, type_col=type_col)
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
+def read_window_counts(spark: SparkSession, path: str) -> DataFrame:
+    """The canonical (window_start, event_type, n_events) relation from
+    a persisted delta table: re-aggregate the additive batch deltas —
+    a |types|×|hours|×|batches| input collapsing to |types|×|hours|,
+    config-scale either way. Every detector in operators/anomaly.py
+    takes exactly this relation."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(path)
+        .groupBy("window_start", "event_type")
+        .agg(F.sum("n_events").alias("n_events"))
+    )
+
+
+def compact_window_counts(spark: SparkSession, path: str) -> None:
+    """Fold the accumulated delta partitions into a single batch_id=0
+    partition — the periodic maintenance the streaming monitor sinks'
+    docstrings prescribe for unbounded batch counts. The folded
+    relation is materialized (localCheckpoint) before the overwrite;
+    the table is config-scale AND re-derivable from the events source,
+    so the simple overwrite (rather than a generation swap) is the
+    documented trade here."""
+    from pyspark.sql import functions as F
+
+    folded = read_window_counts(spark, path).withColumn(
+        "batch_id", F.lit(0)
+    ).localCheckpoint()
+    (
+        folded.write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
 def write_pq_layout(
     emb: DataFrame,
     path: str,
