@@ -1353,6 +1353,14 @@ def mmr_rerank(
         .select("q_id", "vec_id", "dq", "xf")
         .localCheckpoint()
     )
+    return _mmr_greedy(cand, k, lam_ppm)
+
+
+def _mmr_greedy(cand: DataFrame, k: int, lam_ppm: int) -> DataFrame:
+    """The shared MMR greedy tail over a checkpointed
+    (q_id, vec_id, dq, xf) candidate relation — identical for every
+    candidate generator (brute force, IVF probe), which is what lets
+    the composed oracles reuse the same unrolled rounds."""
 
     def argmin(df: DataFrame, key_col: str) -> DataFrame:
         return (
@@ -1414,6 +1422,119 @@ def mmr_rerank(
         )
         selall = selall.unionByName(pick)
     return selall.select("q_id", "vec_id", "dq", "pick")
+
+
+def mmr_rerank_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cand: int = 20,
+    lam_ppm: int = 500_000,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 100_000,
+    coarse_scale: int = 10_000_000,
+    n_salts: int = 32,
+    return_candidates: bool = False,
+) -> DataFrame:
+    """MMR rerank over an IVF candidate pool (r10 VERDICT item 7) —
+    the large-query-batch form of ``mmr_rerank``: candidate generation
+    is the IVF probe (coarse quantizer prunes each query to ``nprobe``
+    of ``n_cells`` cells; exact fixed-point distances rank only the
+    probed cells' vectors, top-``n_cand`` per query), and the greedy
+    diversity tail is LITERALLY the shared ``_mmr_greedy`` — identical
+    rounds, identical tie-breaks, so the composed operator
+    hash-matches its generated oracle
+    (plans/datapipe.py:_mmr_ivf_oracle) exactly as the brute-force
+    form does.
+
+    Scale shape vs the brute-force form: the corpus never crossJoins
+    the query relation — the only corpus-sized motions are the coarse
+    assignment (crossJoin against the broadcast n_cells-row centroid
+    relation, the family's standard primitive) and the candidate
+    equi-join on the learned cell key (a hash/shuffle join restricted
+    to probed (q, cell) pairs, ~nprobe/n_cells of the brute-force
+    score volume). Probes and the per-query vectors ride config-scale
+    broadcasts; the greedy rounds touch only the checkpointed
+    |queries| × n_cand relation."""
+    from pyspark.sql import Window
+
+    emb_p = emb.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
+    q_p = queries.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
+    coarse_asg, coarse_cents = kmeans_assign(
+        emb_p,
+        k=n_cells,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        scale=coarse_scale,
+        return_centroids=True,
+    )
+    coarse_cents = coarse_cents.localCheckpoint()
+    qx = q_p.select(
+        F.col(id_col).alias("q_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.floor(v.cast("double") * coarse_scale).cast("long"),
+        ).alias("qxf"),
+    )
+    qdist = F.aggregate(
+        F.zip_with(F.col("qxf"), F.col("cf"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    w_probe = Window.partitionBy("q_id").orderBy("qdist", "cell")
+    probes = (
+        qx.crossJoin(F.broadcast(coarse_cents))
+        .select("q_id", F.col("cluster").alias("cell"), qdist.alias("qdist"))
+        .withColumn("_pr", F.row_number().over(w_probe))
+        .filter(F.col("_pr") <= nprobe)
+        .select("q_id", "cell")
+    )
+    corpus = emb_p.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.floor(v.cast("double") * scale).cast("long"),
+        ).alias("xf"),
+    ).join(coarse_asg.select("vec_id", F.col("cluster").alias("cell")), "vec_id")
+    qf = q_p.select(
+        F.col(id_col).alias("q_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.floor(v.cast("double") * scale).cast("long"),
+        ).alias("qf"),
+    )
+    dq = F.aggregate(
+        F.zip_with(F.col("xf"), F.col("qf"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(qf), "q_id")
+        .select("q_id", "vec_id", "xf", dq.alias("dq"))
+    )
+    cand = _topk_per_query(
+        scored.select(
+            "q_id",
+            "vec_id",
+            (-F.col("dq")).cast("double").alias("cos"),
+            "dq",
+            "xf",
+        ),
+        n_cand,
+        n_salts,
+    ).select("q_id", "vec_id", "dq", "xf")
+    if return_candidates:
+        # the un-checkpointed candidate relation, for plan pins (the
+        # checkpoint below severs the greedy rounds' lineage from the
+        # candidate pass, so the final plan cannot show it)
+        return cand
+    return _mmr_greedy(cand.localCheckpoint(), k, lam_ppm)
 
 
 def kmeans_outliers(

@@ -6625,15 +6625,11 @@ def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mmr_oracle(
-    k: int = 5, n_cand: int = 20, lam_ppm: int = 500_000,
-    scale: int = 100_000, qmod: int = 97,
-) -> str:
-    """Generate the unrolled MMR oracle: brute-force integer
-    distances, top-n_cand candidates, then k-1 greedy rounds as
-    explicit CTEs (the generated-oracle pattern — fixed round count
-    makes the recursion plain SQL). Restates
-    operators/similarity.py:mmr_rerank bit-for-bit."""
+def _mmr_rounds(k: int, lam_ppm: int) -> list[str]:
+    """The unrolled MMR greedy rounds as explicit CTEs over a ``cand``
+    relation — shared by every candidate generator's composed oracle
+    (brute force ``_mmr_oracle``, IVF ``_mmr_ivf_oracle``), exactly as
+    the Spark side shares ``_mmr_greedy``."""
     dsum = ("CAST(list_sum([(c.xf[i]-s.xf[i])*(c.xf[i]-s.xf[i]) "
             "for i in generate_series(1, len(c.xf))]) AS BIGINT)")
     rounds = []
@@ -6659,6 +6655,18 @@ def _mmr_oracle(
       WHERE d.rn = 1
     ),
     s{r} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM p{r})""")
+    return rounds
+
+
+def _mmr_oracle(
+    k: int = 5, n_cand: int = 20, lam_ppm: int = 500_000,
+    scale: int = 100_000, qmod: int = 97,
+) -> str:
+    """Generate the unrolled MMR oracle: brute-force integer
+    distances, top-n_cand candidates, then k-1 greedy rounds as
+    explicit CTEs (the generated-oracle pattern — fixed round count
+    makes the recursion plain SQL). Restates
+    operators/similarity.py:mmr_rerank bit-for-bit."""
     return f"""WITH xs AS (
       SELECT vec_id,
              [CAST(floor(CAST(v AS DOUBLE) * {scale}.0) AS BIGINT)
@@ -6686,9 +6694,95 @@ def _mmr_oracle(
         SELECT *, row_number() OVER (PARTITION BY q_id
                                      ORDER BY dq, vec_id) AS rn
         FROM cand) WHERE rn = 1
-    ),{",".join(rounds)}
+    ),{",".join(_mmr_rounds(k, lam_ppm))}
     SELECT q_id, vec_id, dq, pick FROM s{k}
     ORDER BY q_id, pick"""
+
+
+def _mmr_ivf_oracle(
+    k: int = 5, n_cand: int = 20, lam_ppm: int = 500_000,
+    nprobe: int = 2, scale: int = 100_000, qmod: int = 97,
+) -> str:
+    """Generate the IVF-composed MMR oracle: the coarse k-means chain
+    (_KMEANS_CTES, n_cells=8 at the coarse 1e7 scale — the relation
+    the whole IVF family shares), per-query nprobe cell probes,
+    candidates = exact top-n_cand distances at the ADC scale among the
+    probed cells' vectors, then the SAME unrolled greedy rounds as
+    ``_mmr_oracle`` (``_mmr_rounds``). Restates
+    operators/similarity.py:mmr_rerank_ivf bit-for-bit."""
+    return f"""WITH {_KMEANS_CTES},
+    qc AS (
+      SELECT vec_id AS q_id, xf AS qxf FROM x WHERE vec_id % {qmod} = 0
+    ),
+    pd AS (
+      SELECT qc.q_id, c.cluster AS cell,
+             CAST(list_sum([(qc.qxf[i]-c.cf[i])*(qc.qxf[i]-c.cf[i])
+                            for i in generate_series(1, len(qc.qxf))])
+                  AS BIGINT) AS qdist
+      FROM qc CROSS JOIN c1 c
+    ),
+    probes AS (
+      SELECT q_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY qdist, cell) AS rn
+        FROM pd) WHERE rn <= {nprobe}
+    ),
+    cellmap AS (SELECT vec_id, cluster AS cell FROM a2),
+    xs AS (
+      SELECT vec_id,
+             [CAST(floor(CAST(v AS DOUBLE) * {scale}.0) AS BIGINT)
+              for v in embedding] AS xf
+      FROM embeddings
+    ),
+    qs AS (
+      SELECT vec_id AS q_id, xf AS qf FROM xs WHERE vec_id % {qmod} = 0
+    ),
+    sc AS (
+      SELECT p.q_id, x.vec_id, x.xf,
+             CAST(list_sum([(x.xf[i]-q.qf[i])*(x.xf[i]-q.qf[i])
+                            for i in generate_series(1, len(x.xf))])
+                  AS BIGINT) AS dq
+      FROM xs x
+      JOIN cellmap cm ON cm.vec_id = x.vec_id
+      JOIN probes p ON p.cell = cm.cell
+      JOIN qs q ON q.q_id = p.q_id
+    ),
+    cand AS (
+      SELECT q_id, vec_id, xf, dq FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY dq, vec_id) AS rn
+        FROM sc) WHERE rn <= {n_cand}
+    ),
+    s1 AS (
+      SELECT q_id, vec_id, dq, xf, CAST(1 AS BIGINT) AS pick FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY dq, vec_id) AS rn
+        FROM cand) WHERE rn = 1
+    ),{",".join(_mmr_rounds(k, lam_ppm))}
+    SELECT q_id, vec_id, dq, pick FROM s{k}
+    ORDER BY q_id, pick"""
+
+
+@register("ann_mmr_rerank_ivf", oracle=_mmr_ivf_oracle())
+def ann_mmr_rerank_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity rerank over an IVF candidate pool
+    (operators/similarity.py:mmr_rerank_ivf; r10 VERDICT item 7) —
+    the large-query-batch composition: the coarse quantizer prunes
+    each query to nprobe=2 of 8 cells, exact fixed-point distances
+    rank only the probed cells' vectors into the top-20 candidate
+    pool, and the greedy tail is LITERALLY the brute-force form's
+    ``_mmr_greedy`` — so the whole composition hash-matches its
+    generated oracle (coarse chain + probes + cell-restricted
+    candidates + the same unrolled rounds). The corpus never
+    crossJoins the query relation (plan-pinned:
+    tests/test_plan_quality.py)."""
+    from ..operators.similarity import mmr_rerank_ivf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 97 == 0)
+    return mmr_rerank_ivf(
+        e, q, k=5, n_cand=20, n_cells=8, nprobe=2, iters=2
+    ).orderBy("q_id", "pick")
 
 
 @register("ann_mmr_rerank", oracle=_mmr_oracle())

@@ -236,6 +236,8 @@ BACK: tuple[str, ...] = (
     # --- round-9 additions not board-eligible (no SQL oracle; PCA's
     # driver-side eigensolve is Python-replica-pinned instead) ---
     "embedding_pca_projected",
+    # --- round-11 additions (first driver row next rotation) ---
+    "ann_mmr_rerank_ivf",
 )
 
 

@@ -73,6 +73,7 @@ AT_RISK = [
     "ann_ivf_pq_residual_topk",    # residual projection on empty corpus
     "text_phrase_search",          # positional postings on empty corpus
     "ann_mmr_rerank",              # greedy rounds over empty candidates
+    "ann_mmr_rerank_ivf",          # coarse chain + greedy on empty corpus
     "dedup_graph_kcore",           # peel rounds on empty graph
     "events_cusum_alarm",          # prefix windows over zero windows
     "events_seasonal_anomaly",     # seasonal moments over zero windows

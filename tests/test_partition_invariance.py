@@ -60,6 +60,7 @@ SENSITIVE = [
     "ann_ivf_pq_residual_topk",  # residual requant + per-cell tables
     "text_phrase_search",    # start-position aggregate + salted rank
     "ann_mmr_rerank",        # salted candidate rank + greedy rounds
+    "ann_mmr_rerank_ivf",    # coarse probe + salted rank + greedy rounds
     "dedup_graph_kcore",     # shrinking alive-set semi-join rounds
     "events_cusum_alarm",    # type-partitioned prefix windows
     "events_mad_anomaly",    # row_number median/MAD picks

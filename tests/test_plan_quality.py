@@ -388,6 +388,63 @@ def test_ivf_twins_broadcast_neither_knn_side(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_mmr_ivf_candidates_never_crossjoin_corpus_with_queries(spark):
+    """r10 VERDICT item 7: mmr_rerank_ivf's candidate generation must
+    reach the corpus through equi-joins on the learned cell key — the
+    corpus never crossJoins the query relation. With auto-broadcast
+    off, the IVF candidate plan's corpus joins are SortMergeJoin
+    (+ hinted config-scale broadcasts for probes/query vectors), while
+    the brute-force control's candidate stage IS the corpus × queries
+    BroadcastNestedLoopJoin the IVF form removes."""
+    import pyspark.sql.functions as F
+
+    from dev_dot_cvp_metadata_ingestion_spark.operators.similarity import (
+        mmr_rerank_ivf,
+    )
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+        load_table,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") % 97 == 0)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        cand = mmr_rerank_ivf(e, q, k=3, n_cand=10, return_candidates=True)
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("SortMergeJoin") >= 1, (
+            "corpus cell-key join is not a shuffle join:\n" + plan[:2000]
+        )
+        # control: the brute-force candidate stage (the mmr_rerank
+        # front half) carries the corpus × queries BNLJ the IVF form
+        # exists to remove
+        scale = 100_000
+        qv = q.select(
+            F.col("vec_id").alias("q_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda v: F.floor(v.cast("double") * scale).cast("long"),
+            ).alias("qf"),
+        )
+        corpus = e.select(
+            F.col("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda v: F.floor(v.cast("double") * scale).cast("long"),
+            ).alias("xf"),
+        )
+        control = (
+            corpus.crossJoin(F.broadcast(qv))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" in control
+        assert "SortMergeJoin" not in control
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_knn_join_no_topmost_global_sort(spark):
     """VERDICT r7 item 5: _topk_per_query returns UNORDERED output —
     the terminal global sort moved to presentation call sites, so the
