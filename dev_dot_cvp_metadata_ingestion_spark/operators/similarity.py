@@ -1687,6 +1687,7 @@ def assign_to_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 10_000_000,
+    prescaled: bool = False,
 ) -> DataFrame:
     """Single argmin assignment of vectors against a FROZEN centroid
     relation (``cluster``, ``cf`` fixed-point arrays) — the add-
@@ -1696,14 +1697,22 @@ def assign_to_centroids(
     centroids, integer squared-L2, ties to the smaller cluster id via
     the lexicographic struct min — bit-identical to the assignment a
     ``kmeans_assign`` iteration would make against the same centroids.
-    Returns (vec_id, cluster, dist)."""
-    x = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(
-            F.col(vec_col),
-            lambda v: F.floor(v.cast("double") * scale).cast("long"),
-        ).alias("xf"),
-    )
+    ``prescaled=True`` takes ``vec_col`` as an already fixed-point
+    ``array<long>`` (the residual-code append path — same contract as
+    ``kmeans_assign``'s flag). Returns (vec_id, cluster, dist)."""
+    if prescaled:
+        x = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(F.col(vec_col), lambda v: v.cast("long")).alias("xf"),
+        )
+    else:
+        x = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(
+                F.col(vec_col),
+                lambda v: F.floor(v.cast("double") * scale).cast("long"),
+            ).alias("xf"),
+        )
     dist = F.aggregate(
         F.zip_with(F.col("xf"), F.col("cf"), lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),

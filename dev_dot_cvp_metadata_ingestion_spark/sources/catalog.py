@@ -857,6 +857,8 @@ def write_pair_graph(
     from ..operators.dedup import lsh_near_duplicates
 
     spark = docs.sparkSession
+    os.makedirs(path, exist_ok=True)
+    _reset_generations(path, ("pairs", "nodes"))
     pairs = lsh_near_duplicates(
         docs, id_col, text_col, num_hashes=num_hashes, n=n,
         threshold=threshold,
@@ -870,19 +872,79 @@ def write_pair_graph(
 
 
 def read_pair_graph(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, include_deleted: bool = False
 ) -> tuple[DataFrame, DataFrame, dict]:
-    """Load a persisted pair graph: (pairs, nodes, params)."""
+    """Load a persisted pair graph: (pairs, nodes, params). Tombstoned
+    docs (``delete_from_pair_graph``) are anti-joined out of nodes and
+    out of BOTH pair endpoints here — and because LSH near-dup pairs
+    are pairwise (removing a doc cannot change whether two OTHER docs
+    collide), the post-delete graph equals a rebuild over the
+    surviving docs EXACTLY (pinned in tests/test_pair_graph_layout.py
+    — the one vector layout family where rebuild-equivalence holds)."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    pairs = spark.read.parquet(_table_dir(path, "pairs"))
+    nodes = spark.read.parquet(_table_dir(path, "nodes"))
+    if not include_deleted:
+        tomb = _read_tombstones(spark, path)
+        if tomb is not None:
+            from pyspark.sql import functions as F
+
+            nodes = nodes.join(F.broadcast(tomb), "doc_id", "left_anti")
+            pairs = pairs.join(
+                F.broadcast(tomb.select(F.col("doc_id").alias("doc_id_a"))),
+                "doc_id_a",
+                "left_anti",
+            ).join(
+                F.broadcast(tomb.select(F.col("doc_id").alias("doc_id_b"))),
+                "doc_id_b",
+                "left_anti",
+            )
     return (
-        spark.read.parquet(f"{path}/pairs"),
-        spark.read.parquet(f"{path}/nodes"),
+        pairs,
+        nodes,
         {
             "num_hashes": meta["num_hashes"],
             "n": meta["n"],
             "threshold": meta["threshold"],
         },
     )
+
+
+def delete_from_pair_graph(
+    spark: SparkSession, path: str, doc_ids: DataFrame
+) -> None:
+    """Tombstone delete for the pair graph: ids append to the
+    ``tombstones/`` sidecar; ``read_pair_graph`` drops the docs' nodes
+    and every incident pair. Re-deletes de-dup against the existing
+    set; physical reclaim is ``compact_pair_graph``."""
+    ids = doc_ids.select("doc_id").distinct()
+    existing = _read_tombstones(spark, path)
+    if existing is not None:
+        ids = ids.join(existing.select("doc_id"), "doc_id", "left_anti")
+    ids.write.mode("append").parquet(f"{path}/tombstones")
+
+
+def compact_pair_graph(spark: SparkSession, path: str) -> None:
+    """Physically reclaim tombstoned docs from pairs AND nodes via the
+    atomic generation swap (one marker flips both tables), then clear
+    the tombstones."""
+    import shutil
+
+    tomb = _read_tombstones(spark, path)
+    if tomb is None:
+        return
+    pairs, nodes, _params = read_pair_graph(spark, path)
+    gen = _current_gen(path)
+    pairs.write.mode("overwrite").parquet(f"{path}/pairs_v{gen + 1}")
+    nodes.write.mode("overwrite").parquet(f"{path}/nodes_v{gen + 1}")
+    _commit_gen(path, gen + 1)
+    shutil.rmtree(f"{path}/tombstones")
+
+
+def prune_pair_graph_generations(spark: SparkSession, path: str) -> None:
+    """Reclaim superseded pairs/nodes generations once in-flight
+    readers of the old generation have drained."""
+    prune_index_generations(path, ("pairs", "nodes"))
 
 
 def write_text_index(
@@ -1428,6 +1490,54 @@ def delete_from_pq_layout(
     ids.write.mode("append").parquet(f"{path}/tombstones")
 
 
+def append_pq_layout(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Grow a persisted PQ layout with new vectors — FAISS ``add``
+    without ``train`` for the compressed form (the ``append_ivf_layout``
+    recipe): each shard vector's m subspace slices are assigned against
+    the layout's FROZEN codebooks (read back with the build's recorded
+    d/m/scale, so parameter drift is impossible) and the code rows are
+    appended as new parquet files; existing code files are never
+    rewritten. The deliberate trade is FAISS's: codebooks do NOT adapt
+    to the appended distribution — rebuild when the data drifts.
+    Callers own vec-id uniqueness across shards. Appended codes ≡ a
+    from-scratch encode against the sidecars (pinned in
+    tests/test_layout_appends.py)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import assign_to_centroids
+
+    if emb.isEmpty():
+        return
+    spark = emb.sparkSession
+    _codes, cbs, meta = read_pq_layout(spark, path, include_deleted=True)
+    cbs = cbs.localCheckpoint()
+    d, m, scale = meta["d"], meta["m"], meta["scale"]
+    sub = d // m
+    parts = []
+    for s in range(m):
+        sl = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("embedding"),
+        )
+        asg = assign_to_centroids(
+            sl,
+            cbs.filter(F.col("subspace") == s).select("cluster", "cf"),
+            scale=scale,
+        )
+        parts.append(
+            asg.select(F.lit(s).alias("subspace"), "vec_id", "cluster")
+        )
+    out = parts[0]
+    for c in parts[1:]:
+        out = out.unionByName(c)
+    out.write.mode("append").parquet(_table_dir(path, "codes"))
+
+
 def compact_pq_layout(spark: SparkSession, path: str) -> None:
     """Physically reclaim tombstoned vectors from the PQ code table
     (atomic generation swap; codebooks/meta untouched)."""
@@ -1567,6 +1677,65 @@ def delete_from_ivf_pq_layout(
     if existing is not None:
         ids = ids.join(existing.select("vec_id"), "vec_id", "left_anti")
     ids.write.mode("append").parquet(f"{path}/tombstones")
+
+
+def append_ivf_pq_layout(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Grow a persisted IVF-PQ layout — FAISS ``add``: the shard is
+    coarse-assigned against the frozen centroid sidecar, PQ-encoded
+    against the frozen global codebooks, and appended as new files
+    under the cells' partitions. See ``append_pq_layout`` for the
+    no-retrain trade; pins in tests/test_layout_appends.py."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import assign_to_centroids
+
+    if emb.isEmpty():
+        return
+    spark = emb.sparkSession
+    _codes, coarse_cents, cbs, meta = read_ivf_pq_layout(
+        spark, path, include_deleted=True
+    )
+    coarse_cents = coarse_cents.localCheckpoint()
+    cbs = cbs.localCheckpoint()
+    d, m, scale, coarse_scale = (
+        meta["d"], meta["m"], meta["scale"], meta["coarse_scale"],
+    )
+    sub = d // m
+    cellmap = assign_to_centroids(
+        emb, coarse_cents, id_col=id_col, vec_col=vec_col,
+        scale=coarse_scale,
+    ).select("vec_id", F.col("cluster").alias("cell"))
+    parts = []
+    for s in range(m):
+        sl = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("embedding"),
+        )
+        asg = assign_to_centroids(
+            sl,
+            cbs.filter(F.col("subspace") == s).select("cluster", "cf"),
+            scale=scale,
+        )
+        parts.append(
+            asg.select(F.lit(s).alias("subspace"), "vec_id", "cluster")
+        )
+    out = parts[0]
+    for c in parts[1:]:
+        out = out.unionByName(c)
+    keyed = out.join(cellmap, "vec_id").withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    (
+        keyed.repartition(F.col("cell"))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(_table_dir(path, "codes"))
+    )
 
 
 def compact_ivf_pq_layout(spark: SparkSession, path: str) -> None:
@@ -1771,6 +1940,94 @@ def delete_from_ivf_pq_residual_layout(
     if existing is not None:
         ids = ids.join(existing.select("vec_id"), "vec_id", "left_anti")
     ids.write.mode("append").parquet(f"{path}/tombstones")
+
+
+def append_ivf_pq_residual_layout(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Grow a persisted residual IVF-PQ layout — FAISS ``add`` for the
+    best encoder: the shard is coarse-assigned against the frozen
+    centroids, projected to integer residuals with the build's exact
+    floor re-quantization map (ratio/offset derived from the recorded
+    scales), and each residual slice is assigned against the frozen
+    RESIDUAL codebooks (prescaled — residuals are already fixed-point).
+    Appended as new files under the cells' partitions; pins in
+    tests/test_layout_appends.py."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import assign_to_centroids
+
+    if emb.isEmpty():
+        return
+    spark = emb.sparkSession
+    _codes, coarse_cents, cbs, meta = read_ivf_pq_residual_layout(
+        spark, path, include_deleted=True
+    )
+    coarse_cents = coarse_cents.localCheckpoint()
+    cbs = cbs.localCheckpoint()
+    d, m, scale, coarse_scale = (
+        meta["d"], meta["m"], meta["scale"], meta["coarse_scale"],
+    )
+    ratio = coarse_scale // scale
+    off = 4 * coarse_scale
+    off_r = off // ratio
+    sub = d // m
+    cellmap = assign_to_centroids(
+        emb, coarse_cents, id_col=id_col, vec_col=vec_col,
+        scale=coarse_scale,
+    ).select("vec_id", F.col("cluster").alias("cell"))
+    requant = (
+        f"transform(zip_with(xf, cf, (a, b) -> a - b), "
+        f"r -> ((r + {off}L) div {ratio}L) - {off_r}L)"
+    )
+    xr = (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(
+                F.col(vec_col),
+                lambda v: F.floor(v.cast("double") * coarse_scale).cast("long"),
+            ).alias("xf"),
+        )
+        .join(cellmap, "vec_id")
+        .join(
+            F.broadcast(
+                coarse_cents.select(F.col("cluster").alias("cell"), "cf")
+            ),
+            "cell",
+        )
+        .select("vec_id", "cell", F.expr(requant).alias("rf"))
+        .localCheckpoint()
+    )
+    parts = []
+    for s in range(m):
+        sl = xr.select(
+            "vec_id", F.slice(F.col("rf"), s * sub + 1, sub).alias("rslice")
+        )
+        asg = assign_to_centroids(
+            sl,
+            cbs.filter(F.col("subspace") == s).select("cluster", "cf"),
+            vec_col="rslice",
+            scale=scale,
+            prescaled=True,
+        )
+        parts.append(
+            asg.select(F.lit(s).alias("subspace"), "vec_id", "cluster")
+        )
+    out = parts[0]
+    for c in parts[1:]:
+        out = out.unionByName(c)
+    keyed = out.join(xr.select("vec_id", "cell"), "vec_id").withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    (
+        keyed.repartition(F.col("cell"))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(_table_dir(path, "codes"))
+    )
 
 
 def compact_ivf_pq_residual_layout(spark: SparkSession, path: str) -> None:

@@ -1,0 +1,204 @@
+"""FAISS ``add`` for the compressed layouts (PQ, IVF-PQ, residual
+IVF-PQ): appending a shard must encode it against the FROZEN sidecars
+— appended code rows ≡ a from-scratch assignment of the shard against
+the persisted codebooks/centroids (the non-circular reference) — while
+existing code files stay byte-identical on disk and probes serve the
+union. Quantizers never retrain on append (rebuild is the drift fix),
+matching ``append_ivf_layout``'s documented trade."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from dev_dot_cvp_metadata_ingestion_spark.operators.similarity import (
+    assign_to_centroids,
+)
+from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+    _table_dir,
+    append_ivf_pq_layout,
+    append_ivf_pq_residual_layout,
+    append_pq_layout,
+    read_ivf_pq_layout,
+    read_ivf_pq_residual_layout,
+    read_pq_layout,
+    write_ivf_pq_layout,
+    write_ivf_pq_residual_layout,
+    write_pq_layout,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def halves(emb):
+    return (
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )
+
+
+def _files(path):
+    out = {}
+    for dirpath, _d, fs in os.walk(path):
+        for f in fs:
+            if f.endswith(".parquet"):
+                fp = os.path.join(dirpath, f)
+                st = os.stat(fp)
+                out[fp] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def _code_rows(df):
+    return sorted(
+        (r.subspace, r.vec_id, r.cluster) for r in df.collect()
+    )
+
+
+def _expected_pq_codes(shard, cbs, d, m, scale):
+    sub = d // m
+    parts = []
+    for s in range(m):
+        sl = shard.select(
+            "vec_id", F.slice(F.col("embedding"), s * sub + 1, sub).alias("embedding")
+        )
+        asg = assign_to_centroids(
+            sl, cbs.filter(F.col("subspace") == s).select("cluster", "cf"),
+            scale=scale,
+        )
+        parts.append(asg.select(F.lit(s).alias("subspace"), "vec_id", "cluster"))
+    out = parts[0]
+    for c in parts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def test_append_pq_layout(spark, emb, halves, tmp_path):
+    first, second = halves
+    p = str(tmp_path / "pq")
+    write_pq_layout(first, p, d=64, m=8, k_codebook=16)
+    codes_a, cbs, meta = read_pq_layout(spark, p)
+    rows_a = _code_rows(codes_a)
+    before = _files(_table_dir(p, "codes"))
+    assert before
+
+    append_pq_layout(second, p)
+    after = _files(_table_dir(p, "codes"))
+    for fp, sig in before.items():
+        assert after[fp] == sig, f"pre-append file rewritten: {fp}"
+    assert len(after) > len(before)
+
+    want_b = _code_rows(
+        _expected_pq_codes(second, cbs, meta["d"], meta["m"], meta["scale"])
+    )
+    got = _code_rows(read_pq_layout(spark, p)[0])
+    assert got == sorted(rows_a + want_b)
+    assert want_b  # non-vacuous
+
+
+def test_append_ivf_pq_layout(spark, emb, halves, tmp_path):
+    first, second = halves
+    p = str(tmp_path / "ivfpq")
+    write_ivf_pq_layout(first, p, n_cells=8, d=64, m=8, k_codebook=16)
+    codes_a, coarse, cbs, meta = read_ivf_pq_layout(spark, p)
+    rows_a = _code_rows(codes_a)
+    before = _files(_table_dir(p, "codes"))
+
+    append_ivf_pq_layout(second, p)
+    after = _files(_table_dir(p, "codes"))
+    for fp, sig in before.items():
+        assert after[fp] == sig, f"pre-append file rewritten: {fp}"
+
+    codes_all = read_ivf_pq_layout(spark, p)[0]
+    want_b = _code_rows(
+        _expected_pq_codes(second, cbs, meta["d"], meta["m"], meta["scale"])
+    )
+    assert _code_rows(codes_all) == sorted(rows_a + want_b)
+    # appended cells come from the FROZEN coarse centroids
+    want_cells = {
+        (r.vec_id, r.cluster)
+        for r in assign_to_centroids(
+            second, coarse, scale=meta["coarse_scale"]
+        ).collect()
+    }
+    got_cells = {
+        (r.vec_id, r.cell)
+        for r in codes_all.join(
+            second.select("vec_id"), "vec_id"
+        ).select("vec_id", "cell").distinct().collect()
+    }
+    assert got_cells == want_cells and got_cells
+
+
+def test_append_ivf_pq_residual_layout(spark, emb, halves, tmp_path):
+    first, second = halves
+    p = str(tmp_path / "res")
+    write_ivf_pq_residual_layout(first, p, n_cells=8, d=64, m=8, k_codebook=16)
+    codes_a, coarse, cbs, meta = read_ivf_pq_residual_layout(spark, p)
+    rows_a = _code_rows(codes_a)
+    before = _files(_table_dir(p, "codes"))
+
+    append_ivf_pq_residual_layout(second, p)
+    after = _files(_table_dir(p, "codes"))
+    for fp, sig in before.items():
+        assert after[fp] == sig, f"pre-append file rewritten: {fp}"
+
+    # from-scratch reference: coarse-assign, residual-requantize with
+    # the build's floor map, assign slices to the frozen residual
+    # codebooks (prescaled)
+    scale, coarse_scale = meta["scale"], meta["coarse_scale"]
+    ratio = coarse_scale // scale
+    off = 4 * coarse_scale
+    off_r = off // ratio
+    sub = meta["d"] // meta["m"]
+    cellmap = assign_to_centroids(
+        second, coarse, scale=coarse_scale
+    ).select("vec_id", F.col("cluster").alias("cell"))
+    requant = (
+        f"transform(zip_with(xf, cf, (a, b) -> a - b), "
+        f"r -> ((r + {off}L) div {ratio}L) - {off_r}L)"
+    )
+    xr = (
+        second.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda v: F.floor(v.cast("double") * coarse_scale).cast("long"),
+            ).alias("xf"),
+        )
+        .join(cellmap, "vec_id")
+        .join(
+            F.broadcast(coarse.select(F.col("cluster").alias("cell"), "cf")),
+            "cell",
+        )
+        .select("vec_id", "cell", F.expr(requant).alias("rf"))
+    )
+    parts = []
+    for s in range(meta["m"]):
+        sl = xr.select(
+            "vec_id", F.slice(F.col("rf"), s * sub + 1, sub).alias("rslice")
+        )
+        asg = assign_to_centroids(
+            sl, cbs.filter(F.col("subspace") == s).select("cluster", "cf"),
+            vec_col="rslice", scale=scale, prescaled=True,
+        )
+        parts.append(asg.select(F.lit(s).alias("subspace"), "vec_id", "cluster"))
+    want = parts[0]
+    for c in parts[1:]:
+        want = want.unionByName(c)
+    got = _code_rows(read_ivf_pq_residual_layout(spark, p)[0])
+    assert got == sorted(rows_a + _code_rows(want))
+
+
+def test_append_empty_shard_is_noop(spark, emb, halves, tmp_path):
+    first, _second = halves
+    p = str(tmp_path / "pq")
+    write_pq_layout(first, p, d=64, m=8, k_codebook=16)
+    before = _code_rows(read_pq_layout(spark, p)[0])
+    append_pq_layout(emb.filter(F.lit(False)), p)
+    assert _code_rows(read_pq_layout(spark, p)[0]) == before

@@ -66,3 +66,61 @@ def test_empty_corpus_layout_roundtrips(spark, tmp_path):
     assert tuple(triangle_stats(pairs, nodes).collect()[0]) == (
         0, 0, 0, 0, 0,
     )
+
+
+def test_tombstone_delete_equals_rebuild_then_compact(spark, tmp_path):
+    """delete_from_pair_graph must serve EXACTLY what a graph rebuilt
+    over the surviving docs serves (LSH pairs are pairwise, so
+    rebuild-equivalence holds exactly here); compaction must
+    physically drop nodes and incident pairs into a new atomic
+    generation with analytics unchanged; double-delete is a no-op."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+        _table_dir,
+        compact_pair_graph,
+        delete_from_pair_graph,
+        prune_pair_graph_generations,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = str(tmp_path / "deletable")
+    write_pair_graph(docs, p)
+    victims = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    survivors = docs.filter(F.col("doc_id") % 5 != 0)
+
+    def analytics(path):
+        pairs, nodes, _ = read_pair_graph(spark, path)
+        return (
+            sorted(tuple(r) for r in pagerank(pairs, nodes).collect()),
+            [tuple(r) for r in triangle_stats(pairs, nodes).collect()],
+        )
+
+    delete_from_pair_graph(spark, p, victims)
+    ref_p = str(tmp_path / "rebuild")
+    write_pair_graph(survivors, ref_p)
+    got = analytics(p)
+    assert got == analytics(ref_p)
+    assert got[0]  # non-vacuous
+
+    delete_from_pair_graph(spark, p, victims)  # no-op re-delete
+    assert analytics(p) == got
+
+    compact_pair_graph(spark, p)
+    assert not os.path.isdir(f"{p}/tombstones")
+    vset = {r.doc_id for r in victims.collect()}
+    raw_pairs = spark.read.parquet(_table_dir(p, "pairs"))
+    raw_nodes = spark.read.parquet(_table_dir(p, "nodes"))
+    assert raw_nodes.filter(F.col("doc_id").isin(vset)).count() == 0
+    assert (
+        raw_pairs.filter(
+            F.col("doc_id_a").isin(vset) | F.col("doc_id_b").isin(vset)
+        ).count()
+        == 0
+    )
+    assert analytics(p) == got
+    prune_pair_graph_generations(spark, p)
+    assert not os.path.isdir(f"{p}/pairs") and not os.path.isdir(f"{p}/nodes")
+    assert analytics(p) == got
