@@ -330,6 +330,97 @@ def trend_from_counts(wc: DataFrame) -> DataFrame:
     )
 
 
+def acf_from_counts(wc: DataFrame, max_lag: int = 3) -> DataFrame:
+    """Autocorrelation of the per-type hourly count series at lags
+    1..``max_lag`` — "does this hour predict the next?" / "is there a
+    daily echo?", the series-memory diagnostic that tells a monitoring
+    consumer which baseline the anomaly family should use (white noise
+    → global moments; strong lag-24 → the seasonal detector).
+
+    Exact integer throughout: with full-series m, S = Σy, V = Σy²
+    (the mean ȳ = S/m never materializes), the lag-ℓ sample
+    autocorrelation r_ℓ = Σ_t (y_t−ȳ)(y_{t+ℓ}−ȳ) / Σ_t (y_t−ȳ)²
+    clears to the all-integer form
+
+        r_ppm = 1e6 · (m²·P_ℓ − m·S·(A_ℓ+B_ℓ) + (m−ℓ)·S²)
+                div (m · (m·V − S²))
+
+    where P_ℓ = Σ y_t·y_{t+ℓ}, A_ℓ/B_ℓ the left/right sums over the
+    m−ℓ pairs — DECIMAL(38,0)-lifted, truncating div on both engines,
+    NULL at zero variance via nullif. The series index is a
+    row_number over the bounded type-partitioned count relation (the
+    cusum argument: |hours| rows per partition regardless of event
+    volume), and gaps in the hour grid are treated as consecutive
+    observations — the same regular-series assumption as
+    ``seasonal_decompose_counts``.
+
+    Scale shape: one corpus-sized window-count aggregate upstream
+    (shared — see ``write_window_counts``); the lag pairing is an
+    equi-join of the bounded count relation with itself on
+    (type, t+ℓ), the lag dimension a broadcast ≤ max_lag rows.
+    Returns (event_type, lag, m, n_pairs, r_ppm), one row per type
+    and lag with at least one pair (ℓ < m)."""
+    from pyspark.sql import Window as W
+
+    spark = wc.sparkSession
+    w = W.partitionBy("event_type").orderBy("window_start")
+    d = wc.select(
+        "event_type",
+        F.col("n_events").alias("y"),
+        (F.row_number().over(w) - 1).cast("long").alias("x"),
+    ).localCheckpoint()
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    st = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("y").alias("s"),
+        F.sum(dec("y") * F.col("y")).alias("v"),
+    )
+    lags = spark.range(1, max_lag + 1).select(F.col("id").alias("lag"))
+    left = d.crossJoin(F.broadcast(lags))
+    right = d.select(
+        F.col("event_type").alias("event_type_r"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    pairs = left.join(
+        right,
+        (F.col("event_type") == F.col("event_type_r"))
+        & (F.col("x") + F.col("lag") == F.col("x2")),
+    )
+    agg = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(dec("y") * F.col("y2")).alias("p"),
+        F.sum("y").alias("a"),
+        F.sum("y2").alias("b"),
+    )
+    return (
+        agg.join(F.broadcast(st), "event_type")
+        .select(
+            "event_type",
+            "lag",
+            "m",
+            "n_pairs",
+            (
+                dec("m") * F.col("m") * F.col("p")
+                - dec("m") * F.col("s") * (dec("a") + F.col("b"))
+                + dec("n_pairs") * F.col("s") * F.col("s")
+            ).alias("_num"),
+            (dec("m") * (dec("m") * F.col("v") - dec("s") * F.col("s"))).alias(
+                "_den"
+            ),
+        )
+        .select(
+            "event_type",
+            "lag",
+            "m",
+            "n_pairs",
+            F.expr(
+                "CAST((_num * 1000000) div nullif(_den, 0) AS BIGINT)"
+            ).alias("r_ppm"),
+        )
+    )
+
+
 def seasonal_decompose_counts(wc: DataFrame, period: int = 24) -> DataFrame:
     """Classical additive seasonal decomposition of the per-type hourly
     count series — count = trend + seasonal + residual — the

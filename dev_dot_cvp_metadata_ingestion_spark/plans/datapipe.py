@@ -7492,6 +7492,72 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_autocorrelation",
+    oracle="""
+    WITH wc AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+             event_type,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT event_type, n_events AS y,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY window_start) - 1 AS x
+      FROM wc
+    ),
+    st AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(y) AS BIGINT) AS s,
+             sum(CAST(y AS HUGEINT) * y) AS v
+      FROM d GROUP BY 1
+    ),
+    lags AS (SELECT unnest([1, 2, 3]) AS lag),
+    pairs AS (
+      SELECT l.event_type, lg.lag, l.y AS y, r.y AS y2
+      FROM d l CROSS JOIN lags lg
+      JOIN d r ON r.event_type = l.event_type AND r.x = l.x + lg.lag
+    ),
+    agg AS (
+      SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             sum(CAST(y AS HUGEINT) * y2) AS p,
+             CAST(sum(y) AS BIGINT) AS a, CAST(sum(y2) AS BIGINT) AS b
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT g.event_type, CAST(g.lag AS BIGINT) AS lag, m, n_pairs,
+           CAST(((CAST(m AS HUGEINT) * m * p
+                  - CAST(m AS HUGEINT) * s * (CAST(a AS HUGEINT) + b)
+                  + CAST(n_pairs AS HUGEINT) * s * s) * 1000000)
+                // nullif(CAST(m AS HUGEINT)
+                          * (CAST(m AS HUGEINT) * v
+                             - CAST(s AS HUGEINT) * s), 0)
+                AS BIGINT) AS r_ppm
+    FROM agg g JOIN st USING (event_type)
+    ORDER BY event_type, lag
+    """,
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of each type's hourly count series at lags 1-3
+    (operators/anomaly.py:acf_from_counts) — the series-memory
+    diagnostic that tells monitoring which baseline fits (white noise
+    → global moments, strong lag echo → the seasonal detector). The
+    sample ACF is cleared of the non-integer mean via the m²-scaled
+    identity, so every quantity is an exact DECIMAL product and the
+    ppm quotient truncates identically on both engines (negative
+    autocorrelations included — div/// both truncate toward zero).
+    One corpus-sized count aggregate; the lag pairing is a bounded
+    self-equi-join of the |types|×|hours| relation with a ≤3-row
+    broadcast lag dimension."""
+    from ..operators.anomaly import acf_from_counts, window_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return acf_from_counts(window_counts(ev), max_lag=3).orderBy(
+        "event_type", "lag"
+    )
+
+
+@register(
     "events_mad_anomaly",
     oracle="""
     WITH wc AS (

@@ -238,6 +238,7 @@ BACK: tuple[str, ...] = (
     "embedding_pca_projected",
     # --- round-11 additions (first driver row next rotation) ---
     "ann_mmr_rerank_ivf",
+    "events_autocorrelation",
 )
 
 

@@ -79,6 +79,7 @@ AT_RISK = [
     "events_seasonal_anomaly",     # seasonal moments over zero windows
     "events_mad_anomaly",          # median picks over zero windows
     "events_hourly_trend",         # OLS moments over zero windows
+    "events_autocorrelation",      # lag pairs over zero windows
     "text_collocations_pmi",       # marginals/scalar B on empty corpus
     "embedding_outliers",          # kmeans + fence on empty embeddings
     "embedding_silhouette",        # two-nearest ranks on empty embeddings

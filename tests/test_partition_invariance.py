@@ -63,6 +63,7 @@ SENSITIVE = [
     "ann_mmr_rerank_ivf",    # coarse probe + salted rank + greedy rounds
     "dedup_graph_kcore",     # shrinking alive-set semi-join rounds
     "events_cusum_alarm",    # type-partitioned prefix windows
+    "events_autocorrelation",  # row_number series index + lag self-join
     "events_mad_anomaly",    # row_number median/MAD picks
     "events_seasonal_decomposition",  # centered frames + seasonal join
     "events_markov_stationary",  # checkpointed ppm rounds
