@@ -108,3 +108,76 @@ def test_directory_partitioning_prunes_planned_files(spark, tmp_path):
     )
     assert one < all_files, (one, all_files)
     assert one <= all_files / 2
+
+
+def _envelopes_for(path, column):
+    """Per-file (min, max) of ``column`` from the parquet footers."""
+    out = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            for c in range(md.num_columns):
+                col = md.row_group(rg).column(c)
+                if col.path_in_schema == column and col.statistics:
+                    mins.append(col.statistics.min)
+                    maxs.append(col.statistics.max)
+        if mins:
+            out.append((min(mins), max(maxs)))
+    return out
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path):
+    """Z-order vs lexicographic sort, from the real footers: the
+    lexicographic (user_id, secs) layout skips on user_id but almost
+    never on secs alone (every file straddles the secs domain),
+    while the z-order layout's locality squares give BOTH columns
+    narrow envelopes — selective slices on either dimension prune a
+    large fraction of files."""
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+        write_zorder_layout,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "user_id", F.unix_seconds(F.col("ts")).alias("secs")
+    )
+    zpath, lexpath = str(tmp_path / "z"), str(tmp_path / "lex")
+    write_zorder_layout(ev, zpath, "user_id", "secs", n_files=N_FILES)
+    write_sorted_layout(ev, lexpath, ["user_id", "secs"], n_files=N_FILES)
+
+    bounds = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("secs"), F.max("secs")
+    ).first()
+    u0, u1, s0, s1 = bounds
+
+    def skippable(envs, lo, hi):
+        return sum(1 for mn, mx in envs if mn > hi or mx < lo)
+
+    # a ~1/8 slice of each domain
+    u_lo, u_hi = u0, u0 + (u1 - u0) // 8
+    s_lo, s_hi = s0, s0 + (s1 - s0) // 8
+
+    z_u = _envelopes_for(zpath, "user_id")
+    z_s = _envelopes_for(zpath, "secs")
+    l_u = _envelopes_for(lexpath, "user_id")
+    l_s = _envelopes_for(lexpath, "secs")
+    assert N_FILES - 2 <= len(z_u) <= N_FILES
+
+    # control: lexicographic skips on the leading column...
+    assert skippable(l_u, u_lo, u_hi) >= len(l_u) - 4
+    # ...but (almost) never on the trailing one
+    assert skippable(l_s, s_lo, s_hi) <= 2, l_s
+
+    # z-order: BOTH dimensions prune a meaningful fraction of files
+    zu, zs = skippable(z_u, u_lo, u_hi), skippable(z_s, s_lo, s_hi)
+    assert zu >= len(z_u) // 2, (zu, z_u)
+    assert zs >= len(z_s) // 2, (zs, z_s)
+
+    # correctness: the z-layout serves identical rows for both slices
+    for col, lo, hi in (("user_id", u_lo, u_hi), ("secs", s_lo, s_hi)):
+        pred = (F.col(col) >= lo) & (F.col(col) <= hi)
+        a = sorted(
+            tuple(r) for r in spark.read.parquet(zpath).filter(pred).collect()
+        )
+        b = sorted(tuple(r) for r in ev.filter(pred).collect())
+        assert a == b and a
