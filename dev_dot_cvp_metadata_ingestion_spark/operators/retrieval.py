@@ -159,6 +159,79 @@ def bm25_topk(
     return _bm25_rank(tf_dl, corp, queries, k, n_salts)
 
 
+def bm25_prf_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_feedback: int = 5,
+    n_expansion: int = 2,
+    stop_words: tuple[str, ...] = (
+        "the", "a", "of", "and", "to", "in", "is", "it", "for", "on",
+    ),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Pseudo-relevance-feedback BM25 (Rocchio-style query expansion,
+    the classic two-pass retrieval composition): a first BM25 pass
+    takes each query's top-``n_feedback`` documents as the assumed-
+    relevant set, the ``n_expansion`` most frequent non-stopword,
+    non-query terms inside that set join the query, and a second BM25
+    pass over the EXPANDED query produces the final top-``k`` — recall
+    the literal query vocabulary cannot reach ("spark join" pulling in
+    docs that say "shuffle"). Both passes are the exact integer BM25
+    chain, the expansion pick is a deterministic (tf DESC, word)
+    argmax, and term matching is raw-token equality (no case fold —
+    BM25's own convention here), so the whole composition hash-matches
+    its generated oracle (plans/datapipe.py:_bm25_prf_oracle).
+
+    Scale shape: two ``bm25_topk`` passes (each one corpus tokenize +
+    the pre-shrunk query-term postings — both amortizable to index
+    probes via ``bm25_probe_index``) plus one feedback-term count
+    whose input is pruned by a broadcast semi-join on the
+    |queries|×n_feedback doc set BEFORE aggregation; the expansion
+    rank's window partitions hold only a feedback set's vocabulary.
+
+    Returns (q_id, doc_id, score_ppm, rank), UNORDERED."""
+    from pyspark.sql import Window as W
+
+    from ..functions.text import tokens
+
+    queries = queries.localCheckpoint()
+    r1 = bm25_topk(
+        docs, queries, k=n_feedback, id_col=id_col, text_col=text_col,
+        n_salts=n_salts,
+    )
+    fb = r1.select("q_id", "doc_id").localCheckpoint()
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("word"),
+    )
+    ftf = (
+        toks.join(F.broadcast(fb), "doc_id")
+        .filter(~F.col("word").isin(list(stop_words)))
+        .join(
+            queries.select(
+                F.col("q_id"), F.col("term").alias("word")
+            ),
+            ["q_id", "word"],
+            "left_anti",
+        )
+        .groupBy("q_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf_fb"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("tf_fb").desc(), "word")
+    exp = (
+        ftf.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_expansion)
+        .select("q_id", F.col("word").alias("term"))
+    )
+    q2 = queries.select("q_id", "term").unionByName(exp).distinct()
+    return bm25_topk(
+        docs, q2, k=k, id_col=id_col, text_col=text_col, n_salts=n_salts
+    )
+
+
 def bm25_probe_index(
     spark,
     path: str,

@@ -6625,6 +6625,127 @@ def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_scored_cte(sfx: str, qrel: str) -> str:
+    """The integer-BM25 scoring block (split-multiplication int64-wrap-
+    safe form — identical text to the ``text_bm25_topk`` oracle) as a
+    tf{sfx}/dfr{sfx}/scored{sfx} CTE chain against query relation
+    ``qrel`` — the reusable half that lets composed retrieval oracles
+    (PRF's two passes) score twice without drift."""
+    return f"""tf{sfx} AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE word IN (SELECT term FROM {qrel})
+      GROUP BY doc_id, word
+    ),
+    dfr{sfx} AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf{sfx} GROUP BY word
+    ),
+    scored{sfx} AS (
+      SELECT q.q_id, tf{sfx}.doc_id,
+             CAST(sum(
+               ((((n_docs - df) * 2 + 1) * 1000000 // (df * 2 + 1))
+                  // 1000000)
+               * ((tf * 2200000 * 1000000) //
+                  (tf * 1000000
+                   + (1200000 * (250000
+                       + (750000 * dl * 1000)
+                         // (t_tokens * 1000 // n_docs)))
+                     // 1000000))
+               + (((((n_docs - df) * 2 + 1) * 1000000 // (df * 2 + 1))
+                     % 1000000)
+                  * ((tf * 2200000 * 1000000) //
+                     (tf * 1000000
+                      + (1200000 * (250000
+                          + (750000 * dl * 1000)
+                            // (t_tokens * 1000 // n_docs)))
+                        // 1000000))) // 1000000
+             ) AS BIGINT) AS score_ppm
+      FROM tf{sfx} JOIN dl USING (doc_id) JOIN dfr{sfx} USING (word)
+           JOIN {qrel} q ON tf{sfx}.word = q.term, corp
+      GROUP BY q.q_id, tf{sfx}.doc_id
+    )"""
+
+
+def _bm25_prf_oracle(
+    k: int = 10, n_feedback: int = 5, n_expansion: int = 2,
+) -> str:
+    """Generate the two-pass PRF oracle: pass-1 BM25 → top-n_feedback
+    docs → expansion terms (tf DESC, word; stopwords and original
+    terms excluded) → pass-2 BM25 over the UNION query. Restates
+    operators/retrieval.py:bm25_prf_topk bit-for-bit."""
+    stop = ", ".join(
+        f"'{w}'"
+        for w in (
+            "the", "a", "of", "and", "to", "in", "is", "it", "for", "on",
+        )
+    )
+    return f"""WITH toks AS (
+      SELECT doc_id, unnest({_TOKS.format(c="text")}) AS word
+      FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+    ),
+    corp AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS t_tokens
+      FROM dl
+    ),
+    q1(q_id, term) AS (VALUES
+      (CAST(1 AS BIGINT), 'spark'), (1, 'join'),
+      (2, 'window'), (2, 'filter'), (2, 'sort'),
+      (3, 'vector')),
+    {_bm25_scored_cte("1", "q1")},
+    fb AS (
+      SELECT q_id, doc_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY score_ppm DESC, doc_id) AS rn
+        FROM scored1) WHERE rn <= {n_feedback}
+    ),
+    ftf AS (
+      SELECT fb.q_id, t.word, CAST(count(*) AS BIGINT) AS tf_fb
+      FROM toks t JOIN fb ON fb.doc_id = t.doc_id
+      WHERE t.word NOT IN ({stop})
+        AND NOT EXISTS (SELECT 1 FROM q1
+                        WHERE q1.q_id = fb.q_id AND q1.term = t.word)
+      GROUP BY 1, 2
+    ),
+    expn AS (
+      SELECT q_id, word AS term FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY tf_fb DESC, word) AS rn
+        FROM ftf) WHERE rn <= {n_expansion}
+    ),
+    q2 AS (SELECT q_id, term FROM q1 UNION SELECT q_id, term FROM expn),
+    {_bm25_scored_cte("2", "q2")},
+    ranked AS (
+      SELECT q_id, doc_id, score_ppm,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY score_ppm DESC, doc_id
+             ) AS BIGINT) AS rank
+      FROM scored2
+    )
+    SELECT q_id, doc_id, score_ppm, rank FROM ranked WHERE rank <= {k}
+    ORDER BY q_id, rank"""
+
+
+@register("text_bm25_prf", oracle=_bm25_prf_oracle())
+def text_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval
+    (operators/retrieval.py:bm25_prf_topk): BM25 → top-5 feedback docs
+    → 2 expansion terms per query (most frequent non-stopword,
+    non-query tokens of the feedback set, deterministic tie-break) →
+    BM25 over the expanded query — the Rocchio-style recall lever
+    stacked on the exact integer BM25 chain, so even the two-pass
+    composition hash-matches its generated oracle (the scoring block
+    is shared text between both passes and ``text_bm25_topk``). Same
+    workload queries as the BM25 family."""
+    from ..operators.retrieval import bm25_prf_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_BM25_QUERIES, "q_id long, term string")
+    return bm25_prf_topk(d, q, k=10).orderBy("q_id", "rank")
+
+
 def _mmr_rounds(k: int, lam_ppm: int) -> list[str]:
     """The unrolled MMR greedy rounds as explicit CTEs over a ``cand``
     relation — shared by every candidate generator's composed oracle

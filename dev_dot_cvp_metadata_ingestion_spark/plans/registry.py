@@ -239,6 +239,7 @@ BACK: tuple[str, ...] = (
     # --- round-11 additions (first driver row next rotation) ---
     "ann_mmr_rerank_ivf",
     "events_autocorrelation",
+    "text_bm25_prf",
 )
 
 

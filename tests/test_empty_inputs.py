@@ -64,6 +64,7 @@ AT_RISK = [
     "corpus_heavy_hitters",        # MG over empty partitions, n_total=0
     "events_decayed_counts",       # null as-of point on empty stream
     "text_bm25_topk_and",          # matched==n_terms join on empty
+    "text_bm25_prf",               # two-pass expansion on empty corpus
     "text_rrf_fusion",             # union of two empty rankings
     "embedding_pq_codes",          # 8 kmeans seeds from empty corpus
     "ann_pq_adc_topk",             # codebooks + tables on empty corpus

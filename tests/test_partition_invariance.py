@@ -52,6 +52,7 @@ SENSITIVE = [
     "corpus_heavy_hitters",  # partition-dependent MG candidates, exact recount
     "text_bm25_topk",        # salted two-phase per-query rank
     "text_bm25_topk_and",    # conjunction gate + salted rank
+    "text_bm25_prf",         # two salted passes + expansion rank
     "text_rrf_fusion",       # fusion of two salted rankings
     "embedding_pq_codes",    # 8 iterative per-subspace re-aggregations
     "ann_pq_adc_topk",       # codebook train + salted rank
