@@ -6479,6 +6479,46 @@ def events_window_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- retrieval ranking
 
 
+def _bm25_scored_cte(sfx: str, qrel: str) -> str:
+    """The integer-BM25 scoring block (split-multiplication int64-wrap-
+    safe form — identical text to the ``text_bm25_topk`` oracle) as a
+    tf{sfx}/dfr{sfx}/scored{sfx} CTE chain against query relation
+    ``qrel`` — the reusable half that lets composed retrieval oracles
+    (PRF's two passes) score twice without drift."""
+    return f"""tf{sfx} AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE word IN (SELECT term FROM {qrel})
+      GROUP BY doc_id, word
+    ),
+    dfr{sfx} AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf{sfx} GROUP BY word
+    ),
+    scored{sfx} AS (
+      SELECT q.q_id, tf{sfx}.doc_id,
+             CAST(sum(
+               ((((n_docs - df) * 2 + 1) * 1000000 // (df * 2 + 1))
+                  // 1000000)
+               * ((tf * 2200000 * 1000000) //
+                  (tf * 1000000
+                   + (1200000 * (250000
+                       + (750000 * dl * 1000)
+                         // (t_tokens * 1000 // n_docs)))
+                     // 1000000))
+               + (((((n_docs - df) * 2 + 1) * 1000000 // (df * 2 + 1))
+                     % 1000000)
+                  * ((tf * 2200000 * 1000000) //
+                     (tf * 1000000
+                      + (1200000 * (250000
+                          + (750000 * dl * 1000)
+                            // (t_tokens * 1000 // n_docs)))
+                        // 1000000))) // 1000000
+             ) AS BIGINT) AS score_ppm
+      FROM tf{sfx} JOIN dl USING (doc_id) JOIN dfr{sfx} USING (word)
+           JOIN {qrel} q ON tf{sfx}.word = q.term, corp
+      GROUP BY q.q_id, tf{sfx}.doc_id
+    )"""
+
+
 _BM25_QUERIES = [
     (1, "spark"),
     (1, "join"),
@@ -6508,36 +6548,7 @@ _BM25_QUERIES = [
       (CAST(1 AS BIGINT), 'spark'), (1, 'join'),
       (2, 'window'), (2, 'filter'), (2, 'sort'),
       (3, 'vector')),
-    tf AS (
-      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
-      FROM toks WHERE word IN (SELECT term FROM q)
-      GROUP BY doc_id, word
-    ),
-    dfr AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
-    scored AS (
-      SELECT q.q_id, tf.doc_id,
-             CAST(sum(
-               ((((n_docs - df) * 2 + 1) * 1000000 // (df * 2 + 1))
-                  // 1000000)
-               * ((tf * 2200000 * 1000000) //
-                  (tf * 1000000
-                   + (1200000 * (250000
-                       + (750000 * dl * 1000)
-                         // (t_tokens * 1000 // n_docs)))
-                     // 1000000))
-               + (((((n_docs - df) * 2 + 1) * 1000000 // (df * 2 + 1))
-                     % 1000000)
-                  * ((tf * 2200000 * 1000000) //
-                     (tf * 1000000
-                      + (1200000 * (250000
-                          + (750000 * dl * 1000)
-                            // (t_tokens * 1000 // n_docs)))
-                        // 1000000))) // 1000000
-             ) AS BIGINT) AS score_ppm
-      FROM tf JOIN dl USING (doc_id) JOIN dfr USING (word)
-           JOIN q ON tf.word = q.term, corp
-      GROUP BY q.q_id, tf.doc_id
-    ),
+    {_bm25_scored_cte("", "q")},
     ranked AS (
       SELECT q_id, doc_id, score_ppm,
              CAST(row_number() OVER (
@@ -6623,46 +6634,6 @@ def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "word", threshold_ppm=500).orderBy(
         F.col("n_occurrences").desc(), "word"
     )
-
-
-def _bm25_scored_cte(sfx: str, qrel: str) -> str:
-    """The integer-BM25 scoring block (split-multiplication int64-wrap-
-    safe form — identical text to the ``text_bm25_topk`` oracle) as a
-    tf{sfx}/dfr{sfx}/scored{sfx} CTE chain against query relation
-    ``qrel`` — the reusable half that lets composed retrieval oracles
-    (PRF's two passes) score twice without drift."""
-    return f"""tf{sfx} AS (
-      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
-      FROM toks WHERE word IN (SELECT term FROM {qrel})
-      GROUP BY doc_id, word
-    ),
-    dfr{sfx} AS (
-      SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf{sfx} GROUP BY word
-    ),
-    scored{sfx} AS (
-      SELECT q.q_id, tf{sfx}.doc_id,
-             CAST(sum(
-               ((((n_docs - df) * 2 + 1) * 1000000 // (df * 2 + 1))
-                  // 1000000)
-               * ((tf * 2200000 * 1000000) //
-                  (tf * 1000000
-                   + (1200000 * (250000
-                       + (750000 * dl * 1000)
-                         // (t_tokens * 1000 // n_docs)))
-                     // 1000000))
-               + (((((n_docs - df) * 2 + 1) * 1000000 // (df * 2 + 1))
-                     % 1000000)
-                  * ((tf * 2200000 * 1000000) //
-                     (tf * 1000000
-                      + (1200000 * (250000
-                          + (750000 * dl * 1000)
-                            // (t_tokens * 1000 // n_docs)))
-                        // 1000000))) // 1000000
-             ) AS BIGINT) AS score_ppm
-      FROM tf{sfx} JOIN dl USING (doc_id) JOIN dfr{sfx} USING (word)
-           JOIN {qrel} q ON tf{sfx}.word = q.term, corp
-      GROUP BY q.q_id, tf{sfx}.doc_id
-    )"""
 
 
 def _bm25_prf_oracle(
