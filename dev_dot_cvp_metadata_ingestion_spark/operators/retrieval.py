@@ -379,6 +379,98 @@ def rrf_fuse(
     )
 
 
+def rake_keywords(
+    docs: DataFrame,
+    top_k: int = 15,
+    stop_words: tuple[str, ...] = (
+        "the", "a", "of", "and", "to", "in", "is", "it", "for", "on",
+    ),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    Extraction from Individual Documents") over the whole corpus:
+    candidate phrases are the maximal runs of non-stopword tokens
+    (stopwords are the delimiters), each word scores
+    ``degree/frequency`` where degree sums the lengths of every phrase
+    occurrence containing the word (self-co-occurrence included, the
+    paper's definition) and frequency counts its phrase occurrences,
+    and a phrase scores the sum of its member words' scores. Exact
+    fixed point: word_score_ppm = 1e6·deg div freq, phrase score the
+    BIGINT sum of member ppm scores per occurrence, identical phrases
+    aggregated by their text. Case folding is the engine-stable
+    ASCII-only translate (the stopword lists are ASCII).
+
+    Scale shape: one positional tokenize (posexplode — the
+    ``phrase_search_topk`` relation); phrase segmentation is a running
+    stopword count over PER-DOCUMENT windows (bounded partitions, the
+    positional-postings argument); word scores are a vocabulary-sized
+    aggregate broadcast back onto phrase members; the phrase aggregate
+    groups by phrase text (phrase-type scale); global top-k is
+    orderBy+limit → TakeOrderedAndProject.
+
+    Returns (phrase, n_words, n_occurrences, score_ppm) for the
+    global top-``top_k`` phrases, ties by phrase text (ordered)."""
+    from pyspark.sql import Window as W
+
+    from ..functions.text import ascii_lower, tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(ascii_lower(F.col(text_col)))).alias(
+            "pos", "word"
+        ),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    seg = toks.withColumn(
+        "is_stop", F.col("word").isin(list(stop_words)).cast("int")
+    ).withColumn("pid", F.sum("is_stop").over(w))
+    members = seg.filter(F.col("is_stop") == 0).select(
+        "doc_id", "pid", "pos", "word"
+    )
+    # one phrase occurrence per (doc, pid): its text and length
+    occ = members.groupBy("doc_id", "pid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s.getField("word"),
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    # plen fans back onto members for the degree sum
+    memb2 = members.join(occ, ["doc_id", "pid"])
+    wscore = (
+        memb2.groupBy("word")
+        .agg(
+            F.sum("plen").alias("deg"),
+            F.count(F.lit(1)).alias("freq"),
+        )
+        .select(
+            "word",
+            F.expr(
+                "CAST(CAST(deg AS DECIMAL(38,0)) * 1000000 div freq"
+                " AS BIGINT)"
+            ).alias("wscore_ppm"),
+        )
+    )
+    pscore = (
+        memb2.join(F.broadcast(wscore), "word")
+        .groupBy("doc_id", "pid", "phrase", "plen")
+        .agg(F.sum("wscore_ppm").alias("occ_score_ppm"))
+        .groupBy("phrase")
+        .agg(
+            F.first("plen").alias("n_words"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("occ_score_ppm").alias("score_ppm"),
+        )
+    )
+    # global top-k via orderBy+limit -> TakeOrderedAndProject (repo
+    # convention: no rank column, so no global Window ever plans)
+    return pscore.orderBy(F.col("score_ppm").desc(), "phrase").limit(top_k)
+
+
 def phrase_search_topk(
     docs: DataFrame,
     phrases: DataFrame,

@@ -6699,6 +6699,72 @@ def _bm25_prf_oracle(
     ORDER BY q_id, rank"""
 
 
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(t) AS word,
+             generate_subscripts(t, 1) AS pos
+      FROM (SELECT doc_id, {{toks_fold}} AS t FROM documents)
+    ),
+    seg AS (
+      SELECT doc_id, pos, word,
+             CASE WHEN word IN ({{stop}}) THEN 1 ELSE 0 END AS is_stop,
+             sum(CASE WHEN word IN ({{stop}}) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+      FROM toks
+    ),
+    members AS (
+      SELECT doc_id, pid, pos, word FROM seg WHERE is_stop = 0
+    ),
+    occ AS (
+      SELECT doc_id, pid,
+             string_agg(word, ' ' ORDER BY pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS plen
+      FROM members GROUP BY doc_id, pid
+    ),
+    memb2 AS (
+      SELECT m.doc_id, m.pid, m.word, o.phrase, o.plen
+      FROM members m JOIN occ o USING (doc_id, pid)
+    ),
+    wscore AS (
+      SELECT word,
+             CAST(CAST(sum(plen) AS HUGEINT) * 1000000 // count(*)
+                  AS BIGINT) AS wscore_ppm
+      FROM memb2 GROUP BY word
+    ),
+    pscore AS (
+      SELECT phrase, any_value(plen) AS n_words,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             max(occ_score) AS score_ppm
+      FROM (
+        SELECT m.doc_id, m.pid, m.phrase,
+               any_value(m.plen) AS plen,
+               CAST(sum(w.wscore_ppm) AS BIGINT) AS occ_score
+        FROM memb2 m JOIN wscore w USING (word)
+        GROUP BY m.doc_id, m.pid, m.phrase
+      ) GROUP BY phrase
+    )
+    SELECT phrase, n_words, n_occurrences, score_ppm
+    FROM pscore ORDER BY score_ppm DESC, phrase LIMIT 15
+    """.format(
+        toks_fold=_TOKS.format(c=_ASCII_LOWER),
+        stop="'the','a','of','and','to','in','is','it','for','on'",
+    ),
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — global top-15
+    candidate phrases (maximal non-stopword runs) by the summed
+    degree/frequency word scores, in exact ppm
+    (operators/retrieval.py:rake_keywords). Engine-stable ASCII fold;
+    per-document windows only; global top-k is orderBy+limit. Full
+    hash oracle."""
+    from ..operators.retrieval import rake_keywords
+
+    d = load_table(spark, sf_dir, "documents")
+    return rake_keywords(d, top_k=15)
+
+
 @register("text_bm25_prf", oracle=_bm25_prf_oracle())
 def text_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pseudo-relevance-feedback retrieval

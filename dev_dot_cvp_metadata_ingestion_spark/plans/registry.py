@@ -240,6 +240,7 @@ BACK: tuple[str, ...] = (
     "ann_mmr_rerank_ivf",
     "events_autocorrelation",
     "text_bm25_prf",
+    "text_rake_keywords",
 )
 
 

@@ -65,6 +65,7 @@ AT_RISK = [
     "events_decayed_counts",       # null as-of point on empty stream
     "text_bm25_topk_and",          # matched==n_terms join on empty
     "text_bm25_prf",               # two-pass expansion on empty corpus
+    "text_rake_keywords",          # phrase runs over an empty corpus
     "text_rrf_fusion",             # union of two empty rankings
     "embedding_pq_codes",          # 8 kmeans seeds from empty corpus
     "ann_pq_adc_topk",             # codebooks + tables on empty corpus

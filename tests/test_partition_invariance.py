@@ -53,6 +53,7 @@ SENSITIVE = [
     "text_bm25_topk",        # salted two-phase per-query rank
     "text_bm25_topk_and",    # conjunction gate + salted rank
     "text_bm25_prf",         # two salted passes + expansion rank
+    "text_rake_keywords",    # per-doc windows + vocab broadcast + top-k
     "text_rrf_fusion",       # fusion of two salted rankings
     "embedding_pq_codes",    # 8 iterative per-subspace re-aggregations
     "ann_pq_adc_topk",       # codebook train + salted rank
