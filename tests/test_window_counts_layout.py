@@ -12,6 +12,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from dev_dot_cvp_metadata_ingestion_spark.operators.anomaly import (
+    acf_from_counts,
     cusum_from_counts,
     mad_anomalies_from_counts,
     seasonal_anomalies_from_counts,
@@ -35,6 +36,7 @@ DETECTORS = [
     mad_anomalies_from_counts,
     trend_from_counts,
     seasonal_decompose_counts,
+    acf_from_counts,  # r11: the series-memory diagnostic probes too
 ]
 
 
