@@ -379,6 +379,45 @@ def rrf_fuse(
     )
 
 
+def phrase_probe_index(
+    spark,
+    path: str,
+    phrases: DataFrame,
+    k: int = 10,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Phrase search against a PERSISTED positional text index
+    (sources/catalog.py:write_text_index with ``positional=True``) —
+    the amortized form of ``phrase_search_topk``: no corpus tokenize;
+    the phrase terms' hash buckets are computed driver-side
+    (config-scale collect) so the bucket predicate reaches the
+    positions scan as a PARTITION filter, and the start-position
+    aggregate + salted rank are the shared ``_phrase_rank`` tail.
+    Row-for-row equal to the in-query form on the indexed corpus
+    (pinned in tests/test_positional_index.py)."""
+    from ..sources.catalog import read_text_positions
+
+    pos = read_text_positions(spark, path)
+    n_buckets = int(
+        spark.read.parquet(f"{path}/meta").first()["n_buckets"]
+    )
+    terms = [r.term for r in phrases.select("term").distinct().collect()]
+    if not terms:
+        return _phrase_rank(pos.filter(F.lit(False)), phrases, k, n_salts)
+    buckets = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    pos = pos.filter(F.col("bucket").isin([r.b for r in buckets]))
+    return _phrase_rank(
+        pos.select("doc_id", "pos", "word"), phrases, k, n_salts
+    )
+
+
 def rake_keywords(
     docs: DataFrame,
     top_k: int = 15,
@@ -515,6 +554,17 @@ def phrase_search_topk(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens(F.col(text_col))).alias("pos0", "word"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    return _phrase_rank(toks, phrases, k, n_salts)
+
+
+def _phrase_rank(
+    toks: DataFrame, phrases: DataFrame, k: int, n_salts: int
+) -> DataFrame:
+    """The start-position aggregate + salted rank over a positional
+    (doc_id, pos, word) relation — shared by the in-query
+    ``phrase_search_topk`` and the persisted-index
+    ``phrase_probe_index``, so the probe is the same scoring tail by
+    construction."""
     qn = phrases.groupBy("q_id").agg(
         F.countDistinct("term_pos").alias("n_terms")
     )

@@ -1029,6 +1029,7 @@ def write_text_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 64,
+    positional: bool = False,
 ) -> None:
     """Persist a corpus's inverted-index layout for BM25 probing —
     the search-engine index build as a storage decision, the fifth
@@ -1052,7 +1053,7 @@ def write_text_index(
     import os
 
     os.makedirs(path, exist_ok=True)
-    _reset_generations(path, ("postings",))
+    _reset_generations(path, ("postings", "positions"))
     tf_dl, corp = corpus_postings(docs, id_col, text_col)
     keyed = tf_dl.select(
         "doc_id",
@@ -1074,11 +1075,79 @@ def write_text_index(
             .partitionBy("bucket")
             .parquet(f"{path}/postings")
         )
+    if positional:
+        # the phrase-search sidecar: 1-based (doc_id, pos, word) rows,
+        # word-bucket-partitioned like the postings so a phrase
+        # probe's term buckets prune at the file level too. Opt-in —
+        # positions cost ~t_tokens rows vs the postings' distinct
+        # (doc, word) pairs.
+        _write_text_positions(
+            docs, path, id_col, text_col, n_buckets, mode="overwrite"
+        )
     corp.write.mode("overwrite").parquet(f"{path}/totals")
     spark = docs.sparkSession
     spark.createDataFrame(
         [(int(n_buckets),)], "n_buckets int"
     ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _write_text_positions(
+    docs: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    mode: str,
+) -> None:
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokens
+
+    pos = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos0", "word"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        "word",
+        F.pmod(F.xxhash64("word"), F.lit(n_buckets)).cast("int").alias(
+            "bucket"
+        ),
+    )
+    target = _table_dir(path, "positions")
+    if docs.isEmpty():
+        if mode == "append":
+            return
+        pos.write.mode(mode).parquet(target)
+        return
+    (
+        pos.repartition(F.col("bucket"))
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(target)
+    )
+
+
+def read_text_positions(
+    spark: SparkSession, path: str, include_deleted: bool = False
+) -> DataFrame:
+    """Load the positional sidecar of a text index: (doc_id, pos,
+    word, bucket) with ``bucket`` the on-disk partition column.
+    Tombstoned docs are anti-joined out, same as ``read_text_index``."""
+    pos = spark.read.parquet(_table_dir(path, "positions"))
+    if not include_deleted:
+        tomb = _read_tombstones(spark, path)
+        if tomb is not None:
+            from pyspark.sql import functions as F
+
+            pos = pos.join(F.broadcast(tomb), "doc_id", "left_anti")
+    return pos
+
+
+def _has_positions(path: str) -> bool:
+    import os
+
+    return os.path.isdir(_table_dir(path, "positions"))
 
 
 def append_text_index(
@@ -1125,6 +1194,10 @@ def append_text_index(
         .partitionBy("bucket")
         .parquet(_table_dir(path, "postings"))
     )
+    if _has_positions(path):
+        _write_text_positions(
+            docs, path, id_col, text_col, n_buckets, mode="append"
+        )
     old = spark.read.parquet(f"{path}/totals").collect()[0]
     add = corp.collect()[0]
     spark.createDataFrame(
@@ -1348,6 +1421,16 @@ def compact_text_index(spark: SparkSession, path: str) -> None:
         .partitionBy("bucket")
         .parquet(new_dir)
     )
+    if _has_positions(path):
+        # same generation, same marker: the positional sidecar flips
+        # together with the postings (never mixed generations)
+        (
+            read_text_positions(spark, path)
+            .repartition(F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{path}/positions_v{gen + 1}")
+        )
     fresh_tot = (
         spark.read.parquet(new_dir)
         .select("doc_id", "dl")
@@ -1367,7 +1450,7 @@ def prune_text_index_generations(spark: SparkSession, path: str) -> None:
     """Reclaim superseded postings generations once in-flight readers
     of the old generation have drained (the operator-driven second
     step of compaction's write→flip→prune lifecycle)."""
-    prune_index_generations(path, ("postings",))
+    prune_index_generations(path, ("postings", "positions"))
 
 
 def write_window_counts(

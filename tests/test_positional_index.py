@@ -1,0 +1,140 @@
+"""Positional sidecar of the persisted text index: phrase probes must
+return EXACTLY the in-query phrase_search_topk rows (shared
+_phrase_rank tail), the positions scan must be partition-pruned to the
+phrase terms' buckets, appends and tombstone deletes must equal
+rebuilds (phrase matching is per-doc independent, so both hold
+EXACTLY), and compaction flips postings + positions together."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from dev_dot_cvp_metadata_ingestion_spark.operators.retrieval import (
+    bm25_probe_index,
+    phrase_probe_index,
+    phrase_search_topk,
+)
+from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+    _table_dir,
+    append_text_index,
+    compact_text_index,
+    delete_from_text_index,
+    read_text_positions,
+    write_text_index,
+)
+
+PHRASES = [
+    (1, 1, "spark"), (1, 2, "join"),
+    (2, 1, "window"), (2, 2, "filter"),
+    (3, 1, "table"), (3, 2, "table"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def index(spark, docs, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("positional") / "index")
+    write_text_index(docs, p, n_buckets=16, positional=True)
+    return p
+
+
+def _q(spark, rows=PHRASES):
+    return spark.createDataFrame(rows, "q_id long, term_pos long, term string")
+
+
+def _rows(df):
+    return sorted(
+        (r.q_id, r.doc_id, r.n_occurrences, r.rank) for r in df.collect()
+    )
+
+
+def test_phrase_probe_equals_in_query(spark, docs, index):
+    got = _rows(phrase_probe_index(spark, index, _q(spark), k=10))
+    want = _rows(phrase_search_topk(docs, _q(spark), k=10))
+    assert got == want and got
+
+
+def test_phrase_probe_scan_partition_pruned(spark, index):
+    plan = (
+        phrase_probe_index(spark, index, _q(spark, [(1, 1, "spark")]), k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pf = [
+        l
+        for l in plan.splitlines()
+        if "PartitionFilters" in l and "bucket" in l
+    ]
+    assert pf, plan[:2000]
+    assert "documents.parquet" not in plan  # no corpus tokenize
+
+
+def test_bm25_probe_unaffected_by_positional_sidecar(spark, docs, index):
+    from dev_dot_cvp_metadata_ingestion_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    q = spark.createDataFrame(
+        [(1, "spark"), (2, "window")], "q_id long, term string"
+    )
+    got = sorted(
+        (r.q_id, r.doc_id, r.score_ppm, r.rank)
+        for r in bm25_probe_index(spark, index, q, k=5).collect()
+    )
+    want = sorted(
+        (r.q_id, r.doc_id, r.score_ppm, r.rank)
+        for r in bm25_topk(docs, q, k=5).collect()
+    )
+    assert got == want and got
+
+
+def test_append_and_delete_equal_rebuild_then_compact(
+    spark, docs, tmp_path
+):
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    p = str(tmp_path / "inc")
+    write_text_index(first, p, n_buckets=16, positional=True)
+    append_text_index(second, p)
+    full = str(tmp_path / "full")
+    write_text_index(docs, full, n_buckets=16, positional=True)
+    got = _rows(phrase_probe_index(spark, p, _q(spark), k=10))
+    assert got == _rows(phrase_probe_index(spark, full, _q(spark), k=10))
+    assert got
+
+    victims = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    survivors = docs.filter(F.col("doc_id") % 5 != 0)
+    delete_from_text_index(spark, p, victims)
+    ref = str(tmp_path / "rebuild")
+    write_text_index(survivors, ref, n_buckets=16, positional=True)
+    want = _rows(phrase_probe_index(spark, ref, _q(spark), k=10))
+    assert _rows(phrase_probe_index(spark, p, _q(spark), k=10)) == want
+
+    compact_text_index(spark, p)
+    assert not os.path.isdir(f"{p}/tombstones")
+    # one marker flipped BOTH tables
+    assert _table_dir(p, "postings").endswith("_v1")
+    assert _table_dir(p, "positions").endswith("_v1")
+    raw = spark.read.parquet(_table_dir(p, "positions"))
+    assert raw.join(victims, "doc_id").count() == 0
+    assert _rows(phrase_probe_index(spark, p, _q(spark), k=10)) == want
+
+
+def test_empty_corpus_positional_layout(spark, docs, tmp_path):
+    p = str(tmp_path / "empty")
+    write_text_index(docs.limit(0), p, n_buckets=4, positional=True)
+    assert read_text_positions(spark, p).count() == 0
+    assert phrase_probe_index(spark, p, _q(spark), k=5).collect() == []
+    # empty phrase set is well-defined too
+    empty_q = spark.createDataFrame(
+        [], "q_id long, term_pos long, term string"
+    )
+    assert phrase_probe_index(spark, p, empty_q, k=5).collect() == []
