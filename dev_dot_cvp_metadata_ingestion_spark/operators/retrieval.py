@@ -379,6 +379,55 @@ def rrf_fuse(
     )
 
 
+def bm25_prf_probe_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_feedback: int = 5,
+    n_expansion: int = 2,
+    stop_words: tuple[str, ...] = (
+        "the", "a", "of", "and", "to", "in", "is", "it", "for", "on",
+    ),
+    n_salts: int = 32,
+) -> DataFrame:
+    """PRF served ENTIRELY from the persisted text index — the
+    amortized form of ``bm25_prf_topk`` with zero corpus tokenizes:
+    both BM25 passes are ``bm25_probe_index`` (bucket-pruned postings
+    scans), and the feedback term counts come from the postings table
+    itself (tf summed over the |queries|×n_feedback broadcast doc set
+    — per-(doc, word) tf rows ARE the exploded-token counts, so the
+    expansion pick is identical). Row-for-row equal to the in-query
+    form on the indexed corpus (pinned in tests/test_text_index.py)."""
+    from pyspark.sql import Window as W
+
+    from ..sources.catalog import read_text_index
+
+    queries = queries.localCheckpoint()
+    r1 = bm25_probe_index(spark, path, queries, k=n_feedback, n_salts=n_salts)
+    fb = r1.select("q_id", "doc_id").localCheckpoint()
+    postings, _tot = read_text_index(spark, path)
+    ftf = (
+        postings.join(F.broadcast(fb), "doc_id")
+        .filter(~F.col("word").isin(list(stop_words)))
+        .join(
+            queries.select("q_id", F.col("term").alias("word")),
+            ["q_id", "word"],
+            "left_anti",
+        )
+        .groupBy("q_id", "word")
+        .agg(F.sum("tf").alias("tf_fb"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("tf_fb").desc(), "word")
+    exp = (
+        ftf.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_expansion)
+        .select("q_id", F.col("word").alias("term"))
+    )
+    q2 = queries.select("q_id", "term").unionByName(exp).distinct()
+    return bm25_probe_index(spark, path, q2, k=k, n_salts=n_salts)
+
+
 def phrase_probe_index(
     spark,
     path: str,

@@ -320,3 +320,28 @@ def test_delete_crash_window_never_double_subtracts(spark, docs, tmp_path):
     got = _rows(bm25_probe_index(spark, p, _q(spark), k=10))
     want = _rows(bm25_probe_index(spark, ref_path, _q(spark), k=10))
     assert got == want and got
+
+
+def test_prf_probe_equals_in_query_two_pass_form(spark, docs, index):
+    """bm25_prf_probe_index (both passes + the feedback term counts
+    served from the index — zero corpus tokenizes) must equal the
+    in-query bm25_prf_topk row-for-row: the postings' per-(doc, word)
+    tf rows ARE the exploded-token counts the in-query expansion
+    aggregates, so the expansion picks and both rankings coincide."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.retrieval import (
+        bm25_prf_probe_index,
+        bm25_prf_topk,
+    )
+
+    q = _q(spark)
+    got = _rows(bm25_prf_probe_index(spark, index, q, k=10))
+    want = _rows(bm25_prf_topk(docs, q, k=10))
+    assert got == want and got
+    # and the probe plan never tokenizes the corpus
+    plan = (
+        bm25_prf_probe_index(spark, index, q, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "documents.parquet" not in plan
