@@ -185,30 +185,35 @@ def bm25_prf_topk(
     BM25's own convention here), so the whole composition hash-matches
     its generated oracle (plans/datapipe.py:_bm25_prf_oracle).
 
-    Scale shape: two ``bm25_topk`` passes (each one corpus tokenize +
-    the pre-shrunk query-term postings — both amortizable to index
-    probes via ``bm25_probe_index``) plus one feedback-term count
-    whose input is pruned by a broadcast semi-join on the
-    |queries|×n_feedback doc set BEFORE aggregation; the expansion
-    rank's window partitions hold only a feedback set's vocabulary.
+    Scale shape: ONE corpus tokenize total — the full postings
+    relation (already materialized inside ``corpus_postings``) feeds
+    both BM25 passes via per-pass broadcast dictionary semi-joins AND
+    the feedback-term counts (per-(doc, word) tf rows ARE the
+    exploded-token counts), so the second pass and the expansion ride
+    the same postings the first pass built. The feedback count's input
+    is pruned by a broadcast semi-join on the |queries|×n_feedback doc
+    set BEFORE aggregation; the expansion rank's window partitions
+    hold only a feedback set's vocabulary. The whole pipeline
+    amortizes to index probes via ``bm25_prf_probe_index``.
 
     Returns (q_id, doc_id, score_ppm, rank), UNORDERED."""
     from pyspark.sql import Window as W
 
-    from ..functions.text import tokens
-
     queries = queries.localCheckpoint()
-    r1 = bm25_topk(
-        docs, queries, k=n_feedback, id_col=id_col, text_col=text_col,
-        n_salts=n_salts,
-    )
+    tf_dl, corp = corpus_postings(docs, id_col, text_col)
+    corp = corp.localCheckpoint()
+
+    def one_pass(q: DataFrame, kk: int) -> DataFrame:
+        qterms = q.select(F.col("term")).distinct()
+        shrunk = tf_dl.join(
+            F.broadcast(qterms), tf_dl.word == qterms.term, "leftsemi"
+        )
+        return _bm25_rank(shrunk, corp, q, kk, n_salts)
+
+    r1 = one_pass(queries, n_feedback)
     fb = r1.select("q_id", "doc_id").localCheckpoint()
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokens(F.col(text_col))).alias("word"),
-    )
     ftf = (
-        toks.join(F.broadcast(fb), "doc_id")
+        tf_dl.join(F.broadcast(fb), "doc_id")
         .filter(~F.col("word").isin(list(stop_words)))
         .join(
             queries.select(
@@ -218,7 +223,7 @@ def bm25_prf_topk(
             "left_anti",
         )
         .groupBy("q_id", "word")
-        .agg(F.count(F.lit(1)).alias("tf_fb"))
+        .agg(F.sum("tf").alias("tf_fb"))
     )
     w = W.partitionBy("q_id").orderBy(F.col("tf_fb").desc(), "word")
     exp = (
@@ -227,9 +232,7 @@ def bm25_prf_topk(
         .select("q_id", F.col("word").alias("term"))
     )
     q2 = queries.select("q_id", "term").unionByName(exp).distinct()
-    return bm25_topk(
-        docs, q2, k=k, id_col=id_col, text_col=text_col, n_salts=n_salts
-    )
+    return one_pass(q2, k)
 
 
 def bm25_probe_index(
