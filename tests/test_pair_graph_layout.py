@@ -124,3 +124,21 @@ def test_tombstone_delete_equals_rebuild_then_compact(spark, tmp_path):
     prune_pair_graph_generations(spark, p)
     assert not os.path.isdir(f"{p}/pairs") and not os.path.isdir(f"{p}/nodes")
     assert analytics(p) == got
+
+
+def test_kcore_and_clusters_from_layout_equal_in_query(spark, layout):
+    """k-core peeling replayed from the persisted pair graph must
+    equal the registered in-query form (same build params), extending
+    the layout's analytics coverage beyond pagerank/triangles —
+    every graph query family replays from the one persisted pass."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.graph import kcore
+
+    pairs, nodes, _ = read_pair_graph(spark, layout)
+    got = sorted(
+        tuple(r) for r in kcore(pairs, nodes, k=2, rounds=4).collect()
+    )
+    ref = sorted(
+        tuple(r)
+        for r in registry.QUERIES["dedup_graph_kcore"](spark, SF).collect()
+    )
+    assert got == ref and got
