@@ -516,8 +516,13 @@ def rake_keywords(
     seg = toks.withColumn(
         "is_stop", F.col("word").isin(list(stop_words)).cast("int")
     ).withColumn("pid", F.sum("is_stop").over(w))
-    members = seg.filter(F.col("is_stop") == 0).select(
-        "doc_id", "pid", "pos", "word"
+    # members fans out three ways (occ, the plen join, word scores)
+    # and its lineage is the corpus tokenize — materialize once
+    # (4 -> 1 corpus scans, audited via tools/plan_audit.py)
+    members = (
+        seg.filter(F.col("is_stop") == 0)
+        .select("doc_id", "pid", "pos", "word")
+        .localCheckpoint()
     )
     # one phrase occurrence per (doc, pid): its text and length
     occ = members.groupBy("doc_id", "pid").agg(
