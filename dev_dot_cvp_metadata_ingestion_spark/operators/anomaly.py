@@ -32,7 +32,10 @@ def window_counts(
     shuffle with map-side combine; the shared front half of batch and
     streaming anomaly detection. ``window_start`` crosses the engine
     boundary as a formatted string (repo determinism rule: never raw
-    timestamps)."""
+    timestamps). Production monitoring serves every detector from the
+    PERSISTED form of this relation instead of recomputing it per
+    detector — sources/catalog.py:write_window_counts (r11: probe ≡
+    in-query pinned for all seven detectors; one corpus pass total)."""
     return (
         events.groupBy(
             F.date_format(F.date_trunc("hour", ts_col), "yyyy-MM-dd HH:mm:ss").alias(
