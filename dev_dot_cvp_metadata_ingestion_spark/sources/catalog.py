@@ -1557,6 +1557,131 @@ def compact_window_counts(spark: SparkSession, path: str) -> None:
     )
 
 
+def write_word_counts(
+    docs: DataFrame, path: str, folded: bool = False,
+    source_col: str = "source", text_col: str = "text",
+) -> None:
+    """Persist the TEXT-STATISTICS family's shared front half — the
+    (source, word, c_sw) unigram count relation that distribution
+    drift, exact heavy hitters, per-source vocabularies, and source
+    overlaps all derive from. The corpus TOKENIZE (the single most
+    expensive pass in the text family) is paid here once; every
+    consumer then aggregates a vocabulary-scale relation.
+
+    ``folded=True`` tokenizes through the engine-stable ASCII fold
+    (the vocab/overlap family's convention); ``folded=False`` keeps
+    raw tokens (the drift / heavy-hitters convention). The flag rides
+    the ``meta`` sidecar so probes can't silently mix conventions.
+
+    On-disk format = the delta state the streaming drift monitor
+    (streaming/stream.py:drift_monitor_sink) already maintains:
+    batch_id-partitioned additive deltas re-aggregated at read, so a
+    sink-maintained path reads back with no conversion (pinned in
+    tests/test_word_counts_layout.py, with probe ≡ in-query pins for
+    drift, heavy hitters, vocab, and overlap)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import ascii_lower, tokens
+    from ..operators.drift import word_counts
+
+    expr = (
+        tokens(ascii_lower(F.col(text_col)))
+        if folded
+        else tokens(F.col(text_col))
+    )
+    (
+        word_counts(
+            docs.select(F.col(source_col).alias("source"), text_col), expr
+        )
+        .withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(f"{path}/counts")
+    )
+    docs.sparkSession.createDataFrame(
+        [(bool(folded),)], "folded boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def append_word_counts(
+    docs: DataFrame, path: str, batch_id: int | None = None,
+    source_col: str = "source", text_col: str = "text",
+) -> None:
+    """Fold a new document shard into a persisted word-count relation
+    as an additive delta partition (tokenized with the LAYOUT's
+    recorded fold — convention drift between build and append is
+    impossible). Explicit ``batch_id`` makes re-delivery idempotent
+    (dynamic partition overwrite), same device as the streaming
+    sinks."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import ascii_lower, tokens
+    from ..operators.drift import word_counts
+
+    if docs.isEmpty():
+        return
+    spark = docs.sparkSession
+    folded = bool(spark.read.parquet(f"{path}/meta").first()["folded"])
+    expr = (
+        tokens(ascii_lower(F.col(text_col)))
+        if folded
+        else tokens(F.col(text_col))
+    )
+    if batch_id is None:
+        prev = (
+            spark.read.parquet(f"{path}/counts")
+            .agg(F.max("batch_id"))
+            .first()[0]
+        )
+        batch_id = int(prev) + 1 if prev is not None else 0
+    (
+        word_counts(
+            docs.select(F.col(source_col).alias("source"), text_col), expr
+        )
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{path}/counts")
+    )
+
+
+def read_word_counts(spark: SparkSession, path: str) -> DataFrame:
+    """The canonical (source, word, c_sw) relation from a persisted
+    delta table — re-aggregate the additive batch deltas. Every
+    consumer in operators/drift.py (and the heavy-hitter / vocab /
+    overlap probes) takes exactly this relation. Accepts either a
+    full layout root (``counts/`` + ``meta/``) or a BARE delta dir —
+    the form ``drift_monitor_sink`` maintains at its counts_path — so
+    streaming state reads back with no conversion."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    base = f"{path}/counts" if os.path.isdir(f"{path}/counts") else path
+    return (
+        spark.read.parquet(base)
+        .groupBy("source", "word")
+        .agg(F.sum("c_sw").alias("c_sw"))
+    )
+
+
+def compact_word_counts(spark: SparkSession, path: str) -> None:
+    """Fold the accumulated delta partitions into a single batch_id=0
+    partition (config-scale, re-derivable — the ``compact_window_
+    counts`` trade)."""
+    from pyspark.sql import functions as F
+
+    folded = read_word_counts(spark, path).withColumn(
+        "batch_id", F.lit(0)
+    ).localCheckpoint()
+    (
+        folded.write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(f"{path}/counts")
+    )
+
+
 def write_pq_layout(
     emb: DataFrame,
     path: str,

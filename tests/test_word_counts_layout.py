@@ -1,0 +1,173 @@
+"""Persisted word-count relation (the text-statistics family's shared
+front half, tenth build-once layout): distribution drift, exact heavy
+hitters, per-source vocabularies, and source overlaps probed over
+``read_word_counts`` must return EXACTLY their registered in-query
+rows; delta appends re-aggregate to the bootstrap; the streaming drift
+monitor's bare delta dir reads back with no conversion; the fold
+convention rides the meta sidecar."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from dev_dot_cvp_metadata_ingestion_spark.operators.drift import (
+    source_drift_from_counts,
+    word_counts,
+)
+from dev_dot_cvp_metadata_ingestion_spark.plans import registry
+from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+    append_word_counts,
+    compact_word_counts,
+    load_table,
+    read_word_counts,
+    write_word_counts,
+)
+
+registry.load_all()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def raw_layout(spark, docs, tmp_path_factory, sf_dir):
+    p = str(tmp_path_factory.mktemp("wc_raw") / "layout")
+    write_word_counts(docs, p, folded=False)
+    return p
+
+
+@pytest.fixture(scope="module")
+def folded_layout(spark, docs, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("wc_fold") / "layout")
+    write_word_counts(docs, p, folded=True)
+    return p
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_drift_probe_equals_in_query(spark, raw_layout, sf_dir):
+    got = _rows(source_drift_from_counts(read_word_counts(spark, raw_layout)))
+    want = _rows(registry.QUERIES["corpus_source_drift"](spark, sf_dir))
+    assert got == want and got
+
+
+def test_heavy_hitters_probe_equals_in_query(spark, raw_layout, sf_dir):
+    """Exact heavy hitters derived from the persisted counts (the
+    aggregated relation makes the MG sketch unnecessary — sums over
+    sources ARE the global counts) must equal the registered query."""
+    wc = read_word_counts(spark, raw_layout)
+    gw = wc.groupBy("word").agg(F.sum("c_sw").alias("n_occurrences"))
+    tot = gw.agg(F.sum("n_occurrences").alias("n_total"))
+    probe = (
+        gw.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("n_occurrences").cast("decimal(38,0)") * 1_000_000
+            > F.lit(500).cast("decimal(38,0)") * F.col("n_total")
+        )
+        .select(
+            "word",
+            "n_occurrences",
+            F.expr(
+                "CAST(CAST(n_occurrences AS DECIMAL(38,0)) * 1000000"
+                " div n_total AS BIGINT)"
+            ).alias("freq_ppm"),
+        )
+    )
+    got = _rows(probe)
+    want = _rows(registry.QUERIES["corpus_heavy_hitters"](spark, sf_dir))
+    assert got == want and got
+
+
+def test_vocab_and_overlap_probes_equal_in_query(
+    spark, folded_layout, sf_dir
+):
+    wc = read_word_counts(spark, folded_layout)
+    per = wc.groupBy("source").agg(
+        F.count_distinct("word").alias("n_distinct_tokens")
+    )
+    total = wc.select("word").distinct().agg(
+        F.count(F.lit(1)).alias("n_distinct_tokens")
+    ).select(F.lit("__all__").alias("source"), "n_distinct_tokens")
+    got = _rows(per.unionByName(total))
+    want = _rows(registry.QUERIES["corpus_vocab_by_source"](spark, sf_dir))
+    assert got == want and got
+
+    post = wc.select("source", F.col("word").alias("token"))
+    sizes = post.groupBy("source").agg(F.count(F.lit(1)).alias("vocab"))
+    a = post.select(F.col("source").alias("source_a"), "token")
+    b = post.select(F.col("source").alias("source_b"), "token")
+    shared = (
+        a.join(b, ["token"])
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("vocab").alias("vocab_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("vocab").alias("vocab_b")
+    )
+    ov = (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a", "source_b", "n_shared", "vocab_a", "vocab_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )
+    got = _rows(ov)
+    want = _rows(registry.QUERIES["corpus_source_overlap"](spark, sf_dir))
+    assert got == want and got
+
+
+def test_append_deltas_and_compaction(spark, docs, tmp_path):
+    p = str(tmp_path / "inc")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    write_word_counts(first, p, folded=False)
+    append_word_counts(second, p, batch_id=1)
+    from dev_dot_cvp_metadata_ingestion_spark.functions.text import tokens
+
+    want = _rows(word_counts(docs, tokens(F.col("text"))))
+    assert _rows(read_word_counts(spark, p)) == want
+    append_word_counts(second, p, batch_id=1)  # redelivery idempotent
+    assert _rows(read_word_counts(spark, p)) == want
+    compact_word_counts(spark, p)
+    ids = [
+        r.batch_id
+        for r in spark.read.parquet(f"{p}/counts")
+        .select("batch_id").distinct().collect()
+    ]
+    assert ids == [0]
+    assert _rows(read_word_counts(spark, p)) == want
+
+
+def test_streaming_drift_state_reads_back(spark, docs, tmp_path):
+    """A counts dir maintained by drift_monitor_sink's delta writes
+    reads back through read_word_counts with no conversion."""
+    from dev_dot_cvp_metadata_ingestion_spark.functions.text import tokens
+    from dev_dot_cvp_metadata_ingestion_spark.streaming.stream import (
+        drift_monitor_sink,
+    )
+
+    counts_p = str(tmp_path / "counts")
+    report_p = str(tmp_path / "report")
+    sink = drift_monitor_sink(counts_p, report_p)
+    halves = [
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    ]
+    for i, h in enumerate(halves):
+        sink(h, i)
+    assert _rows(read_word_counts(spark, counts_p)) == _rows(
+        word_counts(docs, tokens(F.col("text")))
+    )
