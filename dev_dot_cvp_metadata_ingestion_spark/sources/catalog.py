@@ -671,7 +671,10 @@ def delete_from_ivf_layout(
     existing = _read_tombstones(spark, path)
     if existing is not None:
         ids = ids.join(existing.select("vec_id"), "vec_id", "left_anti")
-    ids.write.mode("append").parquet(f"{path}/tombstones")
+    # materialize before appending to the dir the anti-join reads
+    ids.localCheckpoint().write.mode("append").parquet(
+        f"{path}/tombstones"
+    )
 
 
 def compact_ivf_layout(spark: SparkSession, path: str) -> None:
@@ -859,7 +862,10 @@ def delete_from_lsh_index(
     existing = _read_tombstones(spark, path)
     if existing is not None:
         ids = ids.join(existing.select("doc_id"), "doc_id", "left_anti")
-    ids.write.mode("append").parquet(f"{path}/tombstones")
+    # materialize before appending to the dir the anti-join reads
+    ids.localCheckpoint().write.mode("append").parquet(
+        f"{path}/tombstones"
+    )
 
 
 def compact_lsh_index(spark: SparkSession, path: str) -> None:
@@ -997,7 +1003,10 @@ def delete_from_pair_graph(
     existing = _read_tombstones(spark, path)
     if existing is not None:
         ids = ids.join(existing.select("doc_id"), "doc_id", "left_anti")
-    ids.write.mode("append").parquet(f"{path}/tombstones")
+    # materialize before appending to the dir the anti-join reads
+    ids.localCheckpoint().write.mode("append").parquet(
+        f"{path}/tombstones"
+    )
 
 
 def compact_pair_graph(spark: SparkSession, path: str) -> None:
@@ -1771,7 +1780,10 @@ def delete_from_pq_layout(
     existing = _read_tombstones(spark, path)
     if existing is not None:
         ids = ids.join(existing.select("vec_id"), "vec_id", "left_anti")
-    ids.write.mode("append").parquet(f"{path}/tombstones")
+    # materialize before appending to the dir the anti-join reads
+    ids.localCheckpoint().write.mode("append").parquet(
+        f"{path}/tombstones"
+    )
 
 
 def append_pq_layout(
@@ -1960,7 +1972,10 @@ def delete_from_ivf_pq_layout(
     existing = _read_tombstones(spark, path)
     if existing is not None:
         ids = ids.join(existing.select("vec_id"), "vec_id", "left_anti")
-    ids.write.mode("append").parquet(f"{path}/tombstones")
+    # materialize before appending to the dir the anti-join reads
+    ids.localCheckpoint().write.mode("append").parquet(
+        f"{path}/tombstones"
+    )
 
 
 def append_ivf_pq_layout(
@@ -2223,7 +2238,10 @@ def delete_from_ivf_pq_residual_layout(
     existing = _read_tombstones(spark, path)
     if existing is not None:
         ids = ids.join(existing.select("vec_id"), "vec_id", "left_anti")
-    ids.write.mode("append").parquet(f"{path}/tombstones")
+    # materialize before appending to the dir the anti-join reads
+    ids.localCheckpoint().write.mode("append").parquet(
+        f"{path}/tombstones"
+    )
 
 
 def append_ivf_pq_residual_layout(
