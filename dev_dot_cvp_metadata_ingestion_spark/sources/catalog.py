@@ -143,22 +143,30 @@ def write_sorted_layout(
     )
 
 
-def zorder_value(a, b, a_min: int, a_max: int, b_min: int, b_max: int,
-                 bits: int = 16):
-    """Z-order (Morton) key of two integer columns: each value is
-    quantized to a ``bits``-bit rank inside its [min, max] domain and
-    the bits are interleaved, so numerically-close (a, b) pairs get
-    numerically-close z values. Pure integer Column arithmetic —
-    shifts/masks inside whole-stage codegen, no UDF."""
+def zorder_value(a_col: str, b_col: str, a_min: int, a_max: int,
+                 b_min: int, b_max: int, bits: int = 16):
+    """Z-order (Morton) key of two integer columns (by NAME): each
+    value is quantized to a ``bits``-bit rank inside its [min, max]
+    domain and the bits are interleaved, so numerically-close (a, b)
+    pairs get numerically-close z values. Pure integer Column
+    arithmetic — truncating div, shifts, masks, all inside whole-stage
+    codegen, no UDF. Overflow-safe: the offset is divided by the
+    bucket width (span div 2^bits) instead of multiplied by 2^bits
+    first ((a−min)·65535 would wrap int64 on wide BIGINT domains),
+    and the rank is clamped so the interleave never sees bit 16+."""
     from pyspark.sql import functions as F
 
-    span_a = max(1, int(a_max) - int(a_min))
-    span_b = max(1, int(b_max) - int(b_min))
     top = (1 << bits) - 1
-    qa = ((a.cast("long") - F.lit(int(a_min))) * F.lit(top)) / F.lit(span_a)
-    qb = ((b.cast("long") - F.lit(int(b_min))) * F.lit(top)) / F.lit(span_b)
-    qa = F.floor(qa).cast("long")
-    qb = F.floor(qb).cast("long")
+    step_a = max(1, (int(a_max) - int(a_min)) // top or 1)
+    step_b = max(1, (int(b_max) - int(b_min)) // top or 1)
+    qa = F.least(
+        F.expr(f"(`{a_col}` - {int(a_min)}L) div {step_a}L").cast("long"),
+        F.lit(top).cast("long"),
+    )
+    qb = F.least(
+        F.expr(f"(`{b_col}` - {int(b_min)}L) div {step_b}L").cast("long"),
+        F.lit(top).cast("long"),
+    )
     z = F.lit(0).cast("long")
     for i in range(bits):
         z = z.bitwiseOR(
@@ -206,8 +214,7 @@ def write_zorder_layout(
         df.write.mode("overwrite").parquet(path)
         return
     z = zorder_value(
-        F.col(col_a), F.col(col_b),
-        row["a0"], row["a1"], row["b0"], row["b1"], bits=bits,
+        col_a, col_b, row["a0"], row["a1"], row["b0"], row["b1"], bits=bits,
     )
     (
         df.withColumn("_z", z)
