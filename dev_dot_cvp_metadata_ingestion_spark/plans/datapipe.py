@@ -6128,6 +6128,11 @@ def corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     asks before re-weighting (cf. the DSIR resampler, which needs
     exactly this kind of proportion audit as its sanity check).
 
+    Production serving replays from the persisted word-count relation
+    (sources/catalog.py:write_word_counts, raw-token convention; probe
+    ≡ this query pinned in tests/test_word_counts_layout.py) — one
+    corpus tokenize for the whole text-statistics family.
+
     TV needs |p(w) − q(w)| over ALL words including those ABSENT from
     a source; the absent mass is recovered without any source×vocab
     cross join via the identity
@@ -6626,7 +6631,10 @@ def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-matching tokens; the only full pass is the map-side
     sketch and the single-row total count. At the test vocabulary
     (~30 words, all frequent) the sketch prunes nothing — the planted
-    skew pruning evidence lives in tests/test_heavy_hitters.py."""
+    skew pruning evidence lives in tests/test_heavy_hitters.py. Over
+    a PERSISTED word-count relation the sketch is unnecessary — see
+    sources/catalog.py:write_word_counts and the exact-from-counts
+    probe pin (tests/test_word_counts_layout.py)."""
     from ..operators.heavy_hitters import heavy_hitters
 
     d = load_table(spark, sf_dir, "documents")
