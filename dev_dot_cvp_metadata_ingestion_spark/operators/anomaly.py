@@ -424,6 +424,72 @@ def acf_from_counts(wc: DataFrame, max_lag: int = 3) -> DataFrame:
     )
 
 
+def forecast_next_window(wc: DataFrame) -> DataFrame:
+    """One-step-ahead forecast of each type's next hourly count — the
+    capacity-planning compose of the family's two baseline models:
+    OLS trend extrapolated one index past the series end plus the
+    hour-of-day seasonal index (per-(type, hod) mean minus the type's
+    global mean), all in exact floor-milli integers:
+
+        forecast_milli = intercept_milli + slope_micro·m div 1000
+                         + hod_mean_milli(next hod) − mean_milli
+
+    The next window is the last window + 1 hour (timestamp arithmetic
+    on the formatted string — UTC is pinned by the session, so both
+    engines roll the hour identically, midnight wrap included). A next
+    hod never observed in the history leaves the seasonal index NULL
+    and the forecast NULL (propagated, not invented). Degenerate
+    series (m = 1, zero x-variance) propagate the trend family's NULL.
+
+    Scale shape: everything derives from the bounded count relation —
+    one |types|-row moment aggregate (trend), one |types|×24 seasonal
+    relation, one |types|-row as-of pick of the last window. Returns
+    (event_type, next_window, m, forecast_milli)."""
+    wc = wc.localCheckpoint()
+    tr = trend_from_counts(wc)
+    mean_expr = (
+        "CAST(CAST(sum(n_events) AS DECIMAL(38,0)) * 1000 div count(*)"
+        " AS BIGINT)"
+    )
+    glob = wc.groupBy("event_type").agg(
+        F.expr(mean_expr).alias("mean_milli")
+    )
+    hod_means = (
+        wc.withColumn("hod", F.substring("window_start", 12, 2))
+        .groupBy("event_type", "hod")
+        .agg(F.expr(mean_expr).alias("hod_mean_milli"))
+    )
+    last = wc.groupBy("event_type").agg(
+        F.max("window_start").alias("last_ws")
+    )
+    nxt = last.select(
+        "event_type",
+        F.date_format(
+            F.to_timestamp("last_ws") + F.expr("INTERVAL 1 HOUR"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("next_window"),
+    ).withColumn("hod", F.substring("next_window", 12, 2))
+    return (
+        nxt.join(F.broadcast(tr), "event_type")
+        .join(F.broadcast(glob), "event_type")
+        .join(F.broadcast(hod_means), ["event_type", "hod"], "left")
+        .select(
+            "event_type",
+            "next_window",
+            "m",
+            (
+                F.col("intercept_milli")
+                + F.expr(
+                    "CAST(CAST(slope_micro AS DECIMAL(38,0)) * m div 1000"
+                    " AS BIGINT)"
+                )
+                + F.col("hod_mean_milli")
+                - F.col("mean_milli")
+            ).alias("forecast_milli"),
+        )
+    )
+
+
 def seasonal_decompose_counts(wc: DataFrame, period: int = 24) -> DataFrame:
     """Classical additive seasonal decomposition of the per-type hourly
     count series — count = trend + seasonal + residual — the

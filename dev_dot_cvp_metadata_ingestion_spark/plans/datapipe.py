@@ -7724,6 +7724,90 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_hourly_forecast",
+    oracle="""
+    WITH wc AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+             event_type,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+                                        ORDER BY window_start) - 1
+                     AS BIGINT) AS x
+      FROM wc
+    ),
+    st AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(n_events) AS HUGEINT) AS sy,
+             sum(CAST(x AS HUGEINT) * n_events) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx
+      FROM d GROUP BY event_type
+    ),
+    tr AS (
+      SELECT event_type, m,
+             CAST(((m * sxy - sx * sy) * 1000000)
+                  // nullif(m * sxx - sx * sx, 0) AS BIGINT)
+               AS slope_micro,
+             CAST(((sy * sxx - sx * sxy) * 1000)
+                  // nullif(m * sxx - sx * sx, 0) AS BIGINT)
+               AS intercept_milli
+      FROM st
+    ),
+    gm AS (
+      SELECT event_type,
+             CAST(CAST(sum(n_events) AS HUGEINT) * 1000 // count(*)
+                  AS BIGINT) AS mean_milli
+      FROM wc GROUP BY 1
+    ),
+    hm AS (
+      SELECT event_type, substr(window_start, 12, 2) AS hod,
+             CAST(CAST(sum(n_events) AS HUGEINT) * 1000 // count(*)
+                  AS BIGINT) AS hod_mean_milli
+      FROM wc GROUP BY 1, 2
+    ),
+    nxt AS (
+      SELECT event_type,
+             strftime(strptime(max(window_start), '%Y-%m-%d %H:%M:%S')
+                      + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S')
+               AS next_window
+      FROM wc GROUP BY 1
+    )
+    SELECT n.event_type, n.next_window, t.m,
+           t.intercept_milli
+           + CAST(CAST(t.slope_micro AS HUGEINT) * t.m // 1000 AS BIGINT)
+           + h.hod_mean_milli - g.mean_milli AS forecast_milli
+    FROM nxt n
+    JOIN tr t USING (event_type)
+    JOIN gm g USING (event_type)
+    LEFT JOIN hm h
+      ON h.event_type = n.event_type
+     AND h.hod = substr(n.next_window, 12, 2)
+    ORDER BY event_type
+    """,
+)
+def events_hourly_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead hourly volume forecast per event type
+    (operators/anomaly.py:forecast_next_window) — the capacity-
+    planning compose of the monitoring family's two baseline models:
+    OLS trend extrapolated one index past the series end plus the
+    hour-of-day seasonal index (per-(type, hod) mean minus the global
+    mean), all exact floor-milli. The next window rolls the last
+    formatted window_start by one hour in UTC (pinned session tz), so
+    both engines wrap midnight identically. Everything derives from
+    the bounded count relation (servable from the persisted
+    window-counts layout)."""
+    from ..operators.anomaly import forecast_next_window, window_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return forecast_next_window(window_counts(ev)).orderBy("event_type")
+
+
+@register(
     "events_mad_anomaly",
     oracle="""
     WITH wc AS (

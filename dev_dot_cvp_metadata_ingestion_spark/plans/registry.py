@@ -241,6 +241,7 @@ BACK: tuple[str, ...] = (
     "events_autocorrelation",
     "text_bm25_prf",
     "text_rake_keywords",
+    "events_hourly_forecast",
 )
 
 

@@ -82,6 +82,7 @@ AT_RISK = [
     "events_mad_anomaly",          # median picks over zero windows
     "events_hourly_trend",         # OLS moments over zero windows
     "events_autocorrelation",      # lag pairs over zero windows
+    "events_hourly_forecast",      # trend/seasonal joins over zero windows
     "text_collocations_pmi",       # marginals/scalar B on empty corpus
     "embedding_outliers",          # kmeans + fence on empty embeddings
     "embedding_silhouette",        # two-nearest ranks on empty embeddings

@@ -66,6 +66,7 @@ SENSITIVE = [
     "dedup_graph_kcore",     # shrinking alive-set semi-join rounds
     "events_cusum_alarm",    # type-partitioned prefix windows
     "events_autocorrelation",  # row_number series index + lag self-join
+    "events_hourly_forecast",  # trend moments + hod means + as-of pick
     "events_mad_anomaly",    # row_number median/MAD picks
     "events_seasonal_decomposition",  # centered frames + seasonal join
     "events_markov_stationary",  # checkpointed ppm rounds
