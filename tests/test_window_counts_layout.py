@@ -14,6 +14,7 @@ import pytest
 from dev_dot_cvp_metadata_ingestion_spark.operators.anomaly import (
     acf_from_counts,
     cusum_from_counts,
+    forecast_next_window,
     mad_anomalies_from_counts,
     seasonal_anomalies_from_counts,
     seasonal_decompose_counts,
@@ -37,6 +38,7 @@ DETECTORS = [
     trend_from_counts,
     seasonal_decompose_counts,
     acf_from_counts,  # r11: the series-memory diagnostic probes too
+    forecast_next_window,  # r11: one-step-ahead forecast probes too
 ]
 
 
