@@ -64,18 +64,17 @@ def query_names() -> list[str]:
 # row keeps the strongest (hash) check. embedding_quantize stays for
 # its first green row after the r8 surface fix (long form).
 BOARD: tuple[str, ...] = (
-    # ROTATION (round 11, VERDICT r10 item 1): the 18 never-driver-
-    # checked round-10 additions swapped in (monitoring/analytics
-    # family — CUSUM, seasonal anomaly + decomposition, MAD, OLS
-    # trend, Markov stationary, user outliers, association rules,
-    # Welch A/B, robust stats; retrieval — phrase search, PMI
-    # collocations; ANN — residual IVF-PQ, MMR rerank, range search;
-    # graph k-core; embedding outliers + silhouette). The 18 original
-    # reps that yielded each carried 2+ consecutive fully-green
-    # driver rounds (many since r6) and remain hash-checked locally
-    # every pytest run. The 19 round-10-rotated rows stay for their
-    # second green round; the 13 round-9 first-timers (incl.
-    # embedding_quantize) stay with two greens (r9+r10 / r10).
+    # ROTATION (round 12, VERDICT r11 item 1): the 18 round-11
+    # first-timers stay for their second green round; the 5 round-11
+    # BACK additions (MMR-over-IVF, autocorrelation, BM25 PRF, RAKE,
+    # hourly forecast) rotate in for their first driver rows; the 32
+    # rows that yielded (19 r10-rotated + 13 r9 first-timers, each
+    # with 2-3 consecutive fully-green driver rounds) make room for a
+    # SURVEY §2 RE-AUDIT LAP — 27 returning core-surface reps, chosen
+    # longest-since-checked first (the r9-rotated TPC-H/CVP reps last
+    # saw a driver row in r8; the r11-rotated ones in r10), so the
+    # reference's core surface regains current driver rows after the
+    # all-beyond-reference r11 board.
     "events_cusum_alarm",
     "events_seasonal_anomaly",
     "events_mad_anomaly",
@@ -94,7 +93,48 @@ BOARD: tuple[str, ...] = (
     "dedup_graph_kcore",
     "embedding_outliers",
     "embedding_silhouette",
-    # --- round-10 rotation, second driver rows this round ---
+    # --- round-11 BACK additions, first driver rows this round ---
+    "ann_mmr_rerank_ivf",
+    "events_autocorrelation",
+    "text_bm25_prf",
+    "text_rake_keywords",
+    "events_hourly_forecast",
+    # --- SURVEY §2 re-audit lap: longest-since-checked first ---
+    # (last driver rows r8 — rotated off in round 9)
+    "pricing_summary",
+    "revenue_by_nation",
+    "lineitem_status_cube",
+    "cv_validation_tallies",
+    "cv_sequential_checks_gated",
+    "file_metrics_counters",
+    "events_asof_last_signup",
+    "top_orders_per_priority",
+    "customers_without_orders",
+    "order_priority_rollup",
+    "part_brand_setops",
+    "supplier_balance_running",
+    "cv_now_token_validation",
+    "cv_conditional_validation",
+    "cv_message_metrics",
+    "cv_error_histogram",
+    "url_decoded_keys",
+    "events_props_map",
+    # (last driver rows r10 — rotated off in round 11)
+    "cv_validation_results",
+    "cv_sequential_checks",
+    "rules_catalog",
+    "csv_rule_validation",
+    "file_metadata_docs",
+    "suppliers_with_large_shipments",
+    "orders_grouping_sets",
+    "orders_status_pivot",
+    "events_hourly_windows",
+)
+
+BACK: tuple[str, ...] = (
+    # --- rotated off the board in round 12 (2-3 green driver rounds
+    # each; family coverage continues via the local hash-parity
+    # suite, which sweeps every registered query each pytest run) ---
     "documents_perplexity_buckets",
     "documents_repeated_substrings",
     "documents_substring_dup_stats",
@@ -127,21 +167,9 @@ BOARD: tuple[str, ...] = (
     "dedup_containment_pairs_capped",
     "embedding_kmeans",
     "embedding_quantize",
-)
-
-BACK: tuple[str, ...] = (
     # --- rotated off the board in round 11 (2+ green driver rounds
     # each, most since r6; family coverage continues via the promoted
     # variants and the local hash-parity suite) ---
-    "suppliers_with_large_shipments",
-    "orders_grouping_sets",
-    "orders_status_pivot",
-    "cv_validation_results",
-    "cv_sequential_checks",
-    "file_metadata_docs",
-    "events_hourly_windows",
-    "rules_catalog",
-    "csv_rule_validation",
     "documents_curation_funnel",
     "documents_contamination",
     "documents_budget_selected",
@@ -174,14 +202,8 @@ BACK: tuple[str, ...] = (
     "events_sessionize",
     "multimodal_frames",
     # --- rotated off the board in round 9 (2+ green driver rounds
-    # each — r7+r8; family coverage continues via the promoted variants
-    # and the local hash-parity suite) ---
-    "revenue_by_nation",
-    "lineitem_status_cube",
-    "cv_validation_tallies",
-    "cv_sequential_checks_gated",
-    "file_metrics_counters",
-    "events_asof_last_signup",
+    # each — r7+r8; the §2-core reps among them returned to the board
+    # for the round-12 re-audit lap) ---
     "text_tfidf_top_terms",
     "documents_chunked",
     "documents_packed",
@@ -201,21 +223,9 @@ BACK: tuple[str, ...] = (
     "ann_knn_join",
     "events_top_transitions",
     "multimodal_features",
-    "pricing_summary",
     "corpus_vocab_by_source",
     "dedup_embedding_pairs",
     "ann_bruteforce_topk",
-    "top_orders_per_priority",
-    "customers_without_orders",
-    "order_priority_rollup",
-    "part_brand_setops",
-    "supplier_balance_running",
-    "cv_now_token_validation",
-    "cv_conditional_validation",
-    "cv_message_metrics",
-    "cv_error_histogram",
-    "url_decoded_keys",
-    "events_props_map",
     "text_lang_id",
     "text_fingerprints",
     "text_token_counts",
@@ -236,12 +246,6 @@ BACK: tuple[str, ...] = (
     # --- round-9 additions not board-eligible (no SQL oracle; PCA's
     # driver-side eigensolve is Python-replica-pinned instead) ---
     "embedding_pca_projected",
-    # --- round-11 additions (first driver row next rotation) ---
-    "ann_mmr_rerank_ivf",
-    "events_autocorrelation",
-    "text_bm25_prf",
-    "text_rake_keywords",
-    "events_hourly_forecast",
 )
 
 

