@@ -8345,6 +8345,7 @@ def _ivf_pq_residual_oracle(
     d: int = 64, m: int = 8, k_codebook: int = 16, k: int = 5,
     nprobe: int = 2, scale: int = 100_000,
     coarse_scale: int = 10_000_000, qmod: int = 97,
+    qpred: str | None = None,
 ) -> str:
     """Generate the residual IVF-PQ oracle: the coarse chain
     (_KMEANS_CTES), the integer residual projection
@@ -8353,7 +8354,10 @@ def _ivf_pq_residual_oracle(
     PQ chains trained ON THE RESIDUAL SLICES, per-(query, probed
     cell) residual distance tables, and the cell-filtered lookup sum.
     Restates operators/similarity.py:ivf_pq_residual_topk
-    bit-for-bit."""
+    bit-for-bit. ``qpred`` overrides the query-selection predicate
+    (default: every ``qmod``-th vector) so composed oracles — the
+    hybrid RRF fusion — can pick explicit query ids."""
+    qpred = qpred or f"vec_id % {qmod} = 0"
     sub = d // m
     ratio = coarse_scale // scale
     off = 4 * coarse_scale
@@ -8430,7 +8434,8 @@ def _ivf_pq_residual_oracle(
            JOIN c1 c ON c.cluster = cm.cell
     ),
     qc AS (
-      SELECT vec_id AS q_id, xf AS qxf FROM x WHERE vec_id % {qmod} = 0
+      SELECT vec_id AS q_id, xf AS qxf
+      FROM x WHERE {qpred}
     ),
     pd AS (
       SELECT qc.q_id, c.cluster AS cell,
@@ -8522,3 +8527,99 @@ def ann_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_residual_topk(
         e, q, n_cells=8, nprobe=2, d=64, m=8, k_codebook=16, k=5, iters=2
     )
+
+
+# ------------------------------------------------- hybrid retrieval
+
+
+@register(
+    "text_hybrid_rrf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS.format(c="text")}) AS word
+      FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+    ),
+    corp AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS t_tokens
+      FROM dl
+    ),
+    q(q_id, term) AS (VALUES
+      (CAST(1 AS BIGINT), 'spark'), (1, 'join'),
+      (2, 'window'), (2, 'filter'), (2, 'sort'),
+      (3, 'vector')),
+    {_bm25_scored_cte("", "q")},
+    lexr AS (
+      SELECT q_id, doc_id,
+             row_number() OVER (
+               PARTITION BY q_id ORDER BY score_ppm DESC, doc_id
+             ) AS rank
+      FROM scored
+    ),
+    vecr AS (
+      SELECT q_id, vec_id AS doc_id, rank
+      FROM ({_ivf_pq_residual_oracle(k=10, qpred="vec_id IN (1, 2, 3)")})
+    ),
+    parts AS (
+      SELECT q_id, doc_id, 1000000 // (60 + CAST(rank AS BIGINT)) AS part
+      FROM lexr WHERE rank <= 10
+      UNION ALL
+      SELECT q_id, doc_id, 1000000 // (60 + CAST(rank AS BIGINT)) AS part
+      FROM vecr
+    ),
+    fused AS (
+      SELECT q_id, doc_id, CAST(sum(part) AS BIGINT) AS rrf_micro
+      FROM parts GROUP BY q_id, doc_id
+    ),
+    rr AS (
+      SELECT q_id, doc_id, rrf_micro,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id
+             ) AS BIGINT) AS rank
+      FROM fused
+    )
+    SELECT q_id, doc_id, rrf_micro, rank FROM rr WHERE rank <= 10
+    ORDER BY q_id, rank
+    """,
+)
+def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — the modern RAG-serving default: the lexical
+    BM25 ranking and the residual-IVF-PQ vector ranking for the same
+    three queries, fused with reciprocal-rank fusion (r11 VERDICT
+    missing #2: every piece existed, this composes them). The data
+    model is the standard RAG layout where the document store and the
+    vector store share the primary key (embeddings.vec_id ≡
+    documents.doc_id, one vector per document); each query carries a
+    text form (the BM25 terms) and an embedding form (the vector at
+    its q_id). Both branches are exact fixed-point, so the fused
+    ranking hash-matches the composed oracle (BM25 scoring CTE +
+    the generated residual IVF-PQ chain + integer RRF).
+
+    The in-query form self-contains index construction and codebook
+    training (a registered query is a pure function of (spark,
+    sf_dir)); production serving is the composed PROBE over two
+    persisted layouts — operators/retrieval.py:hybrid_probe_topk
+    fuses bm25_probe_index (text index, bucket-pruned postings scan,
+    zero corpus tokenizes) with ivf_pq_residual_probe_topk (residual
+    layout, cell-pruned codes scan, no embedding float read) — pinned
+    ≡ this query row-for-row in tests/test_hybrid_retrieval.py.
+
+    Scale shape: both branch outputs are top-k relations (k ×
+    |queries| rows), so the fusion itself is config-scale; the
+    corpus-sized work is exactly one postings build + one codes scan,
+    each already pinned banded/broadcast-bounded in its own family."""
+    from ..operators.retrieval import bm25_topk, rrf_fuse
+    from ..operators.similarity import ivf_pq_residual_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    q = spark.createDataFrame(_BM25_QUERIES, "q_id long, term string")
+    qv = e.filter(F.col("vec_id").isin(1, 2, 3))
+    lex = bm25_topk(d, q, k=10)
+    vec = ivf_pq_residual_topk(
+        e, qv, n_cells=8, nprobe=2, d=64, m=8, k_codebook=16, k=10, iters=2
+    ).select("q_id", F.col("vec_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, vec], k=10).orderBy("q_id", "rank")

@@ -246,6 +246,8 @@ BACK: tuple[str, ...] = (
     # --- round-9 additions not board-eligible (no SQL oracle; PCA's
     # driver-side eigensolve is Python-replica-pinned instead) ---
     "embedding_pca_projected",
+    # --- round-12 additions (first driver row next rotation) ---
+    "text_hybrid_rrf",
 )
 
 
