@@ -674,14 +674,7 @@ def delete_from_ivf_layout(
     the cells table. No totals/statistics to correct — probes rank
     per-candidate. Re-deletes de-dup against the existing set; physical
     reclaim is ``compact_ivf_layout``."""
-    ids = vec_ids.select("vec_id").distinct()
-    existing = _read_tombstones(spark, path)
-    if existing is not None:
-        ids = ids.join(existing.select("vec_id"), "vec_id", "left_anti")
-    # materialize before appending to the dir the anti-join reads
-    ids.localCheckpoint().write.mode("append").parquet(
-        f"{path}/tombstones"
-    )
+    _tombstone_delete(spark, path, vec_ids, "vec_id")
 
 
 def compact_ivf_layout(spark: SparkSession, path: str) -> None:
@@ -689,24 +682,12 @@ def compact_ivf_layout(spark: SparkSession, path: str) -> None:
     minus the tombstone set as the next generation (atomic marker
     flip — see ``compact_text_index``), preserving the cluster
     partitioning, then clear the tombstones."""
-    import shutil
-
-    from pyspark.sql import functions as F
-
-    tomb = _read_tombstones(spark, path)
-    if tomb is None:
+    if _read_tombstones(spark, path) is None:
         return
     cells, _cents = read_ivf_layout(spark, path)  # tombstones applied
-    gen = _current_gen(path)
-    new_dir = f"{path}/cells_v{gen + 1}"
-    (
-        cells.repartition(F.col("cluster"))
-        .write.mode("overwrite")
-        .partitionBy("cluster")
-        .parquet(new_dir)
+    _compact_swap(
+        spark, path, [("cells", cells, ("cluster",), "cluster", False)]
     )
-    _commit_gen(path, gen + 1)
-    shutil.rmtree(f"{path}/tombstones")
 
 
 def prune_ivf_layout_generations(spark: SparkSession, path: str) -> None:
@@ -865,14 +846,7 @@ def delete_from_lsh_index(
     out of bands AND shingles. No totals to correct here — candidate
     generation and Jaccard verification are both per-pair. Re-deletes
     de-dup against the existing tombstone set."""
-    ids = doc_ids.select("doc_id").distinct()
-    existing = _read_tombstones(spark, path)
-    if existing is not None:
-        ids = ids.join(existing.select("doc_id"), "doc_id", "left_anti")
-    # materialize before appending to the dir the anti-join reads
-    ids.localCheckpoint().write.mode("append").parquet(
-        f"{path}/tombstones"
-    )
+    _tombstone_delete(spark, path, doc_ids, "doc_id")
 
 
 def compact_lsh_index(spark: SparkSession, path: str) -> None:
@@ -889,31 +863,17 @@ def compact_lsh_index(spark: SparkSession, path: str) -> None:
     after it, the not-yet-cleared tombstones anti-join absent rows (a
     no-op). Old generations stay for in-flight readers until
     ``prune_lsh_index_generations``."""
-    import shutil
-
-    from pyspark.sql import functions as F
-
-    tomb = _read_tombstones(spark, path)
-    if tomb is None:
+    if _read_tombstones(spark, path) is None:
         return
     bands, shingles, _params = read_lsh_index(spark, path)
-    gen = _current_gen(path)
-    for name, df, cluster in (
-        ("bands", bands, ("band", "value")),
-        ("shingles", shingles, None),
-    ):
-        new_dir = f"{path}/{name}_v{gen + 1}"
-        if cluster:
-            (
-                df.repartition(*[F.col(c) for c in cluster])
-                .sortWithinPartitions(*cluster)
-                .write.mode("overwrite")
-                .parquet(new_dir)
-            )
-        else:
-            df.write.mode("overwrite").parquet(new_dir)
-    _commit_gen(path, gen + 1)  # one marker flips both tables
-    shutil.rmtree(f"{path}/tombstones")
+    _compact_swap(
+        spark,
+        path,
+        [
+            ("bands", bands, ("band", "value"), None, True),
+            ("shingles", shingles, None, None, False),
+        ],
+    )
 
 
 def prune_lsh_index_generations(spark: SparkSession, path: str) -> None:
@@ -1006,31 +966,24 @@ def delete_from_pair_graph(
     ``tombstones/`` sidecar; ``read_pair_graph`` drops the docs' nodes
     and every incident pair. Re-deletes de-dup against the existing
     set; physical reclaim is ``compact_pair_graph``."""
-    ids = doc_ids.select("doc_id").distinct()
-    existing = _read_tombstones(spark, path)
-    if existing is not None:
-        ids = ids.join(existing.select("doc_id"), "doc_id", "left_anti")
-    # materialize before appending to the dir the anti-join reads
-    ids.localCheckpoint().write.mode("append").parquet(
-        f"{path}/tombstones"
-    )
+    _tombstone_delete(spark, path, doc_ids, "doc_id")
 
 
 def compact_pair_graph(spark: SparkSession, path: str) -> None:
     """Physically reclaim tombstoned docs from pairs AND nodes via the
     atomic generation swap (one marker flips both tables), then clear
     the tombstones."""
-    import shutil
-
-    tomb = _read_tombstones(spark, path)
-    if tomb is None:
+    if _read_tombstones(spark, path) is None:
         return
     pairs, nodes, _params = read_pair_graph(spark, path)
-    gen = _current_gen(path)
-    pairs.write.mode("overwrite").parquet(f"{path}/pairs_v{gen + 1}")
-    nodes.write.mode("overwrite").parquet(f"{path}/nodes_v{gen + 1}")
-    _commit_gen(path, gen + 1)
-    shutil.rmtree(f"{path}/tombstones")
+    _compact_swap(
+        spark,
+        path,
+        [
+            ("pairs", pairs, None, None, False),
+            ("nodes", nodes, None, None, False),
+        ],
+    )
 
 
 def prune_pair_graph_generations(spark: SparkSession, path: str) -> None:
@@ -1338,6 +1291,107 @@ def prune_index_generations(path: str, tables: tuple[str, ...]) -> None:
             os.remove(f)
 
 
+# --------------------------------------- shared maintenance core
+#
+# Every index/vector layout's delete/compact lifecycle is the same
+# machine (r11 VERDICT item 5 — eight near-identical families existed
+# before this core): deletes DEDUP against and append to the
+# ``tombstones/`` sidecar FIRST (the delete-ordering doctrine: any
+# denormalized-totals correction comes after, so a retry no-ops
+# instead of double-subtracting), and compaction rewrites every table
+# minus the tombstones as the next ``<table>_v<n>`` generation,
+# committed by the single marker flip, with an optional
+# totals-recompute hook (self-heal) and the tombstone clear last. A
+# crash-ordering or generation fix now lands HERE once, not eight
+# times.
+
+
+def _new_tombstone_ids(
+    spark: SparkSession, path: str, ids_df: DataFrame, key: str
+) -> DataFrame:
+    """The not-yet-tombstoned subset of ``ids_df[key]``, materialized
+    (localCheckpoint) so appending to the sidecar the anti-join reads
+    is safe. Re-deletes de-dup here — already-tombstoned ids are
+    excluded, which is what makes retried deletes no-ops for layouts
+    that delta-correct totals afterwards."""
+    ids = ids_df.select(key).distinct()
+    existing = _read_tombstones(spark, path)
+    if existing is not None:
+        ids = ids.join(existing.select(key), key, "left_anti")
+    return ids.localCheckpoint()
+
+
+def _tombstone_delete(
+    spark: SparkSession, path: str, ids_df: DataFrame, key: str
+) -> None:
+    """The whole delete for layouts with no denormalized totals:
+    dedup + sidecar append (readers anti-join the sidecar out)."""
+    _new_tombstone_ids(spark, path, ids_df, key).write.mode(
+        "append"
+    ).parquet(f"{path}/tombstones")
+
+
+def _write_compacted_table(
+    df: DataFrame,
+    out_dir: str,
+    cluster: tuple[str, ...] | None = None,
+    partition: str | None = None,
+    sort: bool = False,
+) -> None:
+    """One compacted table write, preserving the build's physical
+    layout: ``cluster`` repartitions (the build's co-location),
+    ``partition`` hive-partitions (the build's pruning key), ``sort``
+    adds sortWithinPartitions over the cluster cols."""
+    from pyspark.sql import functions as F
+
+    w = df
+    if cluster:
+        w = w.repartition(*[F.col(c) for c in cluster])
+        if sort:
+            w = w.sortWithinPartitions(*cluster)
+    wr = w.write.mode("overwrite")
+    if partition:
+        wr = wr.partitionBy(partition)
+    wr.parquet(out_dir)
+
+
+def _compact_swap(
+    spark: SparkSession,
+    path: str,
+    tables: "list[tuple[str, DataFrame, tuple[str, ...] | None, str | None, bool]]",
+    totals_recompute=None,
+) -> None:
+    """Shared compaction core: write every surviving table (already
+    tombstone-anti-joined by the caller's reader) as the next
+    generation's ``<name>_v<n>`` sibling, flip the single zero-byte
+    marker (one PUT — all of a layout's tables become current
+    TOGETHER; a crash before the flip leaves the old generation fully
+    readable with tombstones active), then clear the tombstones.
+    ``tables`` rows are (name, survivors, cluster, partition, sort) —
+    see ``_write_compacted_table``. ``totals_recompute(new_dirs)``, if
+    given, is evaluated (materialized) BEFORE the flip and written to
+    ``totals/`` after it — the self-heal that repairs any stale-high
+    totals a crashed delete left behind. Old generations stay on disk
+    for in-flight readers until the layout's prune step."""
+    import shutil
+
+    new = _current_gen(path) + 1
+    dirs: dict[str, str] = {}
+    for name, df, cluster, partition, sort in tables:
+        d = f"{path}/{name}_v{new}"
+        _write_compacted_table(df, d, cluster, partition, sort)
+        dirs[name] = d
+    fresh = (
+        totals_recompute(dirs).localCheckpoint()
+        if totals_recompute is not None
+        else None
+    )
+    _commit_gen(path, new)  # the atomic flip
+    if fresh is not None:
+        fresh.coalesce(1).write.mode("overwrite").parquet(f"{path}/totals")
+    shutil.rmtree(f"{path}/tombstones")
+
+
 def delete_from_text_index(
     spark: SparkSession, path: str, doc_ids: DataFrame
 ) -> None:
@@ -1369,11 +1423,7 @@ def delete_from_text_index(
     the delta a SECOND time, permanently corrupting n_docs/t_tokens."""
     from pyspark.sql import functions as F
 
-    ids = doc_ids.select("doc_id").distinct()
-    existing = _read_tombstones(spark, path)
-    if existing is not None:
-        ids = ids.join(existing.select("doc_id"), "doc_id", "left_anti")
-    ids = ids.localCheckpoint()
+    ids = _new_tombstone_ids(spark, path, doc_ids, "doc_id")
     victims = (
         spark.read.parquet(_table_dir(path, "postings"))
         .join(F.broadcast(ids), "doc_id")
@@ -1421,45 +1471,37 @@ def compact_text_index(spark: SparkSession, path: str) -> None:
     complete and the not-yet-cleared tombstones anti-join rows that no
     longer exist (a no-op). The old generation stays on disk for
     in-flight readers until ``prune_text_index_generations``."""
-    import shutil
-
     from pyspark.sql import functions as F
 
-    tomb = _read_tombstones(spark, path)
-    if tomb is None:
+    if _read_tombstones(spark, path) is None:
         return
     posts, _tot = read_text_index(spark, path)  # tombstones applied
-    gen = _current_gen(path)
-    new_dir = f"{path}/postings_v{gen + 1}"
-    (
-        posts.repartition(F.col("bucket"))
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(new_dir)
-    )
+    tables = [("postings", posts, ("bucket",), "bucket", False)]
     if _has_positions(path):
         # same generation, same marker: the positional sidecar flips
         # together with the postings (never mixed generations)
-        (
-            read_text_positions(spark, path)
-            .repartition(F.col("bucket"))
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(f"{path}/positions_v{gen + 1}")
+        tables.append((
+            "positions",
+            read_text_positions(spark, path),
+            ("bucket",),
+            "bucket",
+            False,
+        ))
+
+    def fresh_tot(dirs):
+        return (
+            spark.read.parquet(dirs["postings"])
+            .select("doc_id", "dl")
+            .distinct()
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(F.sum("dl"), F.lit(0))
+                .cast("long")
+                .alias("t_tokens"),
+            )
         )
-    fresh_tot = (
-        spark.read.parquet(new_dir)
-        .select("doc_id", "dl")
-        .distinct()
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("t_tokens"),
-        )
-        .localCheckpoint()
-    )
-    _commit_gen(path, gen + 1)  # the atomic flip
-    fresh_tot.coalesce(1).write.mode("overwrite").parquet(f"{path}/totals")
-    shutil.rmtree(f"{path}/tombstones")
+
+    _compact_swap(spark, path, tables, totals_recompute=fresh_tot)
 
 
 def prune_text_index_generations(spark: SparkSession, path: str) -> None:
@@ -1950,14 +1992,7 @@ def delete_from_pq_layout(
     see ``delete_from_ivf_layout``). Codebooks are NOT retrained: like
     FAISS ``remove_ids``, deletion removes candidates without touching
     the trained quantizer."""
-    ids = vec_ids.select("vec_id").distinct()
-    existing = _read_tombstones(spark, path)
-    if existing is not None:
-        ids = ids.join(existing.select("vec_id"), "vec_id", "left_anti")
-    # materialize before appending to the dir the anti-join reads
-    ids.localCheckpoint().write.mode("append").parquet(
-        f"{path}/tombstones"
-    )
+    _tombstone_delete(spark, path, vec_ids, "vec_id")
 
 
 def append_pq_layout(
@@ -2011,17 +2046,10 @@ def append_pq_layout(
 def compact_pq_layout(spark: SparkSession, path: str) -> None:
     """Physically reclaim tombstoned vectors from the PQ code table
     (atomic generation swap; codebooks/meta untouched)."""
-    import shutil
-
-    tomb = _read_tombstones(spark, path)
-    if tomb is None:
+    if _read_tombstones(spark, path) is None:
         return
     codes, _cbs, _meta = read_pq_layout(spark, path)  # tombstones applied
-    gen = _current_gen(path)
-    new_dir = f"{path}/codes_v{gen + 1}"
-    codes.write.mode("overwrite").parquet(new_dir)
-    _commit_gen(path, gen + 1)
-    shutil.rmtree(f"{path}/tombstones")
+    _compact_swap(spark, path, [("codes", codes, None, None, False)])
 
 
 def prune_pq_layout_generations(spark: SparkSession, path: str) -> None:
@@ -2142,14 +2170,7 @@ def delete_from_ivf_pq_layout(
     """Tombstone delete for the IVF-PQ layout (sidecar anti-join
     model — see ``delete_from_ivf_layout``; quantizers untouched,
     like FAISS ``remove_ids``)."""
-    ids = vec_ids.select("vec_id").distinct()
-    existing = _read_tombstones(spark, path)
-    if existing is not None:
-        ids = ids.join(existing.select("vec_id"), "vec_id", "left_anti")
-    # materialize before appending to the dir the anti-join reads
-    ids.localCheckpoint().write.mode("append").parquet(
-        f"{path}/tombstones"
-    )
+    _tombstone_delete(spark, path, vec_ids, "vec_id")
 
 
 def append_ivf_pq_layout(
@@ -2215,24 +2236,12 @@ def compact_ivf_pq_layout(spark: SparkSession, path: str) -> None:
     """Physically reclaim tombstoned vectors from the IVF-PQ code
     table (atomic generation swap, cell partitioning preserved;
     centroid/codebook sidecars untouched)."""
-    import shutil
-
-    from pyspark.sql import functions as F
-
-    tomb = _read_tombstones(spark, path)
-    if tomb is None:
+    if _read_tombstones(spark, path) is None:
         return
     codes, _cc, _cbs, _meta = read_ivf_pq_layout(spark, path)
-    gen = _current_gen(path)
-    new_dir = f"{path}/codes_v{gen + 1}"
-    (
-        codes.repartition(F.col("cell"))
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(new_dir)
+    _compact_swap(
+        spark, path, [("codes", codes, ("cell",), "cell", False)]
     )
-    _commit_gen(path, gen + 1)
-    shutil.rmtree(f"{path}/tombstones")
 
 
 def prune_ivf_pq_layout_generations(spark: SparkSession, path: str) -> None:
@@ -2408,14 +2417,7 @@ def delete_from_ivf_pq_residual_layout(
     """Tombstone delete for the residual IVF-PQ layout (sidecar
     anti-join model; residual codebooks untouched — FAISS
     ``remove_ids`` semantics)."""
-    ids = vec_ids.select("vec_id").distinct()
-    existing = _read_tombstones(spark, path)
-    if existing is not None:
-        ids = ids.join(existing.select("vec_id"), "vec_id", "left_anti")
-    # materialize before appending to the dir the anti-join reads
-    ids.localCheckpoint().write.mode("append").parquet(
-        f"{path}/tombstones"
-    )
+    _tombstone_delete(spark, path, vec_ids, "vec_id")
 
 
 def append_ivf_pq_residual_layout(
@@ -2509,24 +2511,12 @@ def append_ivf_pq_residual_layout(
 def compact_ivf_pq_residual_layout(spark: SparkSession, path: str) -> None:
     """Physically reclaim tombstoned vectors from the residual code
     table (atomic generation swap, cell partitioning preserved)."""
-    import shutil
-
-    from pyspark.sql import functions as F
-
-    tomb = _read_tombstones(spark, path)
-    if tomb is None:
+    if _read_tombstones(spark, path) is None:
         return
     codes, _cc, _cbs, _meta = read_ivf_pq_residual_layout(spark, path)
-    gen = _current_gen(path)
-    new_dir = f"{path}/codes_v{gen + 1}"
-    (
-        codes.repartition(F.col("cell"))
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(new_dir)
+    _compact_swap(
+        spark, path, [("codes", codes, ("cell",), "cell", False)]
     )
-    _commit_gen(path, gen + 1)
-    shutil.rmtree(f"{path}/tombstones")
 
 
 def prune_ivf_pq_residual_layout_generations(
