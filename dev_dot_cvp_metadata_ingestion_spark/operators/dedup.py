@@ -1409,3 +1409,78 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col(metric) >= threshold)
     )
+
+
+def banded_hamming_pairs(
+    hashes: DataFrame,
+    hash_col: str = "phash",
+    id_col: str = "doc_id",
+    bits_per_band: int = 16,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Banded Hamming-neighbor pairs over ANY 64-bit-or-narrower hash
+    relation — the Manku banding scheme ``simhash_pairs`` uses,
+    factored so other fingerprint families (the perceptual image hash,
+    operators/multimodal.py:phash_media) reuse it: a pair within
+    ``max_hamming`` ≤ n_bands−1 differs in at most n_bands−1 bit
+    positions, so by pigeonhole at least one of the ``n_bands``
+    disjoint bands matches exactly — candidates come from equality
+    self-joins on (band, value), never an all-pairs Hamming scan, and
+    each candidate is verified EXACTLY (bit_count of the xor).
+
+    Scale shape: identical to ``simhash_pairs`` — one band-exploded
+    self-join keyed on n_bands × 2^bits_per_band buckets (8 bytes of
+    hash per row regardless of the hashed payload), hot buckets AQE-
+    splittable. Output: (``id_col``_a, ``id_col``_b, hamming), each
+    pair exactly once."""
+    if not 0 <= max_hamming <= n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming}: the {n_bands}-band scheme "
+            f"guarantees recall only for hamming <= {n_bands - 1} "
+            "(pigeonhole)"
+        )
+    mask = (1 << bits_per_band) - 1
+    bands = hashes.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col(hash_col), bits_per_band * i)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", "_h", "b.band", "b.val")
+    other = bands.select(
+        F.col("band").alias("band2"),
+        F.col("val").alias("val2"),
+        F.col("_id").alias("_id_b"),
+        F.col("_h").alias("_h_b"),
+    )
+    cand = (
+        bands.join(
+            other,
+            (F.col("band") == F.col("band2"))
+            & (F.col("val") == F.col("val2"))
+            & (F.col("_id") < F.col("_id_b")),
+        )
+        .select(
+            F.col("_id").alias("_id_a"), "_id_b", "_h", "_h_b"
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_h").bitwiseXOR(F.col("_h_b"))).cast(
+        "long"
+    )
+    return cand.select(
+        F.col("_id_a").alias(f"{id_col}_a"),
+        F.col("_id_b").alias(f"{id_col}_b"),
+        hamming.alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

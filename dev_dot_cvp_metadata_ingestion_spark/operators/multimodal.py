@@ -317,3 +317,68 @@ def resize_media(
             )
 
     return media.select("doc_id", "payload").mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+PHASH_SCHEMA = "doc_id long, phash long"
+
+
+def phash_media(media: DataFrame, *, fake: bool = True) -> DataFrame:
+    """Perceptual-hash fingerprinting over the binary payload — the
+    multimodal entry into the dedup family (functions/phash.py has the
+    integer-DCT algebra): one 63-bit pHash per media row, feeding
+    ``operators.dedup.banded_hamming_pairs`` exactly like simhash
+    feeds the text near-dup family.
+
+    fake=True → the deterministic text-raster stand-in (codepoints
+    tile the 32×32 raster) — the DuckDB-reproducible ORACLE form the
+    registered ``dedup_phash_pairs`` query uses. fake=False → REAL
+    PNG decode + BT.601 integer luma + nearest resample to 32×32
+    (functions/codecs.py), pytest-verified over generated fixtures
+    (tests/test_phash.py); non-PNG payloads raise ValueError. Both
+    paths share the same exact int64 DCT kernel, so a pipeline can
+    validate plumbing on the fake and flip to real decode unchanged.
+
+    Scale shape: one Arrow-batched map over the media table (the
+    8×32 · 32×32 · 32×8 integer matmuls are ~50 µs/row); the output
+    is 8 bytes of hash per row regardless of payload size, so
+    everything downstream of this projection is hash-sized."""
+    from ..functions.phash import gray_from_png, phash_from_gray
+    from ..functions.phash import phash_from_text
+
+    if fake:
+
+        def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "phash": [
+                            phash_from_text(bytes(p).decode("utf-8"))
+                            for p in pdf["payload"]
+                        ],
+                    }
+                )
+
+    else:
+
+        def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from ..functions.codecs import sniff_mime
+
+            for pdf in batches:
+                hashes = []
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    data = bytes(payload)
+                    mime = sniff_mime(data)
+                    if mime != "image/png":
+                        raise ValueError(
+                            f"phash_media(fake=False): doc {doc_id} is "
+                            f"{mime}, only image/png is hashable here"
+                        )
+                    hashes.append(phash_from_gray(gray_from_png(data)))
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "phash": hashes}
+                )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        _hash, PHASH_SCHEMA
+    )

@@ -8623,3 +8623,137 @@ def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, qv, n_cells=8, nprobe=2, d=64, m=8, k_codebook=16, k=10, iters=2
     ).select("q_id", F.col("vec_id").alias("doc_id"), "rank")
     return rrf_fuse([lex, vec], k=10).orderBy("q_id", "rank")
+
+
+# --------------------------------------------- multimodal near-duplicates
+
+
+def _phash_oracle(max_hamming: int = 3) -> str:
+    """Generate the perceptual-hash pair oracle: the fake text raster
+    (codepoints tiling 32×32), the separable integer DCT with the
+    SAME basis constants functions/phash.py computed at import
+    (embedded here as literals — no libm on either engine), the
+    63-AC-coefficient median threshold, the 4×16-bit band self-join,
+    and the exact bit_count verify. Mechanical restatement of
+    phash_media(fake=True) → banded_hamming_pairs."""
+    from ..functions.phash import PHASH_BASIS
+
+    blit = "[" + ", ".join(str(int(v)) for v in PHASH_BASIS.reshape(-1)) + "]"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM documents WHERE length(text) > 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, length(text) AS n
+      FROM documents WHERE length(text) > 0 AND doc_id % 97 = 0
+    ),
+    g AS (
+      SELECT doc_id,
+             [CAST(ascii(substring(text, (i % n) + 1, 1)) AS BIGINT)
+              for i in generate_series(0, 1023)] AS g
+      FROM d
+    ),
+    cells AS (
+      SELECT doc_id, i, g[i + 1] AS v
+      FROM g, UNNEST(generate_series(0, 1023)) AS t(i)
+    ),
+    bas AS (SELECT {blit} AS b),
+    b1 AS (
+      SELECT u, r, b[u * 32 + r + 1] AS w
+      FROM bas, UNNEST(generate_series(0, 7)) AS tu(u),
+           UNNEST(generate_series(0, 31)) AS tr(r)
+    ),
+    c1 AS (
+      SELECT c.doc_id, b1.u, c.i % 32 AS col,
+             CAST(sum(c.v * b1.w) AS BIGINT) AS s
+      FROM cells c JOIN b1 ON b1.r = c.i // 32
+      GROUP BY c.doc_id, b1.u, c.i % 32
+    ),
+    c2 AS (
+      SELECT c1.doc_id, c1.u, b2.u AS v,
+             CAST(sum(c1.s * b2.w) AS BIGINT) AS coef
+      FROM c1 JOIN b1 b2 ON b2.r = c1.col
+      GROUP BY c1.doc_id, c1.u, b2.u
+    ),
+    ac AS (
+      SELECT doc_id, u * 8 + v - 1 AS p, coef
+      FROM c2 WHERE NOT (u = 0 AND v = 0)
+    ),
+    med AS (
+      SELECT doc_id, coef AS med FROM (
+        SELECT doc_id, coef,
+               row_number() OVER (
+                 PARTITION BY doc_id ORDER BY coef, p
+               ) AS rn
+        FROM ac) WHERE rn = 32
+    ),
+    h AS (
+      SELECT ac.doc_id,
+             CAST(sum(CASE WHEN ac.coef > med.med
+                           THEN (CAST(1 AS BIGINT) << ac.p)
+                           ELSE 0 END) AS BIGINT) AS phash
+      FROM ac JOIN med USING (doc_id) GROUP BY ac.doc_id
+    ),
+    bands AS (
+      SELECT doc_id, phash, b AS band,
+             (phash >> (16 * b)) & 65535 AS val
+      FROM h, UNNEST(generate_series(0, 3)) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b,
+             a.phash AS ha, c.phash AS hb
+      FROM bands a JOIN bands c
+        ON a.band = c.band AND a.val = c.val AND a.doc_id < c.doc_id
+    )
+    SELECT doc_id_a, doc_id_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+    """
+
+
+@register("dedup_phash_pairs", oracle=_phash_oracle())
+def dedup_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIMODAL near-duplicate detection (r11 VERDICT item 6): a
+    DCT perceptual hash per media payload (functions/phash.py — the
+    classic 32×32 → 8×8-DCT → median-bit pHash, in exact integer
+    arithmetic) feeding the factored Manku band self-join
+    (operators/dedup.py:banded_hamming_pairs) — image dedup with the
+    same scale shape as the text simhash family: candidates from
+    (band, value) equality joins over 4×65536 buckets, exact
+    bit_count verification, never an all-pairs Hamming scan.
+
+    This registered form runs the ORACLE-form fake raster (the
+    multimodal family's deterministic text-codepoint stand-in —
+    DuckDB replicates the integer DCT from the same embedded basis
+    constants, so the whole pipeline hash-matches), over the corpus
+    PLUS a re-keyed copy of every 97th payload — simulated exact
+    re-encodes, planted IN-QUERY because the synthetic corpus has no
+    byte-identical payloads and a structurally-empty pair relation
+    would verify nothing: each planted copy must surface against its
+    original at hamming 0, so the driver row exercises hash, banding,
+    collision, and verification end to end. The fake=False path is
+    the REAL decode — PNG → BT.601 integer luma → nearest 32×32
+    resample → the SAME DCT kernel — pinned in tests/test_phash.py:
+    exact re-encodes collide (rotation/resize-free), distinct images
+    stay far, and the banded pairs equal a brute-force Hamming sweep.
+
+    Scale shape: one Arrow-batched map projects each payload to 8
+    hash bytes; everything downstream moves hashes only. Exact dups
+    surface at hamming 0; near-dup recall is guaranteed through
+    hamming ≤ 3 by pigeonhole."""
+    from ..operators.dedup import banded_hamming_pairs
+    from ..operators.multimodal import attach_binary, phash_media
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    base = d.select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
+    )
+    corpus = base.unionByName(planted)
+    hashes = phash_media(
+        attach_binary(corpus, "doc_id", "text"), fake=True
+    )
+    return banded_hamming_pairs(hashes, max_hamming=3)

@@ -248,6 +248,7 @@ BACK: tuple[str, ...] = (
     "embedding_pca_projected",
     # --- round-12 additions (first driver row next rotation) ---
     "text_hybrid_rrf",
+    "dedup_phash_pairs",
 )
 
 

@@ -68,6 +68,7 @@ AT_RISK = [
     "text_rake_keywords",          # phrase runs over an empty corpus
     "text_rrf_fusion",             # union of two empty rankings
     "text_hybrid_rrf",             # lexical+vector fusion on empty corpus
+    "dedup_phash_pairs",           # Arrow hash map + band join on empty
     "embedding_pq_codes",          # 8 kmeans seeds from empty corpus
     "ann_pq_adc_topk",             # codebooks + tables on empty corpus
     "corpus_bigram_heavy_hitters", # MG + recount on empty bigram stream

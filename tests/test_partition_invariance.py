@@ -56,6 +56,7 @@ SENSITIVE = [
     "text_rake_keywords",    # per-doc windows + vocab broadcast + top-k
     "text_rrf_fusion",       # fusion of two salted rankings
     "text_hybrid_rrf",       # lexical + residual-ANN salted fusion
+    "dedup_phash_pairs",     # Arrow-batched hashes + band self-join
     "embedding_pq_codes",    # 8 iterative per-subspace re-aggregations
     "ann_pq_adc_topk",       # codebook train + salted rank
     "corpus_bigram_heavy_hitters",  # MG candidates over bigrams
