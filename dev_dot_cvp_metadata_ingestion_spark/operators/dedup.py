@@ -1484,3 +1484,67 @@ def banded_hamming_pairs(
         F.col("_id_b").alias(f"{id_col}_b"),
         hamming.alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def phash_probe_pairs(
+    spark,
+    path: str,
+    new_hashes: DataFrame,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Incremental multimodal near-duplicate screening against the
+    persisted fingerprint index
+    (sources/catalog.py:write_phash_index) — the ingest-time question
+    "is this new image batch already in the corpus?" answered without
+    re-hashing or re-scanning indexed media: the batch's bands are
+    computed JVM-side with the layout's recorded params, the batch's
+    vbucket list is collected driver-side (≤ n_buckets values,
+    config-scale) so the bucket predicate reaches the bands scan as a
+    static PartitionFilter, candidates come from the (band, val)
+    equality join, and every candidate is verified EXACTLY
+    (bit_count of the xor — same contract as
+    ``banded_hamming_pairs``, whose pigeonhole recall bound applies
+    verbatim). Output: (doc_id, probe_id, hamming) — indexed id ×
+    batch id, each pair once; batch members colliding with themselves
+    (same id already indexed) are excluded.
+
+    Scale shape: the scan reads only the batch's bucket partitions of
+    8-byte hashes; the join is keyed on n_bands × 2^bits_per_band
+    buckets; everything after the scan is batch-sized."""
+    from ..sources.catalog import _phash_bands, read_phash_index
+
+    bands_idx, meta = read_phash_index(spark, path)
+    probe_bands = _phash_bands(
+        new_hashes.select(
+            F.col("doc_id").alias("probe_id"), "phash"
+        ).withColumnRenamed("probe_id", "doc_id"),
+        meta["bits_per_band"],
+        meta["n_bands"],
+        meta["n_buckets"],
+    ).select(
+        F.col("doc_id").alias("probe_id"),
+        F.col("phash").alias("probe_phash"),
+        F.col("band").alias("pband"),
+        F.col("val").alias("pval"),
+        "vbucket",
+    )
+    vbuckets = [
+        r.vbucket for r in probe_bands.select("vbucket").distinct().collect()
+    ]
+    cand = (
+        bands_idx.filter(F.col("vbucket").isin(vbuckets))
+        .join(
+            probe_bands.drop("vbucket"),
+            (F.col("band") == F.col("pband"))
+            & (F.col("val") == F.col("pval"))
+            & (F.col("doc_id") != F.col("probe_id")),
+        )
+        .select("doc_id", "probe_id", "phash", "probe_phash")
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("phash").bitwiseXOR(F.col("probe_phash"))
+    ).cast("long")
+    return cand.select(
+        "doc_id", "probe_id", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -2525,3 +2525,149 @@ def prune_ivf_pq_residual_layout_generations(
     """Reclaim superseded code generations once in-flight readers of
     the old generation have drained."""
     prune_index_generations(path, ("codes",))
+
+
+# ----------------------------------------------- phash fingerprint index
+
+
+def _phash_bands(hashes: DataFrame, bits_per_band: int, n_bands: int,
+                 n_buckets: int) -> DataFrame:
+    """Explode a (doc_id, phash) relation into the banded form the
+    index stores: one row per (band, val) with ``vbucket`` (val mod
+    n_buckets) as the partition key, so a probe's collected bucket
+    list reaches the scan as a static PartitionFilter — the text
+    index's word-bucket recipe applied to hash bands."""
+    from pyspark.sql import functions as F
+
+    mask = (1 << bits_per_band) - 1
+    return hashes.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("phash"), bits_per_band * i)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id",
+        "phash",
+        "b.band",
+        "b.val",
+        F.pmod(F.col("b.val"), F.lit(n_buckets)).cast("int").alias("vbucket"),
+    )
+
+
+def write_phash_index(
+    hashes: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    bits_per_band: int = 16,
+    n_bands: int = 4,
+) -> None:
+    """Persist a perceptual-hash fingerprint index — the ELEVENTH
+    build-once layout, and the first landed entirely on the shared
+    maintenance core (``_tombstone_delete`` / ``_compact_swap``): the
+    (doc_id, phash) relation (operators/multimodal.py:phash_media)
+    exploded into Manku bands, vbucket-partitioned so incremental
+    near-duplicate screening of NEW media batches
+    (operators/dedup.py:phash_probe_pairs) prunes to the batch's
+    bucket files instead of re-hashing or re-scanning the corpus.
+    Per-doc rows are independent (no denormalized totals), so delete ≡
+    rebuild-without holds EXACTLY (the pair-graph/text-index class,
+    not the frozen-quantizer class). Pins in
+    tests/test_phash_index.py."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(path, exist_ok=True)
+    _reset_generations(path, ("bands",))
+    bands = _phash_bands(hashes, bits_per_band, n_bands, n_buckets)
+    if hashes.isEmpty():
+        # empty-input contract of the sibling layout writers: a
+        # zero-row partitionBy write emits no parquet footer
+        bands.write.mode("overwrite").parquet(f"{path}/bands")
+    else:
+        (
+            bands.repartition(F.col("vbucket"))
+            .write.mode("overwrite")
+            .partitionBy("vbucket")
+            .parquet(f"{path}/bands")
+        )
+    hashes.sparkSession.createDataFrame(
+        [(int(n_buckets), int(bits_per_band), int(n_bands))],
+        "n_buckets int, bits_per_band int, n_bands int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def append_phash_index(hashes: DataFrame, path: str) -> None:
+    """Grow the fingerprint index with a new batch's hashes (banded
+    with the layout's recorded params — drift impossible) as new files
+    under the existing vbucket partitions; existing files are never
+    rewritten. Appended rows ≡ a from-scratch band explode, so
+    append+read ≡ rebuild over the union (pinned)."""
+    from pyspark.sql import functions as F
+
+    if hashes.isEmpty():
+        return
+    spark = hashes.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").first()
+    bands = _phash_bands(
+        hashes, meta["bits_per_band"], meta["n_bands"], meta["n_buckets"]
+    )
+    (
+        bands.repartition(F.col("vbucket"))
+        .write.mode("append")
+        .partitionBy("vbucket")
+        .parquet(_table_dir(path, "bands"))
+    )
+
+
+def read_phash_index(spark: SparkSession, path: str):
+    """(bands, meta) with tombstones anti-joined out — the canonical
+    banded relation every probe consumes."""
+    from pyspark.sql import functions as F
+
+    bands = spark.read.parquet(_table_dir(path, "bands"))
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        bands = bands.join(
+            F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti"
+        )
+    meta = spark.read.parquet(f"{path}/meta").first().asDict()
+    return bands, meta
+
+
+def delete_from_phash_index(
+    spark: SparkSession, path: str, doc_ids: DataFrame
+) -> None:
+    """Tombstone delete (shared core; no totals to correct — probes
+    verify per-pair). Delete ≡ rebuild-without EXACTLY; physical
+    reclaim is ``compact_phash_index``."""
+    _tombstone_delete(spark, path, doc_ids, "doc_id")
+
+
+def compact_phash_index(spark: SparkSession, path: str) -> None:
+    """Physically reclaim tombstoned media from the bands table
+    (shared ``_compact_swap`` core: versioned sibling + atomic marker
+    flip, vbucket partitioning preserved, tombstones cleared last)."""
+    if _read_tombstones(spark, path) is None:
+        return
+    bands, _meta = read_phash_index(spark, path)
+    _compact_swap(
+        spark, path, [("bands", bands, ("vbucket",), "vbucket", False)]
+    )
+
+
+def prune_phash_index_generations(spark: SparkSession, path: str) -> None:
+    """Reclaim superseded bands generations once in-flight readers of
+    the old generation have drained."""
+    prune_index_generations(path, ("bands",))

@@ -1,0 +1,149 @@
+"""Persisted pHash fingerprint index (eleventh build-once layout, the
+first landed entirely on the shared maintenance core): incremental
+probe ≡ brute-force cross Hamming sweep, probe plan vbucket-pruned,
+append ≡ rebuild over the union, delete ≡ rebuild-without EXACTLY
+(per-doc row independence), compaction preserves probes via the
+shared atomic generation swap."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from dev_dot_cvp_metadata_ingestion_spark.operators.dedup import (
+    phash_probe_pairs,
+)
+from dev_dot_cvp_metadata_ingestion_spark.operators.multimodal import (
+    attach_binary,
+    phash_media,
+)
+from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+    append_phash_index,
+    compact_phash_index,
+    delete_from_phash_index,
+    load_table,
+    prune_phash_index_generations,
+    read_phash_index,
+    write_phash_index,
+)
+
+
+@pytest.fixture(scope="module")
+def hashes(spark, sf_dir):
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+    )
+    return phash_media(
+        attach_binary(d, "doc_id", "text"), fake=True
+    ).localCheckpoint()
+
+
+@pytest.fixture(scope="module")
+def batch(spark, hashes):
+    """A 'new media batch': re-keyed copies of every 97th corpus item
+    (simulated exact re-encodes — hamming 0 against their originals,
+    far from everything else)."""
+    return (
+        hashes.filter(F.col("doc_id") % 97 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "phash")
+        .localCheckpoint()
+    )
+
+
+@pytest.fixture(scope="module")
+def index(spark, hashes, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("phidx") / "index")
+    write_phash_index(hashes, p)
+    return p
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _brute(corpus_rows, batch_rows, max_hamming=3):
+    return sorted(
+        (a, b, bin(ha ^ hb).count("1"))
+        for a, ha in corpus_rows
+        for b, hb in batch_rows
+        if a != b and bin(ha ^ hb).count("1") <= max_hamming
+    )
+
+
+def test_probe_equals_bruteforce_cross_sweep(spark, hashes, batch, index):
+    got = _rows(phash_probe_pairs(spark, index, batch, max_hamming=3))
+    want = _brute(
+        [(r.doc_id, r.phash) for r in hashes.collect()],
+        [(r.doc_id, r.phash) for r in batch.collect()],
+    )
+    assert got == want and got  # every planted re-encode surfaces
+
+
+def test_probe_plan_is_bucket_pruned(spark, batch, index):
+    plan = (
+        phash_probe_pairs(spark, index, batch)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pf = [
+        l
+        for l in plan.splitlines()
+        if "PartitionFilters" in l and "vbucket" in l and "bands" in l
+    ]
+    assert pf, plan[:2000]
+
+
+def test_append_equals_rebuild(spark, hashes, tmp_path):
+    first = hashes.filter(F.col("doc_id") % 2 == 0)
+    second = hashes.filter(F.col("doc_id") % 2 == 1)
+    p_inc = str(tmp_path / "inc")
+    p_full = str(tmp_path / "full")
+    write_phash_index(first, p_inc)
+    append_phash_index(second, p_inc)
+    write_phash_index(hashes, p_full)
+    a, _ = read_phash_index(spark, p_inc)
+    b, _ = read_phash_index(spark, p_full)
+    assert _rows(a) == _rows(b)
+
+
+def test_delete_equals_rebuild_without_and_compaction_preserves(
+    spark, hashes, batch, tmp_path
+):
+    p = str(tmp_path / "del")
+    ref = str(tmp_path / "ref")
+    write_phash_index(hashes, p)
+    victims = hashes.filter(F.col("doc_id") % 97 == 0)
+    survivors = hashes.filter(F.col("doc_id") % 97 != 0)
+    delete_from_phash_index(spark, p, victims.select("doc_id"))
+    write_phash_index(survivors, ref)
+    got, _ = read_phash_index(spark, p)
+    want, _ = read_phash_index(spark, ref)
+    assert _rows(got) == _rows(want)
+    # the deleted originals no longer pair with the probe batch
+    assert _rows(phash_probe_pairs(spark, p, batch)) == _rows(
+        phash_probe_pairs(spark, ref, batch)
+    )
+    # physical reclaim: probes unchanged, generation swapped, prune ok
+    before = _rows(phash_probe_pairs(spark, p, batch))
+    compact_phash_index(spark, p)
+    import os
+
+    assert os.path.exists(f"{p}/_gen_v1.committed")
+    assert not os.path.isdir(f"{p}/tombstones")
+    assert _rows(phash_probe_pairs(spark, p, batch)) == before
+    prune_phash_index_generations(spark, p)
+    assert not os.path.isdir(f"{p}/bands")
+    assert _rows(phash_probe_pairs(spark, p, batch)) == before
+
+
+def test_empty_index_stays_readable(spark, hashes, tmp_path):
+    p = str(tmp_path / "empty")
+    write_phash_index(hashes.filter(F.lit(False)), p)
+    bands, meta = read_phash_index(spark, p)
+    assert bands.count() == 0 and meta["n_buckets"] == 64
+    probe = phash_probe_pairs(
+        spark, p, hashes.limit(3).select("doc_id", "phash")
+    )
+    assert probe.count() == 0
