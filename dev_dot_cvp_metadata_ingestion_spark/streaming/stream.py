@@ -577,3 +577,58 @@ def bm25_search_sink(index_path: str, results_path: str, k: int = 10):
             batch.unpersist()
 
     return sink
+
+
+def hybrid_search_sink(
+    text_index_path: str,
+    vec_layout_path: str,
+    results_path: str,
+    k: int = 10,
+):
+    """foreachBatch sink for CONTINUOUS HYBRID retrieval — the capstone
+    of the search sinks: each micro-batch carries queries in both
+    forms ((q_id, term) rows with the query's embedding repeated per
+    row), and the batch is answered entirely from the two persisted
+    layouts via ``hybrid_probe_topk`` — bucket-pruned BM25 postings
+    probe + cell-pruned residual IVF-PQ codes probe + exact-integer
+    RRF — with the per-batch top-``k`` landing under batch_id.
+
+    Same replay contract as ``bm25_search_sink``: scoring is a pure
+    function of (batch, layouts), and the batch_id-keyed
+    dynamic-partition overwrite makes re-delivery rewrite identical
+    rows. If either layout is grown between failure and replay, the
+    replayed batch scores against the fresher layout — the documented
+    one-batch-bounded artifact, benign for search. No executor state:
+    the two layout tables ARE the state.
+
+    At 100 TB the per-batch cost is the query terms' postings buckets
+    + the probed cells' code files + config-scale broadcasts — neither
+    the corpus text nor an embedding float is ever read."""
+    from ..operators.retrieval import hybrid_probe_topk
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        batch = df.persist()
+        try:
+            if batch.isEmpty():
+                return
+            terms = batch.select("q_id", "term")
+            vecs = (
+                batch.groupBy("q_id")
+                .agg(F.min_by("embedding", "term").alias("embedding"))
+                .select(F.col("q_id").alias("vec_id"), "embedding")
+            )
+            ranked = hybrid_probe_topk(
+                spark, text_index_path, vec_layout_path, terms, vecs, k=k
+            )
+            (
+                ranked.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(results_path)
+            )
+        finally:
+            batch.unpersist()
+
+    return sink

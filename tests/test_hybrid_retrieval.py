@@ -91,3 +91,81 @@ def test_hybrid_probe_plan_is_amortized_serving(spark, emb, layouts):
         if "PartitionFilters" in l and "cell" in l and "codes" in l
     ]
     assert pf, plan[:2000]
+
+
+def test_hybrid_probe_reflects_layout_deletes(spark, emb, layouts):
+    """Right-to-be-forgotten composes through the fusion: deleting a
+    doc from BOTH layouts removes it from the hybrid results (each
+    branch's delete pin already holds; this pins the composition)."""
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+        delete_from_ivf_pq_residual_layout,
+        delete_from_text_index,
+    )
+
+    tp, vp = layouts
+    before = _probe(spark, emb, layouts).collect()
+    victim = int(before[0].doc_id)
+    ids = spark.createDataFrame([(victim,)], "doc_id long")
+    delete_from_text_index(spark, tp, ids)
+    delete_from_ivf_pq_residual_layout(
+        spark, vp, ids.select(F.col("doc_id").alias("vec_id"))
+    )
+    after = _probe(spark, emb, layouts).collect()
+    assert victim not in {r.doc_id for r in after}
+    assert after
+
+
+def test_hybrid_search_sink_stream_equals_batch_and_redelivery(
+    spark, emb, layouts, tmp_path
+):
+    """Streaming hybrid search (both query forms per micro-batch,
+    answered entirely from the two persisted layouts) ≡ per-batch
+    hybrid_probe_topk, and a manually re-delivered batch rewrites its
+    partition with identical rows."""
+    from dev_dot_cvp_metadata_ingestion_spark.streaming.stream import (
+        hybrid_search_sink,
+    )
+
+    tp, vp = layouts
+    vecs = {
+        r.vec_id: r.embedding
+        for r in emb.filter(F.col("vec_id").isin(1, 2, 3)).collect()
+    }
+    batches = [
+        [(1, "spark", vecs[1]), (1, "join", vecs[1]), (2, "window", vecs[2])],
+        [(3, "vector", vecs[3])],
+    ]
+    schema = "q_id long, term string, embedding array<float>"
+    results = str(tmp_path / "results")
+    sink = hybrid_search_sink(tp, vp, results, k=10)
+    for i, rows in enumerate(batches):
+        sink(spark.createDataFrame(rows, schema), i)
+
+    def _norm(rows):
+        return sorted(
+            (r.batch_id, r.q_id, r.doc_id, r.rrf_micro, r.rank)
+            for r in rows
+        )
+
+    got = _norm(spark.read.parquet(results).collect())
+    want = []
+    for i, rows in enumerate(batches):
+        b = spark.createDataFrame(rows, schema)
+        ranked = hybrid_probe_topk(
+            spark,
+            tp,
+            vp,
+            b.select("q_id", "term"),
+            b.groupBy("q_id")
+            .agg(F.min_by("embedding", "term").alias("embedding"))
+            .select(F.col("q_id").alias("vec_id"), "embedding"),
+            k=10,
+        )
+        want += [
+            (i, r.q_id, r.doc_id, r.rrf_micro, r.rank)
+            for r in ranked.collect()
+        ]
+    assert got == sorted(want) and got
+    # at-least-once re-delivery of batch 0: identical partition rewrite
+    sink(spark.createDataFrame(batches[0], schema), 0)
+    assert _norm(spark.read.parquet(results).collect()) == got
