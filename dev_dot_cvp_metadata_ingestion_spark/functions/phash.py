@@ -96,3 +96,32 @@ def phash_from_text(text: str) -> int:
     codes = np.array([ord(ch) for ch in text], dtype=np.int64)
     idx = np.arange(PHASH_N * PHASH_N) % len(codes)
     return phash_from_gray(codes[idx].reshape(PHASH_N, PHASH_N))
+
+
+def gray_from_wav(data: bytes) -> np.ndarray:
+    """Spectro-temporal energy raster from WAV bytes — the audio entry
+    into the same pHash kernel: the mono mix (integer mean of
+    channels) is split into 32 equal time frames, each frame into 32
+    equal sub-windows, and every cell carries the window's mean
+    ABSOLUTE amplitude (integer division) — a 32×32 coarse energy
+    envelope. The DCT then does for loudness structure what it does
+    for image luma: identical PCM re-encodes collide exactly, small
+    amplitude perturbations flip few low-frequency bits, and
+    unrelated signals land far apart. Windows that receive no samples
+    (clips shorter than 1024 samples, or an empty clip) contribute
+    zero energy — exact integer boundaries, every sample in exactly
+    one window."""
+    from .codecs import decode_wav
+
+    samples, _rate = decode_wav(data)
+    mono = samples.astype(np.int64).sum(axis=1) // samples.shape[1]
+    amp = np.abs(mono)
+    n = amp.shape[0]
+    cells = PHASH_N * PHASH_N
+    # window w covers [w*n//cells, (w+1)*n//cells) — exact integer
+    # boundaries, every sample in exactly one window
+    bounds = (np.arange(cells + 1) * n) // cells
+    sums = np.concatenate([[0], np.cumsum(amp)])
+    widths = np.maximum(bounds[1:] - bounds[:-1], 1)
+    means = (sums[bounds[1:]] - sums[bounds[:-1]]) // widths
+    return means.reshape(PHASH_N, PHASH_N)

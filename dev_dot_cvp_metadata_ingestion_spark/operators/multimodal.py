@@ -332,18 +332,20 @@ def phash_media(media: DataFrame, *, fake: bool = True) -> DataFrame:
     fake=True → the deterministic text-raster stand-in (codepoints
     tile the 32×32 raster) — the DuckDB-reproducible ORACLE form the
     registered ``dedup_phash_pairs`` query uses. fake=False → REAL
-    PNG decode + BT.601 integer luma + nearest resample to 32×32
-    (functions/codecs.py), pytest-verified over generated fixtures
-    (tests/test_phash.py); non-PNG payloads raise ValueError. Both
-    paths share the same exact int64 DCT kernel, so a pipeline can
-    validate plumbing on the fake and flip to real decode unchanged.
+    decode dispatched on magic bytes — PNG → BT.601 integer luma +
+    nearest 32×32 resample, WAV → spectro-temporal energy raster
+    (``gray_from_wav``) — pytest-verified over generated fixtures
+    (tests/test_phash.py); other payloads raise ValueError. Images
+    and audio share the one exact int64 DCT kernel and the one banded
+    dedup tail, and a pipeline can validate plumbing on the fake and
+    flip to real decode unchanged.
 
     Scale shape: one Arrow-batched map over the media table (the
     8×32 · 32×32 · 32×8 integer matmuls are ~50 µs/row); the output
     is 8 bytes of hash per row regardless of payload size, so
     everything downstream of this projection is hash-sized."""
-    from ..functions.phash import gray_from_png, phash_from_gray
-    from ..functions.phash import phash_from_text
+    from ..functions.phash import gray_from_png, gray_from_wav
+    from ..functions.phash import phash_from_gray, phash_from_text
 
     if fake:
 
@@ -369,12 +371,17 @@ def phash_media(media: DataFrame, *, fake: bool = True) -> DataFrame:
                 for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                     data = bytes(payload)
                     mime = sniff_mime(data)
-                    if mime != "image/png":
+                    if mime == "image/png":
+                        gray = gray_from_png(data)
+                    elif mime == "audio/wav":
+                        gray = gray_from_wav(data)
+                    else:
                         raise ValueError(
                             f"phash_media(fake=False): doc {doc_id} is "
-                            f"{mime}, only image/png is hashable here"
+                            f"{mime}; image/png and audio/wav are "
+                            "hashable here"
                         )
-                    hashes.append(phash_from_gray(gray_from_png(data)))
+                    hashes.append(phash_from_gray(gray))
                 yield pd.DataFrame(
                     {"doc_id": pdf["doc_id"], "phash": hashes}
                 )

@@ -144,3 +144,80 @@ def test_fake_path_matches_kernel(spark, sf_dir):
         for r in d.select("doc_id", "text").collect()
     }
     assert got == want and got
+
+
+def _tone(freq: int, env_freq: int, dither: bool = False) -> "np.ndarray":
+    """Amplitude-modulated tone — a structured energy envelope, like
+    real audio. (A PURE tone is pathological for an envelope hash:
+    its envelope is constant, so every AC coefficient sits on the
+    median knife-edge and any boundary jitter flips many bits.)"""
+    t = np.arange(8000)
+    env = 0.55 + 0.45 * np.sin(2 * np.pi * env_freq * t / 8000)
+    a = (3000 * env * np.sin(2 * np.pi * freq * t / 8000)).astype(
+        np.int64
+    )
+    if dither:
+        a = a + (t % 3) - 1  # ±1 LSB deterministic dither
+    return a.astype(np.int16)
+
+
+def test_audio_phash_reencode_collides_distinct_far(spark):
+    """Audio joins the same kernel: a stereo re-encode of the same PCM
+    collides exactly, ±1-LSB dither stays inside the banded radius,
+    a different tone lands far; phash_media(fake=False) dispatches on
+    the WAV magic and agrees with the driver-side kernel."""
+    from dev_dot_cvp_metadata_ingestion_spark.functions.codecs import (
+        encode_wav,
+    )
+    from dev_dot_cvp_metadata_ingestion_spark.functions.phash import (
+        gray_from_wav,
+    )
+
+    mono = _tone(440, 3)
+    stereo = np.stack([mono, mono], axis=1)  # same signal, 2 channels
+    clips = {
+        1: encode_wav(mono, 8000),
+        2: encode_wav(stereo, 8000),
+        3: encode_wav(_tone(440, 3, dither=True), 8000),
+        4: encode_wav(_tone(880, 7), 8000),
+    }
+    h = {
+        k: phash_from_gray(gray_from_wav(v)) for k, v in clips.items()
+    }
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert h[1] == h[2]
+    assert ham(h[1], h[3]) <= 3
+    assert ham(h[1], h[4]) > 10
+    # the Spark real path dispatches WAV and matches the kernel
+    media = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in clips.items()],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r.phash for r in phash_media(media, fake=False).collect()}
+    assert got == h
+    # and the banded pairs surface exactly the audio near-dups
+    pairs = sorted(
+        tuple(r)[:2]
+        for r in banded_hamming_pairs(
+            phash_media(media, fake=False), max_hamming=3
+        ).collect()
+    )
+    assert pairs == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_audio_phash_short_and_empty_clips(spark):
+    from dev_dot_cvp_metadata_ingestion_spark.functions.codecs import (
+        encode_wav,
+    )
+    from dev_dot_cvp_metadata_ingestion_spark.functions.phash import (
+        gray_from_wav,
+    )
+
+    short = encode_wav(_tone(440, 3)[:100], 8000)
+    empty = encode_wav(np.zeros((0,), dtype=np.int16), 8000)
+    assert gray_from_wav(short).shape == (32, 32)
+    assert gray_from_wav(empty).shape == (32, 32)
+    assert phash_from_gray(gray_from_wav(empty)) == 0
