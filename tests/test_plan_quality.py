@@ -332,7 +332,7 @@ PER_ROW_OUTPUT = [
     "dedup_graph_kcore", "events_cusum_alarm", "events_seasonal_anomaly",
     "events_mad_anomaly", "embedding_outliers",
     "events_seasonal_decomposition", "events_user_outliers",
-    "ann_range_search",
+    "ann_range_search", "dedup_phash_pairs",
 ]
 
 
