@@ -1548,3 +1548,216 @@ def phash_probe_pairs(
     return cand.select(
         "doc_id", "probe_id", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# --------------------------------------------------------- sorted neighborhood
+
+
+def sorted_neighborhood_candidates(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    *,
+    window: int = 5,
+    key_chars: int = 24,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995):
+    rank docs inside each block by an engine-stable sort key (the raw
+    ``key_chars``-char text prefix, id tiebreak), then pair every doc
+    with its next ``window`` neighbours in sort order. Candidate count
+    is EXACTLY ``n_docs * window`` minus block tails — linear, the
+    whole point of SNM versus the quadratic all-pairs inside a block —
+    and the pairing is a pure equi-join: each row re-emits itself at
+    ranks ``rk+1 .. rk+window`` (one ``explode`` over a
+    constant-length array, map-side) and joins back on
+    ``(block, rank)``. No range join, no self-join inequality, no
+    per-pair shuffle beyond the one rank equi-join.
+
+    Scale shape: the rank is a ``row_number`` windowed BY BLOCK — one
+    hash shuffle on the block key plus an in-partition sort, never a
+    global window. At 100 TB a skewed block is split by promoting more
+    sort-key prefix into the block key (the classic multi-pass SNM
+    device, same as the LSH band trick) — the candidate semantics
+    degrade gracefully because neighbours still sort adjacently within
+    the refined blocks. ASCII-binary string comparison orders
+    identically in Spark and DuckDB (both compare codepoints /
+    UTF-8 bytes — equal over the corpus's ASCII domain), which is what
+    makes the rank, and therefore the candidate set, hash-exact.
+
+    Returns (block, doc_id_a, doc_id_b, rank_gap, text_a, text_b)
+    where ``doc_id_a`` is the LOWER-RANKED doc (sort order, not id
+    order) and ``rank_gap`` in ``1..window``.
+    """
+    from pyspark.sql.window import Window
+
+    ranked = docs.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.substring(F.col(text_col), 1, key_chars).alias("snm_key"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("block").orderBy("snm_key", "doc_id")
+        ),
+    )
+    left = ranked.select(
+        "block",
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("text").alias("text_a"),
+        F.col("rk").alias("rk_a"),
+        F.explode(
+            F.array(*[F.col("rk") + F.lit(j) for j in range(1, window + 1)])
+        ).alias("rk"),
+    )
+    right = ranked.select(
+        "block",
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("text").alias("text_b"),
+        "rk",
+    )
+    return left.join(right, ["block", "rk"]).select(
+        "block",
+        "doc_id_a",
+        "doc_id_b",
+        (F.col("rk") - F.col("rk_a")).cast("long").alias("rank_gap"),
+        "text_a",
+        "text_b",
+    )
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    *,
+    window: int = 5,
+    key_chars: int = 24,
+    n: int = 2,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """SNM candidates verified by exact n-gram Jaccard. The verify is
+    per-candidate array-intersect over the pair's shingle sets —
+    affordable precisely because SNM caps candidates at
+    ``n_docs * window`` (contrast ``ngram_jaccard_pairs``, whose
+    posting-list join must bound the quadratic blow-up itself). Output
+    (block, doc_id_a, doc_id_b, rank_gap, jaccard), unordered."""
+    cand = sorted_neighborhood_candidates(
+        docs,
+        id_col,
+        text_col,
+        block_col,
+        window=window,
+        key_chars=key_chars,
+    )
+    sha = shingles(F.col("text_a"), n)
+    shb = shingles(F.col("text_b"), n)
+    i = F.size(F.array_intersect(sha, shb)).cast("long")
+    la = F.size(sha).cast("long")
+    lb = F.size(shb).cast("long")
+    jac = i.cast("double") / (la + lb - i)
+    return (
+        cand.select(
+            "block",
+            "doc_id_a",
+            "doc_id_b",
+            "rank_gap",
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def sorted_neighborhood_edit_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    *,
+    window: int = 5,
+    key_chars: int = 24,
+    max_distance: int = 48,
+) -> DataFrame:
+    """SNM candidates verified by exact Levenshtein distance — the
+    fuzzy-match half of the record-linkage pairing SNM was invented
+    for. Edit distance is the right verify when duplicates are
+    CHARACTER-level corruptions (OCR noise, typos, truncations) that
+    token-set Jaccard under-scores; ``F.levenshtein`` is JVM-side
+    (no Python), O(len²) per candidate pair, affordable under the
+    linear SNM candidate cap. Distance is an exact integer on both
+    engines (verified parity incl. empty/transposition edges), so the
+    whole row is hash-stable. Output
+    (block, doc_id_a, doc_id_b, rank_gap, edit_distance), unordered."""
+    cand = sorted_neighborhood_candidates(
+        docs,
+        id_col,
+        text_col,
+        block_col,
+        window=window,
+        key_chars=key_chars,
+    )
+    return cand.select(
+        "block",
+        "doc_id_a",
+        "doc_id_b",
+        "rank_gap",
+        F.levenshtein("text_a", "text_b").cast("long").alias("edit_distance"),
+    ).filter(F.col("edit_distance") <= max_distance)
+
+
+def fingerprint_set_jaccard_pairs(
+    posts: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fingerprint",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over ANY (id, fingerprint) posting relation — the
+    modality-agnostic tail of the posting-list similarity join
+    (``ngram_jaccard_pairs`` with the shingle front half factored
+    away): distinct postings, self-join on the fingerprint, shared
+    count per pair, set sizes rejoined, one final integer division.
+    Callers bring whatever fingerprint a modality defines — sampled
+    video-frame hashes, winnowed text fingerprints, audio chunk
+    hashes — and inherit the same scale shape: shuffles key on the
+    fingerprint and on the pair, fan-out is Σ_f df(f)² bounded by
+    fingerprint document frequency (a ubiquitous fingerprint is the
+    stop-gram regime — cap upstream if a modality can produce one).
+    Returns (id_a, id_b, shared, size_a, size_b, jaccard) with
+    id_a < id_b, unordered."""
+    p = posts.select(
+        F.col(id_col).alias("id"), F.col(fp_col).alias("fp")
+    ).distinct()
+    sizes = p.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = p.alias("a")
+    b = p.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b"))
+    jac = F.col("shared").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("shared")
+    )
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.col("id_a").alias(f"{id_col}_a"),
+            F.col("id_b").alias(f"{id_col}_b"),
+            F.col("shared").cast("long").alias("shared"),
+            F.col("size_a").cast("long").alias("size_a"),
+            F.col("size_b").cast("long").alias("size_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -8757,3 +8757,374 @@ def dedup_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         attach_binary(corpus, "doc_id", "text"), fake=True
     )
     return banded_hamming_pairs(hashes, max_hamming=3)
+
+
+# ------------------------------------------------- sorted-neighborhood dedup
+
+# the shared SNM CTE: rank within block by the 24-char raw text prefix
+# (id tiebreak), pair each doc with its next 5 sort-neighbours. Must
+# stay textually parallel to operators/dedup.py:
+# sorted_neighborhood_candidates (window=5, key_chars=24). ASCII
+# binary collation orders identically in both engines over the corpus
+# domain, so rank — and with it the candidate SET — is hash-exact.
+_SNM_CAND_CTES = """
+    ranked AS (
+      SELECT doc_id, source AS block, text,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY substr(text, 1, 24), doc_id) AS rk
+      FROM documents
+    ),
+    cand AS (
+      SELECT a.block, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             CAST(b.rk - a.rk AS BIGINT) AS rank_gap,
+             a.text AS text_a, b.text AS text_b
+      FROM ranked a JOIN ranked b
+        ON a.block = b.block AND b.rk > a.rk AND b.rk <= a.rk + 5
+    )"""
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+    WITH {_SNM_CAND_CTES},
+    sha AS (
+      SELECT block, doc_id_a, doc_id_b, rank_gap,
+             (SELECT {_shingle_sql(2)} FROM (SELECT {_TOKS.format(c="text_a")} AS t)) AS sh_a,
+             (SELECT {_shingle_sql(2)} FROM (SELECT {_TOKS.format(c="text_b")} AS t)) AS sh_b
+      FROM cand
+    ),
+    ver AS (
+      SELECT block, doc_id_a, doc_id_b, rank_gap,
+             len(list_intersect(sh_a, sh_b)) AS i,
+             len(sh_a) AS la, len(sh_b) AS lb
+      FROM sha
+    )
+    SELECT block, doc_id_a, doc_id_b, rank_gap,
+           i::DOUBLE / (la + lb - i) AS jaccard
+    FROM ver WHERE i::DOUBLE / (la + lb - i) >= 0.05
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernández & Stolfo 1995): rank docs
+    in each ``source`` block by a 24-char text-prefix sort key, pair
+    each doc with its next 5 sort-neighbours, verify candidates by
+    exact bigram Jaccard. The THIRD blocking strategy in the dedup
+    family — LSH blocks by signature collision (probabilistic recall,
+    any-distance), the posting-list join blocks by shared gram
+    (exact, df-bounded fan-out), SNM blocks by SORT ADJACENCY: linear
+    ``n x window`` candidates with recall concentrated on
+    prefix-aligned near-dups — the cheapest pass when duplicates share
+    openings (boilerplate headers, templated docs, re-crawls), and the
+    classic first stage of record linkage. Scale shape: one shuffle on
+    the block key + in-partition sort for the rank, one equi-join on
+    (block, rank) for the pairing — a skewed block is split by
+    promoting sort-key prefix into the block key (multi-pass SNM)."""
+    from ..operators.dedup import sorted_neighborhood_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(
+        d, "doc_id", "text", "source", window=5, key_chars=24,
+        n=2, threshold=0.05,
+    )
+
+
+@register(
+    "dedup_edit_distance_pairs",
+    oracle=f"""
+    WITH {_SNM_CAND_CTES}
+    SELECT block, doc_id_a, doc_id_b, rank_gap,
+           CAST(levenshtein(text_a, text_b) AS BIGINT) AS edit_distance
+    FROM cand WHERE levenshtein(text_a, text_b) <= 48
+    """,
+)
+def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level fuzzy pairs: the same SNM candidate relation as
+    ``dedup_sorted_neighborhood``, verified by exact Levenshtein
+    distance (≤ 48 over ~128-char docs) instead of token-set Jaccard —
+    the right verify for OCR noise, typos, and truncations that
+    re-order no tokens but corrupt characters, which Jaccard
+    under-scores. ``F.levenshtein`` is JVM-side and integer-exact on
+    both engines (parity verified incl. empty / transposition edges),
+    so the row is hash-stable with no float anywhere. O(len²) per
+    candidate is affordable precisely because SNM caps candidates at
+    ``n_docs x window`` — the device that makes edit distance, the
+    most expensive verify in the family, usable at corpus scale."""
+    from ..operators.dedup import sorted_neighborhood_edit_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return sorted_neighborhood_edit_pairs(
+        d, "doc_id", "text", "source", window=5, key_chars=24,
+        max_distance=48,
+    )
+
+
+@register(
+    "dedup_link_prediction",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS.format(c="text")} AS t FROM documents
+    ),
+    sh AS (SELECT doc_id, source AS block, {_shingle_sql(2)} AS sh FROM toks),
+    jpairs AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+            >= 0.05
+    ),
+    edges AS (
+      SELECT doc_id_a AS src, doc_id_b AS dst FROM jpairs
+      UNION
+      SELECT doc_id_b, doc_id_a FROM jpairs
+    ),
+    deg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+    ),
+    cn AS (
+      SELECT e1.dst AS a, e2.dst AS b,
+             CAST(count(*) AS BIGINT) AS common_neighbors
+      FROM edges e1 JOIN edges e2
+        ON e1.src = e2.src AND e1.dst < e2.dst
+      GROUP BY e1.dst, e2.dst
+    ),
+    nonadj AS (
+      SELECT cn.a, cn.b, cn.common_neighbors FROM cn
+      LEFT JOIN edges e ON e.src = cn.a AND e.dst = cn.b
+      WHERE e.src IS NULL
+    )
+    SELECT n.a AS doc_id_a, n.b AS doc_id_b, n.common_neighbors,
+           da.deg AS deg_a, db.deg AS deg_b,
+           n.common_neighbors::DOUBLE
+             / (da.deg + db.deg - n.common_neighbors) AS neighbor_jaccard
+    FROM nonadj n
+    JOIN deg da ON da.src = n.a
+    JOIN deg db ON db.src = n.b
+    """,
+)
+def dedup_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-edge prediction over the similarity-evidence graph
+    (operators/graph.py:link_prediction): non-adjacent pairs ranked by
+    common-neighbor count and neighbor-set Jaccard. The edge relation
+    is the LOW-threshold bigram-Jaccard graph (``dedup_ngram_pairs``'s
+    0.05 evidence edges) — deliberately non-transitive, unlike the
+    0.3-verified LSH graph whose components are cliques by
+    construction (predictions there are structurally empty, checked):
+    A-B and B-C clearing weak evidence with A-C missed is exactly the
+    transitive near-dup a pairwise threshold drops, and re-verifying
+    the top predicted pairs is the cheap recall patch (contrast
+    lowering the corpus-wide threshold, which re-verifies everything).
+    The graph family's FORWARD primitive: pagerank ranks nodes,
+    triangles/k-core measure cohesion, this one proposes edges — also
+    the "related documents" suggestion primitive. Wedge join Σ deg²
+    over the evidence graph (block- and threshold-bounded degree),
+    anti-join adjacency rejection, one final integer division per
+    row."""
+    from ..operators.graph import link_prediction
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", "source", n=2, threshold=0.05
+    ).select("doc_id_a", "doc_id_b")
+    return link_prediction(pairs)
+
+
+# --------------------------------------------------------------- TextRank
+
+
+def _word_pagerank_step_sql(prev: str, cur: str) -> str:
+    """One unrolled PageRank round over the WORD graph (node set =
+    ``wnodes``; otherwise textually parallel to _pagerank_step_sql /
+    operators/graph.py:pagerank — exact ppm integer recurrence)."""
+    return f"""
+    {cur} AS (
+      SELECT n.word AS node,
+             CAST(150000 + (850000 * COALESCE(s.c, 0)) // 1000000
+                  AS BIGINT) AS pr
+      FROM wnodes n LEFT JOIN (
+        SELECT ew.dst AS node, CAST(sum(p.pr // ew.deg) AS BIGINT) AS c
+        FROM {prev} p JOIN ew ON ew.src = p.node GROUP BY ew.dst) s
+      ON s.node = n.word)"""
+
+
+_WORD_PAGERANK_STEPS = ",".join(
+    _word_pagerank_step_sql(f"pr{i}", f"pr{i + 1}") for i in range(4)
+)
+
+
+@register(
+    "text_textrank_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT {_TOKS.format(c=_ASCII_LOWER)} AS t FROM documents
+    ),
+    wnodes AS (SELECT DISTINCT unnest(t) AS word FROM toks),
+    bg AS (
+      SELECT unnest([{{'w1': t[i], 'w2': t[i+1]}}
+                     for i in generate_series(1, len(t) - 1)]) AS z
+      FROM toks WHERE len(t) >= 2
+    ),
+    edges0 AS (
+      SELECT DISTINCT least(z.w1, z.w2) AS w1, greatest(z.w1, z.w2) AS w2
+      FROM bg WHERE z.w1 <> z.w2
+    ),
+    edges AS (
+      SELECT w1 AS src, w2 AS dst FROM edges0
+      UNION
+      SELECT w2, w1 FROM edges0
+    ),
+    deg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+    ),
+    ew AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+    pr0 AS (
+      SELECT word AS node, CAST(1000000 AS BIGINT) AS pr FROM wnodes
+    ),
+    {_WORD_PAGERANK_STEPS}
+    SELECT n.word, pr4.pr AS pagerank_ppm,
+           CAST(COALESCE(deg.deg, 0) AS BIGINT) AS degree
+    FROM wnodes n
+    JOIN pr4 ON pr4.node = n.word
+    LEFT JOIN deg ON deg.src = n.word
+    ORDER BY pagerank_ppm DESC, word
+    LIMIT 30
+    """,
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    centrality over the word CO-OCCURRENCE graph — nodes are distinct
+    corpus words, edges are distinct unordered ADJACENT-word pairs,
+    top-30 words by stationary rank. The graph-centrality complement
+    to the family's two frequency-based extractors: RAKE scores
+    degree/frequency inside stopword-delimited phrases, PMI lift finds
+    surprising PAIRS, TextRank finds the words the co-occurrence
+    structure keeps routing through (high-centrality hubs), which
+    picks up connective topic words that raw frequency over- and
+    rarity under-weights.
+
+    Entirely a composition of existing kernels: the bigram shifted-
+    slice device (``text_collocations_pmi``) builds the edge relation
+    in one corpus pass, and ``operators/graph.py:pagerank`` — the SAME
+    exact-ppm integer iteration the dedup graph uses, node type string
+    instead of long — runs 4 unrolled rounds, so the whole query
+    hash-matches its unrolled-CTE oracle. Scale shape inherits from
+    both: edge build is one (w1,w2) count shuffle; each rank round is
+    one vocabulary-sized join + groupBy (vocabulary ≪ corpus, the
+    regime where pagerank state is trivially small); top-30 is
+    TakeOrderedAndProject. ascii_lower per the hash-path casing
+    doctrine."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(tokens(ascii_lower(F.col("text"))).alias("t"))
+    words = toks.select(F.explode("t").alias("word")).distinct()
+    n = F.size("t")
+    bg = (
+        toks.filter(n >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, n - 1).alias("w1"),
+                    F.slice("t", 2, n - 1).alias("w2"),
+                )
+            ).alias("z")
+        )
+        .select(F.col("z.w1").alias("a"), F.col("z.w2").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("w1"), F.greatest("a", "b").alias("w2")
+        )
+        .distinct()
+    )
+    pr = pagerank(bg, words, id_col="word", a_col="w1", b_col="w2", iters=4)
+    return pr.orderBy(
+        F.col("pagerank_ppm").desc(), "word"
+    ).limit(30)
+
+
+@register(
+    "dedup_video_frame_pairs",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE length(text) > 0
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents
+      WHERE length(text) > 0 AND doc_id % 97 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, 'x' || substring(text, 2) FROM documents
+      WHERE length(text) > 0 AND doc_id % 89 = 0
+    ),
+    m AS (
+      SELECT doc_id, text, length(text) AS n_chars,
+             greatest(1, least(4, length(text) // 100)) AS n_frames
+      FROM corpus
+    ),
+    posts AS (
+      SELECT DISTINCT doc_id,
+             md5(substring(text, (i * n_chars) // n_frames + 1,
+                           n_chars // n_frames)) AS fp
+      FROM m, UNNEST(range(n_frames)) AS t(i)
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+      FROM posts GROUP BY doc_id
+    ),
+    shared AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM posts a JOIN posts b
+        ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT s.doc_id_a, s.doc_id_b, s.shared,
+           sa.sz AS size_a, sb.sz AS size_b,
+           s.shared::DOUBLE / (sa.sz + sb.sz - s.shared) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.doc_id_a
+    JOIN sizes sb ON sb.doc_id = s.doc_id_b
+    WHERE s.shared::DOUBLE / (sa.sz + sb.sz - s.shared) >= 0.5
+    """,
+)
+def dedup_video_frame_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate detection: sampled-frame fingerprint sets
+    compared by exact Jaccard — the sequence modality joining the
+    image/audio pHash family. A video's fingerprint is the DISTINCT
+    hash set of its evenly-sampled frames
+    (operators/multimodal.py:sample_frames — the oracle-form
+    deterministic slice fake; fake=False is the real per-frame
+    decode), and two videos near-dup when most sampled frames
+    collide: robust to re-keying/container changes (all frames equal,
+    jaccard 1.0) and to localized edits — a watermark/intro touching
+    one sampled frame of four still scores 3/5 — while unrelated
+    videos share nothing. The tail is the modality-agnostic
+    posting-list join (operators/dedup.py:
+    fingerprint_set_jaccard_pairs): shuffles key on the frame hash,
+    never the payload; fan-out df(frame)²-bounded.
+
+    Like ``dedup_phash_pairs``, duplicates are planted IN-QUERY (the
+    synthetic corpus has no byte-identical media): a re-keyed exact
+    copy of every 97th doc must surface at jaccard 1.0, and a
+    first-char-mutated copy of every 89th doc exercises the PARTIAL
+    overlap path — frame 0 diverges, later frames survive, so
+    multi-frame docs pair at (n-1)/(n+1) and single-frame docs
+    correctly do not pair. Threshold 0.5 keeps both planted classes
+    and rejects coincidental single-frame collisions."""
+    from ..operators.dedup import fingerprint_set_jaccard_pairs
+    from ..operators.multimodal import attach_binary, sample_frames
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    base = d.select("doc_id", "text")
+    exact = base.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
+    )
+    mutated = base.filter(F.col("doc_id") % 89 == 0).select(
+        (F.col("doc_id") + F.lit(2000000)).alias("doc_id"),
+        F.concat(F.lit("x"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    corpus = base.unionByName(exact).unionByName(mutated)
+    frames = sample_frames(
+        attach_binary(corpus, "doc_id", "text"), fake=True
+    )
+    return fingerprint_set_jaccard_pairs(
+        frames, id_col="doc_id", fp_col="frame_md5", threshold=0.5
+    )

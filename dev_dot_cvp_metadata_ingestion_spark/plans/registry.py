@@ -249,6 +249,11 @@ BACK: tuple[str, ...] = (
     # --- round-12 additions (first driver row next rotation) ---
     "text_hybrid_rrf",
     "dedup_phash_pairs",
+    "dedup_sorted_neighborhood",
+    "dedup_edit_distance_pairs",
+    "dedup_link_prediction",
+    "text_textrank_keywords",
+    "dedup_video_frame_pairs",
 )
 
 

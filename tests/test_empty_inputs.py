@@ -95,6 +95,11 @@ AT_RISK = [
     "events_association_rules",    # pair join + scalar N on empty
     "corpus_source_robust_stats",  # histogram CDF on empty corpus
     "ann_range_search",            # broadcast of zero queries
+    "dedup_sorted_neighborhood",   # rank window over zero docs
+    "dedup_edit_distance_pairs",   # SNM candidates over zero docs
+    "dedup_link_prediction",       # wedge join over an empty graph
+    "text_textrank_keywords",      # rank rounds over an empty vocabulary
+    "dedup_video_frame_pairs",     # frame fan-out over zero media rows
 ]
 
 

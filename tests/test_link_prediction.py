@@ -1,0 +1,74 @@
+"""operators/graph.py:link_prediction — common-neighbor prediction of
+missing edges. Pins the semantic core on hand-built graphs: a broken
+triangle predicts its missing edge, adjacency is rejected, 2-hop-only
+evidence counts, and the Jaccard is the exact integer ratio."""
+
+from __future__ import annotations
+
+from dev_dot_cvp_metadata_ingestion_spark.operators.graph import (
+    link_prediction,
+)
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id_a", "doc_id_b"])
+
+
+def test_broken_triangle_predicts_missing_edge(spark):
+    got = link_prediction(_pairs(spark, [(1, 2), (2, 3)])).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.doc_id_a, r.doc_id_b) == (1, 3)
+    assert r.common_neighbors == 1
+    assert (r.deg_a, r.deg_b) == (1, 1)
+    assert r.neighbor_jaccard == 1.0
+
+
+def test_existing_edges_never_predicted(spark):
+    # full triangle: every pair adjacent, nothing to predict
+    assert (
+        link_prediction(_pairs(spark, [(1, 2), (2, 3), (1, 3)])).count() == 0
+    )
+
+
+def test_path_ends_without_common_neighbor_not_predicted(spark):
+    # 1-2-3-4: (1,3) and (2,4) share a neighbor; (1,4) does not
+    got = link_prediction(_pairs(spark, [(1, 2), (2, 3), (3, 4)])).collect()
+    assert {(r.doc_id_a, r.doc_id_b) for r in got} == {(1, 3), (2, 4)}
+
+
+def test_jaccard_counts_full_neighbor_union(spark):
+    # star around 2 plus a pendant on 1:
+    # N(1) = {2, 9}, N(3) = {2}; cn=1, union = 2 -> 0.5
+    got = {
+        (r.doc_id_a, r.doc_id_b): r
+        for r in link_prediction(
+            _pairs(spark, [(1, 2), (2, 3), (1, 9)])
+        ).collect()
+    }
+    r = got[(1, 3)]
+    assert r.common_neighbors == 1
+    assert (r.deg_a, r.deg_b) == (2, 1)
+    assert r.neighbor_jaccard == 0.5
+
+
+def test_multiple_common_neighbors_accumulate(spark):
+    # 1 and 2 both connected to 3 and 4 (no 1-2 edge): cn=2,
+    # deg both 2, jaccard = 2/(2+2-2) = 1.0
+    got = link_prediction(
+        _pairs(spark, [(1, 3), (1, 4), (2, 3), (2, 4)])
+    ).collect()
+    by_pair = {(r.doc_id_a, r.doc_id_b): r for r in got}
+    r = by_pair[(1, 2)]
+    assert r.common_neighbors == 2 and r.neighbor_jaccard == 1.0
+    # (3,4) is symmetric through 1 and 2
+    r = by_pair[(3, 4)]
+    assert r.common_neighbors == 2 and r.neighbor_jaccard == 1.0
+    assert set(by_pair) == {(1, 2), (3, 4)}
+
+
+def test_empty_graph(spark):
+    empty = spark.createDataFrame(
+        [], "doc_id_a long, doc_id_b long"
+    )
+    assert link_prediction(empty).count() == 0

@@ -77,6 +77,11 @@ SENSITIVE = [
     "embedding_silhouette",  # kmeans + two-nearest ranks
     "corpus_source_robust_stats",  # histogram-CDF cumulative windows
     "events_association_rules",    # distinct + per-user pair join
+    "dedup_sorted_neighborhood",   # block-ranked window + rank equi-join
+    "dedup_edit_distance_pairs",   # same SNM rank, levenshtein verify
+    "dedup_link_prediction",       # wedge join + adjacency anti-join
+    "text_textrank_keywords",      # ppm rank rounds over word graph
+    "dedup_video_frame_pairs",     # Arrow frame fan-out + posting join
 ]
 
 
