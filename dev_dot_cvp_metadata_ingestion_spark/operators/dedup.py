@@ -1685,10 +1685,19 @@ def sorted_neighborhood_edit_pairs(
     for. Edit distance is the right verify when duplicates are
     CHARACTER-level corruptions (OCR noise, typos, truncations) that
     token-set Jaccard under-scores; ``F.levenshtein`` is JVM-side
-    (no Python), O(len²) per candidate pair, affordable under the
-    linear SNM candidate cap. Distance is an exact integer on both
-    engines (verified parity incl. empty/transposition edges), so the
-    whole row is hash-stable. Output
+    (no Python) and exact-integer on both engines (verified parity
+    incl. empty/transposition edges), so the row is hash-stable.
+
+    Two provably-lossless cost cuts keep the most expensive verify in
+    the family affordable (17.7 s → 1.5 s at sf0.1, SCALE.md):
+    (1) a LENGTH-GAP prefilter — ``|len(a) - len(b)| > k`` lower-
+    bounds the distance, so those candidates can't pass and the DP
+    never runs; (2) Spark's THRESHOLDED ``levenshtein(a, b, k)`` —
+    the banded O(len·k) DP that abandons a pair once the band minimum
+    exceeds k, returning -1 (filtered) instead of finishing the
+    O(len²) table. Within the threshold the banded DP is exact, so
+    results are bit-identical to the unbounded form the DuckDB oracle
+    runs. Output
     (block, doc_id_a, doc_id_b, rank_gap, edit_distance), unordered."""
     cand = sorted_neighborhood_candidates(
         docs,
@@ -1697,14 +1706,18 @@ def sorted_neighborhood_edit_pairs(
         block_col,
         window=window,
         key_chars=key_chars,
+    ).filter(
+        F.abs(F.length("text_a") - F.length("text_b")) <= max_distance
     )
     return cand.select(
         "block",
         "doc_id_a",
         "doc_id_b",
         "rank_gap",
-        F.levenshtein("text_a", "text_b").cast("long").alias("edit_distance"),
-    ).filter(F.col("edit_distance") <= max_distance)
+        F.levenshtein("text_a", "text_b", max_distance)
+        .cast("long")
+        .alias("edit_distance"),
+    ).filter(F.col("edit_distance") >= 0)
 
 
 def fingerprint_set_jaccard_pairs(
