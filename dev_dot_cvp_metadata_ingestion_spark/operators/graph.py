@@ -412,3 +412,95 @@ def link_prediction(
             "neighbor_jaccard"
         ),
     )
+
+
+def dbscan_labels(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "vec_id",
+    a_col: str = "vec_id_a",
+    b_col: str = "vec_id_b",
+    min_neighbors: int = 3,
+) -> DataFrame:
+    """DBSCAN (Ester et al., KDD 1996) over a PRECOMPUTED
+    eps-neighbor pair relation: a node with ≥ ``min_neighbors``
+    neighbors is CORE; core points connected through core-core edges
+    form one cluster (labelled by the component's min id); a non-core
+    node adjacent to ≥1 core is a BORDER of its minimum-labelled core
+    cluster; everything else is NOISE (cluster_id -1). The
+    density-based complement to the embedding family's kmeans:
+    cluster count emerges from density, irregular shapes survive, and
+    outliers get an explicit noise label instead of being absorbed by
+    the nearest centroid.
+
+    Decomposing DBSCAN this way is what makes it distributable: the
+    expensive half (who is within eps of whom) is whatever blocked
+    similarity join the caller already has — sign-bucket cosine
+    pairs, banded LSH, an IVF range probe — and this function is only
+    bounded relational algebra on that relation: one degree count,
+    two semi-joins to restrict edges to core×core, the existing
+    min-label pointer-jumping ``connected_components`` (O(log D)
+    rounds, shallow here because eps-graphs of near-dup clusters are
+    dense), and one groupBy-min for borders. Nothing is collected;
+    every shuffle keys on node or pair ids. Exactness: ids and counts
+    are integers, roles derive from integer comparisons, so the whole
+    row is hash-stable given a deterministic pair relation.
+
+    Returns (id_col, role ∈ {core, border, noise}, cluster_id) — one
+    row per node, unordered (per-row output contract)."""
+    from .dedup import connected_components
+
+    can = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).localCheckpoint()
+    sym = can.unionByName(
+        can.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    core = (
+        deg.filter(F.col("d") >= min_neighbors)
+        .select(F.col("src").alias("node"))
+        .localCheckpoint()
+    )
+    core_edges = can.join(
+        core.select(F.col("node").alias("src")), "src", "left_semi"
+    ).join(core.select(F.col("node").alias("dst")), "dst", "left_semi")
+    comp = connected_components(
+        core_edges, core, id_col="node", a_col="src", b_col="dst"
+    )
+    border = (
+        sym.join(core.select(F.col("node").alias("src")), "src", "left_anti")
+        .join(
+            comp.select(
+                F.col("node").alias("dst"), F.col("cluster_id").alias("cid")
+            ),
+            "dst",
+        )
+        .groupBy("src")
+        .agg(F.min("cid").alias("cluster_id"))
+        .select(F.col("src").alias("node"), "cluster_id")
+    )
+    base = nodes.select(F.col(id_col).alias("node"))
+    out = (
+        base.join(
+            comp.select("node", F.col("cluster_id").alias("core_cid")),
+            "node",
+            "left",
+        )
+        .join(
+            border.select("node", F.col("cluster_id").alias("border_cid")),
+            "node",
+            "left",
+        )
+        .select(
+            F.col("node").alias(id_col),
+            F.when(F.col("core_cid").isNotNull(), F.lit("core"))
+            .when(F.col("border_cid").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("core_cid", "border_cid", F.lit(-1))
+            .cast("long")
+            .alias("cluster_id"),
+        )
+    )
+    return out

@@ -2961,6 +2961,60 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_cosine_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.3
+) -> DataFrame:
+    """The sign-bucket blocked exact-cosine pair relation shared by
+    ``dedup_embedding_pairs`` (its docstring carries the plan
+    derivation and measurements) and ``embedding_dbscan`` (which
+    consumes it as the eps-neighbor graph)."""
+    from ..operators.similarity import lsh_bucket
+    from ..functions.vectors import l2_norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    unit = (
+        e.select(
+            "vec_id",
+            F.col("embedding").alias("v"),
+            lsh_bucket(F.col("embedding"), 64, 4).alias("bucket"),
+        )
+        .withColumn("_nrm", l2_norm(F.col("v")))
+        .select(
+            "vec_id",
+            "bucket",
+            F.transform(
+                F.col("v"), lambda x: x.cast("double") / F.col("_nrm")
+            ).alias("u"),
+        )
+    )
+    a = unit.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("u").alias("ua"),
+        F.col("bucket").alias("ba"),
+    )
+    b = unit.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("u").alias("ub"),
+        F.col("bucket").alias("bb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("ba") == F.col("bb")) & (F.col("vec_id_a") < F.col("vec_id_b")),
+    )
+    prod = pairs.select(
+        "vec_id_a",
+        "vec_id_b",
+        F.explode(F.arrays_zip("ua", "ub")).alias("z"),
+    ).select(
+        "vec_id_a", "vec_id_b", (F.col("z.ua") * F.col("z.ub")).alias("p")
+    )
+    return (
+        prod.groupBy("vec_id_a", "vec_id_b")
+        .agg(F.sum("p").alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 @register(
     "dedup_embedding_pairs",
     oracle=f"""
@@ -3007,51 +3061,7 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (CollapseProject keeps the multi-referenced alias materialized;
     inlined, the 64-element transform would re-derive the norm fold
     per element)."""
-    from ..operators.similarity import lsh_bucket
-    from ..functions.vectors import l2_norm
-
-    e = load_table(spark, sf_dir, "embeddings")
-    unit = (
-        e.select(
-            "vec_id",
-            F.col("embedding").alias("v"),
-            lsh_bucket(F.col("embedding"), 64, 4).alias("bucket"),
-        )
-        .withColumn("_nrm", l2_norm(F.col("v")))
-        .select(
-            "vec_id",
-            "bucket",
-            F.transform(
-                F.col("v"), lambda x: x.cast("double") / F.col("_nrm")
-            ).alias("u"),
-        )
-    )
-    a = unit.select(
-        F.col("vec_id").alias("vec_id_a"),
-        F.col("u").alias("ua"),
-        F.col("bucket").alias("ba"),
-    )
-    b = unit.select(
-        F.col("vec_id").alias("vec_id_b"),
-        F.col("u").alias("ub"),
-        F.col("bucket").alias("bb"),
-    )
-    pairs = a.join(
-        b,
-        (F.col("ba") == F.col("bb")) & (F.col("vec_id_a") < F.col("vec_id_b")),
-    )
-    prod = pairs.select(
-        "vec_id_a",
-        "vec_id_b",
-        F.explode(F.arrays_zip("ua", "ub")).alias("z"),
-    ).select(
-        "vec_id_a", "vec_id_b", (F.col("z.ua") * F.col("z.ub")).alias("p")
-    )
-    return (
-        prod.groupBy("vec_id_a", "vec_id_b")
-        .agg(F.sum("p").alias("cos"))
-        .filter(F.col("cos") >= 0.3)
-    )
+    return _embedding_cosine_pairs(spark, sf_dir, threshold=0.3)
 
 
 # ------------------------------------------------------------- multimodal
@@ -9127,4 +9137,93 @@ def dedup_video_frame_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return fingerprint_set_jaccard_pairs(
         frames, id_col="doc_id", fp_col="frame_md5", threshold=0.5
+    )
+
+
+@register(
+    "embedding_dbscan",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    bucketed AS (
+      SELECT vec_id, v, CAST({_bucket_sql(4)} AS BIGINT) AS bucket FROM e
+    ),
+    unit AS (
+      SELECT vec_id, bucket,
+             list_transform(v, x -> x / sqrt({_FOLD_DOT.format(a="v", b="v")}))
+               AS u
+      FROM bucketed
+    ),
+    eps_pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM unit a JOIN unit b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {_FOLD_DOT.format(a="a.u", b="b.u")} >= 0.3
+    ),
+    sym AS (
+      SELECT va AS s, vb AS d FROM eps_pairs
+      UNION ALL
+      SELECT vb, va FROM eps_pairs
+    ),
+    deg AS (SELECT s, count(*) AS dg FROM sym GROUP BY s),
+    core AS (SELECT s AS node FROM deg WHERE dg >= 3),
+    core_edges AS (
+      SELECT sym.s, sym.d FROM sym
+      JOIN core c1 ON c1.node = sym.s
+      JOIN core c2 ON c2.node = sym.d
+    ),
+    reach(node, label) AS (
+      SELECT node, node FROM core
+      UNION
+      SELECT ce.d, r.label FROM reach r JOIN core_edges ce ON ce.s = r.node
+    ),
+    comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+    border AS (
+      SELECT sym.s AS node, min(comp.cluster_id) AS cluster_id
+      FROM sym
+      JOIN comp ON comp.node = sym.d
+      LEFT JOIN core ON core.node = sym.s
+      WHERE core.node IS NULL
+      GROUP BY sym.s
+    )
+    SELECT e.vec_id,
+           CASE WHEN comp.node IS NOT NULL THEN 'core'
+                WHEN border.node IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(COALESCE(comp.cluster_id, border.cluster_id, -1)
+                AS BIGINT) AS cluster_id
+    FROM e
+    LEFT JOIN comp ON comp.node = e.vec_id
+    LEFT JOIN border ON border.node = e.vec_id
+    """,
+)
+def embedding_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based clustering of the embedding table: DBSCAN with
+    the sign-bucket blocked exact-cosine relation (the
+    ``dedup_embedding_pairs`` join, cos ≥ 0.3) as the eps-neighbor
+    graph and min_neighbors = 3 (operators/graph.py:dbscan_labels —
+    core / border / noise roles, clusters labelled by core-component
+    min id, noise at -1). The density complement to
+    ``embedding_kmeans``: no preset k, irregular cluster shapes, and
+    an explicit outlier label — the crawl-curation view that separates
+    "dense semantic duplicate mass" (cores), "periphery" (borders),
+    and "singletons" (noise) in one pass. The eps-graph uses the SAME
+    bucketing the pair family rides (recall trade documented there);
+    the oracle restates the clustering as a recursive min-label CTE
+    over identically-bucketed pairs, so the hash compare is exact."""
+    from ..operators.graph import dbscan_labels
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = _embedding_cosine_pairs(spark, sf_dir, threshold=0.3).select(
+        "vec_id_a", "vec_id_b"
+    )
+    return dbscan_labels(
+        pairs,
+        e.select("vec_id"),
+        id_col="vec_id",
+        a_col="vec_id_a",
+        b_col="vec_id_b",
+        min_neighbors=3,
     )

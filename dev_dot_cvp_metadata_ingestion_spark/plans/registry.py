@@ -254,6 +254,7 @@ BACK: tuple[str, ...] = (
     "dedup_link_prediction",
     "text_textrank_keywords",
     "dedup_video_frame_pairs",
+    "embedding_dbscan",
 )
 
 

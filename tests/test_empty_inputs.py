@@ -100,6 +100,7 @@ AT_RISK = [
     "dedup_link_prediction",       # wedge join over an empty graph
     "text_textrank_keywords",      # rank rounds over an empty vocabulary
     "dedup_video_frame_pairs",     # frame fan-out over zero media rows
+    "embedding_dbscan",            # CC fixpoint over an empty eps-graph
 ]
 
 

@@ -82,6 +82,7 @@ SENSITIVE = [
     "dedup_link_prediction",       # wedge join + adjacency anti-join
     "text_textrank_keywords",      # ppm rank rounds over word graph
     "dedup_video_frame_pairs",     # Arrow frame fan-out + posting join
+    "embedding_dbscan",            # degree gate + CC rounds + role joins
 ]
 
 
