@@ -1561,10 +1561,13 @@ def sorted_neighborhood_candidates(
     *,
     window: int = 5,
     key_chars: int = 24,
+    reverse_key: bool = False,
 ) -> DataFrame:
     """Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995):
     rank docs inside each block by an engine-stable sort key (the raw
-    ``key_chars``-char text prefix, id tiebreak), then pair every doc
+    ``key_chars``-char text prefix — or the REVERSED text's prefix
+    when ``reverse_key``, i.e. suffix-aligned ordering for the
+    multi-pass variant), id tiebreak, then pair every doc
     with its next ``window`` neighbours in sort order. Candidate count
     is EXACTLY ``n_docs * window`` minus block tails — linear, the
     whole point of SNM versus the quadratic all-pairs inside a block —
@@ -1591,11 +1594,14 @@ def sorted_neighborhood_candidates(
     """
     from pyspark.sql.window import Window
 
+    key_src = (
+        F.reverse(F.col(text_col)) if reverse_key else F.col(text_col)
+    )
     ranked = docs.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
-        F.substring(F.col(text_col), 1, key_chars).alias("snm_key"),
+        F.substring(key_src, 1, key_chars).alias("snm_key"),
     ).withColumn(
         "rk",
         F.row_number().over(
@@ -1774,3 +1780,69 @@ def fingerprint_set_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def sorted_neighborhood_multipass_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    *,
+    window: int = 5,
+    key_chars: int = 24,
+    n: int = 2,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """MULTI-PASS sorted neighborhood — the form Hernández & Stolfo
+    actually recommend: several cheap passes under DIFFERENT sort
+    keys, candidate sets unioned, one verify. A single sort key has a
+    blind spot by construction (a corrupted or missing first token
+    teleports a record across the sort order); the second pass here
+    sorts by the REVERSED text's prefix, so suffix-aligned near-dups
+    that pass 1 separates become adjacent in pass 2. Union-distinct
+    over id-normalized pairs keeps the verify exactly-once per pair;
+    total candidates stay ≤ 2·n·window — two linear passes are far
+    cheaper than one pass with a 2× window, because a doubled window
+    pays everywhere while the second key pays only where it adds NEW
+    adjacency. Both reverses are engine-stable over the corpus's
+    ASCII domain (DuckDB reverses by grapheme, Spark by codepoint —
+    identical on ASCII). Returns (block, doc_id_a, doc_id_b, jaccard)
+    with doc_id_a < doc_id_b (id order — rank gaps are per-pass and
+    dropped at the union), unordered."""
+    ids = []
+    for rev in (False, True):
+        ids.append(
+            sorted_neighborhood_candidates(
+                docs,
+                id_col,
+                text_col,
+                block_col,
+                window=window,
+                key_chars=key_chars,
+                reverse_key=rev,
+            ).select(
+                "block",
+                F.least("doc_id_a", "doc_id_b").alias("doc_id_a"),
+                F.greatest("doc_id_a", "doc_id_b").alias("doc_id_b"),
+            )
+        )
+    cand = ids[0].unionByName(ids[1]).distinct()
+    t = docs.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), n).alias("sh"),
+    )
+    a = t.select(
+        "block", F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a")
+    )
+    b = t.select(
+        "block", F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b")
+    )
+    ver = cand.join(a, ["block", "doc_id_a"]).join(b, ["block", "doc_id_b"])
+    i = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    la = F.size("sh_a").cast("long")
+    lb = F.size("sh_b").cast("long")
+    jac = i.cast("double") / (la + lb - i)
+    return ver.select(
+        "block", "doc_id_a", "doc_id_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)

@@ -9227,3 +9227,71 @@ def embedding_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         b_col="vec_id_b",
         min_neighbors=3,
     )
+
+
+@register(
+    "dedup_snm_multipass",
+    oracle=f"""
+    WITH r1 AS (
+      SELECT doc_id, source AS block,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY substr(text, 1, 24), doc_id) AS rk
+      FROM documents
+    ),
+    r2 AS (
+      SELECT doc_id, source AS block,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY substr(reverse(text), 1, 24), doc_id) AS rk
+      FROM documents
+    ),
+    cand AS (
+      SELECT DISTINCT block, doc_id_a, doc_id_b FROM (
+        SELECT a.block, least(a.doc_id, b.doc_id) AS doc_id_a,
+               greatest(a.doc_id, b.doc_id) AS doc_id_b
+        FROM r1 a JOIN r1 b
+          ON a.block = b.block AND b.rk > a.rk AND b.rk <= a.rk + 5
+        UNION ALL
+        SELECT a.block, least(a.doc_id, b.doc_id),
+               greatest(a.doc_id, b.doc_id)
+        FROM r2 a JOIN r2 b
+          ON a.block = b.block AND b.rk > a.rk AND b.rk <= a.rk + 5
+      )
+    ),
+    toks AS (
+      SELECT doc_id, source, {_TOKS.format(c="text")} AS t FROM documents
+    ),
+    sh AS (SELECT doc_id, source AS block, {_shingle_sql(2)} AS sh FROM toks),
+    ver AS (
+      SELECT c.block, c.doc_id_a, c.doc_id_b,
+             len(list_intersect(a.sh, b.sh)) AS i,
+             len(a.sh) AS la, len(b.sh) AS lb
+      FROM cand c
+      JOIN sh a ON a.block = c.block AND a.doc_id = c.doc_id_a
+      JOIN sh b ON b.block = c.block AND b.doc_id = c.doc_id_b
+    )
+    SELECT block, doc_id_a, doc_id_b,
+           i::DOUBLE / (la + lb - i) AS jaccard
+    FROM ver WHERE i::DOUBLE / (la + lb - i) >= 0.05
+    """,
+)
+def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass sorted-neighborhood dedup (operators/dedup.py:
+    sorted_neighborhood_multipass_pairs): prefix-sorted and
+    REVERSED-prefix-sorted passes over the ``source`` blocks, unioned
+    id-normalized candidates, one exact bigram-Jaccard verify. The
+    completion of the SNM story ``dedup_sorted_neighborhood``
+    introduces — single-key SNM misses near-dups whose difference
+    lands in the sort key itself, and the canonical fix is more cheap
+    passes, not a wider window (a wider window pays n·Δw everywhere;
+    a second key pays only where it creates NEW adjacency). Scale
+    shape identical per pass (block-partitioned rank window + rank
+    equi-join); the union-distinct shuffles only id pairs."""
+    from ..operators.dedup import sorted_neighborhood_multipass_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return sorted_neighborhood_multipass_pairs(
+        d, "doc_id", "text", "source", window=5, key_chars=24,
+        n=2, threshold=0.05,
+    )

@@ -255,6 +255,7 @@ BACK: tuple[str, ...] = (
     "text_textrank_keywords",
     "dedup_video_frame_pairs",
     "embedding_dbscan",
+    "dedup_snm_multipass",
 )
 
 

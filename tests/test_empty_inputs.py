@@ -101,6 +101,7 @@ AT_RISK = [
     "text_textrank_keywords",      # rank rounds over an empty vocabulary
     "dedup_video_frame_pairs",     # frame fan-out over zero media rows
     "embedding_dbscan",            # CC fixpoint over an empty eps-graph
+    "dedup_snm_multipass",         # two rank windows over zero docs
 ]
 
 

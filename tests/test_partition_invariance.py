@@ -83,6 +83,7 @@ SENSITIVE = [
     "text_textrank_keywords",      # ppm rank rounds over word graph
     "dedup_video_frame_pairs",     # Arrow frame fan-out + posting join
     "embedding_dbscan",            # degree gate + CC rounds + role joins
+    "dedup_snm_multipass",         # two rank windows + union-distinct
 ]
 
 

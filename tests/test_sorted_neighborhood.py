@@ -159,3 +159,46 @@ def test_candidate_plan_has_no_global_window(spark, sf_dir):
     for line in plan.splitlines():
         if "Window" in line and "row_number" in line:
             assert "block" in line, f"global window in SNM plan: {line}"
+
+
+def test_multipass_catches_suffix_aligned_dups(spark):
+    from dev_dot_cvp_metadata_ingestion_spark.operators.dedup import (
+        sorted_neighborhood_multipass_pairs,
+    )
+
+    shared_tail = "common ending words that dominate the bigram set"
+    rows = [
+        # corrupted FIRST token: pass 1 sorts these far apart, pass 2
+        # (reversed key) sorts them adjacent
+        (100, "aardvark " + shared_tail, "s"),
+        (101, "zebra " + shared_tail, "s"),
+        # filler with unique words, sorting between them in pass 1
+        *[(i, f"m{i:02d} u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f", "s")
+          for i in range(20)],
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    single = sorted_neighborhood_pairs(
+        docs, "doc_id", "text", "source", threshold=0.5
+    )
+    multi = sorted_neighborhood_multipass_pairs(
+        docs, "doc_id", "text", "source", threshold=0.5
+    )
+    assert (100, 101) not in {
+        (r.doc_id_a, r.doc_id_b) for r in single.collect()
+    }
+    assert {(r.doc_id_a, r.doc_id_b) for r in multi.collect()} == {(100, 101)}
+
+
+def test_multipass_verifies_each_pair_once(spark):
+    from dev_dot_cvp_metadata_ingestion_spark.operators.dedup import (
+        sorted_neighborhood_multipass_pairs,
+    )
+
+    # identical docs are adjacent under BOTH keys; the union-distinct
+    # must still emit the pair exactly once
+    rows = [(1, "same text twice over", "s"), (2, "same text twice over", "s")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = sorted_neighborhood_multipass_pairs(
+        docs, "doc_id", "text", "source", threshold=0.5
+    ).collect()
+    assert [(r.doc_id_a, r.doc_id_b, r.jaccard) for r in got] == [(1, 2, 1.0)]
