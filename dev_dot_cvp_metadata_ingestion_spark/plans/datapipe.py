@@ -9295,3 +9295,137 @@ def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", "source", window=5, key_chars=24,
         n=2, threshold=0.05,
     )
+
+
+@register(
+    "text_spelling_correction",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS.format(c=_ASCII_LOWER)}) AS w FROM documents
+    ),
+    dict AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS corr_count
+      FROM toks WHERE length(w) >= 3 GROUP BY w
+    ),
+    typos AS (
+      SELECT DISTINCT substr(word, 1, 1) || substr(word, 3) AS typo
+      FROM dict WHERE length(word) >= 4
+    ),
+    unseen AS (
+      SELECT t.typo FROM typos t
+      LEFT JOIN dict d ON d.word = t.typo WHERE d.word IS NULL
+    ),
+    dkeys AS (
+      SELECT word, unnest([word] || [substr(word, 1, i - 1) || substr(word, i + 1, 1000)
+                           for i in generate_series(1, length(word))]) AS k
+      FROM dict
+    ),
+    tkeys AS (
+      SELECT typo, unnest([typo] || [substr(typo, 1, i - 1) || substr(typo, i + 1, 1000)
+                           for i in generate_series(1, length(typo))]) AS k
+      FROM unseen
+    ),
+    cand AS (
+      SELECT DISTINCT t.typo, d.word
+      FROM tkeys t JOIN dkeys d ON t.k = d.k
+    ),
+    ver AS (
+      SELECT c.typo, c.word AS correction, dict.corr_count
+      FROM cand c JOIN dict ON dict.word = c.word
+      WHERE levenshtein(c.typo, c.word) = 1
+    ),
+    ranked AS (
+      SELECT typo, correction, corr_count,
+             row_number() OVER (
+               PARTITION BY typo
+               ORDER BY corr_count DESC, correction) AS rn
+      FROM ver
+    )
+    SELECT typo, correction, corr_count FROM ranked WHERE rn = 1
+    """,
+)
+def text_spelling_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spelling correction by the SymSpell DELETION-KEY join (Garbe's
+    symmetric-delete device): every dictionary word and every unseen
+    typo emits itself plus its |w| single-deletion variants; two
+    strings within edit distance 1 are GUARANTEED to share a key
+    (equal → identity key; insertion/deletion → one side's deletion
+    hits the other; substitution → deleting the differing char from
+    both collides), so candidate generation is a pure EQUI-JOIN over
+    ~|w|+1 keys per word — linear in token volume — instead of the
+    quadratic all-pairs distance scan, and the exact ``levenshtein``
+    verify only runs on key-colliding candidates (it also discards
+    the distance-2 pairs the key trick over-generates, e.g.
+    transpositions). The correction picked per typo is the
+    highest-count dictionary word (alphabetical tiebreak) — the
+    unigram-evidence argmax.
+
+    Typos are planted IN-QUERY (the phash-family precedent: the
+    synthetic vocabulary — checked — contains no natural distance-1
+    pairs, and an empty relation would verify nothing): each
+    dictionary word of length ≥ 4 contributes its
+    second-char-deleted mutation, filtered to mutations that are NOT
+    themselves dictionary words, so every planted typo must be
+    rediscovered by the deletion join, never by identity. Scale
+    shape: both key relations shuffle on short string keys; the df of
+    a deletion key is bounded by alphabet fan-in (a ubiquitous key
+    would be the stop-gram regime — same cap device applies);
+    the per-typo pick is a typo-partitioned window over verified
+    candidates only."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(tokens(ascii_lower(F.col("text")))).alias("w")
+    )
+    dic = (
+        toks.filter(F.length("w") >= 3)
+        .groupBy(F.col("w").alias("word"))
+        .agg(F.count(F.lit(1)).alias("corr_count"))
+    ).localCheckpoint()
+    typos = (
+        dic.filter(F.length("word") >= 4)
+        .select(
+            F.concat(
+                F.substring("word", 1, 1), F.expr("substring(word, 3)")
+            ).alias("typo")
+        )
+        .distinct()
+        .join(
+            dic.select(F.col("word").alias("typo")), "typo", "left_anti"
+        )
+    )
+    del_keys = (
+        "array(%s) || transform(sequence(1, length(%s)), "
+        "i -> concat(substring(%s, 1, i - 1), substring(%s, i + 1, 1000)))"
+    )
+    dkeys = dic.select(
+        "word",
+        F.explode(
+            F.expr(del_keys % (("word",) * 4))
+        ).alias("k"),
+    )
+    tkeys = typos.select(
+        "typo",
+        F.explode(
+            F.expr(del_keys % (("typo",) * 4))
+        ).alias("k"),
+    )
+    cand = (
+        tkeys.join(dkeys, "k")
+        .select("typo", "word")
+        .distinct()
+    )
+    ver = (
+        cand.join(dic, "word")
+        .filter(F.levenshtein("typo", "word") == 1)
+        .select("typo", F.col("word").alias("correction"), "corr_count")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("typo").orderBy(
+            F.col("corr_count").desc(), "correction"
+        )
+    )
+    return (
+        ver.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("typo", "correction", "corr_count")
+    )

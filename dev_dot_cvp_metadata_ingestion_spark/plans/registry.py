@@ -256,6 +256,7 @@ BACK: tuple[str, ...] = (
     "dedup_video_frame_pairs",
     "embedding_dbscan",
     "dedup_snm_multipass",
+    "text_spelling_correction",
 )
 
 

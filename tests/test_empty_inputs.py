@@ -102,6 +102,7 @@ AT_RISK = [
     "dedup_video_frame_pairs",     # frame fan-out over zero media rows
     "embedding_dbscan",            # CC fixpoint over an empty eps-graph
     "dedup_snm_multipass",         # two rank windows over zero docs
+    "text_spelling_correction",    # deletion join over an empty dict
 ]
 
 

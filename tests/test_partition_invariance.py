@@ -84,6 +84,7 @@ SENSITIVE = [
     "dedup_video_frame_pairs",     # Arrow frame fan-out + posting join
     "embedding_dbscan",            # degree gate + CC rounds + role joins
     "dedup_snm_multipass",         # two rank windows + union-distinct
+    "text_spelling_correction",    # deletion-key join + per-typo argmax
 ]
 
 
