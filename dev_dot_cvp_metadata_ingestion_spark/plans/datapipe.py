@@ -9429,3 +9429,121 @@ def text_spelling_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("typo", "correction", "corr_count")
     )
+
+
+@register(
+    "dedup_tfidf_weighted_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS.format(c=_ASCII_LOWER)} AS t
+      FROM documents
+    ),
+    tfr AS (SELECT doc_id, source AS block, unnest(t) AS term FROM toks),
+    tfc AS (
+      SELECT block, doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tfr GROUP BY 1, 2, 3
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY term
+    ),
+    w AS (
+      SELECT block, doc_id, term,
+             tf * ((n.n_docs * 1000000) // df.df) AS w
+      FROM tfc JOIN df USING (term) CROSS JOIN n
+    ),
+    tot AS (
+      SELECT block, doc_id, CAST(sum(w) AS BIGINT) AS s FROM w GROUP BY 1, 2
+    ),
+    smin AS (
+      SELECT a.block, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             CAST(sum(least(a.w, b.w)) AS BIGINT) AS smin
+      FROM w a JOIN w b
+        ON a.block = b.block AND a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT m.block, m.doc_id_a, m.doc_id_b,
+           m.smin::DOUBLE / (ta.s + tb.s - m.smin) AS wjaccard
+    FROM smin m
+    JOIN tot ta ON ta.block = m.block AND ta.doc_id = m.doc_id_a
+    JOIN tot tb ON tb.block = m.block AND tb.doc_id = m.doc_id_b
+    WHERE m.smin::DOUBLE / (ta.s + tb.s - m.smin) >= 0.5
+    """,
+)
+def dedup_tfidf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-weighted document similarity by WEIGHTED Jaccard
+    (Ruzicka): Σ min(w_a, w_b) / Σ max(w_a, w_b) over per-doc term
+    weights w = tf · idf_lift — the IR-weighted middle ground the
+    dedup family lacked between unweighted shingle Jaccard (every
+    gram counts equally) and dense-embedding cosine (needs vectors):
+    rare terms dominate the match, boilerplate terms are
+    automatically down-weighted by their document frequency.
+
+    Everything before the one final division is INTEGER-exact:
+    idf_lift = (N·10⁶) div df is the log-free monotone idf (the
+    ``text_collocations_pmi`` lift device — no libm in the
+    hash-checked path), weights/totals/minsums are BIGINT, and
+    Σ max falls out as S_a + S_b − Σ min so only the SHARED-term
+    inner join is ever computed (the posting-list shape:
+    ``Σ_t df(t)²``-bounded fan-out per block, the stop-gram cap
+    applies if a term's df explodes). Deliberately NOT cosine: exact
+    cosine needs Σw² whose magnitude exceeds the 2⁵³ decimal→double
+    parity envelope documented in plans/registry.py — weighted
+    Jaccard delivers the same rare-term-weighted ranking with sums
+    LINEAR in w (headroom ~2⁵³/10⁶·N docs before rescaling the lift).
+    Output (block, doc_id_a, doc_id_b, wjaccard ≥ 0.5), unordered."""
+    d = load_table(spark, sf_dir, "documents")
+    tfc = (
+        d.select(
+            F.col("source").alias("block"),
+            "doc_id",
+            F.explode(tokens(ascii_lower(F.col("text")))).alias("term"),
+        )
+        .groupBy("block", "doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    ).localCheckpoint()
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_rel = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tfc.join(df_rel, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "block",
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.expr("(n_docs * 1000000L) div df")
+            ).alias("w"),
+        )
+    ).localCheckpoint()
+    tot = w.groupBy("block", "doc_id").agg(F.sum("w").alias("s"))
+    a = w.select(
+        "block", F.col("doc_id").alias("doc_id_a"), "term",
+        F.col("w").alias("wa"),
+    )
+    b = w.select(
+        "block", F.col("doc_id").alias("doc_id_b"), "term",
+        F.col("w").alias("wb"),
+    )
+    smin = (
+        a.join(b, ["block", "term"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("block", "doc_id_a", "doc_id_b")
+        .agg(F.sum(F.least("wa", "wb")).alias("smin"))
+    )
+    ta = tot.select(
+        "block", F.col("doc_id").alias("doc_id_a"), F.col("s").alias("sa")
+    )
+    tb = tot.select(
+        "block", F.col("doc_id").alias("doc_id_b"), F.col("s").alias("sb")
+    )
+    wj = F.col("smin").cast("double") / (
+        F.col("sa") + F.col("sb") - F.col("smin")
+    )
+    return (
+        smin.join(ta, ["block", "doc_id_a"])
+        .join(tb, ["block", "doc_id_b"])
+        .select("block", "doc_id_a", "doc_id_b", wj.alias("wjaccard"))
+        .filter(F.col("wjaccard") >= 0.5)
+    )

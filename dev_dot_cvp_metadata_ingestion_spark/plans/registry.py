@@ -257,6 +257,7 @@ BACK: tuple[str, ...] = (
     "embedding_dbscan",
     "dedup_snm_multipass",
     "text_spelling_correction",
+    "dedup_tfidf_weighted_jaccard",
 )
 
 

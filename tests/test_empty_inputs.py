@@ -103,6 +103,7 @@ AT_RISK = [
     "embedding_dbscan",            # CC fixpoint over an empty eps-graph
     "dedup_snm_multipass",         # two rank windows over zero docs
     "text_spelling_correction",    # deletion join over an empty dict
+    "dedup_tfidf_weighted_jaccard",  # n_docs crossJoin over empty corpus
 ]
 
 

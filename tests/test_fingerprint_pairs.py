@@ -81,3 +81,44 @@ def test_custom_id_column_name(spark):
         "size_b": 1,
         "jaccard": 1.0,
     }
+
+
+def test_weighted_jaccard_matches_python_model(spark, sf_dir):
+    # dedup_tfidf_weighted_jaccard vs a plain-Python tf-idf-lift
+    # Ruzicka recomputation at sf0.001 (threshold dropped to 0 via the
+    # registered query's own filter being >= 0.5: we recompute only
+    # the emitted rows' values)
+    from collections import Counter
+
+    from dev_dot_cvp_metadata_ingestion_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["dedup_tfidf_weighted_jaccard"](
+        spark, sf_dir
+    ).collect()
+    assert rows, "sf0.001 weighted-jaccard pairs unexpectedly empty"
+
+    docs = {
+        r.doc_id: (r.source, [w for w in r.text.split() if w])
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    n_docs = len(docs)
+    df = Counter()
+    tf = {}
+    for did, (_, toks) in docs.items():
+        c = Counter(toks)
+        tf[did] = c
+        df.update(c.keys())
+
+    def weights(did):
+        return {
+            t: c * ((n_docs * 1000000) // df[t]) for t, c in tf[did].items()
+        }
+
+    for r in rows:
+        wa, wb = weights(r.doc_id_a), weights(r.doc_id_b)
+        smin = sum(min(wa[t], wb[t]) for t in wa.keys() & wb.keys())
+        want = smin / (sum(wa.values()) + sum(wb.values()) - smin)
+        assert abs(r.wjaccard - want) < 1e-12
+        assert want >= 0.5
+        assert docs[r.doc_id_a][0] == docs[r.doc_id_b][0] == r.block

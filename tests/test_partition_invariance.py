@@ -85,6 +85,7 @@ SENSITIVE = [
     "embedding_dbscan",            # degree gate + CC rounds + role joins
     "dedup_snm_multipass",         # two rank windows + union-distinct
     "text_spelling_correction",    # deletion-key join + per-typo argmax
+    "dedup_tfidf_weighted_jaccard",  # df join + posting min-sum join
 ]
 
 
