@@ -1782,6 +1782,39 @@ def fingerprint_set_jaccard_pairs(
     )
 
 
+def sorted_neighborhood_multipass_candidates(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    *,
+    window: int = 5,
+    key_chars: int = 24,
+) -> DataFrame:
+    """The union-distinct candidate relation of the two SNM passes
+    (prefix and reversed-prefix sort keys), id-normalized to
+    doc_id_a < doc_id_b — shared by the multipass Jaccard verify and
+    the record-linkage match scorer. (block, doc_id_a, doc_id_b)."""
+    ids = []
+    for rev in (False, True):
+        ids.append(
+            sorted_neighborhood_candidates(
+                docs,
+                id_col,
+                text_col,
+                block_col,
+                window=window,
+                key_chars=key_chars,
+                reverse_key=rev,
+            ).select(
+                "block",
+                F.least("doc_id_a", "doc_id_b").alias("doc_id_a"),
+                F.greatest("doc_id_a", "doc_id_b").alias("doc_id_b"),
+            )
+        )
+    return ids[0].unionByName(ids[1]).distinct()
+
+
 def sorted_neighborhood_multipass_pairs(
     docs: DataFrame,
     id_col: str,
@@ -1809,24 +1842,10 @@ def sorted_neighborhood_multipass_pairs(
     identical on ASCII). Returns (block, doc_id_a, doc_id_b, jaccard)
     with doc_id_a < doc_id_b (id order — rank gaps are per-pass and
     dropped at the union), unordered."""
-    ids = []
-    for rev in (False, True):
-        ids.append(
-            sorted_neighborhood_candidates(
-                docs,
-                id_col,
-                text_col,
-                block_col,
-                window=window,
-                key_chars=key_chars,
-                reverse_key=rev,
-            ).select(
-                "block",
-                F.least("doc_id_a", "doc_id_b").alias("doc_id_a"),
-                F.greatest("doc_id_a", "doc_id_b").alias("doc_id_b"),
-            )
-        )
-    cand = ids[0].unionByName(ids[1]).distinct()
+    cand = sorted_neighborhood_multipass_candidates(
+        docs, id_col, text_col, block_col,
+        window=window, key_chars=key_chars,
+    )
     t = docs.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("doc_id"),
@@ -1846,3 +1865,111 @@ def sorted_neighborhood_multipass_pairs(
     return ver.select(
         "block", "doc_id_a", "doc_id_b", jac.alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+
+
+def match_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    *,
+    window: int = 5,
+    key_chars: int = 24,
+    n: int = 2,
+    match_threshold_ppm: int = 500_000,
+    edit_scale: int = 64,
+) -> DataFrame:
+    """Record-linkage match scoring (the Fellegi-Sunter decision
+    shape): multipass-SNM candidates scored on two INDEPENDENT
+    evidence channels — token-set overlap (bigram Jaccard, the
+    reordering-robust channel) and character identity (Levenshtein
+    similarity, the corruption-robust channel) — then averaged into
+    one match score with an explicit decision bit. One channel alone
+    misclassifies the other's failure mode: token Jaccard forgives a
+    full word-order shuffle that edit distance flags, edit similarity
+    forgives the single-char typo storm that shreds bigrams; a
+    linkage DECISION (unlike a similarity RELATION) has to look at
+    both before it fires.
+
+    Entirely integer arithmetic — ppm Jaccard via integral division,
+    edit similarity fading LINEARLY from 1e6 at zero edits to 0 at
+    ``edit_scale`` edits (``greatest(0, 1e6 - (1e6·lev) div K)``),
+    score as the integer mean — so every column is hash-exact with no
+    float anywhere (stricter than the pair relations, whose single
+    final division is a double). The fade-to-zero design is also the
+    PERFORMANCE design: beyond K edits the channel contributes
+    nothing, so the distance runs as Spark's THRESHOLDED banded DP
+    (O(len·K), early-abandoning; -1 beyond K scores 0 — continuous at
+    the boundary, no cliff) behind a length-gap short-circuit —
+    measured 38.7 s → 8.9 s at sf0.1 (SCALE.md) versus the unbounded
+    O(len²) table. Returns (block, doc_id_a, doc_id_b, jaccard_ppm,
+    edit_sim_ppm, score_ppm, is_match), one row per candidate pair,
+    unordered."""
+    cand = sorted_neighborhood_multipass_candidates(
+        docs, id_col, text_col, block_col,
+        window=window, key_chars=key_chars,
+    )
+    t = docs.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        shingles(F.col(text_col), n).alias("sh"),
+    )
+    a = t.select(
+        "block", F.col("doc_id").alias("doc_id_a"),
+        F.col("text").alias("text_a"), F.col("sh").alias("sh_a"),
+    )
+    b = t.select(
+        "block", F.col("doc_id").alias("doc_id_b"),
+        F.col("text").alias("text_b"), F.col("sh").alias("sh_b"),
+    )
+    j = cand.join(a, ["block", "doc_id_a"]).join(b, ["block", "doc_id_b"])
+    i = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    la = F.size("sh_a").cast("long")
+    lb = F.size("sh_b").cast("long")
+    union = la + lb - i
+    scored = j.select(
+        "block",
+        "doc_id_a",
+        "doc_id_b",
+        F.when(union > 0, (F.lit(1000000).cast("long") * i).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("_num"),
+        union.alias("_den"),
+        F.when(
+            F.abs(F.length("text_a") - F.length("text_b")) > edit_scale,
+            F.lit(-1),
+        )
+        .otherwise(F.levenshtein("text_a", "text_b", edit_scale))
+        .cast("long")
+        .alias("_lev"),
+    ).select(
+        "block",
+        "doc_id_a",
+        "doc_id_b",
+        F.when(F.col("_den") > 0, F.expr("_num div _den"))
+        .otherwise(F.lit(1000000))
+        .cast("long")
+        .alias("jaccard_ppm"),
+        F.when(
+            F.col("_lev") >= 0,
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.lit(1000000)
+                - F.expr(f"(1000000L * _lev) div {edit_scale}"),
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .cast("long")
+        .alias("edit_sim_ppm"),
+    )
+    score = F.expr("(jaccard_ppm + edit_sim_ppm) div 2")
+    return scored.select(
+        "block",
+        "doc_id_a",
+        "doc_id_b",
+        "jaccard_ppm",
+        "edit_sim_ppm",
+        score.cast("long").alias("score_ppm"),
+        (score >= match_threshold_ppm).alias("is_match"),
+    )

@@ -9547,3 +9547,87 @@ def dedup_tfidf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("block", "doc_id_a", "doc_id_b", wj.alias("wjaccard"))
         .filter(F.col("wjaccard") >= 0.5)
     )
+
+
+@register(
+    "dedup_match_scores",
+    oracle=f"""
+    WITH r1 AS (
+      SELECT doc_id, source AS block,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY substr(text, 1, 24), doc_id) AS rk
+      FROM documents
+    ),
+    r2 AS (
+      SELECT doc_id, source AS block,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY substr(reverse(text), 1, 24), doc_id) AS rk
+      FROM documents
+    ),
+    cand AS (
+      SELECT DISTINCT block, doc_id_a, doc_id_b FROM (
+        SELECT a.block, least(a.doc_id, b.doc_id) AS doc_id_a,
+               greatest(a.doc_id, b.doc_id) AS doc_id_b
+        FROM r1 a JOIN r1 b
+          ON a.block = b.block AND b.rk > a.rk AND b.rk <= a.rk + 5
+        UNION ALL
+        SELECT a.block, least(a.doc_id, b.doc_id),
+               greatest(a.doc_id, b.doc_id)
+        FROM r2 a JOIN r2 b
+          ON a.block = b.block AND b.rk > a.rk AND b.rk <= a.rk + 5
+      )
+    ),
+    toks AS (
+      SELECT doc_id, source, text, {_TOKS.format(c="text")} AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source AS block, text, {_shingle_sql(2)} AS sh
+      FROM toks
+    ),
+    feat AS (
+      SELECT c.block, c.doc_id_a, c.doc_id_b,
+             len(list_intersect(a.sh, b.sh)) AS i,
+             len(a.sh) AS la, len(b.sh) AS lb,
+             levenshtein(a.text, b.text) AS lev
+      FROM cand c
+      JOIN sh a ON a.block = c.block AND a.doc_id = c.doc_id_a
+      JOIN sh b ON b.block = c.block AND b.doc_id = c.doc_id_b
+    ),
+    scored AS (
+      SELECT block, doc_id_a, doc_id_b,
+             CAST(CASE WHEN la + lb - i > 0
+                  THEN (1000000 * i) // (la + lb - i)
+                  ELSE 1000000 END AS BIGINT) AS jaccard_ppm,
+             CAST(greatest(0, CASE WHEN lev > 64 THEN 0
+                  ELSE 1000000 - (1000000 * lev) // 64 END)
+                  AS BIGINT) AS edit_sim_ppm
+      FROM feat
+    )
+    SELECT block, doc_id_a, doc_id_b, jaccard_ppm, edit_sim_ppm,
+           CAST((jaccard_ppm + edit_sim_ppm) // 2 AS BIGINT) AS score_ppm,
+           (jaccard_ppm + edit_sim_ppm) // 2 >= 500000 AS is_match
+    FROM scored
+    """,
+)
+def dedup_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage match decisions over the ``source`` blocks
+    (operators/dedup.py:match_scores): every multipass-SNM candidate
+    scored on BOTH evidence channels — bigram-Jaccard ppm
+    (reordering-robust) and Levenshtein similarity fading linearly to
+    zero at 64 edits (corruption-robust; the fade bound is what lets
+    Spark run the banded thresholded DP) — integer-averaged into
+    score_ppm with the 0.5 decision bit. The family capstone: the pair RELATIONS answer
+    "how similar", this one answers the linkage question "same
+    record?" the SNM machinery exists to serve, and it is the only
+    all-integer row in the pair family (no float anywhere, not even
+    a final division)."""
+    from ..operators.dedup import match_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return match_scores(
+        d, "doc_id", "text", "source", window=5, key_chars=24, n=2,
+        match_threshold_ppm=500_000,
+    )

@@ -258,6 +258,7 @@ BACK: tuple[str, ...] = (
     "dedup_snm_multipass",
     "text_spelling_correction",
     "dedup_tfidf_weighted_jaccard",
+    "dedup_match_scores",
 )
 
 

@@ -104,6 +104,7 @@ AT_RISK = [
     "dedup_snm_multipass",         # two rank windows over zero docs
     "text_spelling_correction",    # deletion join over an empty dict
     "dedup_tfidf_weighted_jaccard",  # n_docs crossJoin over empty corpus
+    "dedup_match_scores",          # SNM candidates over zero docs
 ]
 
 

@@ -86,6 +86,7 @@ SENSITIVE = [
     "dedup_snm_multipass",         # two rank windows + union-distinct
     "text_spelling_correction",    # deletion-key join + per-typo argmax
     "dedup_tfidf_weighted_jaccard",  # df join + posting min-sum join
+    "dedup_match_scores",          # two rank windows + feature joins
 ]
 
 

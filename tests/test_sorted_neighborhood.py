@@ -202,3 +202,34 @@ def test_multipass_verifies_each_pair_once(spark):
         docs, "doc_id", "text", "source", threshold=0.5
     ).collect()
     assert [(r.doc_id_a, r.doc_id_b, r.jaccard) for r in got] == [(1, 2, 1.0)]
+
+
+def test_match_scores_channels_disagree_correctly(spark):
+    from dev_dot_cvp_metadata_ingestion_spark.operators.dedup import (
+        match_scores,
+    )
+
+    rows = [
+        # word-order shuffle: token Jaccard high, edit similarity low
+        (1, "alpha beta gamma delta epsilon zeta", "s"),
+        (2, "zeta epsilon delta gamma beta alpha", "s"),
+        # same prefix so they're SNM-adjacent in pass 1
+        (3, "alpha beta gamma delta epsilon zets", "s"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        (r.doc_id_a, r.doc_id_b): r
+        for r in match_scores(docs, "doc_id", "text", "source").collect()
+    }
+    # (1,3): one-char typo — both channels high, match
+    r13 = got[(1, 3)]
+    assert r13.edit_sim_ppm > 900000
+    assert r13.is_match
+    # (1,2): full reversal — unigram sets identical but BIGRAMS all
+    # differ and characters are shuffled: both channels low, no match
+    r12 = got[(1, 2)]
+    assert r12.jaccard_ppm == 0
+    assert not r12.is_match
+    # integer mean pin
+    for r in got.values():
+        assert r.score_ppm == (r.jaccard_ppm + r.edit_sim_ppm) // 2
