@@ -1562,6 +1562,7 @@ def sorted_neighborhood_candidates(
     window: int = 5,
     key_chars: int = 24,
     reverse_key: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995):
     rank docs inside each block by an engine-stable sort key (the raw
@@ -1597,6 +1598,10 @@ def sorted_neighborhood_candidates(
     key_src = (
         F.reverse(F.col(text_col)) if reverse_key else F.col(text_col)
     )
+    # checkpointed by default: both join sides read the ranked
+    # relation — without it the corpus scan AND the block sort run
+    # once per side (plan-audited: 2 scans / 2 windows -> 1 each).
+    # materialize=False keeps the lineage visible for plan pins.
     ranked = docs.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("doc_id"),
@@ -1608,6 +1613,8 @@ def sorted_neighborhood_candidates(
             Window.partitionBy("block").orderBy("snm_key", "doc_id")
         ),
     )
+    if materialize:
+        ranked = ranked.localCheckpoint()
     left = ranked.select(
         "block",
         F.col("doc_id").alias("doc_id_a"),
@@ -1745,9 +1752,17 @@ def fingerprint_set_jaccard_pairs(
     stop-gram regime — cap upstream if a modality can produce one).
     Returns (id_a, id_b, shared, size_a, size_b, jaccard) with
     id_a < id_b, unordered."""
-    p = posts.select(
-        F.col(id_col).alias("id"), F.col(fp_col).alias("fp")
-    ).distinct()
+    # checkpointed: the distinct posting relation feeds sizes AND both
+    # self-join sides — without it the caller's (potentially Arrow-
+    # batched) fingerprint lineage re-executes three times
+    # (plan-audited on the video query: 12 scans -> 4)
+    p = (
+        posts.select(
+            F.col(id_col).alias("id"), F.col(fp_col).alias("fp")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     sizes = p.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = p.alias("a")
     b = p.alias("b")

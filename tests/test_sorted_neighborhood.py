@@ -153,7 +153,7 @@ def test_candidate_plan_has_no_global_window(spark, sf_dir):
     # (empty partition spec) would serialize the corpus onto one task
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = sorted_neighborhood_candidates(
-        d, "doc_id", "text", "source"
+        d, "doc_id", "text", "source", materialize=False
     )._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
     for line in plan.splitlines():
