@@ -697,3 +697,49 @@ def hybrid_probe_topk(
         n_salts=n_salts,
     ).select("q_id", F.col("vec_id").alias("doc_id"), "rank")
     return rrf_fuse([lex, vec], k=k, rrf_k=rrf_k, n_salts=n_salts)
+
+
+def symspell_corrections(
+    typos: DataFrame, dictionary: DataFrame
+) -> DataFrame:
+    """SymSpell symmetric-delete matching (the
+    ``text_spelling_correction`` core, factored for reuse by the
+    streaming sink): ``typos`` is a (typo) relation of out-of-
+    vocabulary strings, ``dictionary`` a (word, corr_count) relation;
+    both sides emit themselves plus their single-deletion variants,
+    edit-distance-1 pairs are GUARANTEED to collide on a key, the
+    exact ``levenshtein == 1`` verify discards the over-generated
+    distance-2 collisions, and each typo resolves to its highest-
+    count word (alphabetical tiebreak). Candidate generation is a
+    pure equi-join over ~len(w)+1 short keys per word — linear in
+    token volume, never a quadratic distance scan. Returns
+    (typo, correction, corr_count), one row per matched typo."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    del_keys = (
+        "array(%s) || transform(sequence(1, length(%s)), "
+        "i -> concat(substring(%s, 1, i - 1), substring(%s, i + 1, 1000)))"
+    )
+    dkeys = dictionary.select(
+        "word",
+        F.explode(F.expr(del_keys % (("word",) * 4))).alias("k"),
+    )
+    tkeys = typos.select(
+        "typo",
+        F.explode(F.expr(del_keys % (("typo",) * 4))).alias("k"),
+    )
+    cand = tkeys.join(dkeys, "k").select("typo", "word").distinct()
+    ver = (
+        cand.join(dictionary, "word")
+        .filter(F.levenshtein("typo", "word") == 1)
+        .select("typo", F.col("word").alias("correction"), "corr_count")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("typo").orderBy(F.col("corr_count").desc(), "correction")
+    )
+    return (
+        ver.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("typo", "correction", "corr_count")
+    )

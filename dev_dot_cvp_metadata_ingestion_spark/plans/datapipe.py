@@ -9393,42 +9393,9 @@ def text_spelling_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
             dic.select(F.col("word").alias("typo")), "typo", "left_anti"
         )
     )
-    del_keys = (
-        "array(%s) || transform(sequence(1, length(%s)), "
-        "i -> concat(substring(%s, 1, i - 1), substring(%s, i + 1, 1000)))"
-    )
-    dkeys = dic.select(
-        "word",
-        F.explode(
-            F.expr(del_keys % (("word",) * 4))
-        ).alias("k"),
-    )
-    tkeys = typos.select(
-        "typo",
-        F.explode(
-            F.expr(del_keys % (("typo",) * 4))
-        ).alias("k"),
-    )
-    cand = (
-        tkeys.join(dkeys, "k")
-        .select("typo", "word")
-        .distinct()
-    )
-    ver = (
-        cand.join(dic, "word")
-        .filter(F.levenshtein("typo", "word") == 1)
-        .select("typo", F.col("word").alias("correction"), "corr_count")
-    )
-    rn = F.row_number().over(
-        W.partitionBy("typo").orderBy(
-            F.col("corr_count").desc(), "correction"
-        )
-    )
-    return (
-        ver.withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
-        .select("typo", "correction", "corr_count")
-    )
+    from ..operators.retrieval import symspell_corrections
+
+    return symspell_corrections(typos, dic)
 
 
 @register(

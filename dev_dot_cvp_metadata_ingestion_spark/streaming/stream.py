@@ -632,3 +632,76 @@ def hybrid_search_sink(
             batch.unpersist()
 
     return sink
+
+
+def spelling_monitor_sink(
+    counts_path: str,
+    results_path: str,
+    min_dict_count: int = 10,
+):
+    """foreachBatch sink for CONTINUOUS out-of-vocabulary monitoring —
+    the hygiene sibling of the search sinks: document micro-batches
+    (doc_id, text) arrive, each batch's tokens are split against the
+    PERSISTED word-count relation (the dictionary the drift sink
+    already maintains at ``counts_path`` — no second vocabulary
+    state), and every unseen token is resolved to its best
+    edit-distance-1 dictionary word via the SymSpell deletion-key
+    join (operators/retrieval.py:symspell_corrections). Per-batch
+    rows (typo, correction, corr_count, n_occurrences) land under
+    batch_id — the live "typo storm / OCR regression / new-jargon"
+    feed a crawl-ingest pipeline watches.
+
+    Replay contract as the search sinks: resolution is a pure
+    function of (batch, dictionary), and the batch_id-keyed
+    dynamic-partition overwrite makes re-delivery rewrite identical
+    rows. If the dictionary grew between failure and replay, the
+    replayed batch resolves against the fresher dictionary — the
+    documented one-batch-bounded artifact, benign here (a word
+    graduating into the dictionary stops being flagged). No executor
+    state: the count layout IS the dictionary.
+
+    Per-batch cost at 100 TB: the batch's own tokenize + one
+    aggregated read of the config-scale count relation + the
+    deletion-key join, which is linear in both vocabularies."""
+    from ..functions.text import ascii_lower, tokens
+    from ..operators.retrieval import symspell_corrections
+    from ..sources.catalog import read_word_counts
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        batch = df.persist()
+        try:
+            if batch.isEmpty():
+                return
+            dic = (
+                read_word_counts(spark, counts_path)
+                .groupBy("word")
+                .agg(F.sum("c_sw").alias("corr_count"))
+                .filter(
+                    (F.col("corr_count") >= min_dict_count)
+                    & (F.length("word") >= 3)
+                )
+            )
+            toks = batch.select(
+                F.explode(tokens(ascii_lower(F.col("text")))).alias("tok")
+            ).filter(F.length("tok") >= 3)
+            occ = toks.groupBy(F.col("tok").alias("typo")).agg(
+                F.count(F.lit(1)).alias("n_occurrences")
+            )
+            unseen = occ.join(
+                dic.select(F.col("word").alias("typo")), "typo", "left_anti"
+            )
+            resolved = symspell_corrections(
+                unseen.select("typo"), dic
+            ).join(unseen, "typo")
+            (
+                resolved.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(results_path)
+            )
+        finally:
+            batch.unpersist()
+
+    return sink
