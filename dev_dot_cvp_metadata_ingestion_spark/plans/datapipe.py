@@ -8638,17 +8638,24 @@ def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------- multimodal near-duplicates
 
 
-def _phash_oracle(max_hamming: int = 3) -> str:
+def _phash_oracle(max_hamming: int = 3, tail: str | None = None) -> str:
     """Generate the perceptual-hash pair oracle: the fake text raster
     (codepoints tiling 32×32), the separable integer DCT with the
     SAME basis constants functions/phash.py computed at import
     (embedded here as literals — no libm on either engine), the
     63-AC-coefficient median threshold, the 4×16-bit band self-join,
     and the exact bit_count verify. Mechanical restatement of
-    phash_media(fake=True) → banded_hamming_pairs."""
+    phash_media(fake=True) → banded_hamming_pairs. ``tail`` swaps the
+    final pair SELECT for a consumer query over a ``pairs`` CTE (the
+    cluster-closure device — pass RECURSIVE-safe SQL)."""
     from ..functions.phash import PHASH_BASIS
 
     blit = "[" + ", ".join(str(int(v)) for v in PHASH_BASIS.reshape(-1)) + "]"
+    _tail = tail if tail is not None else f"""
+    SELECT doc_id_a, doc_id_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {max_hamming}"""
     return f"""
     WITH d AS (
       SELECT doc_id, text, length(text) AS n
@@ -8715,10 +8722,7 @@ def _phash_oracle(max_hamming: int = 3) -> str:
       FROM bands a JOIN bands c
         ON a.band = c.band AND a.val = c.val AND a.doc_id < c.doc_id
     )
-    SELECT doc_id_a, doc_id_b,
-           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-    FROM cand
-    WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+    {_tail}
     """
 
 
@@ -9598,3 +9602,54 @@ def dedup_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", "source", window=5, key_chars=24, n=2,
         match_threshold_ppm=500_000,
     )
+
+
+_PHASH_CLUSTER_TAIL = """,
+    pairs AS (
+      SELECT doc_id_a, doc_id_b FROM cand
+      WHERE bit_count(xor(ha, hb)) <= 3
+    ),
+    edges AS (
+      SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+      UNION
+      SELECT doc_id_b, doc_id_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM d
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM reach GROUP BY node"""
+
+
+@register(
+    "dedup_phash_clusters",
+    oracle="WITH RECURSIVE "
+    + _phash_oracle(tail=_PHASH_CLUSTER_TAIL).lstrip()[len("WITH "):],
+)
+def dedup_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-duplicate GROUPS: connected components over the
+    perceptual-hash pair relation (same planted corpus, banding, and
+    hamming ≤ 3 verify as ``dedup_phash_pairs``), labelled by
+    component-minimum id — the multimodal closure of the text
+    family's pairs→clusters arc: the pair relation answers "which
+    media collide", this one hands curation the deduplicatable
+    GROUPS (keep one per cluster). Planted re-encodes must land in
+    their original's cluster; everything else labels itself. Same
+    iteration (min-label pointer jumping), same recursive min-label
+    CTE oracle device as ``dedup_clusters``."""
+    from ..operators.dedup import banded_hamming_pairs, connected_components
+    from ..operators.multimodal import attach_binary, phash_media
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    base = d.select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
+    )
+    corpus = base.unionByName(planted)
+    hashes = phash_media(attach_binary(corpus, "doc_id", "text"), fake=True)
+    pairs = banded_hamming_pairs(hashes, max_hamming=3).select(
+        "doc_id_a", "doc_id_b"
+    )
+    return connected_components(pairs, corpus.select("doc_id"))

@@ -259,6 +259,7 @@ BACK: tuple[str, ...] = (
     "text_spelling_correction",
     "dedup_tfidf_weighted_jaccard",
     "dedup_match_scores",
+    "dedup_phash_clusters",
 )
 
 

@@ -105,6 +105,7 @@ AT_RISK = [
     "text_spelling_correction",    # deletion join over an empty dict
     "dedup_tfidf_weighted_jaccard",  # n_docs crossJoin over empty corpus
     "dedup_match_scores",          # SNM candidates over zero docs
+    "dedup_phash_clusters",        # CC fixpoint over zero media rows
 ]
 
 

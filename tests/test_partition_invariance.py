@@ -87,6 +87,7 @@ SENSITIVE = [
     "text_spelling_correction",    # deletion-key join + per-typo argmax
     "dedup_tfidf_weighted_jaccard",  # df join + posting min-sum join
     "dedup_match_scores",          # two rank windows + feature joins
+    "dedup_phash_clusters",        # Arrow hashes + band join + CC rounds
 ]
 
 
