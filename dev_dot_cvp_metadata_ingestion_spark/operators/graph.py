@@ -504,3 +504,74 @@ def dbscan_labels(
         )
     )
     return out
+
+
+def clustering_coefficients(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+) -> DataFrame:
+    """Per-node LOCAL clustering coefficient (Watts & Strogatz 1998)
+    over an undirected pair relation: c(v) = 2·T(v) / (deg(v)·(deg(v)−1))
+    with T(v) the triangles through v, in exact ppm integers
+    (integral division — no float anywhere). Where ``triangle_stats``
+    reports the graph's GLOBAL cohesion, this is the per-node view:
+    on a similarity-evidence graph a node at coefficient ~1e6 sits in
+    a clique (a tight duplicate cluster — safe to collapse), while a
+    high-degree node near 0 is a HUB whose edges don't know each
+    other — template/boilerplate gravity wells that deserve review,
+    not collapse. Degree < 2 defines to 0 (no possible wedge).
+
+    Scale shape = the triangle join: wedges enumerated as neighbor
+    pairs at the hinge (Σ deg² rows off the checkpointed edge
+    relation), closed by ONE semi-join against the canonical (a<b)
+    edge set — each triangle {x,y,z} is counted once per hinge
+    exactly, because the wedge (min,max) ordering matches the
+    canonical edge orientation. Everything shuffles on node/pair
+    keys; nothing collected. Returns (id_col, degree, triangles,
+    clustering_ppm), one row per node, unordered."""
+    can = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = can.unionByName(
+        can.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e1 = edges.select(F.col("src").alias("hinge"), F.col("dst").alias("a"))
+    e2 = edges.select(F.col("src").alias("hinge"), F.col("dst").alias("b"))
+    wedges = e1.join(e2, "hinge").filter(F.col("a") < F.col("b"))
+    closed = wedges.join(
+        can.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_semi",
+    )
+    tri = closed.groupBy("hinge").agg(F.count(F.lit(1)).alias("triangles"))
+    base = nodes.select(F.col(id_col).alias("node"))
+    out = (
+        base.join(deg.select(F.col("src").alias("node"), "deg"), "node", "left")
+        .join(
+            tri.select(F.col("hinge").alias("node"), "triangles"),
+            "node",
+            "left",
+        )
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("deg", F.lit(0)).cast("long").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.coalesce("deg", F.lit(0)) >= 2,
+                F.expr(
+                    "(2000000L * coalesce(triangles, 0L))"
+                    " div (coalesce(deg, 0L) * (coalesce(deg, 0L) - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("clustering_ppm"),
+        )
+    )
+    return out

@@ -9653,3 +9653,67 @@ def dedup_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id_a", "doc_id_b"
     )
     return connected_components(pairs, corpus.select("doc_id"))
+
+
+@register(
+    "dedup_clustering_coefficients",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS.format(c="text")} AS t FROM documents
+    ),
+    sh AS (SELECT doc_id, source AS block, {_shingle_sql(2)} AS sh FROM toks),
+    jpairs AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+            >= 0.05
+    ),
+    edges AS (
+      SELECT doc_id_a AS src, doc_id_b AS dst FROM jpairs
+      UNION
+      SELECT doc_id_b, doc_id_a FROM jpairs
+    ),
+    deg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+    ),
+    wedges AS (
+      SELECT e1.src AS hinge, e1.dst AS a, e2.dst AS b
+      FROM edges e1 JOIN edges e2
+        ON e1.src = e2.src AND e1.dst < e2.dst
+    ),
+    tri AS (
+      SELECT w.hinge, CAST(count(*) AS BIGINT) AS triangles
+      FROM wedges w
+      JOIN jpairs p ON p.doc_id_a = w.a AND p.doc_id_b = w.b
+      GROUP BY w.hinge
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(deg.deg, 0) AS BIGINT) AS degree,
+           CAST(COALESCE(tri.triangles, 0) AS BIGINT) AS triangles,
+           CAST(CASE WHEN COALESCE(deg.deg, 0) >= 2
+                THEN (2000000 * COALESCE(tri.triangles, 0))
+                     // (deg.deg * (deg.deg - 1))
+                ELSE 0 END AS BIGINT) AS clustering_ppm
+    FROM documents d
+    LEFT JOIN deg ON deg.src = d.doc_id
+    LEFT JOIN tri ON tri.hinge = d.doc_id
+    """,
+)
+def dedup_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficients
+    (operators/graph.py:clustering_coefficients) over the same
+    0.05 bigram-Jaccard evidence graph as ``dedup_link_prediction`` —
+    the node-level cohesion view completing the graph-analytics arc:
+    pagerank ranks, k-core peels, triangles count globally, link
+    prediction proposes edges, and this one CLASSIFIES each node's
+    neighborhood (clique-like near 1e6 = a collapsible duplicate
+    cluster; high-degree near 0 = a boilerplate hub whose edges don't
+    know each other). Exact ppm integers, one row per document."""
+    from ..operators.graph import clustering_coefficients
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", "source", n=2, threshold=0.05
+    ).select("doc_id_a", "doc_id_b")
+    return clustering_coefficients(pairs, d.select("doc_id"))

@@ -260,6 +260,7 @@ BACK: tuple[str, ...] = (
     "dedup_tfidf_weighted_jaccard",
     "dedup_match_scores",
     "dedup_phash_clusters",
+    "dedup_clustering_coefficients",
 )
 
 

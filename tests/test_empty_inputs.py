@@ -106,6 +106,7 @@ AT_RISK = [
     "dedup_tfidf_weighted_jaccard",  # n_docs crossJoin over empty corpus
     "dedup_match_scores",          # SNM candidates over zero docs
     "dedup_phash_clusters",        # CC fixpoint over zero media rows
+    "dedup_clustering_coefficients",  # wedge join over an empty graph
 ]
 
 

@@ -72,3 +72,33 @@ def test_empty_graph(spark):
         [], "doc_id_a long, doc_id_b long"
     )
     assert link_prediction(empty).count() == 0
+
+
+def test_clustering_coefficients_on_known_graphs(spark):
+    from dev_dot_cvp_metadata_ingestion_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    def run(pair_rows, node_ids):
+        p = spark.createDataFrame(pair_rows, ["doc_id_a", "doc_id_b"])
+        n = spark.createDataFrame([(i,) for i in node_ids], ["doc_id"])
+        return {
+            r.doc_id: (r.degree, r.triangles, r.clustering_ppm)
+            for r in clustering_coefficients(p, n).collect()
+        }
+
+    # triangle: every node deg 2, 1 triangle, coefficient 1.0
+    got = run([(1, 2), (2, 3), (1, 3)], [1, 2, 3])
+    assert got == {i: (2, 1, 1000000) for i in (1, 2, 3)}
+
+    # star: hub deg 3, no closed wedge -> 0; spokes deg 1 -> 0
+    got = run([(1, 2), (1, 3), (1, 4)], [1, 2, 3, 4, 9])
+    assert got[1] == (3, 0, 0)
+    assert got[2] == (1, 0, 0)
+    assert got[9] == (0, 0, 0)  # isolated
+
+    # square + one diagonal: nodes on the diagonal close 2 wedges of 3
+    got = run([(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)], [1, 2, 3, 4])
+    # deg(1)=3, triangles(1)=2 -> 2*2e6/(3*2) = 666666
+    assert got[1] == (3, 2, 666666)
+    assert got[2] == (2, 1, 1000000)

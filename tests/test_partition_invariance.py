@@ -88,6 +88,7 @@ SENSITIVE = [
     "dedup_tfidf_weighted_jaccard",  # df join + posting min-sum join
     "dedup_match_scores",          # two rank windows + feature joins
     "dedup_phash_clusters",        # Arrow hashes + band join + CC rounds
+    "dedup_clustering_coefficients",  # wedge join + triangle semi-join
 ]
 
 
