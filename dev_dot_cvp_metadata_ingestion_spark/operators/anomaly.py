@@ -560,3 +560,77 @@ def seasonal_decompose_counts(wc: DataFrame, period: int = 24) -> DataFrame:
         ).alias("seasonal_milli"),
         (F.col("detrended") - F.col("seasonal_milli")).alias("resid_milli"),
     )
+
+
+def theil_sen_from_counts(wc: DataFrame) -> DataFrame:
+    """Theil-Sen ROBUST trend per event type: the median of all
+    pairwise slopes over the hourly count series, in exact micro
+    fixed point — the MAD-vs-sigma story applied to trends. OLS
+    (``trend_from_counts``) minimizes squared error, so one
+    backfill/outage hour drags the fitted slope arbitrarily far;
+    the pairwise-slope median has a 29.3% breakdown point — a third
+    of the hours can be garbage before the trend lies.
+
+    Exactness convention: each pair contributes the INTEGRAL slope
+    ``(Δcount · 1e6) div Δx`` (the family's micro fixed point,
+    truncation toward zero on both engines), and the reported value
+    is the LOWER MEDIAN of those integers under a total order with
+    pair-id tiebreaks — every step integer, hash-exact, no floats.
+
+    Scale shape: the count relation is config-scale (hours × types),
+    so the O(h²) pair join is bounded — 10 years of hourly buckets is
+    ~88k rows/type → ~4e9 pairs ONLY if a type's full history is
+    kept; the operating convention is a bounded trend window (the
+    rolling detectors' device), which callers enforce by filtering
+    ``wc`` before calling. Returns (event_type, n_pairs,
+    slope_micro), one row per type with ≥ 2 hours, unordered."""
+    from pyspark.sql.window import Window
+
+    d = wc.select(
+        "event_type",
+        "n_events",
+        (
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("window_start")
+            )
+            - 1
+        ).cast("long").alias("x"),
+    ).localCheckpoint()
+    a = d.select(
+        "event_type",
+        F.col("x").alias("x1"),
+        F.col("n_events").alias("y1"),
+    )
+    b = d.select(
+        "event_type",
+        F.col("x").alias("x2"),
+        F.col("n_events").alias("y2"),
+    )
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("x1") < F.col("x2"))
+        .select(
+            "event_type",
+            "x1",
+            "x2",
+            F.expr("((y2 - y1) * 1000000L) div (x2 - x1)").alias(
+                "slope_micro"
+            ),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_micro", "x1", "x2")
+    ranked = slopes.select(
+        "event_type",
+        "slope_micro",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n_pairs"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(n_pairs + 1) div 2")
+    ).select(
+        "event_type",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("slope_micro").cast("long").alias("slope_micro"),
+    )

@@ -9717,3 +9717,55 @@ def dedup_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame
         d, "doc_id", "text", "source", n=2, threshold=0.05
     ).select("doc_id_a", "doc_id_b")
     return clustering_coefficients(pairs, d.select("doc_id"))
+
+
+@register(
+    "events_theil_sen_trend",
+    oracle="""
+    WITH wc AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+             event_type,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT event_type, n_events,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY window_start) - 1
+                  AS BIGINT) AS x
+      FROM wc
+    ),
+    slopes AS (
+      SELECT a.event_type, a.x AS x1, b.x AS x2,
+             CAST(((b.n_events - a.n_events) * 1000000)
+                  // (b.x - a.x) AS BIGINT) AS slope_micro
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.x < b.x
+    ),
+    ranked AS (
+      SELECT event_type, slope_micro,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope_micro, x1, x2) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n_pairs
+      FROM slopes
+    )
+    SELECT event_type, n_pairs, slope_micro
+    FROM ranked WHERE rn = (n_pairs + 1) // 2
+    """,
+)
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type volume trend
+    (operators/anomaly.py:theil_sen_from_counts): the Theil-Sen
+    median of all pairwise hourly slopes in exact micro fixed point —
+    the MAD-vs-sigma upgrade applied to ``events_hourly_trend``'s
+    OLS: one backfill or outage hour drags a least-squares slope
+    arbitrarily; the slope median survives ~29% garbage hours. Runs
+    over the same window-count relation (and therefore amortizes to
+    the persisted window-count layout like every other detector);
+    the O(hours²) pair join is config-scale."""
+    from ..operators.anomaly import theil_sen_from_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return theil_sen_from_counts(window_counts(ev))

@@ -261,6 +261,7 @@ BACK: tuple[str, ...] = (
     "dedup_match_scores",
     "dedup_phash_clusters",
     "dedup_clustering_coefficients",
+    "events_theil_sen_trend",
 )
 
 

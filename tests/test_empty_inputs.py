@@ -107,6 +107,7 @@ AT_RISK = [
     "dedup_match_scores",          # SNM candidates over zero docs
     "dedup_phash_clusters",        # CC fixpoint over zero media rows
     "dedup_clustering_coefficients",  # wedge join over an empty graph
+    "events_theil_sen_trend",      # median pick over zero windows
 ]
 
 

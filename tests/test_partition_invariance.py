@@ -89,6 +89,7 @@ SENSITIVE = [
     "dedup_match_scores",          # two rank windows + feature joins
     "dedup_phash_clusters",        # Arrow hashes + band join + CC rounds
     "dedup_clustering_coefficients",  # wedge join + triangle semi-join
+    "events_theil_sen_trend",      # slope pair join + median pick
 ]
 
 
