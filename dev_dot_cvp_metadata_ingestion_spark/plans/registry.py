@@ -249,6 +249,9 @@ BACK: tuple[str, ...] = (
     # --- round-12 additions (first driver row next rotation) ---
     "text_hybrid_rrf",
     "dedup_phash_pairs",
+    # --- round-12 continuation session: 14 new families/queries, all
+    # hash-oracled at sf0.001 + sf0.01 and in the partition-invariance
+    # and empty-input suites; rotate onto the board as slots free ---
     "dedup_sorted_neighborhood",
     "dedup_edit_distance_pairs",
     "dedup_link_prediction",
