@@ -1988,3 +1988,71 @@ def match_scores(
         score.cast("long").alias("score_ppm"),
         (score >= match_threshold_ppm).alias("is_match"),
     )
+
+
+def frame_probe_pairs(
+    spark,
+    index_path: str,
+    probe_frames: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Screen a NEW media batch against the persisted frame-
+    fingerprint index (sources/catalog.py:write_frame_index): the
+    probe batch's (probe_id, frame_md5) rows become a distinct
+    posting set, the index ``posts`` table is pruned to ONLY the
+    batch's fingerprint buckets (static isin over the collected
+    bucket list — config-scale, ≤ n_buckets values — so the scan
+    shows PartitionFilters instead of touching the corpus), and the
+    survivors run the same exact-Jaccard tail as
+    ``fingerprint_set_jaccard_pairs``: shared counts per (corpus,
+    probe) pair, sizes joined from the layout's per-doc ``sizes``
+    table (corpus side — never recomputed from postings) and from
+    the batch itself. Probe ≡ the in-query cross-pair sweep
+    row-for-row (pinned). Returns (doc_id, probe_id, shared, size_a,
+    size_b, jaccard ≥ threshold), unordered."""
+    from ..sources.catalog import read_frame_index
+
+    posts, sizes, meta = read_frame_index(spark, index_path)
+    n_buckets = meta["n_buckets"]
+    p = (
+        probe_frames.select(
+            F.col("doc_id").alias("probe_id"),
+            F.col("frame_md5").alias("fp"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    p = p.withColumn(
+        "fbucket",
+        (
+            F.conv(F.substring("fp", 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).cast("int"),
+    )
+    psizes = p.groupBy("probe_id").agg(F.count(F.lit(1)).alias("size_b"))
+    buckets = [r.fbucket for r in p.select("fbucket").distinct().collect()]
+    cand = posts.filter(F.col("fbucket").isin(buckets)).join(
+        p.select("probe_id", "fp", "fbucket"), ["fbucket", "fp"]
+    )
+    shared = cand.groupBy("doc_id", "probe_id").agg(
+        F.count(F.lit(1)).alias("shared")
+    )
+    out = (
+        shared.join(
+            sizes.select("doc_id", F.col("sz").alias("size_a")), "doc_id"
+        )
+        .join(psizes, "probe_id")
+        .select(
+            "doc_id",
+            "probe_id",
+            F.col("shared").cast("long").alias("shared"),
+            F.col("size_a").cast("long").alias("size_a"),
+            F.col("size_b").cast("long").alias("size_b"),
+            (
+                F.col("shared").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out

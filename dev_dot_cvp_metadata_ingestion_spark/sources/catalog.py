@@ -2671,3 +2671,144 @@ def prune_phash_index_generations(spark: SparkSession, path: str) -> None:
     """Reclaim superseded bands generations once in-flight readers of
     the old generation have drained."""
     prune_index_generations(path, ("bands",))
+
+
+# ----------------------------------------------- frame-fingerprint index
+
+
+def _frame_posts(frames: DataFrame, n_buckets: int) -> DataFrame:
+    """Distinct (doc_id, fp) postings with the fingerprint bucket —
+    the stable partition key probes prune on (first 8 md5 hex chars
+    as uint32 mod n_buckets; pure function of the fingerprint, so
+    append-time and probe-time bucketing can never drift)."""
+    from pyspark.sql import functions as F
+
+    return (
+        frames.select(
+            "doc_id", F.col("fp").alias("fp")
+        )
+        .distinct()
+        .withColumn(
+            "fbucket",
+            (
+                F.conv(F.substring("fp", 1, 8), 16, 10).cast("long")
+                % n_buckets
+            ).cast("int"),
+        )
+    )
+
+
+def write_frame_index(
+    frames: DataFrame, path: str, n_buckets: int = 64
+) -> None:
+    """Persist a frame-fingerprint index — the TWELFTH build-once
+    layout, completing the multimodal serving story the pHash index
+    opened: where that layout screens WHOLE-payload perceptual hashes
+    (images/audio), this one serves SEQUENCE media — a video is its
+    set of sampled-frame hashes (operators/multimodal.py:
+    sample_frames → frame_md5; ``dedup_video_frame_pairs``'s
+    fingerprint), and screening a new media batch is a posting join
+    over only the batch's fingerprint buckets plus the exact Jaccard
+    tail. Two tables: ``posts`` (doc_id, fp, fbucket) partitioned by
+    fingerprint bucket, and the doc-scale ``sizes`` (doc_id, sz)
+    needed by the Jaccard denominator. Per-doc rows are independent
+    in BOTH tables (sizes is per-doc, not cross-doc), so tombstone
+    delete ≡ rebuild-without EXACTLY — the pair-graph/pHash class;
+    the whole maintenance lifecycle rides the shared core. Pins in
+    tests/test_frame_index.py."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    frames = frames.select("doc_id", F.col("frame_md5").alias("fp"))
+    os.makedirs(path, exist_ok=True)
+    _reset_generations(path, ("posts", "sizes"))
+    posts = _frame_posts(frames, n_buckets)
+    sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    if frames.isEmpty():
+        posts.write.mode("overwrite").parquet(f"{path}/posts")
+    else:
+        (
+            posts.repartition(F.col("fbucket"))
+            .write.mode("overwrite")
+            .partitionBy("fbucket")
+            .parquet(f"{path}/posts")
+        )
+    sizes.write.mode("overwrite").parquet(f"{path}/sizes")
+    frames.sparkSession.createDataFrame(
+        [(int(n_buckets),)], "n_buckets int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def append_frame_index(frames: DataFrame, path: str) -> None:
+    """Grow the index with a new batch's frames (bucketed with the
+    layout's recorded params) as new files under the existing
+    fbucket partitions plus appended size rows; existing files are
+    never rewritten. Append ≡ rebuild over the union for batches of
+    NEW doc_ids (the sizes table is per-doc: re-appending an existing
+    doc would double its size row — the same new-keys append contract
+    as the training-examples layout, pinned)."""
+    from pyspark.sql import functions as F
+
+    if frames.isEmpty():
+        return
+    frames = frames.select("doc_id", F.col("frame_md5").alias("fp"))
+    spark = frames.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").first()
+    posts = _frame_posts(frames, meta["n_buckets"])
+    sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    (
+        posts.repartition(F.col("fbucket"))
+        .write.mode("append")
+        .partitionBy("fbucket")
+        .parquet(_table_dir(path, "posts"))
+    )
+    sizes.write.mode("append").parquet(_table_dir(path, "sizes"))
+
+
+def read_frame_index(spark: SparkSession, path: str):
+    """(posts, sizes, meta) with tombstones anti-joined out of both
+    tables — the canonical relations every probe consumes."""
+    from pyspark.sql import functions as F
+
+    posts = spark.read.parquet(_table_dir(path, "posts"))
+    sizes = spark.read.parquet(_table_dir(path, "sizes"))
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        t = F.broadcast(tomb.select("doc_id"))
+        posts = posts.join(t, "doc_id", "left_anti")
+        sizes = sizes.join(t, "doc_id", "left_anti")
+    meta = spark.read.parquet(f"{path}/meta").first().asDict()
+    return posts, sizes, meta
+
+
+def delete_from_frame_index(
+    spark: SparkSession, path: str, doc_ids: DataFrame
+) -> None:
+    """Tombstone delete (shared core). Both tables are per-doc
+    independent, so delete ≡ rebuild-without EXACTLY; physical
+    reclaim is ``compact_frame_index``."""
+    _tombstone_delete(spark, path, doc_ids, "doc_id")
+
+
+def compact_frame_index(spark: SparkSession, path: str) -> None:
+    """Physically reclaim tombstoned media (shared ``_compact_swap``
+    core: versioned siblings + one marker flip — posts and sizes
+    become current TOGETHER; tombstones cleared last)."""
+    if _read_tombstones(spark, path) is None:
+        return
+    posts, sizes, _meta = read_frame_index(spark, path)
+    _compact_swap(
+        spark,
+        path,
+        [
+            ("posts", posts, ("fbucket",), "fbucket", False),
+            ("sizes", sizes, None, None, False),
+        ],
+    )
+
+
+def prune_frame_index_generations(spark: SparkSession, path: str) -> None:
+    """Reclaim superseded generations once in-flight readers of the
+    old generation have drained."""
+    prune_index_generations(path, ("posts", "sizes"))

@@ -1,0 +1,156 @@
+"""Persisted frame-fingerprint index (twelfth build-once layout, on
+the shared maintenance core): incremental probe ≡ the in-query
+cross-pair Jaccard sweep, probe plan fbucket-pruned, append ≡ rebuild
+over the union for new-doc batches, delete ≡ rebuild-without EXACTLY
+(per-doc row independence in both tables), compaction preserves
+probes via the shared atomic generation swap."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from dev_dot_cvp_metadata_ingestion_spark.operators.dedup import (
+    frame_probe_pairs,
+)
+from dev_dot_cvp_metadata_ingestion_spark.operators.multimodal import (
+    attach_binary,
+    sample_frames,
+)
+from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+    append_frame_index,
+    compact_frame_index,
+    delete_from_frame_index,
+    load_table,
+    prune_frame_index_generations,
+    read_frame_index,
+    write_frame_index,
+)
+
+
+@pytest.fixture(scope="module")
+def frames(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return sample_frames(
+        attach_binary(d.select("doc_id", "text"), "doc_id", "text"),
+        fake=True,
+    ).select("doc_id", "frame_md5").localCheckpoint()
+
+
+@pytest.fixture(scope="module")
+def batch(spark, frames):
+    """A 'new media batch': re-keyed exact copies of every 97th corpus
+    item (frame sets identical — jaccard 1.0 against their originals)."""
+    return (
+        frames.filter(F.col("doc_id") % 97 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "frame_md5")
+        .localCheckpoint()
+    )
+
+
+@pytest.fixture(scope="module")
+def index(spark, frames, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("fridx") / "index")
+    write_frame_index(frames, p)
+    return p
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _brute(corpus, batch, threshold=0.5):
+    from collections import defaultdict
+
+    cs, bs = defaultdict(set), defaultdict(set)
+    for r in corpus:
+        cs[r.doc_id].add(r.frame_md5)
+    for r in batch:
+        bs[r.doc_id].add(r.frame_md5)
+    out = []
+    for a, fa in cs.items():
+        for b, fb in bs.items():
+            i = len(fa & fb)
+            if i == 0:
+                continue
+            j = i / (len(fa) + len(fb) - i)
+            if j >= threshold:
+                out.append((a, b, i, len(fa), len(fb), j))
+    return sorted(out)
+
+
+def test_probe_equals_bruteforce_cross_sweep(spark, frames, batch, index):
+    got = _rows(frame_probe_pairs(spark, index, batch, threshold=0.5))
+    want = _brute(frames.collect(), batch.collect())
+    assert got == want and got  # every planted re-encode surfaces
+    assert all(r[5] == 1.0 for r in got)  # exact copies score 1.0
+
+
+def test_probe_plan_is_bucket_pruned(spark, batch, index):
+    plan = (
+        frame_probe_pairs(spark, index, batch)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pf = [
+        l
+        for l in plan.splitlines()
+        if "PartitionFilters" in l and "fbucket" in l and "posts" in l
+    ]
+    assert pf, plan[:2000]
+
+
+def test_append_equals_rebuild(spark, frames, tmp_path):
+    first = frames.filter(F.col("doc_id") % 2 == 0)
+    second = frames.filter(F.col("doc_id") % 2 == 1)
+    p_inc = str(tmp_path / "inc")
+    p_full = str(tmp_path / "full")
+    write_frame_index(first, p_inc)
+    append_frame_index(second, p_inc)
+    write_frame_index(frames, p_full)
+    pa, sa, _ = read_frame_index(spark, p_inc)
+    pb, sb, _ = read_frame_index(spark, p_full)
+    assert _rows(pa) == _rows(pb)
+    assert _rows(sa) == _rows(sb)
+
+
+def test_delete_equals_rebuild_without_and_compaction_preserves(
+    spark, frames, batch, tmp_path
+):
+    p = str(tmp_path / "del")
+    ref = str(tmp_path / "ref")
+    write_frame_index(frames, p)
+    victims = frames.filter(F.col("doc_id") % 97 == 0)
+    survivors = frames.filter(F.col("doc_id") % 97 != 0)
+    delete_from_frame_index(
+        spark, p, victims.select("doc_id").distinct()
+    )
+    write_frame_index(survivors, ref)
+    gp, gs, _ = read_frame_index(spark, p)
+    wp, ws, _ = read_frame_index(spark, ref)
+    assert _rows(gp) == _rows(wp) and _rows(gs) == _rows(ws)
+    # the deleted originals no longer pair with the probe batch
+    assert _rows(frame_probe_pairs(spark, p, batch)) == _rows(
+        frame_probe_pairs(spark, ref, batch)
+    )
+    # physical reclaim: probes unchanged, generation swapped, prune ok
+    before = _rows(frame_probe_pairs(spark, p, batch))
+    compact_frame_index(spark, p)
+    assert os.path.exists(f"{p}/_gen_v1.committed")
+    assert not os.path.isdir(f"{p}/tombstones")
+    assert _rows(frame_probe_pairs(spark, p, batch)) == before
+    prune_frame_index_generations(spark, p)
+    assert not os.path.isdir(f"{p}/posts")
+    assert _rows(frame_probe_pairs(spark, p, batch)) == before
+
+
+def test_empty_index_stays_readable(spark, frames, tmp_path):
+    p = str(tmp_path / "empty")
+    write_frame_index(frames.filter(F.lit(False)), p)
+    posts, sizes, meta = read_frame_index(spark, p)
+    assert posts.count() == 0 and meta["n_buckets"] == 64
+    probe = frame_probe_pairs(spark, p, frames.limit(3))
+    assert probe.count() == 0
