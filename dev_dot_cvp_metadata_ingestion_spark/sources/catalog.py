@@ -2768,11 +2768,24 @@ def append_frame_index(frames: DataFrame, path: str) -> None:
 
 def read_frame_index(spark: SparkSession, path: str):
     """(posts, sizes, meta) with tombstones anti-joined out of both
-    tables — the canonical relations every probe consumes."""
+    tables — the canonical relations every probe consumes. Both
+    tables are read DEDUPLICATED (posts distinct; sizes max per doc —
+    a legal duplicate append re-writes the identical sz, so max is
+    exact), which makes the streaming ingest sink's one replay
+    artifact — a duplicated index append for the failed batch —
+    SCORE-NEUTRAL instead of count-inflating, and lets compaction
+    (which writes through this reader) physically heal it. Appending
+    the same doc_id with DIFFERENT content remains a contract
+    violation (the new-keys append rule), not something dedup
+    masks."""
     from pyspark.sql import functions as F
 
-    posts = spark.read.parquet(_table_dir(path, "posts"))
-    sizes = spark.read.parquet(_table_dir(path, "sizes"))
+    posts = spark.read.parquet(_table_dir(path, "posts")).distinct()
+    sizes = (
+        spark.read.parquet(_table_dir(path, "sizes"))
+        .groupBy("doc_id")
+        .agg(F.max("sz").alias("sz"))
+    )
     tomb = _read_tombstones(spark, path)
     if tomb is not None:
         t = F.broadcast(tomb.select("doc_id"))

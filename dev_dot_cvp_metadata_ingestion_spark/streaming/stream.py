@@ -705,3 +705,112 @@ def spelling_monitor_sink(
             batch.unpersist()
 
     return sink
+
+
+def media_dedup_ingest_sink(
+    index_path: str,
+    media_path: str,
+    *,
+    threshold: float = 0.5,
+    fake: bool = True,
+):
+    """foreachBatch sink for continuous near-dup-gated MEDIA ingestion
+    over the persisted frame-fingerprint index — the sequence-media
+    sibling of ``lsh_dedup_ingest_sink``: each micro-batch of media
+    rows (doc_id, text payload stand-in) is (1) frame-sampled ONCE
+    (operators/multimodal.py:sample_frames), (2) self-deduplicated by
+    frame-set Jaccard inside the batch (min-id-neighbor rule —
+    replay-stable, chain over-drops accepted as documented on the LSH
+    sink), (3) probed against the index with ``frame_probe_pairs``
+    and dropped on any match to previously admitted media, and (4)
+    survivors land in the media table (batch_id dynamic-partition
+    overwrite) and the index (``append_frame_index``). State is the
+    INDEX TABLE — unbounded horizon, zero executor memory.
+
+    Replay contract: every step is a deterministic function of
+    (batch, index-before-this-batch); a re-delivered batch whose index
+    append committed sees its own rows only as self-pairs
+    (doc_id == probe_id — excluded; ids globally unique is the
+    standing append contract), so it recomputes the identical
+    survivor set and overwrites its partition with identical rows.
+    The one artifact — a duplicated index append for that batch — is
+    SCORE-NEUTRAL here because ``read_frame_index`` deduplicates both
+    tables at read (and compaction physically heals it), a stronger
+    guarantee than the LSH sink needs to document.
+
+    Per-batch cost at 100 TB: frame-hash the BATCH (Arrow map), one
+    bucket-pruned posting probe, appends sized by the batch — corpus
+    media never re-read."""
+    from ..operators.dedup import (
+        fingerprint_set_jaccard_pairs,
+        frame_probe_pairs,
+    )
+    from ..operators.multimodal import attach_binary, sample_frames
+    from ..sources.catalog import (
+        append_frame_index,
+        table_exists,
+        write_frame_index,
+    )
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        batch = df.persist()
+        try:
+            frames = (
+                sample_frames(
+                    attach_binary(batch, "doc_id", "text"), fake=fake
+                )
+                .select("doc_id", "frame_md5")
+                .localCheckpoint()
+            )
+            self_pairs = fingerprint_set_jaccard_pairs(
+                frames,
+                id_col="doc_id",
+                fp_col="frame_md5",
+                threshold=threshold,
+            )
+            losers = self_pairs.select(
+                F.col("doc_id_b").alias("doc_id")
+            ).distinct()
+            survivors = batch.join(losers, ["doc_id"], "left_anti")
+            surv_frames = frames.join(losers, ["doc_id"], "left_anti")
+            bootstrap = not table_exists(spark, f"{index_path}/meta")
+            if bootstrap:
+                novel = survivors.persist()
+                novel_frames = surv_frames
+            else:
+                hits = (
+                    frame_probe_pairs(
+                        spark, index_path, surv_frames, threshold=threshold
+                    )
+                    .filter(F.col("doc_id") != F.col("probe_id"))
+                    .select(F.col("probe_id").alias("doc_id"))
+                    .distinct()
+                )
+                novel = survivors.join(hits, ["doc_id"], "left_anti").persist()
+                novel_frames = surv_frames.join(hits, ["doc_id"], "left_anti")
+            try:
+                skip_corpus = novel.isEmpty() and not table_exists(
+                    spark, media_path
+                )
+                # media first, index second — same crash ordering as the
+                # LSH sink (reversed, a replay would see novel as dup
+                # and wipe its partition)
+                if not skip_corpus:
+                    (
+                        novel.withColumn("batch_id", F.lit(batch_id))
+                        .write.mode("overwrite")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .partitionBy("batch_id")
+                        .parquet(media_path)
+                    )
+                if bootstrap:
+                    write_frame_index(novel_frames, index_path)
+                else:
+                    append_frame_index(novel_frames, index_path)
+            finally:
+                novel.unpersist()
+        finally:
+            batch.unpersist()
+
+    return sink
