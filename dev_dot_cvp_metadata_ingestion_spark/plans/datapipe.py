@@ -9769,3 +9769,108 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return theil_sen_from_counts(window_counts(ev))
+
+
+@register(
+    "ann_ivf_recall_report",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    qx AS (SELECT vec_id AS q_id, xf AS qxf FROM x WHERE vec_id < 8),
+    qdist AS (
+      SELECT qx.q_id, c1.cluster,
+             CAST(list_sum([(qx.qxf[i]-c1.cf[i])*(qx.qxf[i]-c1.cf[i])
+                            for i in generate_series(1, len(qx.qxf))])
+                  AS BIGINT) AS dist
+      FROM c1, qx
+    ),
+    qc AS (
+      SELECT q_id, cluster FROM (
+        SELECT q_id, cluster,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM qdist) WHERE rn <= 2
+    ),
+    e2 AS (
+      SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    qv AS (SELECT vec_id AS q_id, v AS qv FROM e2 WHERE vec_id < 8),
+    acand AS (
+      SELECT qc.q_id, a2.vec_id FROM a2 JOIN qc USING (cluster)
+      WHERE a2.vec_id <> qc.q_id
+    ),
+    ascored AS (
+      SELECT c.q_id, e2.vec_id, {_cos_sql("v", "qv")} AS cos
+      FROM acand c
+      JOIN e2 ON e2.vec_id = c.vec_id
+      JOIN qv ON qv.q_id = c.q_id
+    ),
+    approx AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM ascored) WHERE rank <= 10
+    ),
+    bscored AS (
+      SELECT qv.q_id, e2.vec_id, {_cos_sql("v", "qv")} AS cos
+      FROM e2, qv WHERE e2.vec_id <> qv.q_id
+    ),
+    exact AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM bscored) WHERE rank <= 10
+    ),
+    hits AS (
+      SELECT e.q_id, CAST(count(a.vec_id) AS BIGINT) AS hits
+      FROM exact e
+      LEFT JOIN approx a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+      GROUP BY e.q_id
+    )
+    SELECT q_id, hits, CAST(10 AS BIGINT) AS k,
+           CAST((hits * 1000000) // 10 AS BIGINT) AS recall_ppm
+    FROM hits
+    """,
+)
+def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honest ANN quality as a first-class RELATION: per-query
+    recall@10 of the IVF join at its registered operating point
+    (n_cells=8, nprobe=2 — a REAL probe budget, not the
+    nprobe=n_cells exhaustive form the oracle-exact `_ivf` twins
+    use) against the exact k-NN join on the same 8 query vectors.
+    Both sides are deterministic — fixed-point Lloyd makes cell
+    membership bit-identical and the probe/tie-break orders are
+    total — so approximate-search QUALITY itself is hash-oracled:
+    the report is exact integers (hits, recall_ppm), reproducible
+    across engines and partitionings. The monitoring answer to "did
+    the last index rebuild hurt recall?" — run the report, diff the
+    rows; tests/test_ann_recall.py pins thresholds, this relation is
+    the per-query evidence. Cost: one exact knn join over the query
+    set (the ground truth is the expensive half, as always with
+    recall audits) plus the probed-cells join."""
+    from ..operators.similarity import ivf_knn_join, knn_join
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = knn_join(e, q, k=10).select("q_id", "vec_id")
+    approx = ivf_knn_join(e, q, k=10, n_cells=8, nprobe=2).select(
+        "q_id", F.col("vec_id").alias("a_vec_id")
+    )
+    hits = (
+        exact.join(
+            approx,
+            (exact.q_id == approx.q_id)
+            & (exact.vec_id == approx.a_vec_id),
+            "left",
+        )
+        .groupBy(exact.q_id.alias("q_id"))
+        .agg(F.count("a_vec_id").alias("hits"))
+    )
+    return hits.select(
+        "q_id",
+        F.col("hits").cast("long").alias("hits"),
+        F.lit(10).cast("long").alias("k"),
+        F.expr("(hits * 1000000L) div 10").cast("long").alias("recall_ppm"),
+    )

@@ -265,6 +265,7 @@ BACK: tuple[str, ...] = (
     "dedup_phash_clusters",
     "dedup_clustering_coefficients",
     "events_theil_sen_trend",
+    "ann_ivf_recall_report",
 )
 
 

@@ -108,6 +108,7 @@ AT_RISK = [
     "dedup_phash_clusters",        # CC fixpoint over zero media rows
     "dedup_clustering_coefficients",  # wedge join over an empty graph
     "events_theil_sen_trend",      # median pick over zero windows
+    "ann_ivf_recall_report",       # kmeans seeds + joins on empty set
 ]
 
 

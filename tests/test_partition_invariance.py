@@ -90,6 +90,7 @@ SENSITIVE = [
     "dedup_phash_clusters",        # Arrow hashes + band join + CC rounds
     "dedup_clustering_coefficients",  # wedge join + triangle semi-join
     "events_theil_sen_trend",      # slope pair join + median pick
+    "ann_ivf_recall_report",       # kmeans + two salted rank joins
 ]
 
 
