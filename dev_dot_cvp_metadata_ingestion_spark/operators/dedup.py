@@ -1962,8 +1962,14 @@ def match_scores(
         "block",
         "doc_id_a",
         "doc_id_b",
+        # union == 0 means BOTH bigram sets are empty — the token
+        # channel has NO EVIDENCE, which must score 0, not 1e6: two
+        # unrelated single-token docs are not a match, and "both
+        # trivially empty" must not single-handedly clear the decision
+        # threshold (review finding; identical short docs still match
+        # through the edit channel alone)
         F.when(F.col("_den") > 0, F.expr("_num div _den"))
-        .otherwise(F.lit(1000000))
+        .otherwise(F.lit(0))
         .cast("long")
         .alias("jaccard_ppm"),
         F.when(

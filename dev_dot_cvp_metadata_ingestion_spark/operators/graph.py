@@ -450,9 +450,20 @@ def dbscan_labels(
     row per node, unordered (per-row output contract)."""
     from .dedup import connected_components
 
-    can = pairs.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).localCheckpoint()
+    # canonicalize + dedupe: eps-pair relations legitimately emit the
+    # same pair from multiple bands/probes, and in either orientation
+    # — duplicates would inflate degree counts and mint false cores
+    # (review finding: [(1,2),(1,2),(1,3)] must not make 1 core at
+    # min_neighbors=3)
+    can = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("src"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
     sym = can.unionByName(
         can.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
@@ -532,8 +543,17 @@ def clustering_coefficients(
     canonical edge orientation. Everything shuffles on node/pair
     keys; nothing collected. Returns (id_col, degree, triangles,
     clustering_ppm), one row per node, unordered."""
+    # canonicalize to src < dst before dedupe: the wedge-closure
+    # semi-join matches wedges (min, max) against THIS relation, so a
+    # pair supplied reversed would silently never close its triangles
+    # (review finding) — and mixed orientations of the same pair would
+    # double edges after symmetrization
     can = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("src"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint()
     )

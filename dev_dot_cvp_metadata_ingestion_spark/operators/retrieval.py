@@ -717,17 +717,21 @@ def symspell_corrections(
     from pyspark.sql import functions as F
     from pyspark.sql import Window as W
 
+    # suffix length = length(w), not a literal cap: stream tokens have
+    # no maximum length, and a truncated deletion key would silently
+    # miss distance-1 pairs differing past the cap (review finding)
     del_keys = (
         "array(%s) || transform(sequence(1, length(%s)), "
-        "i -> concat(substring(%s, 1, i - 1), substring(%s, i + 1, 1000)))"
+        "i -> concat(substring(%s, 1, i - 1),"
+        " substring(%s, i + 1, length(%s))))"
     )
     dkeys = dictionary.select(
         "word",
-        F.explode(F.expr(del_keys % (("word",) * 4))).alias("k"),
+        F.explode(F.expr(del_keys % (("word",) * 5))).alias("k"),
     )
     tkeys = typos.select(
         "typo",
-        F.explode(F.expr(del_keys % (("typo",) * 4))).alias("k"),
+        F.explode(F.expr(del_keys % (("typo",) * 5))).alias("k"),
     )
     cand = tkeys.join(dkeys, "k").select("typo", "word").distinct()
     ver = (

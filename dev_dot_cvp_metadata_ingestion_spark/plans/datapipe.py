@@ -9233,10 +9233,13 @@ def embedding_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_snm_multipass",
-    oracle=f"""
-    WITH r1 AS (
+# the two-pass SNM candidate CTEs (prefix + reversed-prefix keys,
+# id-normalized union-distinct) — must stay textually parallel to
+# operators/dedup.py:sorted_neighborhood_multipass_candidates; shared
+# by the dedup_snm_multipass and dedup_match_scores oracles so a
+# window/key change lands once (review finding)
+_SNM_MULTIPASS_CAND_CTES = """
+    r1 AS (
       SELECT doc_id, source AS block,
              row_number() OVER (
                PARTITION BY source
@@ -9262,7 +9265,13 @@ def embedding_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM r2 a JOIN r2 b
           ON a.block = b.block AND b.rk > a.rk AND b.rk <= a.rk + 5
       )
-    ),
+    )"""
+
+
+@register(
+    "dedup_snm_multipass",
+    oracle=f"""
+    WITH {_SNM_MULTIPASS_CAND_CTES},
     toks AS (
       SELECT doc_id, source, {_TOKS.format(c="text")} AS t FROM documents
     ),
@@ -9320,12 +9329,14 @@ def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN dict d ON d.word = t.typo WHERE d.word IS NULL
     ),
     dkeys AS (
-      SELECT word, unnest([word] || [substr(word, 1, i - 1) || substr(word, i + 1, 1000)
+      SELECT word, unnest([word] || [substr(word, 1, i - 1)
+                                     || substr(word, i + 1, length(word))
                            for i in generate_series(1, length(word))]) AS k
       FROM dict
     ),
     tkeys AS (
-      SELECT typo, unnest([typo] || [substr(typo, 1, i - 1) || substr(typo, i + 1, 1000)
+      SELECT typo, unnest([typo] || [substr(typo, 1, i - 1)
+                                     || substr(typo, i + 1, length(typo))
                            for i in generate_series(1, length(typo))]) AS k
       FROM unseen
     ),
@@ -9523,33 +9534,7 @@ def dedup_tfidf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_match_scores",
     oracle=f"""
-    WITH r1 AS (
-      SELECT doc_id, source AS block,
-             row_number() OVER (
-               PARTITION BY source
-               ORDER BY substr(text, 1, 24), doc_id) AS rk
-      FROM documents
-    ),
-    r2 AS (
-      SELECT doc_id, source AS block,
-             row_number() OVER (
-               PARTITION BY source
-               ORDER BY substr(reverse(text), 1, 24), doc_id) AS rk
-      FROM documents
-    ),
-    cand AS (
-      SELECT DISTINCT block, doc_id_a, doc_id_b FROM (
-        SELECT a.block, least(a.doc_id, b.doc_id) AS doc_id_a,
-               greatest(a.doc_id, b.doc_id) AS doc_id_b
-        FROM r1 a JOIN r1 b
-          ON a.block = b.block AND b.rk > a.rk AND b.rk <= a.rk + 5
-        UNION ALL
-        SELECT a.block, least(a.doc_id, b.doc_id),
-               greatest(a.doc_id, b.doc_id)
-        FROM r2 a JOIN r2 b
-          ON a.block = b.block AND b.rk > a.rk AND b.rk <= a.rk + 5
-      )
-    ),
+    WITH {_SNM_MULTIPASS_CAND_CTES},
     toks AS (
       SELECT doc_id, source, text, {_TOKS.format(c="text")} AS t
       FROM documents
@@ -9571,7 +9556,7 @@ def dedup_tfidf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT block, doc_id_a, doc_id_b,
              CAST(CASE WHEN la + lb - i > 0
                   THEN (1000000 * i) // (la + lb - i)
-                  ELSE 1000000 END AS BIGINT) AS jaccard_ppm,
+                  ELSE 0 END AS BIGINT) AS jaccard_ppm,
              CAST(greatest(0, CASE WHEN lev > 64 THEN 0
                   ELSE 1000000 - (1000000 * lev) // 64 END)
                   AS BIGINT) AS edit_sim_ppm

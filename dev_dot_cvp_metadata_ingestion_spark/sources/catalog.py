@@ -2723,9 +2723,14 @@ def write_frame_index(
     frames = frames.select("doc_id", F.col("frame_md5").alias("fp"))
     os.makedirs(path, exist_ok=True)
     _reset_generations(path, ("posts", "sizes"))
-    posts = _frame_posts(frames, n_buckets)
+    # checkpointed: the caller's frame lineage (an Arrow fan-out, and
+    # in the ingest sink a chain of anti-joins + a probe) would
+    # otherwise re-execute for the emptiness check, the posts write,
+    # AND the sizes aggregation (review finding; the
+    # fingerprint_set_jaccard_pairs convention)
+    posts = _frame_posts(frames, n_buckets).localCheckpoint()
     sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    if frames.isEmpty():
+    if posts.isEmpty():
         posts.write.mode("overwrite").parquet(f"{path}/posts")
     else:
         (
@@ -2755,7 +2760,9 @@ def append_frame_index(frames: DataFrame, path: str) -> None:
     frames = frames.select("doc_id", F.col("frame_md5").alias("fp"))
     spark = frames.sparkSession
     meta = spark.read.parquet(f"{path}/meta").first()
-    posts = _frame_posts(frames, meta["n_buckets"])
+    # checkpointed for the same reason as the writer: posts and sizes
+    # both consume the caller's frame lineage
+    posts = _frame_posts(frames, meta["n_buckets"]).localCheckpoint()
     sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     (
         posts.repartition(F.col("fbucket"))

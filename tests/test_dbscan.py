@@ -77,3 +77,16 @@ def test_empty_pair_relation_all_noise(spark):
         for r in dbscan_labels(p, n).collect()
     }
     assert got == {1: ("noise", -1), 2: ("noise", -1)}
+
+
+def test_duplicate_and_reversed_pairs_do_not_inflate_degree(spark):
+    # review regression: [(1,2),(1,2),(1,3)] must not make 1 core at
+    # min_neighbors=3, and mixed orientation must not double-count
+    got = _run(
+        spark, [(1, 2), (1, 2), (1, 3)], [1, 2, 3], min_neighbors=3
+    )
+    assert all(v == ("noise", -1) for v in got.values())
+    got2 = _run(
+        spark, [(1, 2), (2, 1), (1, 3)], [1, 2, 3], min_neighbors=3
+    )
+    assert all(v == ("noise", -1) for v in got2.values())

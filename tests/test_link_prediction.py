@@ -102,3 +102,21 @@ def test_clustering_coefficients_on_known_graphs(spark):
     # deg(1)=3, triangles(1)=2 -> 2*2e6/(3*2) = 666666
     assert got[1] == (3, 2, 666666)
     assert got[2] == (2, 1, 1000000)
+
+
+def test_clustering_coefficients_orientation_and_duplicates(spark):
+    # review regression: a triangle supplied with one edge reversed
+    # (and once duplicated) must still count its triangles
+    from dev_dot_cvp_metadata_ingestion_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    p = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 3)], ["doc_id_a", "doc_id_b"]
+    )
+    n = spark.createDataFrame([(i,) for i in (1, 2, 3)], ["doc_id"])
+    got = {
+        r.doc_id: (r.degree, r.triangles, r.clustering_ppm)
+        for r in clustering_coefficients(p, n).collect()
+    }
+    assert got == {i: (2, 1, 1000000) for i in (1, 2, 3)}

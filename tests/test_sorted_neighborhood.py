@@ -233,3 +233,25 @@ def test_match_scores_channels_disagree_correctly(spark):
     # integer mean pin
     for r in got.values():
         assert r.score_ppm == (r.jaccard_ppm + r.edit_sim_ppm) // 2
+
+
+def test_match_scores_empty_bigram_union_is_no_evidence(spark):
+    # review regression: two UNRELATED single-token docs (both bigram
+    # sets empty) must not match — the token channel scores 0 on no
+    # evidence, and edit similarity alone can't clear the threshold
+    from dev_dot_cvp_metadata_ingestion_spark.operators.dedup import (
+        match_scores,
+    )
+
+    rows = [(1, "apple", "s"), (2, "zzzzz", "s")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = match_scores(docs, "doc_id", "text", "source").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.jaccard_ppm == 0
+    assert not r.is_match
+    # identical short docs still match through the edit channel alone
+    rows2 = [(1, "apple", "s"), (2, "apple", "s")]
+    docs2 = spark.createDataFrame(rows2, ["doc_id", "text", "source"])
+    r2 = match_scores(docs2, "doc_id", "text", "source").collect()[0]
+    assert r2.edit_sim_ppm == 1000000 and r2.is_match
