@@ -345,6 +345,7 @@ def link_prediction(
     pairs: DataFrame,
     a_col: str = "doc_id_a",
     b_col: str = "doc_id_b",
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003)
     over an undirected pair relation: for every NON-adjacent pair with
@@ -365,9 +366,16 @@ def link_prediction(
     endpoint, Σ_z deg(z)² rows. On a verified near-dup graph degree is
     bounded by duplicate-cluster size, the same regime
     ``triangle_stats`` already rides; a pathological hub (mirror farm)
-    is bounded by the stop-vertex device — drop z with deg(z) > D from
-    wedge GENERATION only (hubs connect everything; their wedges carry
-    no discriminating evidence — the stop-gram cap's argument). The
+    is bounded by the stop-vertex cap ``max_degree``: hinges z with
+    deg(z) > max_degree are dropped from wedge GENERATION only (hubs
+    connect everything; their wedges carry no discriminating evidence
+    — the stop-gram cap's argument). Capped-hinge accounting is the
+    companion :func:`hub_cap_report`. With the cap, candidate volume
+    is ≤ max_degree × Σ deg — linear in the edge volume at fixed cap
+    regardless of skew (measured flat in ``tools/bench_graph_skew.py``
+    as the planted hub quadruples). A capped hinge still APPEARS as an
+    endpoint of other nodes' wedges and keeps its true degree in
+    deg_a/deg_b — only evidence routed THROUGH it is dropped. The
     adjacency rejection is a broadcast-free anti-join on the edge
     relation itself; every shuffle keys on pair endpoints, nothing is
     collected. Returns (a_col, b_col, common_neighbors, deg_a, deg_b,
@@ -383,8 +391,13 @@ def link_prediction(
         .localCheckpoint()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    e1 = edges.select(F.col("src").alias("z"), F.col("dst").alias("a"))
-    e2 = edges.select(F.col("src").alias("z"), F.col("dst").alias("b"))
+    if max_degree is not None:
+        hinge_ok = deg.filter(F.col("deg") <= max_degree).select("src")
+        hinge_edges = edges.join(hinge_ok, "src", "left_semi")
+    else:
+        hinge_edges = edges
+    e1 = hinge_edges.select(F.col("src").alias("z"), F.col("dst").alias("a"))
+    e2 = hinge_edges.select(F.col("src").alias("z"), F.col("dst").alias("b"))
     cn = (
         e1.join(e2, "z")
         .filter(F.col("a") < F.col("b"))
@@ -411,6 +424,51 @@ def link_prediction(
         (F.col("common_neighbors").cast("double") / union_sz).alias(
             "neighbor_jaccard"
         ),
+    )
+
+
+def hub_cap_report(
+    pairs: DataFrame,
+    max_degree: int,
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+) -> DataFrame:
+    """Accounting row for :func:`link_prediction`'s stop-vertex cap —
+    the same honesty contract as the stop-gram cap's quality report:
+    a bound that silently drops evidence must REPORT what it dropped.
+    One row: (n_nodes, n_edges, capped_hinges = nodes with
+    deg > max_degree, wedges_avoided = Σ_{deg>D} C(deg, 2) — the
+    candidate rows the cap removed from the wedge join). All integer
+    aggregates off the node-sized degree relation; no join at all."""
+    can = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("src"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sym = can.unionByName(
+        can.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.expr("CAST(sum(deg) div 2 AS BIGINT)").alias("n_edges"),
+        F.coalesce(
+            F.sum(F.when(F.col("deg") > max_degree, 1).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("capped_hinges"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("deg") > max_degree,
+                    F.expr("deg * (deg - 1) div 2"),
+                ).otherwise(F.lit(0).cast("long"))
+            ),
+            F.lit(0),
+        ).cast("long").alias("wedges_avoided"),
     )
 
 
@@ -535,41 +593,68 @@ def clustering_coefficients(
     other — template/boilerplate gravity wells that deserve review,
     not collapse. Degree < 2 defines to 0 (no possible wedge).
 
-    Scale shape = the triangle join: wedges enumerated as neighbor
-    pairs at the hinge (Σ deg² rows off the checkpointed edge
-    relation), closed by ONE semi-join against the canonical (a<b)
-    edge set — each triangle {x,y,z} is counted once per hinge
-    exactly, because the wedge (min,max) ordering matches the
-    canonical edge orientation. Everything shuffles on node/pair
-    keys; nothing collected. Returns (id_col, degree, triangles,
-    clustering_ppm), one row per node, unordered."""
-    # canonicalize to src < dst before dedupe: the wedge-closure
-    # semi-join matches wedges (min, max) against THIS relation, so a
-    # pair supplied reversed would silently never close its triangles
-    # (review finding) — and mixed orientations of the same pair would
-    # double edges after symmetrization
+    Scale shape = DEGREE ORIENTATION (the ``triangle_stats`` device,
+    extended to per-node counts): every edge is directed from its
+    lower-(deg, id) end to the higher, each triangle is enumerated
+    EXACTLY ONCE as a wedge at its minimum corner plus one closing
+    edge, and then contributes 1 to each of its THREE corners
+    (explode + groupBy — per-node counts at the oriented cost). The
+    wedge intermediate is Σ out-deg² = O(m^1.5) worst case instead of
+    Σ deg²: a mirror-farm hub of degree h contributes wedges only
+    from its SMALL out-neighbourhood, not C(h, 2) — measured flat in
+    ``tools/bench_graph_skew.py`` as the planted hub quadruples,
+    while the naive hinge join grows ~h². Everything shuffles on
+    node/pair keys; nothing collected. Returns (id_col, degree,
+    triangles, clustering_ppm), one row per node, unordered."""
+    # canonicalize to src < dst before dedupe: mixed orientations of
+    # the same pair would double edges after symmetrization (review
+    # finding, r12)
     can = (
         pairs.select(
-            F.least(F.col(a_col), F.col(b_col)).alias("src"),
-            F.greatest(F.col(a_col), F.col(b_col)).alias("dst"),
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
         )
-        .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint()
     )
-    edges = can.unionByName(
-        can.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    sym = can.unionByName(
+        can.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    e1 = edges.select(F.col("src").alias("hinge"), F.col("dst").alias("a"))
-    e2 = edges.select(F.col("src").alias("hinge"), F.col("dst").alias("b"))
-    wedges = e1.join(e2, "hinge").filter(F.col("a") < F.col("b"))
-    closed = wedges.join(
-        can.select(F.col("src").alias("a"), F.col("dst").alias("b")),
-        ["a", "b"],
-        "left_semi",
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+
+    # orient each edge from lower (deg, id) to higher (deg, id) — the
+    # acyclic orientation under which every triangle has exactly one
+    # source corner, found as one wedge + one closing probe
+    da = deg.select("a", F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("a").alias("b"), F.col("deg").alias("deg_b"))
+    ann = can.join(da, "a").join(db, "b")
+    fwd = F.struct(F.col("deg_a").alias("d"), F.col("a").alias("i")) < F.struct(
+        F.col("deg_b").alias("d"), F.col("b").alias("i")
     )
-    tri = closed.groupBy("hinge").agg(F.count(F.lit(1)).alias("triangles"))
+    oriented = ann.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(fwd, F.col("deg_b")).otherwise(F.col("deg_a")).alias("dst_deg"),
+    ).localCheckpoint()
+    e1 = oriented.select(
+        F.col("src"), F.col("dst").alias("v"), F.col("dst_deg").alias("v_deg")
+    )
+    e2 = oriented.select(
+        F.col("src"), F.col("dst").alias("w"), F.col("dst_deg").alias("w_deg")
+    )
+    wedges = e1.join(e2, "src").filter(
+        F.struct(F.col("v_deg").alias("d"), F.col("v").alias("i"))
+        < F.struct(F.col("w_deg").alias("d"), F.col("w").alias("i"))
+    )
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    closed = wedges.join(closing, ["v", "w"], "left_semi")
+    tri = (
+        closed.select(F.explode(F.array("src", "v", "w")).alias("hinge"))
+        .groupBy("hinge")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    deg = deg.withColumnRenamed("a", "src")
     base = nodes.select(F.col(id_col).alias("node"))
     out = (
         base.join(deg.select(F.col("src").alias("node"), "deg"), "node", "left")

@@ -174,6 +174,90 @@ def _topk_per_query(scored: DataFrame, k: int, n_salts: int) -> DataFrame:
     )
 
 
+def exact_l2_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 100_000,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Exact integer squared-L2 top-k — the GROUND-TRUTH side of the
+    PQ-family recall reports, in the metric the PQ path actually
+    approximates (``knn_join`` ranks by cosine; ADC ranks by squared
+    L2 of scale-floored integer vectors, so recall against cosine
+    ground truth would conflate metric mismatch with quantization
+    loss). Same fixed-point device as the ADC chain: vectors floored
+    at ``scale``, distances exact BIGINTs, ties broken by vec_id — so
+    the ranking is bit-identical across engines and the report built
+    on it is hash-oracled. Self-matches are KEPT (the residual topk
+    keeps them too; both sides of a recall join must agree). Distance
+    headroom: (2·scale)²·d ≈ 2.6e12 at scale 1e5, d 64 — exact in the
+    double ordering column with 2^53 slack. Broadcast-query scoring +
+    salted top-k, the ``knn_join`` shape. Returns (q_id, vec_id,
+    dist, rank), unordered."""
+    def xf(col):
+        return F.transform(
+            F.col(col),
+            lambda v: F.floor(v.cast("double") * scale).cast("long"),
+        )
+
+    corpus = emb.select(F.col(id_col).alias("vec_id"), xf(vec_col).alias("xf"))
+    q = queries.select(F.col(id_col).alias("q_id"), xf(vec_col).alias("qxf"))
+    dist = F.aggregate(
+        F.zip_with("xf", "qxf", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "q_id", "vec_id", dist.alias("dist")
+    )
+    ranked = _topk_per_query(
+        scored.select(
+            "q_id", "vec_id", (-F.col("dist")).cast("double").alias("cos"),
+            "dist",
+        ),
+        k,
+        n_salts,
+    )
+    return ranked.select(
+        "q_id", "vec_id", "dist", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def recall_report(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Per-query recall@k as a first-class relation: given the exact
+    and approximate (q_id, vec_id) top-k sets, one row per query with
+    (q_id, hits, k, recall_ppm) in exact integers — the
+    ``ann_ivf_recall_report`` accounting block factored out so the
+    SAME relation builder serves the hash-oracled in-query twin AND
+    the persisted-layout probe (tests/test_ivf_pq_residual_layout.py
+    pins probe recall ≡ twin recall, and re-measures after
+    append + compaction — the erosion this report exists to catch).
+    Left join from the exact side so a query the approx side missed
+    entirely still reports hits=0."""
+    a = approx.select(
+        F.col("q_id").alias("a_q_id"), F.col("vec_id").alias("a_vec_id")
+    )
+    e = exact.select("q_id", "vec_id")
+    hits = (
+        e.join(
+            a,
+            (e.q_id == a.a_q_id) & (e.vec_id == a.a_vec_id),
+            "left",
+        )
+        .groupBy(e.q_id.alias("q_id"))
+        .agg(F.count("a_vec_id").alias("hits"))
+    )
+    return hits.select(
+        "q_id",
+        F.col("hits").cast("long").alias("hits"),
+        F.lit(k).cast("long").alias("k"),
+        F.expr(f"(hits * 1000000L) div {k}").cast("long").alias("recall_ppm"),
+    )
+
+
 def ivf_knn_join(
     emb: DataFrame,
     queries: DataFrame,

@@ -8943,6 +8943,81 @@ def dedup_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction(pairs)
 
 
+_LINK_CAP_D = 40
+
+
+@register(
+    "dedup_link_prediction_capped",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS.format(c="text")} AS t FROM documents
+    ),
+    sh AS (SELECT doc_id, source AS block, {_shingle_sql(2)} AS sh FROM toks),
+    jpairs AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+            >= 0.05
+    ),
+    edges AS (
+      SELECT doc_id_a AS src, doc_id_b AS dst FROM jpairs
+      UNION
+      SELECT doc_id_b, doc_id_a FROM jpairs
+    ),
+    deg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+    ),
+    hinge_edges AS (
+      SELECT e.src, e.dst FROM edges e
+      JOIN deg d ON d.src = e.src
+      WHERE d.deg <= {_LINK_CAP_D}
+    ),
+    cn AS (
+      SELECT e1.dst AS a, e2.dst AS b,
+             CAST(count(*) AS BIGINT) AS common_neighbors
+      FROM hinge_edges e1 JOIN hinge_edges e2
+        ON e1.src = e2.src AND e1.dst < e2.dst
+      GROUP BY e1.dst, e2.dst
+    ),
+    nonadj AS (
+      SELECT cn.a, cn.b, cn.common_neighbors FROM cn
+      LEFT JOIN edges e ON e.src = cn.a AND e.dst = cn.b
+      WHERE e.src IS NULL
+    )
+    SELECT n.a AS doc_id_a, n.b AS doc_id_b, n.common_neighbors,
+           da.deg AS deg_a, db.deg AS deg_b,
+           n.common_neighbors::DOUBLE
+             / (da.deg + db.deg - n.common_neighbors) AS neighbor_jaccard
+    FROM nonadj n
+    JOIN deg da ON da.src = n.a
+    JOIN deg db ON db.src = n.b
+    """,
+)
+def dedup_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_link_prediction`` with the stop-vertex cap engaged
+    (``max_degree=40``): hinges whose evidence-graph degree exceeds
+    the cap contribute NO wedges — on a mirror-farm / boilerplate
+    graph those hinges are exactly the Σ deg² skew bombs, and the
+    evidence routed through them (a hub "connects" everything it
+    mirrors) carries no discriminating signal, the stop-gram cap's
+    argument restated on vertices. Common-neighbor counts are
+    therefore computed over the ≤D-degree hinge subgraph while
+    deg_a/deg_b still report TRUE degrees — the oracle restates the
+    cap as a hinge-side degree filter, so capped semantics (not just
+    the uncapped twin) are hash-verified. The accounting companion is
+    ``hub_cap_report`` (tested + skew-benched); at 100 TB the capped
+    form is the DEFAULT posture, the uncapped twin the small-graph
+    diagnostic."""
+    from ..operators.graph import link_prediction
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", "source", n=2, threshold=0.05
+    ).select("doc_id_a", "doc_id_b")
+    return link_prediction(pairs, max_degree=_LINK_CAP_D)
+
+
 # --------------------------------------------------------------- TextRank
 
 
@@ -9859,3 +9934,74 @@ def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(10).cast("long").alias("k"),
         F.expr("(hits * 1000000L) div 10").cast("long").alias("recall_ppm"),
     )
+
+
+@register(
+    "ann_pq_recall_report",
+    oracle=f"""
+    WITH approx AS (
+      SELECT q_id, vec_id FROM ({_ivf_pq_residual_oracle()})
+    ),
+    exf AS (
+      SELECT vec_id,
+             [CAST(floor(CAST(v AS DOUBLE) * 100000.0) AS BIGINT)
+              for v in embedding] AS xf
+      FROM embeddings
+    ),
+    eqv AS (SELECT vec_id AS q_id, xf AS qxf FROM exf WHERE vec_id % 97 = 0),
+    esc AS (
+      SELECT eqv.q_id, exf.vec_id,
+             CAST(list_sum([(exf.xf[i]-eqv.qxf[i])*(exf.xf[i]-eqv.qxf[i])
+                            for i in generate_series(1, len(exf.xf))])
+                  AS BIGINT) AS dist
+      FROM exf, eqv
+    ),
+    exact AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY dist, vec_id) AS rn
+        FROM esc) WHERE rn <= 5
+    ),
+    hits AS (
+      SELECT e.q_id, CAST(count(a.vec_id) AS BIGINT) AS hits
+      FROM exact e
+      LEFT JOIN approx a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+      GROUP BY e.q_id
+    )
+    SELECT q_id, hits, CAST(5 AS BIGINT) AS k,
+           CAST((hits * 1000000) // 5 AS BIGINT) AS recall_ppm
+    FROM hits
+    """,
+)
+def ann_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@budget for the PRODUCTION serving encoder: per-query
+    recall@5 of the residual IVF-PQ ranking at its registered
+    operating point (8 cells, nprobe=2, 8×16 residual codebooks —
+    exactly ``ann_ivf_pq_residual_topk``) against the exact integer
+    squared-L2 top-5 on the same every-97th-vector query set.
+    ``ann_ivf_recall_report`` covers the plain IVF join, where the
+    only loss is cell pruning; THIS report covers the path where
+    recall silently erodes after appends and compactions — PQ
+    quantization loss stacked on coarse pruning. Ground truth is
+    squared L2 on scale-floored integers (the metric ADC
+    approximates), so the whole report is exact integers and
+    hash-oracled. The persisted-layout probe
+    (``ivf_pq_residual_probe_topk``) is pinned row-for-row to the
+    in-query twin, so this relation IS the layout's recall at the
+    build params; tests/test_ivf_pq_residual_layout.py re-measures it
+    through the probe after append + compaction via the same
+    ``recall_report`` builder."""
+    from ..operators.similarity import (
+        exact_l2_topk,
+        ivf_pq_residual_topk,
+        recall_report,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 97 == 0)
+    exact = exact_l2_topk(e, q, k=5).select("q_id", "vec_id")
+    approx = ivf_pq_residual_topk(
+        e, q, n_cells=8, nprobe=2, d=64, m=8, k_codebook=16, k=5, iters=2
+    ).select("q_id", "vec_id")
+    return recall_report(exact, approx, k=5)

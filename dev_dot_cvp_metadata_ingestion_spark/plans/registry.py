@@ -64,36 +64,41 @@ def query_names() -> list[str]:
 # row keeps the strongest (hash) check. embedding_quantize stays for
 # its first green row after the r8 surface fix (long form).
 BOARD: tuple[str, ...] = (
-    # ROTATION (round 12, VERDICT r11 item 1): the 18 round-11
-    # first-timers stay for their second green round; the 5 round-11
-    # BACK additions (MMR-over-IVF, autocorrelation, BM25 PRF, RAKE,
-    # hourly forecast) rotate in for their first driver rows; the 32
-    # rows that yielded (19 r10-rotated + 13 r9 first-timers, each
-    # with 2-3 consecutive fully-green driver rounds) make room for a
-    # SURVEY §2 RE-AUDIT LAP — 27 returning core-surface reps, chosen
-    # longest-since-checked first (the r9-rotated TPC-H/CVP reps last
-    # saw a driver row in r8; the r11-rotated ones in r10), so the
-    # reference's core surface regains current driver rows after the
-    # all-beyond-reference r11 board.
-    "events_cusum_alarm",
-    "events_seasonal_anomaly",
-    "events_mad_anomaly",
-    "events_hourly_trend",
+    # ROTATION (round 13, VERDICT r12 item 2): the 16 round-12
+    # additions rotate in for their FIRST driver rows (every one
+    # already green in the judge's independent sf0.01 DuckDB check
+    # and in the local parity sweep); 16 of the 18 round-11
+    # first-timers yield after 2 consecutive fully-green rounds
+    # (r11+r12). Kept from that cohort: ann_ivf_pq_residual_topk
+    # (this round adds the recall-at-budget report on its layout
+    # probe — keep the driver row adjacent to the change) and
+    # events_seasonal_decomposition (the most intricate unrolled-
+    # recurrence oracle on the board — freshest check where
+    # complexity is highest). The 5 round-11 BACK additions stay for
+    # their second green round, and the 27 §2 re-audit reps stay for
+    # a second consecutive row so the reference's core surface keeps
+    # current driver rows.
+    # --- round-12 additions, first driver rows this round ---
+    "text_hybrid_rrf",
+    "dedup_phash_pairs",
+    "dedup_phash_clusters",
+    "dedup_sorted_neighborhood",
+    "dedup_snm_multipass",
+    "dedup_edit_distance_pairs",
+    "dedup_match_scores",
+    "dedup_link_prediction",
+    "dedup_clustering_coefficients",
+    "dedup_tfidf_weighted_jaccard",
+    "dedup_video_frame_pairs",
+    "embedding_dbscan",
+    "text_textrank_keywords",
+    "text_spelling_correction",
+    "events_theil_sen_trend",
+    "ann_ivf_recall_report",
+    # --- kept round-11 first-timers (see rotation note) ---
     "events_seasonal_decomposition",
-    "events_markov_stationary",
-    "events_user_outliers",
-    "events_association_rules",
-    "corpus_source_ab_test",
-    "corpus_source_robust_stats",
-    "text_collocations_pmi",
-    "text_phrase_search",
-    "ann_mmr_rerank",
-    "ann_range_search",
     "ann_ivf_pq_residual_topk",
-    "dedup_graph_kcore",
-    "embedding_outliers",
-    "embedding_silhouette",
-    # --- round-11 BACK additions, first driver rows this round ---
+    # --- round-11 BACK additions, second driver rows this round ---
     "ann_mmr_rerank_ivf",
     "events_autocorrelation",
     "text_bm25_prf",
@@ -132,6 +137,25 @@ BOARD: tuple[str, ...] = (
 )
 
 BACK: tuple[str, ...] = (
+    # --- rotated off the board in round 13 (2 consecutive green
+    # driver rounds each, r11+r12; family coverage continues via the
+    # local hash-parity suite) ---
+    "events_cusum_alarm",
+    "events_seasonal_anomaly",
+    "events_mad_anomaly",
+    "events_hourly_trend",
+    "events_markov_stationary",
+    "events_user_outliers",
+    "events_association_rules",
+    "corpus_source_ab_test",
+    "corpus_source_robust_stats",
+    "text_collocations_pmi",
+    "text_phrase_search",
+    "ann_mmr_rerank",
+    "ann_range_search",
+    "dedup_graph_kcore",
+    "embedding_outliers",
+    "embedding_silhouette",
     # --- rotated off the board in round 12 (2-3 green driver rounds
     # each; family coverage continues via the local hash-parity
     # suite, which sweeps every registered query each pytest run) ---
@@ -246,26 +270,9 @@ BACK: tuple[str, ...] = (
     # --- round-9 additions not board-eligible (no SQL oracle; PCA's
     # driver-side eigensolve is Python-replica-pinned instead) ---
     "embedding_pca_projected",
-    # --- round-12 additions (first driver row next rotation) ---
-    "text_hybrid_rrf",
-    "dedup_phash_pairs",
-    # --- round-12 continuation session: 14 new families/queries, all
-    # hash-oracled at sf0.001 + sf0.01 and in the partition-invariance
-    # and empty-input suites; rotate onto the board as slots free ---
-    "dedup_sorted_neighborhood",
-    "dedup_edit_distance_pairs",
-    "dedup_link_prediction",
-    "text_textrank_keywords",
-    "dedup_video_frame_pairs",
-    "embedding_dbscan",
-    "dedup_snm_multipass",
-    "text_spelling_correction",
-    "dedup_tfidf_weighted_jaccard",
-    "dedup_match_scores",
-    "dedup_phash_clusters",
-    "dedup_clustering_coefficients",
-    "events_theil_sen_trend",
-    "ann_ivf_recall_report",
+    # --- round-13 additions (first driver row next rotation) ---
+    "dedup_link_prediction_capped",
+    "ann_pq_recall_report",
 )
 
 

@@ -120,3 +120,91 @@ def test_clustering_coefficients_orientation_and_duplicates(spark):
         for r in clustering_coefficients(p, n).collect()
     }
     assert got == {i: (2, 1, 1000000) for i in (1, 2, 3)}
+
+
+def test_link_prediction_max_degree_caps_hub_hinges_only(spark):
+    # hub 0 connected to 1..5 (deg 5) + pendant 6-1. Uncapped: every
+    # spoke pair is predicted through the hub; capped at 4 the hub
+    # generates NO wedges, so only node 1's wedge (0, 6) survives —
+    # and its deg_a still reports the TRUE hub degree 5.
+    rows = [(0, i) for i in (1, 2, 3, 4, 5)] + [(6, 1)]
+    uncapped = link_prediction(_pairs(spark, rows)).collect()
+    assert {(r.doc_id_a, r.doc_id_b) for r in uncapped} == {
+        (i, j) for i in (1, 2, 3, 4, 5) for j in (1, 2, 3, 4, 5) if i < j
+    } | {(0, 6)}
+    capped = link_prediction(_pairs(spark, rows), max_degree=4).collect()
+    assert {(r.doc_id_a, r.doc_id_b) for r in capped} == {(0, 6)}
+    r = capped[0]
+    assert (r.deg_a, r.deg_b) == (5, 1)  # true degrees, not capped ones
+    assert r.common_neighbors == 1
+
+
+def test_link_prediction_cap_above_max_degree_is_identity(spark):
+    rows = [(1, 2), (2, 3), (1, 9), (3, 4)]
+    want = sorted(
+        map(tuple, link_prediction(_pairs(spark, rows)).collect())
+    )
+    got = sorted(
+        map(tuple, link_prediction(_pairs(spark, rows), max_degree=10).collect())
+    )
+    assert got == want
+
+
+def test_hub_cap_report_accounting(spark):
+    from dev_dot_cvp_metadata_ingestion_spark.operators.graph import (
+        hub_cap_report,
+    )
+
+    # hub 0 deg 5, node 1 deg 2, others deg 1 — cap 4 catches only the
+    # hub; wedges_avoided = C(5,2) = 10. Duplicate + reversed rows
+    # must not inflate degrees.
+    rows = [(0, i) for i in (1, 2, 3, 4, 5)] + [(6, 1), (1, 0), (0, 1)]
+    r = hub_cap_report(_pairs(spark, rows), max_degree=4).collect()[0]
+    assert (r.n_nodes, r.n_edges) == (7, 6)
+    assert (r.capped_hinges, r.wedges_avoided) == (1, 10)
+    # cap above every degree: nothing capped
+    r = hub_cap_report(_pairs(spark, rows), max_degree=5).collect()[0]
+    assert (r.capped_hinges, r.wedges_avoided) == (0, 0)
+
+
+def test_clustering_coefficients_match_naive_on_random_graph(spark):
+    # the oriented triangle-corner rewrite must agree with a plain
+    # Python per-node triangle count on a seeded random graph
+    import itertools
+    import random
+
+    from dev_dot_cvp_metadata_ingestion_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    rng = random.Random(13)
+    n = 60
+    edges = sorted(
+        {
+            (a, b)
+            for a, b in (
+                tuple(sorted(rng.sample(range(n), 2))) for _ in range(260)
+            )
+        }
+    )
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for v in range(n):
+        d = len(adj[v])
+        t = sum(
+            1
+            for x, y in itertools.combinations(sorted(adj[v]), 2)
+            if y in adj[x]
+        )
+        ppm = (2_000_000 * t) // (d * (d - 1)) if d >= 2 else 0
+        want[v] = (d, t, ppm)
+    p = spark.createDataFrame(edges, ["doc_id_a", "doc_id_b"])
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    got = {
+        r.doc_id: (r.degree, r.triangles, r.clustering_ppm)
+        for r in clustering_coefficients(p, nodes).collect()
+    }
+    assert got == want

@@ -13,6 +13,13 @@ random background. The claims under test:
 - pagerank: the hub's in-contributions collapse in the map-side
   partial sum of the destination groupBy; time per iteration must
   scale with |E|, not with the hub's in-degree distribution.
+- clustering_coefficients (round 13): rewritten on the oriented
+  triangle join + corner explode — per-node counts at the oriented
+  cost; time must stay ~flat as h quadruples (the r12 naive hinge
+  form grew ~h^2).
+- link_prediction (round 13): with max_degree set, the hub generates
+  no wedges, so time tracks the background graph; the uncapped form
+  is the C(h,2) control, run only at the smallest hub size.
 
 Usage: python tools/bench_graph_skew.py [hub_sizes...]
 """
@@ -76,6 +83,9 @@ def naive_triangles(pairs):
 
 def main() -> None:
     from dev_dot_cvp_metadata_ingestion_spark.operators.graph import (
+        clustering_coefficients,
+        hub_cap_report,
+        link_prediction,
         pagerank,
         triangle_stats,
     )
@@ -87,8 +97,11 @@ def main() -> None:
         "triangles_oriented": [],
         "triangles_naive": [],
         "pagerank_4it": [],
+        "coefficients_oriented": [],
+        "link_pred_capped": [],
     }
-    for hub in hubs:
+    cap = 64
+    for i, hub in enumerate(hubs):
         pairs, nodes = hub_graph(spark, hub, background=4 * hub)
         pairs = pairs.localCheckpoint()
         nodes = nodes.localCheckpoint()
@@ -111,10 +124,38 @@ def main() -> None:
         dt_p = time.time() - t0
         results["pagerank_4it"].append(dt_p)
 
+        t0 = time.time()
+        cc = clustering_coefficients(pairs, nodes)
+        cc_sum = cc.agg(
+            F.sum("triangles").alias("t"), F.sum("degree").alias("d")
+        ).collect()[0]
+        dt_c = time.time() - t0
+        results["coefficients_oriented"].append(dt_c)
+        # per-node counts sum to 3x the global triangle count
+        assert cc_sum["t"] == 3 * tri["n_triangles"], (cc_sum, tri)
+
+        t0 = time.time()
+        lp = link_prediction(pairs, max_degree=cap)
+        n_pred = lp.count()
+        dt_l = time.time() - t0
+        results["link_pred_capped"].append(dt_l)
+        rep = hub_cap_report(pairs, max_degree=cap).collect()[0]
+
+        # the C(h,2) control, priced only once at the smallest hub
+        dt_lu = float("nan")
+        if i == 0:
+            t0 = time.time()
+            link_prediction(pairs).count()
+            dt_lu = time.time() - t0
+
         print(
             f"hub={hub:6d} |E|={m:7d} tri={tri['n_triangles']:6d} "
             f"oriented={dt_o:6.2f}s naive={dt_n:6.2f}s "
-            f"pagerank={dt_p:6.2f}s",
+            f"pagerank={dt_p:6.2f}s coeffs={dt_c:6.2f}s "
+            f"linkpred_cap={dt_l:6.2f}s (pred={n_pred}, "
+            f"capped_hinges={rep['capped_hinges']}, "
+            f"wedges_avoided={rep['wedges_avoided']}) "
+            f"linkpred_uncapped={dt_lu:6.2f}s",
             flush=True,
         )
     for name, ts in results.items():
