@@ -699,44 +699,84 @@ def hybrid_probe_topk(
     return rrf_fuse([lex, vec], k=k, rrf_k=rrf_k, n_salts=n_salts)
 
 
+def _symspell_del_keys(c: str, max_edit_distance: int) -> str:
+    """SQL expr for a column's SymSpell deletion keys: the string
+    itself, every single-deletion variant, and (at distance 2) every
+    double-deletion variant — positions i<j of the ORIGINAL string,
+    so the key set is exactly {w with ≤max_d chars removed}. Suffix
+    length = length(w), not a literal cap: stream tokens have no
+    maximum length, and a truncated deletion key would silently miss
+    pairs differing past the cap (review finding, r12).
+    ``array_distinct`` dedupes the repeats repeated characters
+    produce ("aab" deletes to "ab" two ways) before the explode."""
+    d1 = (
+        f"transform(sequence(1, length({c})), "
+        f"i -> concat(substring({c}, 1, i - 1),"
+        f" substring({c}, i + 1, length({c}))))"
+    )
+    keys = f"array({c}) || {d1}"
+    if max_edit_distance >= 2:
+        # i ranges 1..len-1 so the inner sequence start i+1 <= len is
+        # always ascending; Spark's sequence(a, b) with a > b counts
+        # DOWN instead of returning empty, hence the length guard
+        d2 = (
+            f"CASE WHEN length({c}) >= 2 THEN "
+            f"flatten(transform(sequence(1, length({c}) - 1), i -> "
+            f"transform(sequence(i + 1, length({c})), j -> "
+            f"concat(substring({c}, 1, i - 1),"
+            f" substring({c}, i + 1, j - i - 1),"
+            f" substring({c}, j + 1, length({c})))))) "
+            f"ELSE CAST(array() AS array<string>) END"
+        )
+        keys = f"{keys} || {d2}"
+    return f"array_distinct({keys})"
+
+
 def symspell_corrections(
-    typos: DataFrame, dictionary: DataFrame
+    typos: DataFrame,
+    dictionary: DataFrame,
+    max_edit_distance: int = 1,
 ) -> DataFrame:
-    """SymSpell symmetric-delete matching (the
+    """SymSpell symmetric-delete matching (Garbe's device; the
     ``text_spelling_correction`` core, factored for reuse by the
     streaming sink): ``typos`` is a (typo) relation of out-of-
     vocabulary strings, ``dictionary`` a (word, corr_count) relation;
-    both sides emit themselves plus their single-deletion variants,
-    edit-distance-1 pairs are GUARANTEED to collide on a key, the
-    exact ``levenshtein == 1`` verify discards the over-generated
-    distance-2 collisions, and each typo resolves to its highest-
-    count word (alphabetical tiebreak). Candidate generation is a
-    pure equi-join over ~len(w)+1 short keys per word — linear in
-    token volume, never a quadratic distance scan. Returns
-    (typo, correction, corr_count), one row per matched typo."""
+    both sides emit themselves plus their deletion variants up to
+    ``max_edit_distance`` removals, pairs within that edit distance
+    are GUARANTEED to collide on a key (each side deletes its own
+    surplus/substituted characters), the exact
+    ``levenshtein BETWEEN 1 AND max_d`` verify discards the
+    over-generated collisions (deletion-key collision is necessary,
+    not sufficient — e.g. distance-3 pairs collide at max_d 2), and
+    each typo resolves to its highest-count word (alphabetical
+    tiebreak — the same count-argmax tail at every distance).
+    Candidate generation is a pure equi-join: ~len(w)+1 keys per word
+    at distance 1, ~len²/2 at distance 2 — bounded for
+    dictionary-scale tokens, never a quadratic distance scan.
+    Returns (typo, correction, corr_count), one row per matched
+    typo. max_edit_distance ∈ {{1, 2}} (standard SymSpell configs)."""
     from pyspark.sql import functions as F
     from pyspark.sql import Window as W
 
-    # suffix length = length(w), not a literal cap: stream tokens have
-    # no maximum length, and a truncated deletion key would silently
-    # miss distance-1 pairs differing past the cap (review finding)
-    del_keys = (
-        "array(%s) || transform(sequence(1, length(%s)), "
-        "i -> concat(substring(%s, 1, i - 1),"
-        " substring(%s, i + 1, length(%s))))"
-    )
+    if max_edit_distance not in (1, 2):
+        raise ValueError(f"max_edit_distance must be 1 or 2, got "
+                         f"{max_edit_distance!r}")
     dkeys = dictionary.select(
         "word",
-        F.explode(F.expr(del_keys % (("word",) * 5))).alias("k"),
+        F.explode(
+            F.expr(_symspell_del_keys("word", max_edit_distance))
+        ).alias("k"),
     )
     tkeys = typos.select(
         "typo",
-        F.explode(F.expr(del_keys % (("typo",) * 5))).alias("k"),
+        F.explode(
+            F.expr(_symspell_del_keys("typo", max_edit_distance))
+        ).alias("k"),
     )
     cand = tkeys.join(dkeys, "k").select("typo", "word").distinct()
     ver = (
         cand.join(dictionary, "word")
-        .filter(F.levenshtein("typo", "word") == 1)
+        .filter(F.levenshtein("typo", "word").between(1, max_edit_distance))
         .select("typo", F.col("word").alias("correction"), "corr_count")
     )
     rn = F.row_number().over(

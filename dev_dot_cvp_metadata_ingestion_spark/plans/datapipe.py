@@ -9488,6 +9488,105 @@ def text_spelling_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return symspell_corrections(typos, dic)
 
 
+_SYMSPELL_D2_KEYS = """list_distinct(
+      [{c}]
+      || [substr({c}, 1, i - 1) || substr({c}, i + 1, length({c}))
+          for i in generate_series(1, length({c}))]
+      || flatten([[substr({c}, 1, i - 1)
+                   || substr({c}, i + 1, j - i - 1)
+                   || substr({c}, j + 1, length({c}))
+          for j in generate_series(i + 1, length({c}))]
+          for i in generate_series(1, length({c}) - 1)]))"""
+
+
+@register(
+    "text_spelling_correction_d2",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS.format(c=_ASCII_LOWER)}) AS w FROM documents
+    ),
+    dict AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS corr_count
+      FROM toks WHERE length(w) >= 3 GROUP BY w
+    ),
+    typos AS (
+      SELECT DISTINCT substr(word, 1, 1) || substr(word, 4) AS typo
+      FROM dict WHERE length(word) >= 6
+    ),
+    unseen AS (
+      SELECT t.typo FROM typos t
+      LEFT JOIN dict d ON d.word = t.typo WHERE d.word IS NULL
+    ),
+    dkeys AS (
+      SELECT word, unnest({_SYMSPELL_D2_KEYS.format(c="word")}) AS k
+      FROM dict
+    ),
+    tkeys AS (
+      SELECT typo, unnest({_SYMSPELL_D2_KEYS.format(c="typo")}) AS k
+      FROM unseen
+    ),
+    cand AS (
+      SELECT DISTINCT t.typo, d.word
+      FROM tkeys t JOIN dkeys d ON t.k = d.k
+    ),
+    ver AS (
+      SELECT c.typo, c.word AS correction, dict.corr_count
+      FROM cand c JOIN dict ON dict.word = c.word
+      WHERE levenshtein(c.typo, c.word) BETWEEN 1 AND 2
+    ),
+    ranked AS (
+      SELECT typo, correction, corr_count,
+             row_number() OVER (
+               PARTITION BY typo
+               ORDER BY corr_count DESC, correction) AS rn
+      FROM ver
+    )
+    SELECT typo, correction, corr_count FROM ranked WHERE rn = 1
+    """,
+)
+def text_spelling_correction_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell at the STANDARD configuration, max_edit_distance=2
+    (Garbe's shipped default; r12 VERDICT ask #4): both sides emit
+    their single- AND double-deletion variants (~len²/2 keys per word
+    — bounded for dictionary-scale tokens), any pair within edit
+    distance 2 is guaranteed a key collision, the exact
+    ``levenshtein BETWEEN 1 AND 2`` verify discards over-generated
+    collisions (deletion-key collision is necessary, not sufficient),
+    and the same count-argmax tail picks the correction. Typos are
+    planted in-query as DOUBLE mutations — chars 2-3 deleted from
+    each length-≥6 dictionary word, filtered to mutations that are
+    not themselves words — so rediscovery requires the distance-2
+    machinery (a pure-d1 join would miss every planted typo whose
+    only dictionary neighbour is 2 edits away; the property suite
+    pins the collision guarantee on random double mutations). Scale
+    shape unchanged from the d1 query: equi-join on short keys,
+    per-typo window over verified candidates only."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(tokens(ascii_lower(F.col("text")))).alias("w")
+    )
+    dic = (
+        toks.filter(F.length("w") >= 3)
+        .groupBy(F.col("w").alias("word"))
+        .agg(F.count(F.lit(1)).alias("corr_count"))
+    ).localCheckpoint()
+    typos = (
+        dic.filter(F.length("word") >= 6)
+        .select(
+            F.concat(
+                F.substring("word", 1, 1), F.expr("substring(word, 4)")
+            ).alias("typo")
+        )
+        .distinct()
+        .join(
+            dic.select(F.col("word").alias("typo")), "typo", "left_anti"
+        )
+    )
+    from ..operators.retrieval import symspell_corrections
+
+    return symspell_corrections(typos, dic, max_edit_distance=2)
+
+
 @register(
     "dedup_tfidf_weighted_jaccard",
     oracle=f"""

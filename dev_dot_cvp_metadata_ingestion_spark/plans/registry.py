@@ -273,6 +273,7 @@ BACK: tuple[str, ...] = (
     # --- round-13 additions (first driver row next rotation) ---
     "dedup_link_prediction_capped",
     "ann_pq_recall_report",
+    "text_spelling_correction_d2",
 )
 
 

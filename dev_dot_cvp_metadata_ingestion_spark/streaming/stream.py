@@ -638,6 +638,7 @@ def spelling_monitor_sink(
     counts_path: str,
     results_path: str,
     min_dict_count: int = 10,
+    max_edit_distance: int = 1,
 ):
     """foreachBatch sink for CONTINUOUS out-of-vocabulary monitoring —
     the hygiene sibling of the search sinks: document micro-batches
@@ -645,8 +646,9 @@ def spelling_monitor_sink(
     PERSISTED word-count relation (the dictionary the drift sink
     already maintains at ``counts_path`` — no second vocabulary
     state), and every unseen token is resolved to its best
-    edit-distance-1 dictionary word via the SymSpell deletion-key
-    join (operators/retrieval.py:symspell_corrections). Per-batch
+    dictionary word within ``max_edit_distance`` (1 by default; 2 is
+    the standard SymSpell configuration) via the deletion-key join
+    (operators/retrieval.py:symspell_corrections). Per-batch
     rows (typo, correction, corr_count, n_occurrences) land under
     batch_id — the live "typo storm / OCR regression / new-jargon"
     feed a crawl-ingest pipeline watches.
@@ -692,7 +694,8 @@ def spelling_monitor_sink(
                 dic.select(F.col("word").alias("typo")), "typo", "left_anti"
             )
             resolved = symspell_corrections(
-                unseen.select("typo"), dic
+                unseen.select("typo"), dic,
+                max_edit_distance=max_edit_distance,
             ).join(unseen, "typo")
             (
                 resolved.withColumn("batch_id", F.lit(batch_id))

@@ -101,6 +101,84 @@ def test_codebooks_are_residual_space(spark, emb, layout):
     assert stats["mean_abs"] < meta["scale"] / 4, stats
 
 
+def test_probe_recall_report_at_budget(spark, emb, layout):
+    """The production recall monitor: recall@budget measured THROUGH
+    the persisted layout's probe must equal the in-query twin's
+    report (ann_pq_recall_report's relation), against the same exact
+    integer-L2 ground truth — so the hash-oracled registered query IS
+    the layout's recall at the build params."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.similarity import (
+        exact_l2_topk,
+        recall_report,
+    )
+
+    queries = emb.filter(F.col("vec_id") % 13 == 0)
+    exact = exact_l2_topk(emb, queries, k=4).select("q_id", "vec_id")
+    probe = ivf_pq_residual_probe_topk(
+        spark, layout, queries, nprobe=2, k=4
+    ).select("q_id", "vec_id")
+    twin = ivf_pq_residual_topk(
+        emb, queries, n_cells=8, nprobe=2, d=64, m=8, k_codebook=16, k=4
+    ).select("q_id", "vec_id")
+    rows_probe = sorted(map(tuple, recall_report(exact, probe, 4).collect()))
+    rows_twin = sorted(map(tuple, recall_report(exact, twin, 4).collect()))
+    assert rows_probe == rows_twin
+    assert rows_probe
+    for _q, hits, k, ppm in rows_probe:
+        assert 0 <= hits <= k == 4
+        assert ppm == (hits * 1_000_000) // 4
+
+
+def test_probe_recall_stable_across_append_delete_compact(
+    spark, emb, tmp_path
+):
+    """The erosion monitor end to end: recall is re-measured through
+    the probe after an append (frozen codebooks quantize the new
+    shard) and after delete + compaction. Compaction must NOT move
+    the report — bit-equal rows before/after — and the post-delete
+    ground truth excludes the deleted vectors on both sides."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.similarity import (
+        exact_l2_topk,
+        recall_report,
+    )
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+        append_ivf_pq_residual_layout,
+        compact_ivf_pq_residual_layout,
+        delete_from_ivf_pq_residual_layout,
+        prune_ivf_pq_residual_layout_generations,
+    )
+
+    p = str(tmp_path / "layout")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    write_ivf_pq_residual_layout(first, p, n_cells=8, d=64, m=8, k_codebook=16)
+    append_ivf_pq_residual_layout(second, p)
+
+    queries = emb.filter(F.col("vec_id") % 13 == 0)
+
+    def report(corpus):
+        exact = exact_l2_topk(corpus, queries, k=4).select("q_id", "vec_id")
+        probe = ivf_pq_residual_probe_topk(
+            spark, p, queries, nprobe=2, k=4
+        ).select("q_id", "vec_id")
+        return sorted(map(tuple, recall_report(exact, probe, 4).collect()))
+
+    rep_full = report(emb)
+    assert rep_full and all(0 <= r[1] <= 4 for r in rep_full)
+
+    # delete a slice that is NOT in the query set, re-measure, compact,
+    # prune — the report must be identical before and after compaction
+    victims = emb.filter(
+        (F.col("vec_id") % 13 != 0) & (F.col("vec_id") % 7 == 3)
+    ).select("vec_id")
+    delete_from_ivf_pq_residual_layout(spark, p, victims)
+    remaining = emb.join(victims, "vec_id", "left_anti")
+    rep_deleted = report(remaining)
+    compact_ivf_pq_residual_layout(spark, p)
+    prune_ivf_pq_residual_layout_generations(spark, p)
+    assert report(remaining) == rep_deleted
+
+
 def test_empty_corpus_layout(spark, emb, tmp_path):
     p = str(tmp_path / "ivfpqres")
     write_ivf_pq_residual_layout(emb.limit(0), p, n_cells=4, k_codebook=4)

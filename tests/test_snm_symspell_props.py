@@ -126,3 +126,100 @@ def test_symspell_finds_every_single_edit(spark, words, edit, pos, ch):
     # verify the argmax chose a word with count >= the source's count
     counts = {x: 10 + i for i, x in enumerate(words)}
     assert counts[picked] >= counts[w] or picked < w
+
+
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _apply_edit(w, edit, pos, ch):
+    p = pos % (len(w) + (1 if edit == "insert" else 0)) if w or edit == "insert" else 0
+    if edit == "insert":
+        return w[:p] + ch + w[p:]
+    if edit == "delete":
+        return w[:p] + w[p + 1:] if w else w
+    return w[:p] + ch + w[p + 1:] if w else w
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(_word, min_size=1, max_size=6, unique=True),
+    edits=st.lists(
+        st.tuples(
+            st.sampled_from(["insert", "delete", "substitute"]),
+            st.integers(min_value=0, max_value=9),
+            st.sampled_from("xyz"),
+        ),
+        min_size=2,
+        max_size=2,
+    ),
+)
+def test_symspell_d2_finds_every_double_edit(spark, words, edits):
+    """The distance-2 collision guarantee: ANY two stacked edits
+    (insert/delete/substitute, any positions) on a dictionary word
+    produce a typo the double-deletion key join must resolve — to a
+    correction within distance 2, at least as good (by count-argmax)
+    as the planted source."""
+    w = words[0]
+    typo = w
+    for edit, pos, ch in edits:
+        typo = _apply_edit(typo, edit, pos, ch)
+    if typo in words or typo == "" or _lev(typo, w) == 0:
+        return  # collapsed to a word / empty; nothing to rediscover
+    dic = spark.createDataFrame(
+        [(x, 10 + i) for i, x in enumerate(words)],
+        ["word", "corr_count"],
+    )
+    typos = spark.createDataFrame([(typo,)], ["typo"])
+    got = symspell_corrections(typos, dic, max_edit_distance=2).collect()
+    assert len(got) == 1
+    picked = got[0].correction
+    assert 1 <= _lev(typo, picked) <= 2
+    counts = {x: 10 + i for i, x in enumerate(words)}
+    # the planted source is within distance 2, hence a candidate; the
+    # argmax can only have picked something with >= its count (or the
+    # alphabetical tiebreak at equal count)
+    assert counts[picked] >= counts[w] or picked < w
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(_word, min_size=2, max_size=6, unique=True),
+    edit=st.sampled_from(["insert", "delete", "substitute"]),
+    pos=st.integers(min_value=0, max_value=7),
+    ch=st.sampled_from("xyz"),
+)
+def test_symspell_d2_supersets_d1(spark, words, edit, pos, ch):
+    """Raising the budget can only ADD resolvable typos: every typo
+    the distance-1 join corrects is corrected at distance 2 too (the
+    pick may differ — a higher-count word at distance 2 can win the
+    count-argmax — but never disappear)."""
+    typo = _apply_edit(words[0], edit, pos, ch)
+    if typo in words or typo == "":
+        return
+    dic = spark.createDataFrame(
+        [(x, 10 + i) for i, x in enumerate(words)],
+        ["word", "corr_count"],
+    )
+    typos = spark.createDataFrame([(typo,)], ["typo"])
+    d1 = symspell_corrections(typos, dic, max_edit_distance=1).collect()
+    d2 = symspell_corrections(typos, dic, max_edit_distance=2).collect()
+    if d1:
+        assert len(d2) == 1
+        assert _lev(typo, d2[0].correction) <= 2
