@@ -1996,11 +1996,71 @@ def match_scores(
     )
 
 
+def fingerprint_containment_pairs(
+    corpus_posts: DataFrame,
+    probe_posts: DataFrame,
+    corpus_id: str = "doc_id",
+    probe_id: str = "probe_id",
+    fp_col: str = "fp",
+    threshold: float = 1.0,
+) -> DataFrame:
+    """Cross-modality containment over two posting relations — "is
+    this image a frame OF an indexed video?" generalized: the corpus
+    side is any (id, fingerprint) set relation (sampled video frames,
+    audio chunks), the probe side another (a single image fingerprint
+    is a 1-element set; a clip is a few), and a probe is CONTAINED
+    when shared/|probe| clears the threshold (default 1.0 — every
+    probe fingerprint present). The asymmetric sibling of
+    ``fingerprint_set_jaccard_pairs``: same posting equi-join, same
+    Σ df(fp)·df_probe(fp) bound keyed on the fingerprint, but the
+    denominator is the PROBE size, so a one-frame image inside a
+    four-frame video scores 1.0 instead of a diluted 1/4 Jaccard.
+    Returns (corpus_id, probe_id, shared, size_a, size_b,
+    containment), unordered; size_a is the corpus doc's set size
+    (evidence for how big the containing video is)."""
+    cp = (
+        corpus_posts.select(
+            F.col(corpus_id).alias("cid"), F.col(fp_col).alias("fp")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    pp = (
+        probe_posts.select(
+            F.col(probe_id).alias("pid"), F.col(fp_col).alias("fp")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    sa = cp.groupBy("cid").agg(F.count(F.lit(1)).alias("size_a"))
+    sb = pp.groupBy("pid").agg(F.count(F.lit(1)).alias("size_b"))
+    shared = (
+        cp.join(pp, "fp")
+        .groupBy("cid", "pid")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    cont = F.col("shared").cast("double") / F.col("size_b")
+    return (
+        shared.join(sa, "cid")
+        .join(sb, "pid")
+        .select(
+            F.col("cid").alias(corpus_id),
+            F.col("pid").alias(probe_id),
+            F.col("shared").cast("long").alias("shared"),
+            F.col("size_a").cast("long").alias("size_a"),
+            F.col("size_b").cast("long").alias("size_b"),
+            cont.alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def frame_probe_pairs(
     spark,
     index_path: str,
     probe_frames: DataFrame,
     threshold: float = 0.5,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """Screen a NEW media batch against the persisted frame-
     fingerprint index (sources/catalog.py:write_frame_index): the
@@ -2014,9 +2074,18 @@ def frame_probe_pairs(
     probe) pair, sizes joined from the layout's per-doc ``sizes``
     table (corpus side — never recomputed from postings) and from
     the batch itself. Probe ≡ the in-query cross-pair sweep
-    row-for-row (pinned). Returns (doc_id, probe_id, shared, size_a,
-    size_b, jaccard ≥ threshold), unordered."""
+    row-for-row (pinned). ``metric="jaccard"`` (default) scores
+    shared/(|a|+|b|−shared) — the near-dup symmetric question;
+    ``metric="containment"`` scores shared/|probe| (the
+    ``fingerprint_containment_pairs`` semantics) — "is this
+    image/clip contained in an indexed video?", where a one-frame
+    probe fully present scores 1.0 regardless of the video's length.
+    Returns (doc_id, probe_id, shared, size_a, size_b,
+    jaccard|containment ≥ threshold), unordered."""
     from ..sources.catalog import read_frame_index
+
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
 
     posts, sizes, meta = read_frame_index(spark, index_path)
     n_buckets = meta["n_buckets"]
@@ -2043,6 +2112,14 @@ def frame_probe_pairs(
     shared = cand.groupBy("doc_id", "probe_id").agg(
         F.count(F.lit(1)).alias("shared")
     )
+    if metric == "containment":
+        score = F.col("shared").cast("double") / F.col("size_b")
+        score_name = "containment"
+    else:
+        score = F.col("shared").cast("double") / (
+            F.col("size_a") + F.col("size_b") - F.col("shared")
+        )
+        score_name = "jaccard"
     out = (
         shared.join(
             sizes.select("doc_id", F.col("sz").alias("size_a")), "doc_id"
@@ -2054,11 +2131,8 @@ def frame_probe_pairs(
             F.col("shared").cast("long").alias("shared"),
             F.col("size_a").cast("long").alias("size_a"),
             F.col("size_b").cast("long").alias("size_b"),
-            (
-                F.col("shared").cast("double")
-                / (F.col("size_a") + F.col("size_b") - F.col("shared"))
-            ).alias("jaccard"),
+            score.alias(score_name),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col(score_name) >= threshold)
     )
     return out

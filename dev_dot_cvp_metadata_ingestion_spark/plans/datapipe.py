@@ -9220,6 +9220,124 @@ def dedup_video_frame_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_image_in_video",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, text, length(text) AS n_chars,
+             greatest(1, least(4, length(text) // 100)) AS n_frames
+      FROM documents WHERE length(text) > 0
+    ),
+    posts AS (
+      SELECT DISTINCT doc_id,
+             md5(substring(text, (i * n_chars) // n_frames + 1,
+                           n_chars // n_frames)) AS fp
+      FROM m, UNNEST(range(n_frames)) AS t(i)
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+      FROM posts GROUP BY doc_id
+    ),
+    pr AS (
+      SELECT doc_id + 1000000 AS probe_id,
+             md5(substring(text, 1, n_chars // n_frames)) AS fp
+      FROM m WHERE doc_id % 97 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS probe_id,
+             md5('x' || substring(substring(text, 1, n_chars // n_frames),
+                                  2)) AS fp
+      FROM m WHERE doc_id % 89 = 0
+    ),
+    pp AS (SELECT DISTINCT probe_id, fp FROM pr),
+    psz AS (
+      SELECT probe_id, CAST(count(*) AS BIGINT) AS size_b
+      FROM pp GROUP BY probe_id
+    ),
+    shared AS (
+      SELECT p.doc_id, q.probe_id, CAST(count(*) AS BIGINT) AS shared
+      FROM posts p JOIN pp q ON p.fp = q.fp
+      GROUP BY 1, 2
+    )
+    SELECT s.doc_id, s.probe_id, s.shared, sa.sz AS size_a, psz.size_b,
+           s.shared::DOUBLE / psz.size_b AS containment
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.doc_id
+    JOIN psz ON psz.probe_id = s.probe_id
+    WHERE s.shared::DOUBLE / psz.size_b >= 1.0
+    """,
+)
+def dedup_image_in_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-modality containment (r12 VERDICT ask #6): is this IMAGE
+    a frame of an indexed VIDEO? The video side is the sampled-frame
+    fingerprint posting relation (``dedup_video_frame_pairs``'s front
+    half); the image side goes through the real image plumbing —
+    attach_binary payloads, Arrow ``mapInPandas`` feature extraction
+    (operators/multimodal.py:extract_features), whose content
+    fingerprint is BY CONSTRUCTION the same hash family the frame
+    sampler emits — and the join is
+    ``fingerprint_containment_pairs``: shared/|probe| instead of
+    Jaccard, so a single-frame image inside a four-frame video scores
+    1.0 instead of a diluted 1/4. Probes are planted in-query: every
+    97th doc's FIRST frame slice becomes an image payload (must be
+    found contained in its source video — and in any video sharing
+    that frame), and every 89th doc contributes a first-char-mutated
+    slice (the negative control: must NOT be contained). The
+    persisted serving twin probes the frame-fingerprint index
+    bucket-pruned (``frame_probe_pairs(metric="containment")``,
+    pinned ≡ this relation's join in tests/test_frame_index.py).
+    Scale shape: posting equi-join keyed on the fingerprint, fan-out
+    Σ df·df_probe, nothing collected."""
+    from ..operators.dedup import fingerprint_containment_pairs
+    from ..operators.multimodal import (
+        attach_binary,
+        decode_features,
+        sample_frames,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    frames = sample_frames(
+        attach_binary(d.select("doc_id", "text"), "doc_id", "text"),
+        fake=True,
+    )
+    m = d.select(
+        "doc_id",
+        "text",
+        F.expr(
+            "greatest(1, least(4, length(text) div 100))"
+        ).alias("n_frames"),
+    )
+    first = m.select(
+        "doc_id",
+        F.expr(
+            "substring(text, 1, length(text) div n_frames)"
+        ).alias("img"),
+    )
+    probes = (
+        first.filter(F.col("doc_id") % 97 == 0)
+        .select(
+            (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+            F.col("img").alias("text"),
+        )
+        .unionByName(
+            first.filter(F.col("doc_id") % 89 == 0).select(
+                (F.col("doc_id") + F.lit(2000000)).alias("doc_id"),
+                F.concat(
+                    F.lit("x"), F.expr("substring(img, 2)")
+                ).alias("text"),
+            )
+        )
+    )
+    feats = decode_features(attach_binary(probes, "doc_id", "text"), fake=True)
+    return fingerprint_containment_pairs(
+        frames.select("doc_id", F.col("frame_md5").alias("fp")),
+        feats.select(
+            F.col("doc_id").alias("probe_id"),
+            F.col("content_md5").alias("fp"),
+        ),
+        threshold=1.0,
+    )
+
+
+@register(
     "embedding_dbscan",
     oracle=f"""
     WITH RECURSIVE e AS (

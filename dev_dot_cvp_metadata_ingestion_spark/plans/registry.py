@@ -274,6 +274,7 @@ BACK: tuple[str, ...] = (
     "dedup_link_prediction_capped",
     "ann_pq_recall_report",
     "text_spelling_correction_d2",
+    "dedup_image_in_video",
 )
 
 

