@@ -1924,12 +1924,16 @@ def match_scores(
         docs, id_col, text_col, block_col,
         window=window, key_chars=key_chars,
     )
+    # checkpointed: both join sides (a and b) derive from this relation,
+    # so without it the corpus tokenize+shingle runs once PER SIDE
+    # (r12 VERDICT "What's wrong #2") — materialize the per-doc shingle
+    # sets once and let the pair join read them twice
     t = docs.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
         shingles(F.col(text_col), n).alias("sh"),
-    )
+    ).localCheckpoint()
     a = t.select(
         "block", F.col("doc_id").alias("doc_id_a"),
         F.col("text").alias("text_a"), F.col("sh").alias("sh_a"),

@@ -455,7 +455,9 @@ def hub_cap_report(
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     return deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
-        F.expr("CAST(sum(deg) div 2 AS BIGINT)").alias("n_edges"),
+        F.expr(
+            "CAST(coalesce(sum(deg), 0L) div 2 AS BIGINT)"
+        ).alias("n_edges"),
         F.coalesce(
             F.sum(F.when(F.col("deg") > max_degree, 1).otherwise(0)),
             F.lit(0),

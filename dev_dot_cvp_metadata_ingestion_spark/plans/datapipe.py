@@ -8947,6 +8947,61 @@ _LINK_CAP_D = 40
 
 
 @register(
+    "dedup_hub_cap_report",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS.format(c="text")} AS t FROM documents
+    ),
+    sh AS (SELECT doc_id, source AS block, {_shingle_sql(2)} AS sh FROM toks),
+    jpairs AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+            >= 0.05
+    ),
+    edges AS (
+      SELECT doc_id_a AS src, doc_id_b AS dst FROM jpairs
+      UNION
+      SELECT doc_id_b, doc_id_a FROM jpairs
+    ),
+    deg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(COALESCE(sum(deg), 0) // 2 AS BIGINT) AS n_edges,
+           CAST(COALESCE(sum(CASE WHEN deg > {_LINK_CAP_D} THEN 1
+                                  ELSE 0 END), 0) AS BIGINT)
+             AS capped_hinges,
+           CAST(COALESCE(sum(CASE WHEN deg > {_LINK_CAP_D}
+                                  THEN deg * (deg - 1) // 2
+                                  ELSE 0 END), 0) AS BIGINT)
+             AS wedges_avoided
+    FROM deg
+    """,
+)
+def dedup_hub_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stop-vertex cap's accounting relation
+    (operators/graph.py:hub_cap_report) over the same evidence graph
+    ``dedup_link_prediction_capped`` prunes: how many hinges the
+    cap silenced and how many wedge rows that avoided (Σ_{{deg>D}}
+    C(deg,2) — the exact candidate volume the capped query did not
+    enumerate). A bound that silently drops evidence must REPORT what
+    it dropped (the stop-gram cap's honesty contract, restated on
+    vertices); monitoring this row across corpus growth is how an
+    operator notices a mirror farm arriving BEFORE it becomes a
+    wedge-join regression. Pure degree-relation aggregates — no join
+    beyond the pair generation itself."""
+    from ..operators.graph import hub_cap_report
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", "source", n=2, threshold=0.05
+    ).select("doc_id_a", "doc_id_b")
+    return hub_cap_report(pairs, max_degree=_LINK_CAP_D)
+
+
+@register(
     "dedup_link_prediction_capped",
     oracle=f"""
     WITH toks AS (

@@ -275,6 +275,7 @@ BACK: tuple[str, ...] = (
     "ann_pq_recall_report",
     "text_spelling_correction_d2",
     "dedup_image_in_video",
+    "dedup_hub_cap_report",
 )
 
 

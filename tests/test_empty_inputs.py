@@ -109,6 +109,11 @@ AT_RISK = [
     "dedup_clustering_coefficients",  # wedge join over an empty graph
     "events_theil_sen_trend",      # median pick over zero windows
     "ann_ivf_recall_report",       # kmeans seeds + joins on empty set
+    "dedup_link_prediction_capped",  # degree gate over an empty graph
+    "dedup_hub_cap_report",        # one all-zero row over an empty graph
+    "ann_pq_recall_report",        # exact + PQ ranks over zero vectors
+    "text_spelling_correction_d2",  # double-deletion join, empty dict
+    "dedup_image_in_video",        # containment join over zero frames
 ]
 
 
@@ -138,5 +143,9 @@ def test_query_survives_empty_tables(spark, empty_sf, name):
         # global counts: one all-zero summary row
         assert len(rows) == 1
         assert tuple(rows[0]) == (0, 0, 0, 0, 0)
+    elif name == "dedup_hub_cap_report":
+        # global counts: one all-zero accounting row
+        assert len(rows) == 1
+        assert tuple(rows[0]) == (0, 0, 0, 0)
     else:
         assert rows == []

@@ -91,6 +91,11 @@ SENSITIVE = [
     "dedup_clustering_coefficients",  # wedge join + triangle semi-join
     "events_theil_sen_trend",      # slope pair join + median pick
     "ann_ivf_recall_report",       # kmeans + two salted rank joins
+    "dedup_link_prediction_capped",  # degree-gated wedge join
+    "dedup_hub_cap_report",        # degree-relation global aggregates
+    "ann_pq_recall_report",        # exact-L2 rank vs residual PQ rank
+    "text_spelling_correction_d2",  # double-deletion key join
+    "dedup_image_in_video",        # asymmetric posting containment join
 ]
 
 
