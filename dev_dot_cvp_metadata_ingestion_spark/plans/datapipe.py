@@ -9073,6 +9073,71 @@ def dedup_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction(pairs, max_degree=_LINK_CAP_D)
 
 
+@register(
+    "dedup_link_prediction_ra",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS.format(c="text")} AS t FROM documents
+    ),
+    sh AS (SELECT doc_id, source AS block, {_shingle_sql(2)} AS sh FROM toks),
+    jpairs AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+            >= 0.05
+    ),
+    edges AS (
+      SELECT doc_id_a AS src, doc_id_b AS dst FROM jpairs
+      UNION
+      SELECT doc_id_b, doc_id_a FROM jpairs
+    ),
+    deg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+    ),
+    cn AS (
+      SELECT e1.dst AS a, e2.dst AS b,
+             CAST(count(*) AS BIGINT) AS common_neighbors,
+             CAST(sum(1000000 // d.deg) AS BIGINT) AS ra_ppm
+      FROM edges e1
+      JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+      JOIN deg d ON d.src = e1.src
+      GROUP BY e1.dst, e2.dst
+    ),
+    nonadj AS (
+      SELECT cn.a, cn.b, cn.common_neighbors, cn.ra_ppm FROM cn
+      LEFT JOIN edges e ON e.src = cn.a AND e.dst = cn.b
+      WHERE e.src IS NULL
+    )
+    SELECT n.a AS doc_id_a, n.b AS doc_id_b, n.common_neighbors, n.ra_ppm,
+           da.deg AS deg_a, db.deg AS deg_b
+    FROM nonadj n
+    JOIN deg da ON da.src = n.a
+    JOIN deg db ON db.src = n.b
+    """,
+)
+def dedup_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link scores
+    (operators/graph.py:link_prediction_ra) over the same evidence
+    graph as ``dedup_link_prediction``: common neighbors weighted
+    1/deg(z) in exact ppm integers, so boilerplate hubs contribute
+    ~nothing to the evidence while rare shared neighbors dominate —
+    the Zhou-Lü-Zhang index that typically outranks raw
+    common-neighbor counts, and the integer-exact alternative to
+    Adamic-Adar (whose libm log has no place in a hash-checked
+    path). Ranking by ra_ppm instead of neighbor_jaccard changes
+    which transitive-miss pairs get re-verified FIRST under a fixed
+    re-verify budget — exactly the decision this family exists to
+    make."""
+    from ..operators.graph import link_prediction_ra
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", "source", n=2, threshold=0.05
+    ).select("doc_id_a", "doc_id_b")
+    return link_prediction_ra(pairs)
+
+
 # --------------------------------------------------------------- TextRank
 
 

@@ -276,6 +276,7 @@ BACK: tuple[str, ...] = (
     "text_spelling_correction_d2",
     "dedup_image_in_video",
     "dedup_hub_cap_report",
+    "dedup_link_prediction_ra",
 )
 
 

@@ -114,6 +114,7 @@ AT_RISK = [
     "ann_pq_recall_report",        # exact + PQ ranks over zero vectors
     "text_spelling_correction_d2",  # double-deletion join, empty dict
     "dedup_image_in_video",        # containment join over zero frames
+    "dedup_link_prediction_ra",    # weighted wedges over an empty graph
 ]
 
 

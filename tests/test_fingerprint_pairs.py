@@ -122,3 +122,84 @@ def test_weighted_jaccard_matches_python_model(spark, sf_dir):
         assert abs(r.wjaccard - want) < 1e-12
         assert want >= 0.5
         assert docs[r.doc_id_a][0] == docs[r.doc_id_b][0] == r.block
+
+
+def test_containment_pairs_clip_and_image_semantics(spark):
+    """fingerprint_containment_pairs: a 1-fp image inside a 4-frame
+    video scores 1.0 (where Jaccard dilutes to 1/4); a 2-fp clip with
+    both frames present scores 1.0; a clip with one of two frames
+    scores 0.5 (kept at threshold 0.5, dropped at 1.0); duplicate
+    postings collapse; disjoint probes never pair."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.dedup import (
+        fingerprint_containment_pairs,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, f) for f in ("f1", "f2", "f3", "f4")] + [(2, "f9"), (2, "f9")],
+        ["doc_id", "fp"],
+    )
+    probes = spark.createDataFrame(
+        [
+            (10, "f1"),             # image: single frame of video 1
+            (11, "f1"), (11, "f2"),  # clip fully inside video 1
+            (12, "f1"), (12, "zz"),  # clip half inside video 1
+            (13, "qq"),             # unrelated image
+            (14, "f9"), (14, "f9"),  # duplicate postings collapse to 1 fp
+        ],
+        ["probe_id", "fp"],
+    )
+    full = {
+        (r.doc_id, r.probe_id): (r.shared, r.size_a, r.size_b, r.containment)
+        for r in fingerprint_containment_pairs(
+            corpus, probes, threshold=0.0
+        ).collect()
+    }
+    assert full[(1, 10)] == (1, 4, 1, 1.0)
+    assert full[(1, 11)] == (2, 4, 2, 1.0)
+    assert full[(1, 12)] == (1, 4, 2, 0.5)
+    assert full[(2, 14)] == (1, 1, 1, 1.0)  # dup postings collapsed
+    assert not any(pid == 13 for (_d, pid) in full)
+    strict = {
+        (r.doc_id, r.probe_id)
+        for r in fingerprint_containment_pairs(
+            corpus, probes, threshold=1.0
+        ).collect()
+    }
+    assert strict == {(1, 10), (1, 11), (2, 14)}
+
+
+def test_link_prediction_ra_weights_by_hinge_degree(spark):
+    """link_prediction_ra: a rare shared neighbor contributes 1e6 ppm
+    while a deg-4 hub hinge contributes 250000 — the evidence-side
+    complement of the stop-vertex cap (which still zeroes hinges
+    above it)."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.graph import (
+        link_prediction,
+        link_prediction_ra,
+    )
+
+    # hub 0 joins 1..4 (deg 4); pendant path 1-9-2 adds a deg-2 hinge
+    # between 1 and 2
+    rows = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 9), (9, 2)]
+    p = spark.createDataFrame(rows, ["doc_id_a", "doc_id_b"])
+    got = {
+        (r.doc_id_a, r.doc_id_b): (r.common_neighbors, r.ra_ppm)
+        for r in link_prediction_ra(p).collect()
+    }
+    # (1,2): hinges 0 (deg 4 -> 250000) and 9 (deg 2 -> 500000)
+    assert got[(1, 2)] == (2, 750000)
+    # (3,4): hinge 0 only
+    assert got[(3, 4)] == (1, 250000)
+    # pair set matches the common-neighbor form exactly
+    cn_pairs = {
+        (r.doc_id_a, r.doc_id_b) for r in link_prediction(p).collect()
+    }
+    assert set(got) == cn_pairs
+    # capping at 3 silences the hub's wedges; the deg-2 hinges (1, 2,
+    # and 9) keep theirs: (1,2) through 9 alone, and (0,9) through
+    # BOTH 1 and 2
+    capped = {
+        (r.doc_id_a, r.doc_id_b): (r.common_neighbors, r.ra_ppm)
+        for r in link_prediction_ra(p, max_degree=3).collect()
+    }
+    assert capped == {(1, 2): (1, 500000), (0, 9): (2, 1000000)}

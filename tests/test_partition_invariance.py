@@ -96,6 +96,7 @@ SENSITIVE = [
     "ann_pq_recall_report",        # exact-L2 rank vs residual PQ rank
     "text_spelling_correction_d2",  # double-deletion key join
     "dedup_image_in_video",        # asymmetric posting containment join
+    "dedup_link_prediction_ra",    # degree-weighted wedge aggregate
 ]
 
 
