@@ -2000,6 +2000,88 @@ def match_scores(
     )
 
 
+def fingerprint_set_jaccard_pairs_capped(
+    posts: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fingerprint",
+    threshold: float = 0.5,
+    max_doc_freq: int = 50,
+) -> DataFrame:
+    """``fingerprint_set_jaccard_pairs`` with the stop-FINGERPRINT cap
+    (the stop-gram device on media postings): a fingerprint whose
+    document frequency exceeds ``max_doc_freq`` generates NO
+    candidates — for media this is the black frame, the network-logo
+    intro, the silence chunk: one ubiquitous frame shared by half the
+    corpus makes the uncapped posting self-join quadratic in the
+    corpus (df² candidate rows), and its presence carries no near-dup
+    evidence. Every found pair is still scored EXACTLY: cold
+    collisions count in the pair aggregate, hot fingerprints rejoin
+    as SMALL per-doc sorted arrays (≤ the corpus's ubiquitous-frame
+    vocabulary) whose pairwise intersection tops the shared count
+    back up, and sizes come from the FULL posting relation — so
+    jaccard values are never approximated, a pair is missed only if
+    every frame it shares is ubiquitous (precisely the pairs whose
+    similarity rides on boilerplate media). Candidate volume is
+    bounded by Σ_{{df≤cap}} df² ≤ cap × posting volume — linear at
+    fixed cap regardless of skew (measured flat in
+    ``tools/bench_frame_skew.py`` as a planted ubiquitous frame's df
+    grows 4×). Returns the same (id_a, id_b, shared, size_a, size_b,
+    jaccard) schema as the uncapped form."""
+    p = (
+        posts.select(
+            F.col(id_col).alias("id"), F.col(fp_col).alias("fp")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    df_rel = p.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+    hot = df_rel.filter(F.col("_df") > max_doc_freq).select("fp")
+    cold = p.join(hot, "fp", "left_anti")
+    sizes = p.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    hot_arrays = (
+        p.join(hot, "fp")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("fp")).alias("hf"))
+    )
+    a = cold.alias("a")
+    b = cold.alias("b")
+    i_cold = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("ic"))
+    )
+    empty = F.array().cast("array<string>")
+    ha = hot_arrays.select(F.col("id").alias("id_a"), F.col("hf").alias("hf_a"))
+    hb = hot_arrays.select(F.col("id").alias("id_b"), F.col("hf").alias("hf_b"))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b"))
+    inter = F.col("ic") + F.size(
+        F.array_intersect(F.coalesce("hf_a", empty), F.coalesce("hf_b", empty))
+    )
+    jac = inter.cast("double") / (
+        F.col("size_a") + F.col("size_b") - inter
+    )
+    return (
+        i_cold.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(ha, "id_a", "left")
+        .join(hb, "id_b", "left")
+        .select(
+            F.col("id_a").alias(f"{id_col}_a"),
+            F.col("id_b").alias(f"{id_col}_b"),
+            inter.cast("long").alias("shared"),
+            F.col("size_a").cast("long").alias("size_a"),
+            F.col("size_b").cast("long").alias("size_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def fingerprint_containment_pairs(
     corpus_posts: DataFrame,
     probe_posts: DataFrame,

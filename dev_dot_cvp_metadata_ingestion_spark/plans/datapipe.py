@@ -9340,6 +9340,107 @@ def dedup_video_frame_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_video_frame_pairs_capped",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE length(text) > 0
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents
+      WHERE length(text) > 0 AND doc_id % 97 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, 'x' || substring(text, 2) FROM documents
+      WHERE length(text) > 0 AND doc_id % 89 = 0
+    ),
+    m AS (
+      SELECT doc_id, text, length(text) AS n_chars,
+             greatest(1, least(4, length(text) // 100)) AS n_frames
+      FROM corpus
+    ),
+    posts AS (
+      SELECT DISTINCT doc_id,
+             md5(substring(text, (i * n_chars) // n_frames + 1,
+                           n_chars // n_frames)) AS fp
+      FROM m, UNNEST(range(n_frames)) AS t(i)
+      UNION
+      SELECT doc_id, md5('__ubiquitous_intro_frame__') AS fp
+      FROM corpus WHERE doc_id % 2 = 0
+    ),
+    dfreq AS (
+      SELECT fp, CAST(count(*) AS BIGINT) AS df FROM posts GROUP BY fp
+    ),
+    cold AS (
+      SELECT p.doc_id, p.fp FROM posts p
+      JOIN dfreq d ON d.fp = p.fp WHERE d.df <= 50
+    ),
+    found AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+      FROM posts GROUP BY doc_id
+    ),
+    shared AS (
+      SELECT f.doc_id_a, f.doc_id_b, CAST(count(*) AS BIGINT) AS shared
+      FROM found f
+      JOIN posts a ON a.doc_id = f.doc_id_a
+      JOIN posts b ON b.doc_id = f.doc_id_b AND b.fp = a.fp
+      GROUP BY 1, 2
+    )
+    SELECT s.doc_id_a, s.doc_id_b, s.shared,
+           sa.sz AS size_a, sb.sz AS size_b,
+           s.shared::DOUBLE / (sa.sz + sb.sz - s.shared) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.doc_id_a
+    JOIN sizes sb ON sb.doc_id = s.doc_id_b
+    WHERE s.shared::DOUBLE / (sa.sz + sb.sz - s.shared) >= 0.5
+    """,
+)
+def dedup_video_frame_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_video_frame_pairs`` under planted BOILERPLATE MEDIA —
+    a ubiquitous intro frame appended to half the corpus (the black
+    frame / network logo / silence chunk every real media corpus
+    carries) — with the stop-fingerprint cap engaged
+    (operators/dedup.py:fingerprint_set_jaccard_pairs_capped,
+    max_doc_freq=50): the ubiquitous frame generates NO candidates
+    (uncapped it alone is (n/2)² pair rows — the quadratic media skew
+    bomb), but every pair found through a cold shared frame is scored
+    EXACTLY over ALL its shared frames including the hot one (the
+    oracle restates the semantics declaratively: pairs sharing ≥1
+    sub-cap fingerprint, full-set jaccard). The planted exact copies
+    stay at 1.0 and the mutated copies keep their (n-1)-of-(n+1)
+    partial scores, both with the ubiquitous frame correctly counted
+    in sizes and intersections — skew insurance with zero scoring
+    approximation, measured flat in ``tools/bench_frame_skew.py``."""
+    from ..operators.dedup import fingerprint_set_jaccard_pairs_capped
+    from ..operators.multimodal import attach_binary, sample_frames
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    base = d.select("doc_id", "text")
+    exact = base.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
+    )
+    mutated = base.filter(F.col("doc_id") % 89 == 0).select(
+        (F.col("doc_id") + F.lit(2000000)).alias("doc_id"),
+        F.concat(F.lit("x"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    corpus = base.unionByName(exact).unionByName(mutated)
+    frames = sample_frames(
+        attach_binary(corpus, "doc_id", "text"), fake=True
+    ).select("doc_id", F.col("frame_md5").alias("fp"))
+    ubiq = corpus.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.md5(F.lit("__ubiquitous_intro_frame__")).alias("fp")
+    )
+    return fingerprint_set_jaccard_pairs_capped(
+        frames.unionByName(ubiq),
+        id_col="doc_id",
+        fp_col="fp",
+        threshold=0.5,
+        max_doc_freq=50,
+    )
+
+
+@register(
     "dedup_image_in_video",
     oracle="""
     WITH m AS (

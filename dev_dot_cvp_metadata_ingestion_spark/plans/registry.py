@@ -277,6 +277,7 @@ BACK: tuple[str, ...] = (
     "dedup_image_in_video",
     "dedup_hub_cap_report",
     "dedup_link_prediction_ra",
+    "dedup_video_frame_pairs_capped",
 )
 
 

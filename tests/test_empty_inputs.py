@@ -115,6 +115,7 @@ AT_RISK = [
     "text_spelling_correction_d2",  # double-deletion join, empty dict
     "dedup_image_in_video",        # containment join over zero frames
     "dedup_link_prediction_ra",    # weighted wedges over an empty graph
+    "dedup_video_frame_pairs_capped",  # df aggregate + hot arrays, empty
 ]
 
 

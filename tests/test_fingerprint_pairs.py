@@ -203,3 +203,46 @@ def test_link_prediction_ra_weights_by_hinge_degree(spark):
         for r in link_prediction_ra(p, max_degree=3).collect()
     }
     assert capped == {(1, 2): (1, 500000), (0, 9): (2, 1000000)}
+
+
+def test_capped_pairs_exact_scores_and_hot_only_miss(spark):
+    """fingerprint_set_jaccard_pairs_capped: pairs sharing >=1 cold
+    fingerprint are scored EXACTLY over ALL shared fingerprints
+    (including hot ones, via the hot-array rejoin); a pair sharing
+    ONLY the ubiquitous fingerprint is the documented miss; scores
+    equal the uncapped form for every surviving pair."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.dedup import (
+        fingerprint_set_jaccard_pairs,
+        fingerprint_set_jaccard_pairs_capped,
+    )
+
+    # hot fp "H" on docs 1..5 (df 5 > cap 3); docs 1,2 share cold c1+c2;
+    # docs 3,4 share ONLY H (must be missed); doc 5 has H + own cold
+    rows = (
+        [(i, "H") for i in (1, 2, 3, 4, 5)]
+        + [(1, "c1"), (1, "c2"), (2, "c1"), (2, "c2")]
+        + [(3, "x3"), (4, "x4"), (5, "x5")]
+    )
+    posts = spark.createDataFrame(rows, ["doc_id", "fp"])
+    capped = {
+        (r.doc_id_a, r.doc_id_b): (r.shared, r.size_a, r.size_b, r.jaccard)
+        for r in fingerprint_set_jaccard_pairs_capped(
+            posts, id_col="doc_id", fp_col="fp", threshold=0.0,
+            max_doc_freq=3,
+        ).collect()
+    }
+    # (1,2): shared = c1, c2 AND the hot H = 3 of sizes 3,3 -> 1.0
+    assert capped[(1, 2)] == (3, 3, 3, 1.0)
+    # (3,4) share only H: the documented miss
+    assert (3, 4) not in capped
+    assert set(capped) == {(1, 2)}
+    # uncapped agreement on the surviving pair
+    unc = {
+        (r.doc_id_a, r.doc_id_b): (r.shared, r.size_a, r.size_b, r.jaccard)
+        for r in fingerprint_set_jaccard_pairs(
+            posts, id_col="doc_id", fp_col="fp", threshold=0.0
+        ).collect()
+    }
+    assert unc[(1, 2)] == capped[(1, 2)]
+    # and uncapped DOES emit the hot-only pairs the cap drops
+    assert (3, 4) in unc

@@ -97,6 +97,7 @@ SENSITIVE = [
     "text_spelling_correction_d2",  # double-deletion key join
     "dedup_image_in_video",        # asymmetric posting containment join
     "dedup_link_prediction_ra",    # degree-weighted wedge aggregate
+    "dedup_video_frame_pairs_capped",  # cold-posting join + hot arrays
 ]
 
 
