@@ -114,43 +114,46 @@ def main() -> None:
 
     n_docs = max(2_000, int(200_000 * sf)) if sf > 0 else 20_000
     tmp = tempfile.mkdtemp(prefix="bench_zipf_")
-    t0 = time.perf_counter()
-    zipf_corpus(spark, n_docs).select(
-        "doc_id",
-        "text",
-        F.concat(F.lit("s"), (F.col("doc_id") % 8).cast("string")).alias(
-            "source"
-        ),
-    ).write.mode("overwrite").parquet(f"{tmp}/documents")
-    rdocs = spark.read.parquet(f"{tmp}/documents")
-    realistic_setup_sec = round(time.perf_counter() - t0, 3)
-    rq = spark.createDataFrame(
-        [(1, "w157"), (1, "w912"), (2, "w43"), (2, "w2048"), (3, "w311")],
-        "q_id long, term string",
-    )
-    rphrase = spark.createDataFrame(
-        [(1, 1, "w1"), (1, 2, "w2")], "q_id long, term_pos long, term string"
-    )
-    realistic_cases = {
-        "realistic_bm25_topk": lambda: bm25_topk(rdocs, rq, k=10),
-        "realistic_phrase_search": lambda: phrase_search_topk(
-            rdocs, rphrase, k=10
-        ),
-        "realistic_bm25_prf": lambda: bm25_prf_topk(rdocs, rq, k=10),
-        "realistic_ngram_pairs": lambda: ngram_jaccard_pairs(
-            rdocs, "doc_id", "text", "source", n=2, threshold=0.05
-        ),
-    }
     realistic: dict[str, float] = {}
     realistic_rows: dict[str, int] = {}
-    for name, fn in realistic_cases.items():
-        realistic_rows[name] = fn().count()  # warm + volume metric
-        for _ in range(N_RUNS):
-            t0 = time.perf_counter()
-            fn().write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
-            realistic[name] = min(realistic.get(name, dt), dt)
-    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        t0 = time.perf_counter()
+        zipf_corpus(spark, n_docs).select(
+            "doc_id",
+            "text",
+            F.concat(F.lit("s"), (F.col("doc_id") % 8).cast("string")).alias(
+                "source"
+            ),
+        ).write.mode("overwrite").parquet(f"{tmp}/documents")
+        rdocs = spark.read.parquet(f"{tmp}/documents")
+        realistic_setup_sec = round(time.perf_counter() - t0, 3)
+        rq = spark.createDataFrame(
+            [(1, "w157"), (1, "w912"), (2, "w43"), (2, "w2048"), (3, "w311")],
+            "q_id long, term string",
+        )
+        rphrase = spark.createDataFrame(
+            [(1, 1, "w1"), (1, 2, "w2")],
+            "q_id long, term_pos long, term string",
+        )
+        realistic_cases = {
+            "realistic_bm25_topk": lambda: bm25_topk(rdocs, rq, k=10),
+            "realistic_phrase_search": lambda: phrase_search_topk(
+                rdocs, rphrase, k=10
+            ),
+            "realistic_bm25_prf": lambda: bm25_prf_topk(rdocs, rq, k=10),
+            "realistic_ngram_pairs": lambda: ngram_jaccard_pairs(
+                rdocs, "doc_id", "text", "source", n=2, threshold=0.05
+            ),
+        }
+        for name, fn in realistic_cases.items():
+            realistic_rows[name] = fn().count()  # warm + volume metric
+            for _ in range(N_RUNS):
+                t0 = time.perf_counter()
+                fn().write.format("noop").mode("overwrite").save()
+                dt = round(time.perf_counter() - t0, 3)
+                realistic[name] = min(realistic.get(name, dt), dt)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(

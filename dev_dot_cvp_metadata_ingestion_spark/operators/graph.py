@@ -380,14 +380,24 @@ def link_prediction(
     relation itself; every shuffle keys on pair endpoints, nothing is
     collected. Returns (a_col, b_col, common_neighbors, deg_a, deg_b,
     neighbor_jaccard) with a < b, unordered (per-row contract)."""
-    can = pairs.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).localCheckpoint()
+    # canonicalize + drop self-loops BEFORE degree counting (review
+    # finding, r13): a self-loop or mixed-orientation duplicate would
+    # inflate degrees — and therefore the jaccard denominator and the
+    # max_degree cap decision — while hub_cap_report (which
+    # canonicalizes) would report nothing dropped
+    can = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("src"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
     edges = (
         can.unionByName(
             can.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .distinct()
         .localCheckpoint()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -448,14 +458,22 @@ def link_prediction_ra(
     :func:`link_prediction`, same ``max_degree`` stop-vertex cap.
     Returns (a_col, b_col, common_neighbors, ra_ppm, deg_a, deg_b)
     for non-adjacent pairs, a < b, unordered."""
-    can = pairs.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).localCheckpoint()
+    # same input hygiene as link_prediction (review finding, r13):
+    # canonicalize + drop self-loops so degrees — and therefore the
+    # 1/deg weights and the cap decision — cannot be inflated
+    can = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("src"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
     edges = (
         can.unionByName(
             can.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .distinct()
         .localCheckpoint()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))

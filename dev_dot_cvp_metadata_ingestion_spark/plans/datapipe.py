@@ -10348,30 +10348,15 @@ def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-query evidence. Cost: one exact knn join over the query
     set (the ground truth is the expensive half, as always with
     recall audits) plus the probed-cells join."""
-    from ..operators.similarity import ivf_knn_join, knn_join
+    from ..operators.similarity import ivf_knn_join, knn_join, recall_report
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
     exact = knn_join(e, q, k=10).select("q_id", "vec_id")
     approx = ivf_knn_join(e, q, k=10, n_cells=8, nprobe=2).select(
-        "q_id", F.col("vec_id").alias("a_vec_id")
+        "q_id", "vec_id"
     )
-    hits = (
-        exact.join(
-            approx,
-            (exact.q_id == approx.q_id)
-            & (exact.vec_id == approx.a_vec_id),
-            "left",
-        )
-        .groupBy(exact.q_id.alias("q_id"))
-        .agg(F.count("a_vec_id").alias("hits"))
-    )
-    return hits.select(
-        "q_id",
-        F.col("hits").cast("long").alias("hits"),
-        F.lit(10).cast("long").alias("k"),
-        F.expr("(hits * 1000000L) div 10").cast("long").alias("recall_ppm"),
-    )
+    return recall_report(exact, approx, k=10)
 
 
 @register(

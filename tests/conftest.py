@@ -23,3 +23,19 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMOKE
+
+
+def levenshtein_py(a: str, b: str) -> int:
+    """Plain-Python edit distance — the tests' independent model for
+    verifying Spark/DuckDB ``levenshtein`` results (shared so the
+    SymSpell property suite and the streaming spelling pins can't
+    diverge)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]

@@ -150,6 +150,47 @@ def test_link_prediction_cap_above_max_degree_is_identity(spark):
     assert got == want
 
 
+def test_link_prediction_ignores_self_loops_and_dup_orientations(spark):
+    """Review regression (r13): a self-loop or a reversed duplicate
+    must not inflate degrees — which would corrupt the jaccard
+    denominator AND flip the max_degree cap decision while
+    hub_cap_report (which canonicalizes) reports nothing dropped."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.graph import (
+        link_prediction_ra,
+    )
+
+    dirty = [(1, 1), (1, 2), (2, 1), (2, 3), (2, 3)]
+    clean = [(1, 2), (2, 3)]
+    want = sorted(map(tuple, link_prediction(_pairs(spark, clean)).collect()))
+    got = sorted(map(tuple, link_prediction(_pairs(spark, dirty)).collect()))
+    assert got == want and got
+    # with the self-loop counted, deg(1) would be 2 and max_degree=1
+    # would wrongly cap hinge... assert the cap decision matches the
+    # clean graph at every cap value
+    for cap in (1, 2):
+        want_c = sorted(
+            map(
+                tuple,
+                link_prediction(_pairs(spark, clean), max_degree=cap).collect(),
+            )
+        )
+        got_c = sorted(
+            map(
+                tuple,
+                link_prediction(_pairs(spark, dirty), max_degree=cap).collect(),
+            )
+        )
+        assert got_c == want_c
+    # same hygiene for the RA form
+    want_ra = sorted(
+        map(tuple, link_prediction_ra(_pairs(spark, clean)).collect())
+    )
+    got_ra = sorted(
+        map(tuple, link_prediction_ra(_pairs(spark, dirty)).collect())
+    )
+    assert got_ra == want_ra and got_ra
+
+
 def test_hub_cap_report_accounting(spark):
     from dev_dot_cvp_metadata_ingestion_spark.operators.graph import (
         hub_cap_report,

@@ -26,6 +26,8 @@ from dev_dot_cvp_metadata_ingestion_spark.operators.retrieval import (
     symspell_corrections,
 )
 
+from .conftest import levenshtein_py as _lev
+
 # lowercase-ascii words: the engine-stable collation domain both
 # kernels document (and the corpus convention)
 _word = st.text(alphabet="abcdefgh", min_size=3, max_size=8)
@@ -109,35 +111,11 @@ def test_symspell_finds_every_single_edit(spark, words, edit, pos, ch):
     # minimum a correction exists and is itself at distance 1
     assert got[0].typo == typo
     picked = got[0].correction
-
-    def lev(a, b):
-        prev = list(range(len(b) + 1))
-        for i, ca in enumerate(a, 1):
-            cur = [i]
-            for j, cb in enumerate(b, 1):
-                cur.append(
-                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
-                )
-            prev = cur
-        return prev[-1]
-
-    assert lev(typo, picked) == 1
+    assert _lev(typo, picked) == 1
     # completeness: the planted source word must have been reachable —
     # verify the argmax chose a word with count >= the source's count
     counts = {x: 10 + i for i, x in enumerate(words)}
     assert counts[picked] >= counts[w] or picked < w
-
-
-def _lev(a, b):
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(
-                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
-            )
-        prev = cur
-    return prev[-1]
 
 
 def _apply_edit(w, edit, pos, ch):

@@ -185,16 +185,7 @@ def test_stream_d2_resolves_double_edits(spark, dict_path, src, tmp_path):
     # "sprk" resolves to whichever distance-<=2 word has the highest
     # corpus count ("sort" beats "spark" in this dictionary) — assert
     # the distance contract, not a specific word
-    def lev(a, b):
-        prev = list(range(len(b) + 1))
-        for i, ca in enumerate(a, 1):
-            cur = [i]
-            for j, cb in enumerate(b, 1):
-                cur.append(
-                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
-                )
-            prev = cur
-        return prev[-1]
+    from .conftest import levenshtein_py as lev
 
     assert "sprk" in by_typo and 1 <= lev("sprk", by_typo["sprk"]) <= 2
     assert "zzqqzz" not in by_typo
