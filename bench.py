@@ -156,13 +156,27 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
+    # KEY ORDER MATTERS (VERDICT r13 item 4): the driver records only
+    # the TAIL (~2.2 KB) of this line into BENCH_r{N}.json, so the
+    # large queries_extended dict goes FIRST and the round-comparable
+    # headline block (metric / value / queries) goes LAST — otherwise
+    # three consecutive judges had to re-run the full ~11 min bench
+    # just to read 13 headline timings.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
+                # every other registered query, excluded from the
+                # frozen headline total so rounds stay comparable
+                "queries_extended": extended,
+                # deterministic Zipf corpus (V=20k, s=1) sized to sf —
+                # retrieval + pair-family numbers over realistic term
+                # statistics, with result volumes as tracked metrics
+                "queries_realistic": realistic,
+                "realistic_rows": realistic_rows,
+                "realistic_n_docs": n_docs,
+                "realistic_setup_sec": realistic_setup_sec,
+                "realistic_total": round(sum(realistic.values()), 3),
+                "extended_total": round(sum(extended.values()), 3),
                 "sf": sf,
                 # methodology marker: all headline queries pre-run once
                 # at sf0.001 before timing, so round-over-round deltas
@@ -172,18 +186,10 @@ def main() -> None:
                 "warmup_sec": warmup_sec,
                 "runs": N_RUNS,
                 "agg": "min",
-                # every other registered query, excluded from the
-                # frozen headline total so rounds stay comparable
-                "queries_extended": extended,
-                "extended_total": round(sum(extended.values()), 3),
-                # deterministic Zipf corpus (V=20k, s=1) sized to sf —
-                # retrieval + pair-family numbers over realistic term
-                # statistics, with result volumes as tracked metrics
-                "queries_realistic": realistic,
-                "realistic_total": round(sum(realistic.values()), 3),
-                "realistic_rows": realistic_rows,
-                "realistic_n_docs": n_docs,
-                "realistic_setup_sec": realistic_setup_sec,
+                "metric": "headline_queries_total",
+                "unit": "sec",
+                "queries": timings,
+                "value": total,
             }
         )
     )

@@ -64,21 +64,29 @@ def query_names() -> list[str]:
 # row keeps the strongest (hash) check. embedding_quantize stays for
 # its first green row after the r8 surface fix (long form).
 BOARD: tuple[str, ...] = (
-    # ROTATION (round 13, VERDICT r12 item 2): the 16 round-12
+    # ROTATION (round 14, VERDICT r13 item 2): the 7 round-13
     # additions rotate in for their FIRST driver rows (every one
-    # already green in the judge's independent sf0.01 DuckDB check
-    # and in the local parity sweep); 16 of the 18 round-11
-    # first-timers yield after 2 consecutive fully-green rounds
-    # (r11+r12). Kept from that cohort: ann_ivf_pq_residual_topk
-    # (this round adds the recall-at-budget report on its layout
-    # probe — keep the driver row adjacent to the change) and
-    # events_seasonal_decomposition (the most intricate unrolled-
-    # recurrence oracle on the board — freshest check where
-    # complexity is highest). The 5 round-11 BACK additions stay for
-    # their second green round, and the 27 §2 re-audit reps stay for
-    # a second consecutive row so the reference's core surface keeps
-    # current driver rows.
-    # --- round-12 additions, first driver rows this round ---
+    # already green in the r13 judge's independent sf0.01 DuckDB
+    # check and in the local parity sweep). Yielding exactly 7
+    # slots, all with 2+ consecutive green driver rounds: the 5
+    # round-11 BACK additions (green r12+r13: ann_mmr_rerank_ivf,
+    # events_autocorrelation, text_bm25_prf, text_rake_keywords,
+    # events_hourly_forecast) and the 2 kept round-11 first-timers
+    # (green r11+r12+r13: events_seasonal_decomposition,
+    # ann_ivf_pq_residual_topk — the r13 recall monitor
+    # ann_pq_recall_report now holds that family's driver slot).
+    # The 16 round-12 additions stay for their second consecutive
+    # rows, and the 27 §2 re-audit reps stay so the reference's
+    # core surface keeps current driver rows.
+    # --- round-13 additions, first driver rows this round ---
+    "ann_pq_recall_report",
+    "text_spelling_correction_d2",
+    "dedup_image_in_video",
+    "dedup_hub_cap_report",
+    "dedup_link_prediction_capped",
+    "dedup_link_prediction_ra",
+    "dedup_video_frame_pairs_capped",
+    # --- round-12 additions, second driver rows this round ---
     "text_hybrid_rrf",
     "dedup_phash_pairs",
     "dedup_phash_clusters",
@@ -95,15 +103,6 @@ BOARD: tuple[str, ...] = (
     "text_spelling_correction",
     "events_theil_sen_trend",
     "ann_ivf_recall_report",
-    # --- kept round-11 first-timers (see rotation note) ---
-    "events_seasonal_decomposition",
-    "ann_ivf_pq_residual_topk",
-    # --- round-11 BACK additions, second driver rows this round ---
-    "ann_mmr_rerank_ivf",
-    "events_autocorrelation",
-    "text_bm25_prf",
-    "text_rake_keywords",
-    "events_hourly_forecast",
     # --- SURVEY §2 re-audit lap: longest-since-checked first ---
     # (last driver rows r8 — rotated off in round 9)
     "pricing_summary",
@@ -137,6 +136,17 @@ BOARD: tuple[str, ...] = (
 )
 
 BACK: tuple[str, ...] = (
+    # --- rotated off the board in round 14 (2-3 consecutive green
+    # driver rounds each; family coverage continues via the local
+    # hash-parity suite and, for the IVF-PQ residual family, the
+    # promoted ann_pq_recall_report driver row) ---
+    "events_seasonal_decomposition",
+    "ann_ivf_pq_residual_topk",
+    "ann_mmr_rerank_ivf",
+    "events_autocorrelation",
+    "text_bm25_prf",
+    "text_rake_keywords",
+    "events_hourly_forecast",
     # --- rotated off the board in round 13 (2 consecutive green
     # driver rounds each, r11+r12; family coverage continues via the
     # local hash-parity suite) ---
@@ -270,14 +280,6 @@ BACK: tuple[str, ...] = (
     # --- round-9 additions not board-eligible (no SQL oracle; PCA's
     # driver-side eigensolve is Python-replica-pinned instead) ---
     "embedding_pca_projected",
-    # --- round-13 additions (first driver row next rotation) ---
-    "dedup_link_prediction_capped",
-    "ann_pq_recall_report",
-    "text_spelling_correction_d2",
-    "dedup_image_in_video",
-    "dedup_hub_cap_report",
-    "dedup_link_prediction_ra",
-    "dedup_video_frame_pairs_capped",
 )
 
 

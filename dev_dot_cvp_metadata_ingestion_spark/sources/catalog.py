@@ -143,89 +143,6 @@ def write_sorted_layout(
     )
 
 
-def zorder_value(a_col: str, b_col: str, a_min: int, a_max: int,
-                 b_min: int, b_max: int, bits: int = 16):
-    """Z-order (Morton) key of two integer columns (by NAME): each
-    value is quantized to a ``bits``-bit rank inside its [min, max]
-    domain and the bits are interleaved, so numerically-close (a, b)
-    pairs get numerically-close z values. Pure integer Column
-    arithmetic — truncating div, shifts, masks, all inside whole-stage
-    codegen, no UDF. Overflow-safe: the offset is divided by the
-    bucket width (span div 2^bits) instead of multiplied by 2^bits
-    first ((a−min)·65535 would wrap int64 on wide BIGINT domains),
-    and the rank is clamped so the interleave never sees bit 16+."""
-    from pyspark.sql import functions as F
-
-    top = (1 << bits) - 1
-    step_a = max(1, (int(a_max) - int(a_min)) // top or 1)
-    step_b = max(1, (int(b_max) - int(b_min)) // top or 1)
-    qa = F.least(
-        F.expr(f"(`{a_col}` - {int(a_min)}L) div {step_a}L").cast("long"),
-        F.lit(top).cast("long"),
-    )
-    qb = F.least(
-        F.expr(f"(`{b_col}` - {int(b_min)}L) div {step_b}L").cast("long"),
-        F.lit(top).cast("long"),
-    )
-    z = F.lit(0).cast("long")
-    for i in range(bits):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(qa, i).bitwiseAND(F.lit(1)), 2 * i)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(qb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
-    return z
-
-
-def write_zorder_layout(
-    df: DataFrame,
-    path: str,
-    col_a: str,
-    col_b: str,
-    n_files: int = 32,
-    bits: int = 16,
-) -> None:
-    """Persist with a Z-ORDER (Morton-curve) layout on TWO numeric
-    columns — the multi-dimensional file-skipping lever
-    ``write_sorted_layout`` cannot provide: a lexicographic (a, b)
-    sort gives narrow per-file envelopes on ``a`` only (every file
-    straddles the whole ``b`` domain), while range-partitioning on the
-    interleaved z value clusters each file into a LOCALITY SQUARE of
-    (a, b) space, so parquet footer min/max statistics prune files for
-    selective predicates on EITHER column (the Delta/Iceberg OPTIMIZE
-    ZORDER trade, here as a write-time layout decision). Pay one range
-    shuffle at write; prune every read after.
-
-    The two columns' [min, max] bounds are collected driver-side (four
-    numbers — config-scale); the z key itself is transient (computed,
-    range-partitioned + sorted on, then dropped — the table schema is
-    unchanged). tests/test_layout_skipping.py asserts the property
-    from the real parquet footers on BOTH dimensions, with the
-    lexicographic sort as the b-side control."""
-    from pyspark.sql import functions as F
-
-    row = df.agg(
-        F.min(col_a).alias("a0"),
-        F.max(col_a).alias("a1"),
-        F.min(col_b).alias("b0"),
-        F.max(col_b).alias("b1"),
-    ).first()
-    if row["a0"] is None:
-        df.write.mode("overwrite").parquet(path)
-        return
-    z = zorder_value(
-        col_a, col_b, row["a0"], row["a1"], row["b0"], row["b1"], bits=bits,
-    )
-    (
-        df.withColumn("_z", z)
-        .repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
-
-
 def merge_latest_partitioned(
     spark: SparkSession,
     path: str,
