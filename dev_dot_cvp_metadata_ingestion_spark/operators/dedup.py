@@ -2054,7 +2054,14 @@ def fingerprint_set_jaccard_pairs_capped(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("ic"))
     )
-    empty = F.array().cast("array<string>")
+    # empty-array literal typed from the POSTING relation's actual
+    # fingerprint type (ADVICE r13): the function is modality-agnostic
+    # over any (id, fingerprint) relation, so a bigint-hash caller
+    # must get array<bigint> here, not a hardcoded array<string> that
+    # fails analysis in coalesce/array_intersect
+    from pyspark.sql.types import ArrayType
+
+    empty = F.array().cast(ArrayType(p.schema["fp"].dataType))
     ha = hot_arrays.select(F.col("id").alias("id_a"), F.col("hf").alias("hf_a"))
     hb = hot_arrays.select(F.col("id").alias("id_b"), F.col("hf").alias("hf_b"))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a"))
@@ -2079,6 +2086,58 @@ def fingerprint_set_jaccard_pairs_capped(
             jac.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def fingerprint_cap_report(
+    posts: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fingerprint",
+    max_doc_freq: int = 50,
+) -> DataFrame:
+    """Accounting row for the stop-fingerprint cap — the same honesty
+    contract as the stop-vertex cap's ``hub_cap_report``
+    (operators/graph.py): a bound that silently drops candidate
+    evidence must REPORT what it dropped (ADVICE r13).
+    ``fingerprint_set_jaccard_pairs_capped`` misses a pair only when
+    every fingerprint it shares is hot (df > max_doc_freq); this one
+    row quantifies that blind spot on a given corpus:
+    (n_fingerprints, n_postings, n_hot_fingerprints = fingerprints
+    over the cap, hot_posting_volume = postings removed from the
+    candidate join, candidates_avoided = Σ_{df>cap} C(df, 2) — the
+    pair-candidate rows the cap removed). All integer aggregates off
+    the fingerprint-sized df relation; one groupBy, no join."""
+    p = (
+        posts.select(
+            F.col(id_col).alias("id"), F.col(fp_col).alias("fp")
+        )
+        .distinct()
+    )
+    df_rel = p.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    return df_rel.agg(
+        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+        F.coalesce(F.sum("df"), F.lit(0)).cast("long").alias("n_postings"),
+        F.coalesce(
+            F.sum(F.when(F.col("df") > max_doc_freq, 1).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("n_hot_fingerprints"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("df") > max_doc_freq, F.col("df")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("hot_posting_volume"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("df") > max_doc_freq,
+                    F.expr("df * (df - 1) div 2"),
+                ).otherwise(F.lit(0).cast("long"))
+            ),
+            F.lit(0),
+        ).cast("long").alias("candidates_avoided"),
     )
 
 

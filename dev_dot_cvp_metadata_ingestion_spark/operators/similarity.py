@@ -236,10 +236,15 @@ def recall_report(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
     pins probe recall ≡ twin recall, and re-measures after
     append + compaction — the erosion this report exists to catch).
     Left join from the exact side so a query the approx side missed
-    entirely still reports hits=0."""
+    entirely still reports hits=0. The approx projection is
+    deduplicated HERE (not at the callers): a duplicate (q_id, vec_id)
+    row would multiply its exact match through the left join and let
+    hits exceed k / recall_ppm exceed 1e6 — every current caller
+    feeds row_number-ranked (unique) top-k, but this is a shared
+    builder and the guard belongs inside it (ADVICE r13)."""
     a = approx.select(
         F.col("q_id").alias("a_q_id"), F.col("vec_id").alias("a_vec_id")
-    )
+    ).distinct()
     e = exact.select("q_id", "vec_id")
     hits = (
         e.join(

@@ -693,6 +693,29 @@ def cv_sequential_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _seq_results(spark, sf_dir)
 
 
+@register(
+    "cv_sequential_checks_chunked",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    seq AS ({_SEQ_SQL})
+    SELECT * FROM seq
+    """,
+)
+def cv_sequential_checks_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CHUNK-STITCHED form of cv_sequential_checks (VERDICT r13
+    item 1) under the SAME oracle: contiguous-run bundling is computed
+    locally inside range-partitioned (file, serial) chunks, a tiny
+    per-chunk boundary relation stitches the global run numbering, and
+    W8 emission comes from a map-side-combinable per-file aggregate —
+    so a single multi-GB file's window work spreads across its chunks
+    instead of funneling through one task
+    (operators/sequential.py:_chunked_checks). Bit-identical to the
+    single-window form by construction; the shared DuckDB oracle
+    hash-proves it on the driver board."""
+    d = _events_with_file(spark, sf_dir)
+    return sequential_results(d, _events_seq_spec(), n_chunks=8)
+
+
 # W7: skipSequentialValidation conditions in the reference INI dialect
 # (config_2.ini:74-98 declares them on rxMsg/sanitized records; here the
 # ifPart keys off specific event_ids so each file gets a different gate).

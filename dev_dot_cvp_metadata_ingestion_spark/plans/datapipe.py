@@ -9441,6 +9441,87 @@ def dedup_video_frame_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "dedup_frame_cap_report",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE length(text) > 0
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents
+      WHERE length(text) > 0 AND doc_id % 97 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, 'x' || substring(text, 2) FROM documents
+      WHERE length(text) > 0 AND doc_id % 89 = 0
+    ),
+    m AS (
+      SELECT doc_id, text, length(text) AS n_chars,
+             greatest(1, least(4, length(text) // 100)) AS n_frames
+      FROM corpus
+    ),
+    posts AS (
+      SELECT DISTINCT doc_id,
+             md5(substring(text, (i * n_chars) // n_frames + 1,
+                           n_chars // n_frames)) AS fp
+      FROM m, UNNEST(range(n_frames)) AS t(i)
+      UNION
+      SELECT doc_id, md5('__ubiquitous_intro_frame__') AS fp
+      FROM corpus WHERE doc_id % 2 = 0
+    ),
+    dfreq AS (
+      SELECT fp, CAST(count(*) AS BIGINT) AS df FROM posts GROUP BY fp
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_fingerprints,
+           CAST(coalesce(sum(df), 0) AS BIGINT) AS n_postings,
+           CAST(coalesce(sum(CASE WHEN df > 50 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_hot_fingerprints,
+           CAST(coalesce(sum(CASE WHEN df > 50 THEN df ELSE 0 END), 0)
+                AS BIGINT) AS hot_posting_volume,
+           CAST(coalesce(sum(CASE WHEN df > 50 THEN df * (df - 1) // 2
+                              ELSE 0 END), 0)
+                AS BIGINT) AS candidates_avoided
+    FROM dfreq
+    """,
+)
+def dedup_frame_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounting companion to ``dedup_video_frame_pairs_capped`` —
+    the stop-fingerprint cap's honesty row (ADVICE r13, mirroring
+    ``dedup_hub_cap_report``): over the SAME posting relation (frame
+    fingerprints + the planted ubiquitous intro frame on half the
+    corpus), report how much candidate evidence the df>50 cap
+    silenced — (n_fingerprints, n_postings, n_hot_fingerprints,
+    hot_posting_volume, candidates_avoided = Σ_{df>cap} C(df, 2)).
+    With the planted boilerplate frame at df ≈ |corpus|/2, the
+    avoided-candidates count IS the quadratic media skew bomb the cap
+    defuses, now observable as data instead of inferred from the
+    bench. All integer aggregates off the fingerprint-sized df
+    relation (operators/dedup.py:fingerprint_cap_report)."""
+    from ..operators.dedup import fingerprint_cap_report
+    from ..operators.multimodal import attach_binary, sample_frames
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    base = d.select("doc_id", "text")
+    exact = base.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
+    )
+    mutated = base.filter(F.col("doc_id") % 89 == 0).select(
+        (F.col("doc_id") + F.lit(2000000)).alias("doc_id"),
+        F.concat(F.lit("x"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    corpus = base.unionByName(exact).unionByName(mutated)
+    frames = sample_frames(
+        attach_binary(corpus, "doc_id", "text"), fake=True
+    ).select("doc_id", F.col("frame_md5").alias("fp"))
+    ubiq = corpus.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.md5(F.lit("__ubiquitous_intro_frame__")).alias("fp")
+    )
+    return fingerprint_cap_report(
+        frames.unionByName(ubiq),
+        id_col="doc_id",
+        fp_col="fp",
+        max_doc_freq=50,
+    )
+
+
+@register(
     "dedup_image_in_video",
     oracle="""
     WITH m AS (

@@ -280,6 +280,9 @@ BACK: tuple[str, ...] = (
     # --- round-9 additions not board-eligible (no SQL oracle; PCA's
     # driver-side eigensolve is Python-replica-pinned instead) ---
     "embedding_pca_projected",
+    # --- round-14 additions (first driver row next rotation) ---
+    "dedup_frame_cap_report",
+    "cv_sequential_checks_chunked",
 )
 
 

@@ -1512,8 +1512,10 @@ def _write_count_delta(
     accidental cross-shard collision odds are the 64-bit birthday
     bound (~n²·2⁻⁶⁴ — negligible at any real batch cadence, and the
     failure mode is one overwritten delta, never a corrupt layout).
-    Hash ids live in [1, 2⁶¹], clear of the build/compaction
-    partition 0."""
+    Hash ids live in [2³² + 1, 2⁶¹ + 2³²] — clear of the
+    build/compaction partition 0 AND of every explicit small id a
+    streaming sink passes (micro-batch ids count up from 0), so mixed
+    producers on one layout cannot collide (ADVICE r13)."""
     from pyspark.sql import functions as F
 
     target = _count_delta_dir(path)
@@ -1530,7 +1532,14 @@ def _write_count_delta(
                 F.xxhash64(*sorted(counts.columns)).cast("decimal(38,0)")
             ).alias("h")
         ).first()["h"]
-        batch_id = (int(h or 0) % (2 ** 61)) + 1
+        # disjoint-range guard (ADVICE r13): content-hash ids land in
+        # [2^32 + 1, 2^61 + 2^32], strictly ABOVE any explicit id a
+        # streaming sink passes (micro-batch ids count up from 0), so
+        # a layout grown by BOTH a default-hash appender and a
+        # streaming sink can never collide a hash id with a real
+        # micro-batch id and silently overwrite that delta — the same
+        # reservation device as partition 0 for build/compaction
+        batch_id = (int(h or 0) % (2 ** 61)) + (2 ** 32) + 1
     (
         counts.withColumn("batch_id", F.lit(int(batch_id)))
         .write.mode("overwrite")

@@ -246,3 +246,79 @@ def test_capped_pairs_exact_scores_and_hot_only_miss(spark):
     assert unc[(1, 2)] == capped[(1, 2)]
     # and uncapped DOES emit the hot-only pairs the cap drops
     assert (3, 4) in unc
+
+
+def test_capped_pairs_nonstring_fingerprints(spark):
+    """ADVICE r13: the capped form is modality-agnostic over ANY
+    (id, fingerprint) posting relation — bigint hashes must work (the
+    old hardcoded array<string> null-fill failed analysis in
+    coalesce/array_intersect for non-string fp columns)."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.dedup import (
+        fingerprint_set_jaccard_pairs_capped,
+    )
+
+    rows = (
+        [(i, 999) for i in (1, 2, 3, 4, 5)]          # hot bigint fp
+        + [(1, 11), (1, 12), (2, 11), (2, 12)]       # cold overlap 1-2
+        + [(3, 31), (4, 41), (5, 51)]
+    )
+    posts = spark.createDataFrame(rows, "doc_id long, fp long")
+    got = {
+        (r.doc_id_a, r.doc_id_b): (r.shared, r.jaccard)
+        for r in fingerprint_set_jaccard_pairs_capped(
+            posts, id_col="doc_id", fp_col="fp", threshold=0.0,
+            max_doc_freq=3,
+        ).collect()
+    }
+    # hot fp 999 rejoins into the exact score; hot-only (3,4) missed
+    assert got == {(1, 2): (3, 1.0)}
+
+
+def test_fingerprint_cap_report_accounting(spark):
+    """fingerprint_cap_report (ADVICE r13): the honesty row quantifies
+    exactly what the cap silenced — hot fingerprints, their posting
+    volume, and Σ C(df, 2) avoided candidate rows."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.dedup import (
+        fingerprint_cap_report,
+    )
+
+    rows = (
+        [(i, "H") for i in (1, 2, 3, 4, 5)]    # df 5 > cap 3
+        + [(1, "c1"), (2, "c1"), (3, "x3")]    # df 2, df 1
+        + [(1, "c1")]                          # duplicate posting: ignored
+    )
+    posts = spark.createDataFrame(rows, ["doc_id", "fp"])
+    r = fingerprint_cap_report(
+        posts, id_col="doc_id", fp_col="fp", max_doc_freq=3
+    ).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.n_fingerprints == 3          # H, c1, x3
+    assert row.n_postings == 5 + 2 + 1      # distinct postings
+    assert row.n_hot_fingerprints == 1
+    assert row.hot_posting_volume == 5
+    assert row.candidates_avoided == 10     # C(5,2)
+    # empty input: all-zero row, never an empty relation
+    empty = spark.createDataFrame([], "doc_id long, fp string")
+    row0 = fingerprint_cap_report(empty, fp_col="fp").collect()[0]
+    assert (
+        row0.n_fingerprints, row0.n_postings, row0.n_hot_fingerprints,
+        row0.hot_posting_volume, row0.candidates_avoided,
+    ) == (0, 0, 0, 0, 0)
+
+
+def test_recall_report_dedups_approx_side(spark):
+    """ADVICE r13: a duplicate (q_id, vec_id) row in the approx
+    relation must NOT multiply hits past k / recall past 1e6."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.similarity import (
+        recall_report,
+    )
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11)], "q_id long, vec_id long"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 10), (1, 99)], "q_id long, vec_id long"
+    )
+    row = recall_report(exact, approx, k=2).collect()[0]
+    assert (row.q_id, row.hits, row.k, row.recall_ppm) == (1, 1, 2, 500000)
