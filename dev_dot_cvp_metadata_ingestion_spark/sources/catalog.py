@@ -825,6 +825,12 @@ def write_pair_graph(
     spark = docs.sparkSession
     os.makedirs(path, exist_ok=True)
     _reset_generations(path, ("pairs", "nodes"))
+    # a rebuild invalidates any maintained labels table — remove it so
+    # readers can't pair fresh pairs/nodes with stale labels
+    import shutil
+
+    shutil.rmtree(f"{path}/labels", ignore_errors=True)
+    shutil.rmtree(f"{path}/labels_meta", ignore_errors=True)
     pairs = lsh_near_duplicates(
         docs, id_col, text_col, num_hashes=num_hashes, n=n,
         threshold=threshold,
@@ -882,7 +888,13 @@ def delete_from_pair_graph(
     """Tombstone delete for the pair graph: ids append to the
     ``tombstones/`` sidecar; ``read_pair_graph`` drops the docs' nodes
     and every incident pair. Re-deletes de-dup against the existing
-    set; physical reclaim is ``compact_pair_graph``."""
+    set; physical reclaim is ``compact_pair_graph``. If the
+    incremental ``labels/`` table is built, the victims' clusters are
+    re-split first (``_relabel_after_delete`` — a bridge doc's removal
+    can disconnect a component, but only its own cluster), so the
+    maintained labels stay ≡ a full recompute over the survivors."""
+    if _has_cluster_labels(path):
+        _relabel_after_delete(spark, path, doc_ids)
     _tombstone_delete(spark, path, doc_ids, "doc_id")
 
 
@@ -907,6 +919,252 @@ def prune_pair_graph_generations(spark: SparkSession, path: str) -> None:
     """Reclaim superseded pairs/nodes generations once in-flight
     readers of the old generation have drained."""
     prune_index_generations(path, ("pairs", "nodes"))
+
+
+# --- incremental connected-components labels (VERDICT r13 item 5) ---
+#
+# Cluster labels as a MAINTAINED TABLE of the pair-graph layout,
+# instead of a full connected-components job per monitoring query over
+# an ever-growing pair relation. The device is label CONTRACTION:
+# because every label is its component's minimum member id, an ingest
+# batch only needs CC over the TINY contracted graph whose nodes are
+# the touched clusters' labels plus the batch's new ids — the merged
+# component's min is the min of those — and a delete only needs CC
+# over the touched clusters' surviving members (components can split,
+# but only the victims' own clusters). Per-batch cost therefore scales
+# with the BATCH's cluster footprint, never the corpus
+# (tools/bench_incremental_cc.py measures it flat as the corpus
+# doubles); labels-after-maintenance ≡ full recompute is pinned at
+# several batch splits in tests/test_cluster_labels_layout.py.
+
+
+def _labels_part(col, n_parts: int):
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.xxhash64(col), F.lit(n_parts)).cast("int")
+
+
+def write_cluster_labels(
+    spark: SparkSession, path: str, n_parts: int = 16
+) -> None:
+    """Build the ``labels/`` table of a pair-graph layout: one full
+    connected-components pass (the LAST one a monitoring cadence needs
+    — appends and deletes maintain the table from here), persisted as
+    (doc_id, cluster_id) hive-partitioned by ``pmod(xxhash64(doc_id),
+    n_parts)`` so maintenance rewrites only the partitions its updated
+    docs hash into (the ``merge_latest_partitioned`` recipe)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import connected_components
+
+    pairs, nodes, _params = read_pair_graph(spark, path)
+    labels = connected_components(pairs, nodes)
+    (
+        labels.withColumn("part", _labels_part(F.col("doc_id"), n_parts))
+        .repartition("part")
+        .write.mode("overwrite")
+        .partitionBy("part")
+        .parquet(f"{path}/labels")
+    )
+    spark.createDataFrame([(int(n_parts),)], "n_parts int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/labels_meta")
+
+
+def read_cluster_labels(spark: SparkSession, path: str) -> DataFrame:
+    """The maintained (doc_id, cluster_id) relation. Tombstoned docs
+    are anti-joined out defensively; deletes routed through
+    ``delete_from_pair_graph`` have already re-split their clusters,
+    so for them this filter is a no-op."""
+    from pyspark.sql import functions as F
+
+    labels = spark.read.parquet(f"{path}/labels").select(
+        "doc_id", "cluster_id"
+    )
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        labels = labels.join(F.broadcast(tomb), "doc_id", "left_anti")
+    return labels
+
+
+def _has_cluster_labels(path: str) -> bool:
+    return os.path.isdir(f"{path}/labels")
+
+
+def _merge_label_updates(
+    spark: SparkSession,
+    path: str,
+    updated: DataFrame,
+    removed: DataFrame | None = None,
+) -> None:
+    """Fold (doc_id, cluster_id) updates (and optional doc_id
+    removals) into the labels table, rewriting ONLY touched
+    partitions: the touched-part list is collected (config-scale),
+    prunes the existing read, and dynamic partition overwrite leaves
+    every other partition's files untouched."""
+    from pyspark.sql import functions as F
+
+    n_parts = int(
+        spark.read.parquet(f"{path}/labels_meta").first()["n_parts"]
+    )
+    updated = updated.select("doc_id", "cluster_id").withColumn(
+        "part", _labels_part(F.col("doc_id"), n_parts)
+    )
+    gone = (
+        removed.select("doc_id").withColumn(
+            "part", _labels_part(F.col("doc_id"), n_parts)
+        )
+        if removed is not None
+        else None
+    )
+    # materialize once: touched-part collect + the write below
+    updated = updated.localCheckpoint()
+    if gone is not None:
+        gone = gone.localCheckpoint()
+    touched = {r["part"] for r in updated.select("part").distinct().collect()}
+    if gone is not None:
+        touched |= {r["part"] for r in gone.select("part").distinct().collect()}
+    if not touched:
+        return
+    existing = spark.read.parquet(f"{path}/labels").filter(
+        F.col("part").isin(list(touched))
+    )
+    drop_keys = updated.select("doc_id")
+    if gone is not None:
+        drop_keys = drop_keys.unionByName(gone.select("doc_id"))
+    merged = existing.join(
+        drop_keys.distinct(), "doc_id", "left_anti"
+    ).unionByName(updated)
+    # eager: the write overwrites partitions the plan reads
+    merged = merged.localCheckpoint()
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part")
+        .parquet(f"{path}/labels")
+    )
+
+
+def append_pair_graph(
+    spark: SparkSession,
+    path: str,
+    new_nodes: DataFrame,
+    new_pairs: DataFrame,
+) -> None:
+    """Fold an ingest batch into the pair graph: append the batch's
+    nodes and its pairs (within-batch + batch-vs-indexed — for LSH
+    graphs these equal the rebuild's new pairs exactly, because pair
+    collision is pairwise), and MAINTAIN the labels table if built.
+
+    Label maintenance is the contracted-graph merge: new-pair
+    endpoints map through their current labels (an id without a label
+    maps to itself), equal-label loops drop, and connected components
+    runs over what remains — a graph whose node count is bounded by
+    the batch's pair endpoints plus the clusters they touch, never the
+    corpus. Because labels are component MINIMA, the contracted
+    component's min id IS the merged component's min id, so relabeling
+    is one join from (old_label → new_label) onto the touched
+    clusters' members, folded into the labels table by touched
+    partition. Replaying the same batch is a labels no-op (every
+    endpoint already maps to the merged label, so the contracted graph
+    is all self-loops); the duplicate pairs/nodes rows follow the same
+    caller-owned id-uniqueness contract as every append sink here."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import connected_components
+
+    new_nodes = new_nodes.select("doc_id").localCheckpoint()
+    new_pairs = new_pairs.localCheckpoint()
+
+    if _has_cluster_labels(path):
+        old = spark.read.parquet(f"{path}/labels").select(
+            "doc_id", "cluster_id"
+        )
+        ep = new_pairs.select("doc_id_a", "doc_id_b")
+        la = old.select(
+            F.col("doc_id").alias("doc_id_a"), F.col("cluster_id").alias("la")
+        )
+        lb = old.select(
+            F.col("doc_id").alias("doc_id_b"), F.col("cluster_id").alias("lb")
+        )
+        mapped = (
+            ep.join(la, "doc_id_a", "left")
+            .join(lb, "doc_id_b", "left")
+            .select(
+                F.coalesce("la", "doc_id_a").alias("src"),
+                F.coalesce("lb", "doc_id_b").alias("dst"),
+            )
+        )
+        batch_ids = (
+            new_nodes.unionByName(ep.select(F.col("doc_id_a").alias("doc_id")))
+            .unionByName(ep.select(F.col("doc_id_b").alias("doc_id")))
+            .distinct()
+        )
+        cnodes = (
+            batch_ids.join(old, "doc_id", "left")
+            .select(F.coalesce("cluster_id", "doc_id").alias("node"))
+            .distinct()
+        )
+        cc = connected_components(
+            mapped.filter(F.col("src") != F.col("dst")).distinct(),
+            cnodes,
+            id_col="node",
+            a_col="src",
+            b_col="dst",
+        ).localCheckpoint()
+        # touched old clusters whose label changed → relabel members
+        rel = cc.filter(F.col("node") != F.col("cluster_id")).select(
+            F.col("node").alias("_old"), F.col("cluster_id").alias("_new")
+        )
+        upd_members = old.join(
+            rel, old.cluster_id == F.col("_old")
+        ).select("doc_id", F.col("_new").alias("cluster_id"))
+        # batch docs not yet labelled: their contracted node is
+        # themselves — label from cc (or self if isolated)
+        fresh = (
+            batch_ids.join(old, "doc_id", "left_anti")
+            .join(cc, F.col("doc_id") == F.col("node"), "left")
+            .select(
+                "doc_id",
+                F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            )
+        )
+        _merge_label_updates(
+            spark, path, upd_members.unionByName(fresh)
+        )
+
+    new_pairs.write.mode("append").parquet(_table_dir(path, "pairs"))
+    new_nodes.write.mode("append").parquet(_table_dir(path, "nodes"))
+
+
+def _relabel_after_delete(
+    spark: SparkSession, path: str, doc_ids: DataFrame
+) -> None:
+    """Re-split the victims' clusters BEFORE the tombstones land:
+    components can disconnect when a bridge doc leaves, but only
+    inside the clusters the victims belonged to — one CC over their
+    surviving members and surviving intra-cluster pairs (edges never
+    cross components, so nothing outside is touched), folded into the
+    labels table with the victims' own rows removed."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import connected_components
+
+    vic = doc_ids.select("doc_id").distinct().localCheckpoint()
+    old = spark.read.parquet(f"{path}/labels").select(
+        "doc_id", "cluster_id"
+    )
+    touched = old.join(vic, "doc_id").select("cluster_id").distinct()
+    members = old.join(touched, "cluster_id").select("doc_id")
+    survivors = members.join(vic, "doc_id", "left_anti").localCheckpoint()
+    pairs, _nodes, _params = read_pair_graph(spark, path)
+    sub_pairs = pairs.join(
+        survivors.select(F.col("doc_id").alias("doc_id_a")), "doc_id_a"
+    ).join(
+        survivors.select(F.col("doc_id").alias("doc_id_b")), "doc_id_b"
+    )
+    updated = connected_components(sub_pairs, survivors)
+    _merge_label_updates(spark, path, updated, removed=vic)
 
 
 def write_text_index(

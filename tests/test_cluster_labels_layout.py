@@ -1,0 +1,174 @@
+"""Incremental connected-components labels (VERDICT r13 item 5): the
+maintained ``labels/`` table of the pair-graph layout must equal a
+full CC recompute over the CURRENT graph after any sequence of
+appends and deletes — merges ride the contracted-label graph, splits
+ride the touched-cluster re-solve — and replaying a batch must be a
+labels no-op."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dev_dot_cvp_metadata_ingestion_spark.operators.dedup import (
+    connected_components,
+    lsh_near_duplicates,
+)
+from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+    append_pair_graph,
+    delete_from_pair_graph,
+    read_cluster_labels,
+    read_pair_graph,
+    write_cluster_labels,
+    write_pair_graph,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def _full_labels(spark, path):
+    pairs, nodes, _ = read_pair_graph(spark, path)
+    return sorted(
+        tuple(r) for r in connected_components(pairs, nodes).collect()
+    )
+
+
+def _maintained(spark, path):
+    return sorted(tuple(r) for r in read_cluster_labels(spark, path).collect())
+
+
+def _batch_pairs(spark, docs_so_far, batch_ids):
+    """The rebuild's new pairs: every pair of the full graph over
+    docs-so-far touching a batch doc (LSH pairs are pairwise, so this
+    equals within-batch ∪ batch-vs-indexed exactly)."""
+    p = lsh_near_duplicates(docs_so_far, "doc_id", "text")
+    ids = spark.createDataFrame([(i,) for i in batch_ids], "doc_id long")
+    a_in = p.join(
+        ids.select(F.col("doc_id").alias("doc_id_a")), "doc_id_a", "semi"
+    )
+    b_in = p.join(
+        ids.select(F.col("doc_id").alias("doc_id_b")), "doc_id_b", "semi"
+    )
+    return a_in.unionByName(b_in).distinct()
+
+
+@pytest.mark.parametrize("splits", [[300, 500], [200, 350, 500],
+                                    [450, 470, 500]])
+def test_labels_after_appends_equal_full_recompute(spark, tmp_path, splits):
+    docs = _docs(spark).filter(F.col("doc_id") < 500).localCheckpoint()
+    path = str(tmp_path / "g")
+    first = splits[0]
+    write_pair_graph(docs.filter(F.col("doc_id") < first), path)
+    write_cluster_labels(spark, path, n_parts=8)
+    lo = first
+    for hi in splits[1:]:
+        batch = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        so_far = docs.filter(F.col("doc_id") < hi)
+        ids = [r.doc_id for r in batch.select("doc_id").collect()]
+        append_pair_graph(
+            spark, path, batch.select("doc_id"),
+            _batch_pairs(spark, so_far, ids),
+        )
+        lo = hi
+    assert _maintained(spark, path) == _full_labels(spark, path)
+    # and the on-disk graph equals a clean rebuild over all docs
+    rebuilt = str(tmp_path / "rebuilt")
+    write_pair_graph(docs, rebuilt)
+    write_cluster_labels(spark, rebuilt, n_parts=8)
+    assert _maintained(spark, path) == _maintained(spark, rebuilt)
+
+
+def test_append_replay_is_labels_noop(spark, tmp_path):
+    docs = _docs(spark).filter(F.col("doc_id") < 300).localCheckpoint()
+    path = str(tmp_path / "g")
+    write_pair_graph(docs.filter(F.col("doc_id") < 200), path)
+    write_cluster_labels(spark, path, n_parts=8)
+    batch = docs.filter(F.col("doc_id") >= 200)
+    ids = [r.doc_id for r in batch.select("doc_id").collect()]
+    bp = _batch_pairs(spark, docs, ids).localCheckpoint()
+    append_pair_graph(spark, path, batch.select("doc_id"), bp)
+    before = _maintained(spark, path)
+    append_pair_graph(spark, path, batch.select("doc_id"), bp)  # replay
+    assert _maintained(spark, path) == before
+
+
+def test_synthetic_merge_and_bridge_split(spark, tmp_path):
+    """Deterministic edge control: appended pairs chain three new docs
+    A-B-C into ONE cluster (labels merge through the contracted
+    graph); deleting the bridge B must SPLIT it back into {A}, {C}."""
+    docs = _docs(spark).filter(F.col("doc_id") < 100)
+    path = str(tmp_path / "g")
+    write_pair_graph(docs, path)
+    write_cluster_labels(spark, path, n_parts=4)
+
+    def pair(a, b):
+        return spark.createDataFrame(
+            [(a, b, 1.0)], "doc_id_a long, doc_id_b long, jaccard double"
+        )
+
+    def nodes(*ids):
+        return spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+    A, B, C = 1000001, 1000002, 1000003
+    append_pair_graph(spark, path, nodes(A, B), pair(A, B))
+    labels = dict(_maintained(spark, path))
+    assert labels[A] == labels[B] == A
+    append_pair_graph(spark, path, nodes(C), pair(B, C))
+    labels = dict(_maintained(spark, path))
+    assert labels[A] == labels[B] == labels[C] == A
+
+    delete_from_pair_graph(spark, path, nodes(B))
+    labels = dict(_maintained(spark, path))
+    assert B not in labels
+    assert labels[A] == A and labels[C] == C  # split back to singletons
+    # the general invariant: maintained ≡ full recompute on survivors
+    assert _maintained(spark, path) == _full_labels(spark, path)
+
+
+def test_delete_real_docs_keeps_full_recompute_invariant(spark, tmp_path):
+    docs = _docs(spark).filter(F.col("doc_id") < 300)
+    path = str(tmp_path / "g")
+    write_pair_graph(docs, path)
+    write_cluster_labels(spark, path, n_parts=8)
+    # delete a doc that actually sits in a multi-member cluster
+    lab = read_cluster_labels(spark, path)
+    multi = (
+        lab.groupBy("cluster_id").count().filter(F.col("count") > 1)
+        .select("cluster_id")
+    )
+    victim_ids = (
+        lab.join(multi, "cluster_id")
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id").limit(1).collect()
+    )
+    assert len(victim_ids) == 1, "fixture needs a multi-member cluster"
+    victim = spark.createDataFrame(
+        [(victim_ids[0].doc_id,)], "doc_id long"
+    )
+    delete_from_pair_graph(spark, path, victim)
+    assert _maintained(spark, path) == _full_labels(spark, path)
+    # double-delete is a no-op
+    before = _maintained(spark, path)
+    delete_from_pair_graph(spark, path, victim)
+    assert _maintained(spark, path) == before
+
+
+def test_rebuild_clears_stale_labels(spark, tmp_path):
+    docs = _docs(spark).filter(F.col("doc_id") < 100)
+    path = str(tmp_path / "g")
+    write_pair_graph(docs, path)
+    write_cluster_labels(spark, path, n_parts=4)
+    assert len(_maintained(spark, path)) > 0
+    write_pair_graph(docs.filter(F.col("doc_id") < 50), path)
+    import os
+
+    assert not os.path.isdir(f"{path}/labels")
