@@ -2089,6 +2089,110 @@ def fingerprint_set_jaccard_pairs_capped(
     )
 
 
+def weighted_jaccard_pairs_capped(
+    w: DataFrame,
+    threshold: float = 0.5,
+    max_doc_freq: int = 100,
+    block_col: str = "block",
+    id_col: str = "doc_id",
+    term_col: str = "term",
+    w_col: str = "w",
+) -> DataFrame:
+    """Weighted (Ruzicka) Jaccard pairs over a per-doc term-weight
+    relation ``(block, doc_id, term, w)`` with the stop-TERM cap — the
+    fingerprint cap's device applied to WEIGHTED overlap. The uncapped
+    shared-term self-join fans out Σ_t df_block(t)² per block, which a
+    realistic Zipf head makes quadratic in block size (measured: 22×
+    time at 10× docs in ``tools/bench_sf1_pairs.py`` — the superlinear
+    surprise the sf1 spot-check exists to catch); here a term whose
+    per-block document frequency exceeds ``max_doc_freq`` generates NO
+    candidates, but every found pair is still scored EXACTLY: hot
+    terms rejoin as small per-doc (term → w) maps (bounded by the
+    block's hot vocabulary — the Zipf HEAD, tiny by definition) and
+    ``map_zip_with`` adds their Σ min back, totals come from the full
+    weight relation, so wjaccard is never approximated. A pair is
+    missed only if every term it shares is ubiquitous in its block —
+    precisely the stopword-only matches idf down-weights anyway.
+    Candidate volume ≤ cap × posting volume, linear at fixed cap.
+    Returns (block, doc_id_a, doc_id_b, wjaccard ≥ threshold)."""
+    p = w.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("doc_id"),
+        F.col(term_col).alias("term"),
+        F.col(w_col).alias("w"),
+    ).localCheckpoint()
+    df_rel = p.groupBy("block", "term").agg(F.count(F.lit(1)).alias("_df"))
+    hot = df_rel.filter(F.col("_df") > max_doc_freq).select("block", "term")
+    cold = p.join(hot, ["block", "term"], "left_anti")
+    tot = p.groupBy("block", "doc_id").agg(F.sum("w").alias("s"))
+    hot_maps = (
+        p.join(hot, ["block", "term"])
+        .groupBy("block", "doc_id")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("term", "w")))
+            ).alias("hm")
+        )
+    )
+    a = cold.select(
+        "block", F.col("doc_id").alias("doc_id_a"), "term",
+        F.col("w").alias("wa"),
+    )
+    b = cold.select(
+        "block", F.col("doc_id").alias("doc_id_b"), "term",
+        F.col("w").alias("wb"),
+    )
+    smin_cold = (
+        a.join(b, ["block", "term"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("block", "doc_id_a", "doc_id_b")
+        .agg(F.sum(F.least("wa", "wb")).alias("_smin_cold"))
+    )
+    empty_map = F.map_from_entries(
+        F.array().cast("array<struct<term:string,w:long>>")
+    )
+    ha = hot_maps.select(
+        "block", F.col("doc_id").alias("doc_id_a"), F.col("hm").alias("hm_a")
+    )
+    hb = hot_maps.select(
+        "block", F.col("doc_id").alias("doc_id_b"), F.col("hm").alias("hm_b")
+    )
+    sa = tot.select(
+        "block", F.col("doc_id").alias("doc_id_a"), F.col("s").alias("s_a")
+    )
+    sb = tot.select(
+        "block", F.col("doc_id").alias("doc_id_b"), F.col("s").alias("s_b")
+    )
+    # Σ min over hot terms: map_zip_with unions keys — a key on ONE
+    # side must contribute 0, and Spark's least() IGNORES nulls, so
+    # the both-sides guard is explicit
+    hot_min = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                F.coalesce("hm_a", empty_map),
+                F.coalesce("hm_b", empty_map),
+                lambda _k, x, y: F.when(
+                    x.isNotNull() & y.isNotNull(), F.least(x, y)
+                ).otherwise(F.lit(0).cast("long")),
+            )
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    smin = F.col("_smin_cold") + hot_min
+    wj = smin.cast("double") / (F.col("s_a") + F.col("s_b") - smin)
+    return (
+        smin_cold.join(sa, ["block", "doc_id_a"])
+        .join(sb, ["block", "doc_id_b"])
+        .join(ha, ["block", "doc_id_a"], "left")
+        .join(hb, ["block", "doc_id_b"], "left")
+        .select(
+            "block", "doc_id_a", "doc_id_b", wj.alias("wjaccard")
+        )
+        .filter(F.col("wjaccard") >= threshold)
+    )
+
+
 def fingerprint_cap_report(
     posts: DataFrame,
     id_col: str = "doc_id",

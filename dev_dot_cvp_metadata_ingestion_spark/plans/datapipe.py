@@ -10067,7 +10067,14 @@ def dedup_tfidf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity envelope documented in plans/registry.py — weighted
     Jaccard delivers the same rare-term-weighted ranking with sums
     LINEAR in w (headroom ~2⁵³/10⁶·N docs before rescaling the lift).
-    Output (block, doc_id_a, doc_id_b, wjaccard ≥ 0.5), unordered."""
+    Output (block, doc_id_a, doc_id_b, wjaccard ≥ 0.5), unordered.
+
+    Scale note: this exact form's shared-term self-join fans out
+    Σ_t df_block(t)² — quadratic in block size under a realistic Zipf
+    head (measured 22× time at 10× docs, tools/bench_sf1_pairs.py);
+    it stays registered as the oracle-exact baseline, and
+    ``dedup_tfidf_weighted_jaccard_capped`` is the linear scale
+    path."""
     d = load_table(spark, sf_dir, "documents")
     tfc = (
         d.select(
@@ -10122,6 +10129,124 @@ def dedup_tfidf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tb, ["block", "doc_id_b"])
         .select("block", "doc_id_a", "doc_id_b", wj.alias("wjaccard"))
         .filter(F.col("wjaccard") >= 0.5)
+    )
+
+
+@register(
+    "dedup_tfidf_weighted_jaccard_capped",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, source,
+             text || ' r' || source || 'x' ||
+             CAST(doc_id // 40 AS VARCHAR) AS text
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, source, {_TOKS.format(c=_ASCII_LOWER)} AS t
+      FROM corpus
+    ),
+    tfr AS (SELECT doc_id, source AS block, unnest(t) AS term FROM toks),
+    tfc AS (
+      SELECT block, doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tfr GROUP BY 1, 2, 3
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM corpus),
+    df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY term
+    ),
+    bdf AS (
+      SELECT block, term, CAST(count(*) AS BIGINT) AS bdf
+      FROM tfc GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT block, doc_id, term,
+             tf * ((n.n_docs * 1000000) // df.df) AS w
+      FROM tfc JOIN df USING (term) CROSS JOIN n
+    ),
+    cold AS (
+      SELECT w.block, w.doc_id, w.term FROM w
+      JOIN bdf ON bdf.block = w.block AND bdf.term = w.term
+      WHERE bdf.bdf <= 10
+    ),
+    found AS (
+      SELECT DISTINCT a.block, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM cold a JOIN cold b
+        ON a.block = b.block AND a.term = b.term AND a.doc_id < b.doc_id
+    ),
+    tot AS (
+      SELECT block, doc_id, CAST(sum(w) AS BIGINT) AS s FROM w GROUP BY 1, 2
+    ),
+    smin AS (
+      SELECT f.block, f.doc_id_a, f.doc_id_b,
+             CAST(sum(least(a.w, b.w)) AS BIGINT) AS smin
+      FROM found f
+      JOIN w a ON a.block = f.block AND a.doc_id = f.doc_id_a
+      JOIN w b ON b.block = f.block AND b.doc_id = f.doc_id_b
+               AND b.term = a.term
+      GROUP BY 1, 2, 3
+    )
+    SELECT m.block, m.doc_id_a, m.doc_id_b,
+           m.smin::DOUBLE / (ta.s + tb.s - m.smin) AS wjaccard
+    FROM smin m
+    JOIN tot ta ON ta.block = m.block AND ta.doc_id = m.doc_id_a
+    JOIN tot tb ON tb.block = m.block AND tb.doc_id = m.doc_id_b
+    WHERE m.smin::DOUBLE / (ta.s + tb.s - m.smin) >= 0.5
+    """,
+)
+def dedup_tfidf_weighted_jaccard_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``dedup_tfidf_weighted_jaccard`` with the stop-TERM cap — the
+    sf1 spot-check's fix (tools/bench_sf1_pairs.py measured the
+    uncapped shared-term join at 22× time for 10× docs under a Zipf
+    vocabulary; per-block df of the Zipf HEAD ≈ block size, so Σ df²
+    bends quadratic). A term hot in its block (per-block df > 10)
+    generates no candidates but still scores exactly — hot weights
+    rejoin as per-doc maps and map_zip_with adds their Σ min back
+    (operators/dedup.py:weighted_jaccard_pairs_capped). The synthetic
+    corpus's ~32-word vocabulary is ALL head by construction, so
+    discriminative rare terms are planted in-query (one shared token
+    per (source, doc_id div 40) group — within a source block exactly
+    two docs share it at sf0.01): found pairs ride the planted cold
+    terms, every hot fixture word still counts in the score, and the
+    oracle restates the cap declaratively (pairs sharing ≥1 sub-cap
+    term, full-relation smin)."""
+    from ..operators.dedup import weighted_jaccard_pairs_capped
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" r"),
+            F.col("source"),
+            F.lit("x"),
+            F.expr("doc_id div 40").cast("string"),
+        ).alias("text"),
+    )
+    tfc = (
+        d.select(
+            F.col("source").alias("block"),
+            "doc_id",
+            F.explode(tokens(ascii_lower(F.col("text")))).alias("term"),
+        )
+        .groupBy("block", "doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    ).localCheckpoint()
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_rel = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tfc.join(df_rel, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "block",
+            "doc_id",
+            "term",
+            (F.col("tf") * F.expr("(n_docs * 1000000L) div df")).alias("w"),
+        )
+    )
+    return weighted_jaccard_pairs_capped(
+        w, threshold=0.5, max_doc_freq=10
     )
 
 

@@ -283,6 +283,7 @@ BACK: tuple[str, ...] = (
     # --- round-14 additions (first driver row next rotation) ---
     "dedup_frame_cap_report",
     "cv_sequential_checks_chunked",
+    "dedup_tfidf_weighted_jaccard_capped",
 )
 
 

@@ -322,3 +322,56 @@ def test_recall_report_dedups_approx_side(spark):
     )
     row = recall_report(exact, approx, k=2).collect()[0]
     assert (row.q_id, row.hits, row.k, row.recall_ppm) == (1, 1, 2, 500000)
+
+
+def test_weighted_jaccard_capped_exact_scores(spark):
+    """weighted_jaccard_pairs_capped: pairs sharing >=1 cold term score
+    EXACTLY (hot-term weights folded back via the map rejoin); a pair
+    sharing only hot terms is the documented miss; scores equal the
+    uncapped Ruzicka value for every surviving pair."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.dedup import (
+        weighted_jaccard_pairs_capped,
+    )
+
+    # hot term H in docs 1..5 (block df 5 > cap 3); docs 1,2 share cold
+    # c with asymmetric weights; docs 3,4 share ONLY H (missed)
+    rows = (
+        [("b", i, "H", 10) for i in (1, 2, 3, 4, 5)]
+        + [("b", 1, "c", 30), ("b", 2, "c", 20)]
+        + [("b", 3, "x3", 7), ("b", 4, "x4", 7), ("b", 5, "x5", 7)]
+    )
+    w = spark.createDataFrame(
+        rows, "block string, doc_id long, term string, w long"
+    )
+    got = {
+        (r.block, r.doc_id_a, r.doc_id_b): r.wjaccard
+        for r in weighted_jaccard_pairs_capped(
+            w, threshold=0.0, max_doc_freq=3
+        ).collect()
+    }
+    # (1,2): smin = min(30,20) + min(10,10) = 30; union = 40+30-30 = 40
+    assert got == {("b", 1, 2): 30 / 40}
+
+
+def test_weighted_jaccard_capped_matches_uncapped_when_nothing_hot(spark):
+    """cap above every block df → identical to the plain Ruzicka join."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.dedup import (
+        weighted_jaccard_pairs_capped,
+    )
+
+    rows = [
+        ("b", 1, "t1", 5), ("b", 1, "t2", 3),
+        ("b", 2, "t1", 4), ("b", 2, "t3", 2),
+        ("b", 3, "t9", 1),
+    ]
+    w = spark.createDataFrame(
+        rows, "block string, doc_id long, term string, w long"
+    )
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.wjaccard
+        for r in weighted_jaccard_pairs_capped(
+            w, threshold=0.0, max_doc_freq=100
+        ).collect()
+    }
+    # (1,2): smin = min(5,4) = 4; union = 8+6-4 = 10
+    assert got == {(1, 2): 0.4}
