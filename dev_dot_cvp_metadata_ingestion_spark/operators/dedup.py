@@ -2114,7 +2114,10 @@ def weighted_jaccard_pairs_capped(
     missed only if every term it shares is ubiquitous in its block —
     precisely the stopword-only matches idf down-weights anyway.
     Candidate volume ≤ cap × posting volume, linear at fixed cap.
-    Returns (block, doc_id_a, doc_id_b, wjaccard ≥ threshold)."""
+    Input contract: one row per (block, doc_id, term) — an upstream tf
+    groupBy guarantees it (duplicates would corrupt sums AND collide
+    in the hot maps). Returns (block, doc_id_a, doc_id_b,
+    wjaccard ≥ threshold)."""
     p = w.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("doc_id"),
@@ -2148,8 +2151,21 @@ def weighted_jaccard_pairs_capped(
         .groupBy("block", "doc_id_a", "doc_id_b")
         .agg(F.sum(F.least("wa", "wb")).alias("_smin_cold"))
     )
+    # empty-map literal typed from the relation's actual term/weight
+    # types (the fingerprint cap's ADVICE r13 lesson — a hardcoded
+    # struct<string,long> fails analysis for non-string terms)
+    from pyspark.sql.types import ArrayType, StructField, StructType
+
+    t_term = p.schema["term"].dataType
+    t_w = p.schema["w"].dataType
     empty_map = F.map_from_entries(
-        F.array().cast("array<struct<term:string,w:long>>")
+        F.array().cast(
+            ArrayType(
+                StructType(
+                    [StructField("term", t_term), StructField("w", t_w)]
+                )
+            )
+        )
     )
     ha = hot_maps.select(
         "block", F.col("doc_id").alias("doc_id_a"), F.col("hm").alias("hm_a")
@@ -2173,10 +2189,10 @@ def weighted_jaccard_pairs_capped(
                 F.coalesce("hm_b", empty_map),
                 lambda _k, x, y: F.when(
                     x.isNotNull() & y.isNotNull(), F.least(x, y)
-                ).otherwise(F.lit(0).cast("long")),
+                ).otherwise(F.lit(0).cast(t_w)),
             )
         ),
-        F.lit(0).cast("long"),
+        F.lit(0).cast(t_w),
         lambda acc, v: acc + v,
     )
     smin = F.col("_smin_cold") + hot_min
