@@ -190,3 +190,35 @@ def test_empty_input(spark):
     spec = _spec(with_skip=True)
     assert sequential_results(df, spec, n_chunks=4).count() == 0
     assert sequential_stats(df, spec, n_chunks=4).count() == 0
+
+
+def test_chunked_plan_has_no_file_only_sn_window(spark, data):
+    """The parallelism property itself, asserted on the physical plan
+    (bit-identical pins can't catch a regression back to the per-file
+    window): the chunked form must contain NO window partitioned by
+    file alone and ordered by sn — that's the one-task-per-file funnel
+    it exists to remove. The single-window form is the planted
+    positive control for the pattern."""
+    import re
+
+    spec = _spec(with_skip=True)
+    pat = re.compile(r"windowspecdefinition\(file#\d+, sn#\d+L ASC")
+
+    # default maxToStringFields elides wide Window specs with "..." —
+    # widen it for the assertion, restore after
+    old = spark.conf.get("spark.sql.debug.maxToStringFields", "25")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "10000")
+    try:
+        single_plan = (
+            sequential_results(data, spec)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert pat.search(single_plan), "positive control lost its pattern"
+
+        chunked_plan = (
+            sequential_results(data, spec, n_chunks=8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert not pat.search(chunked_plan)
+    finally:
+        spark.conf.set("spark.sql.debug.maxToStringFields", old)
