@@ -10251,6 +10251,94 @@ def dedup_tfidf_weighted_jaccard_capped(
 
 
 @register(
+    "dedup_wjaccard_cap_report",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, source,
+             text || ' r' || source || 'x' ||
+             CAST(doc_id // 40 AS VARCHAR) AS text
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, source, {_TOKS.format(c=_ASCII_LOWER)} AS t
+      FROM corpus
+    ),
+    tfr AS (SELECT doc_id, source AS block, unnest(t) AS term FROM toks),
+    tfc AS (
+      SELECT block, doc_id, term FROM tfr GROUP BY 1, 2, 3
+    ),
+    bdf AS (
+      SELECT block, term, CAST(count(*) AS BIGINT) AS bdf
+      FROM tfc GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_block_terms,
+           CAST(coalesce(sum(bdf), 0) AS BIGINT) AS n_postings,
+           CAST(coalesce(sum(CASE WHEN bdf > 10 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_hot_terms,
+           CAST(coalesce(sum(CASE WHEN bdf > 10 THEN bdf ELSE 0 END), 0)
+                AS BIGINT) AS hot_posting_volume,
+           CAST(coalesce(sum(CASE WHEN bdf > 10 THEN bdf * (bdf - 1) // 2
+                              ELSE 0 END), 0)
+                AS BIGINT) AS candidates_avoided
+    FROM bdf
+    """,
+)
+def dedup_wjaccard_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounting companion to ``dedup_tfidf_weighted_jaccard_capped``
+    — the stop-TERM cap's honesty row (the ``hub_cap_report`` /
+    ``dedup_frame_cap_report`` contract): over the SAME planted
+    corpus, one row quantifying what the per-block df>10 cap silenced
+    — (n_block_terms, n_postings, n_hot_terms, hot_posting_volume,
+    candidates_avoided = Σ_{{bdf>cap}} C(bdf, 2)). On the fixture's
+    32-word vocabulary nearly every (block, term) is hot, so
+    candidates_avoided ≈ the whole uncapped join — the quadratic
+    volume the capped query's 22×→2× sf1 fix removed, observable as
+    data. All integer aggregates off the block-term df relation."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" r"),
+            F.col("source"),
+            F.lit("x"),
+            F.expr("doc_id div 40").cast("string"),
+        ).alias("text"),
+    )
+    bdf = (
+        d.select(
+            F.col("source").alias("block"),
+            "doc_id",
+            F.explode(tokens(ascii_lower(F.col("text")))).alias("term"),
+        )
+        .groupBy("block", "doc_id", "term")
+        .agg(F.lit(1))
+        .groupBy("block", "term")
+        .agg(F.count(F.lit(1)).alias("bdf"))
+    )
+    hot = F.col("bdf") > 10
+    return bdf.agg(
+        F.count(F.lit(1)).cast("long").alias("n_block_terms"),
+        F.coalesce(F.sum("bdf"), F.lit(0)).cast("long").alias("n_postings"),
+        F.coalesce(
+            F.sum(F.when(hot, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_hot_terms"),
+        F.coalesce(
+            F.sum(F.when(hot, F.col("bdf")).otherwise(F.lit(0).cast("long"))),
+            F.lit(0),
+        ).cast("long").alias("hot_posting_volume"),
+        F.coalesce(
+            F.sum(
+                F.when(hot, F.expr("bdf * (bdf - 1) div 2")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("candidates_avoided"),
+    )
+
+
+@register(
     "dedup_match_scores",
     oracle=f"""
     WITH {_SNM_MULTIPASS_CAND_CTES},

@@ -284,6 +284,7 @@ BACK: tuple[str, ...] = (
     "dedup_frame_cap_report",
     "cv_sequential_checks_chunked",
     "dedup_tfidf_weighted_jaccard_capped",
+    "dedup_wjaccard_cap_report",
 )
 
 
