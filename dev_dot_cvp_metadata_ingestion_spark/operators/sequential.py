@@ -287,12 +287,36 @@ def _group_stage(d: DataFrame, file_skip):
 
 
 def _row_error_count(checks) -> Column:
-    """Per-row emitted-error count: the sum of the W3-W6 emit flags."""
+    """Per-row EMITTED-error count: the sum of the W3-W6 emit flags.
+    Each flag is null-coalesced to false BEFORE the cast — the emit
+    filter already treats NULL as not-emitted, and one NULL condition
+    (e.g. a NULL bundleSize making ``bs > 1`` NULL) must not poison
+    the row's whole sum to NULL, which would silently drop the row's
+    OTHER emitted errors from file_err_cnt and let an erroring file
+    also emit the W8 all-pass row (r14 session review finding)."""
     err = None
     for _, _, cond, _ in checks:
-        c = cond.cast("int")
+        c = F.coalesce(cond, F.lit(False)).cast("int")
         err = c if err is None else err + c
     return err
+
+
+def _chunk_span(d: DataFrame, n_chunks: int) -> tuple[int, int]:
+    """(global_lo, span) for sn-span chunking: span = the largest
+    PER-FILE sn range divided by n_chunks — two collected scalars off
+    one partial-aggregated pass (the zorder writer's move)."""
+    row = (
+        d.groupBy("file")
+        .agg(F.min("sn").alias("flo"), F.max("sn").alias("fhi"))
+        .agg(
+            F.min("flo").alias("lo"),
+            F.max(F.col("fhi") - F.col("flo") + 1).alias("rng"),
+        )
+        .first()
+    )
+    lo = int(row["lo"]) if row["lo"] is not None else 0
+    rng = int(row["rng"]) if row["rng"] is not None else 1
+    return lo, max(1, rng // max(1, n_chunks))
 
 
 def _chunked_checks(df: DataFrame, spec: SequentialSpec, n_chunks: int):
@@ -342,10 +366,14 @@ def _chunked_checks(df: DataFrame, spec: SequentialSpec, n_chunks: int):
     # domain, so equal spans give balanced chunks; skew only costs
     # balance, never correctness). NULL sn → NULL chunk, one group
     # ordered first — matching the single window's nulls-first sort.
-    row = d.agg(F.min("sn").alias("lo"), F.max("sn").alias("hi")).first()
-    lo = int(row["lo"]) if row["lo"] is not None else 0
-    hi = int(row["hi"]) if row["hi"] is not None else 0
-    span = max(1, (hi - lo + 1) // max(1, n_chunks))
+    # The span is sized from the LARGEST per-file sn range, not the
+    # global (min, max): a global span would let one file with an
+    # offset sn domain (epoch-scale serials) inflate the span and
+    # collapse a dense giant file back into ONE chunk — silently
+    # re-creating the funnel this form removes (r14 session review
+    # finding). With the max per-file range, the widest file always
+    # splits into ~n_chunks and every other file proportionally.
+    lo, span = _chunk_span(d, n_chunks)
     # sentinel -1 for NULL sn: below every real chunk id in the
     # boundary ordering AND equi-joinable (a NULL chunk key would drop
     # its rows at the stitch join)
@@ -372,10 +400,16 @@ def _chunked_checks(df: DataFrame, spec: SequentialSpec, n_chunks: int):
 
     # 2b: the boundary relation — one row per (file, chunk) slice
     # boundary bids ride inside structs so a NULL bid at a chunk edge
-    # is carried, not skipped by min_by/max_by null handling
+    # is carried, not skipped by min_by/max_by null handling; the
+    # ORDERING key is likewise null-coalesced to long-min — min_by/
+    # max_by skip NULL ordering keys, which would blank the NULL-sn
+    # sentinel chunk's boundary bids and split a bundle starting with
+    # a NULL-sn record (r14 session review finding; matches the
+    # windows' nulls-FIRST sn order)
+    sn_ord = F.coalesce(F.col("sn"), F.lit(-(2 ** 63)))
     bnd = d.groupBy("file", "chunk").agg(
-        F.min_by(F.struct("bid"), "sn").getField("bid").alias("first_bid"),
-        F.max_by(F.struct("bid"), "sn").getField("bid").alias("last_bid"),
+        F.min_by(F.struct("bid"), sn_ord).getField("bid").alias("first_bid"),
+        F.max_by(F.struct("bid"), sn_ord).getField("bid").alias("last_bid"),
         F.max("grp_local").alias("n_groups"),
         *[
             F.max(F.col(c).cast("int")).alias(f"or_{c}")

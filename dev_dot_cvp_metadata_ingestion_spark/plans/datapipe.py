@@ -10293,7 +10293,12 @@ def dedup_wjaccard_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-word vocabulary nearly every (block, term) is hot, so
     candidates_avoided ≈ the whole uncapped join — the quadratic
     volume the capped query's 22×→2× sf1 fix removed, observable as
-    data. All integer aggregates off the block-term df relation."""
+    data. One honesty-row implementation serves all three caps: the
+    per-(block, term) key rides ``fingerprint_cap_report`` as a
+    composite fingerprint (a doc lives in one block, so per-fp df ≡
+    per-block term df exactly)."""
+    from ..operators.dedup import fingerprint_cap_report
+
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
@@ -10305,36 +10310,21 @@ def dedup_wjaccard_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("doc_id div 40").cast("string"),
         ).alias("text"),
     )
-    bdf = (
-        d.select(
-            F.col("source").alias("block"),
-            "doc_id",
-            F.explode(tokens(ascii_lower(F.col("text")))).alias("term"),
-        )
-        .groupBy("block", "doc_id", "term")
-        .agg(F.lit(1))
-        .groupBy("block", "term")
-        .agg(F.count(F.lit(1)).alias("bdf"))
+    posts = d.select(
+        "doc_id",
+        "source",
+        F.explode(tokens(ascii_lower(F.col("text")))).alias("term"),
+    ).select(
+        "doc_id", F.concat_ws("\x01", "source", "term").alias("fp")
     )
-    hot = F.col("bdf") > 10
-    return bdf.agg(
-        F.count(F.lit(1)).cast("long").alias("n_block_terms"),
-        F.coalesce(F.sum("bdf"), F.lit(0)).cast("long").alias("n_postings"),
-        F.coalesce(
-            F.sum(F.when(hot, 1).otherwise(0)), F.lit(0)
-        ).cast("long").alias("n_hot_terms"),
-        F.coalesce(
-            F.sum(F.when(hot, F.col("bdf")).otherwise(F.lit(0).cast("long"))),
-            F.lit(0),
-        ).cast("long").alias("hot_posting_volume"),
-        F.coalesce(
-            F.sum(
-                F.when(hot, F.expr("bdf * (bdf - 1) div 2")).otherwise(
-                    F.lit(0).cast("long")
-                )
-            ),
-            F.lit(0),
-        ).cast("long").alias("candidates_avoided"),
+    return fingerprint_cap_report(
+        posts, id_col="doc_id", fp_col="fp", max_doc_freq=10
+    ).select(
+        F.col("n_fingerprints").alias("n_block_terms"),
+        "n_postings",
+        F.col("n_hot_fingerprints").alias("n_hot_terms"),
+        "hot_posting_volume",
+        "candidates_avoided",
     )
 
 

@@ -1043,6 +1043,18 @@ def _merge_label_updates(
         .partitionBy("part")
         .parquet(f"{path}/labels")
     )
+    # dynamic overwrite only rewrites partitions PRESENT in the output
+    # — a touched partition whose every row was removed would keep its
+    # stale file and resurrect deleted docs once the tombstones clear
+    # (r14 session review finding). Physically drop emptied partitions
+    # (touched minus written — a config-scale set).
+    import shutil
+
+    written = {
+        r["part"] for r in merged.select("part").distinct().collect()
+    }
+    for part in touched - written:
+        shutil.rmtree(f"{path}/labels/part={part}", ignore_errors=True)
 
 
 def append_pair_graph(
@@ -1071,9 +1083,31 @@ def append_pair_graph(
     caller-owned id-uniqueness contract as every append sink here."""
     from pyspark.sql import functions as F
 
+    from pyspark.sql import functions as _F
+
     from ..operators.dedup import connected_components
 
-    new_nodes = new_nodes.select("doc_id").localCheckpoint()
+    new_nodes = new_nodes.select("doc_id")
+    new_pairs_cols = new_pairs.columns
+    # tombstoned docs stay deleted (r14 session review finding): a
+    # stale index entry for a deleted doc can still surface as a pair
+    # endpoint (the LSH index is not pruned on delete), and feeding it
+    # into the label merge would resurrect the doc AND fuse clusters
+    # through an edge read_pair_graph filters out. Delete wins —
+    # re-admitting a tombstoned id requires compaction first.
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        new_nodes = new_nodes.join(_F.broadcast(tomb), "doc_id", "left_anti")
+        new_pairs = new_pairs.join(
+            _F.broadcast(tomb.select(_F.col("doc_id").alias("doc_id_a"))),
+            "doc_id_a",
+            "left_anti",
+        ).join(
+            _F.broadcast(tomb.select(_F.col("doc_id").alias("doc_id_b"))),
+            "doc_id_b",
+            "left_anti",
+        ).select(*new_pairs_cols)
+    new_nodes = new_nodes.localCheckpoint()
     new_pairs = new_pairs.localCheckpoint()
 
     if _has_cluster_labels(path):

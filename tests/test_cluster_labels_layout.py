@@ -172,3 +172,56 @@ def test_rebuild_clears_stale_labels(spark, tmp_path):
     import os
 
     assert not os.path.isdir(f"{path}/labels")
+
+
+def test_emptied_label_partition_physically_dropped(spark, tmp_path):
+    """r14 review finding: dynamic overwrite never rewrites a touched
+    partition whose rows were ALL removed — the stale file must be
+    physically dropped, or the deleted doc resurrects once
+    compact_pair_graph clears the tombstones."""
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+        compact_pair_graph,
+    )
+
+    docs = _docs(spark).filter(F.col("doc_id") < 60)
+    path = str(tmp_path / "g")
+    write_pair_graph(docs, path)
+    # n_parts larger than the doc count: most docs sit ALONE in their
+    # hash partition, so deleting one empties its partition
+    write_cluster_labels(spark, path, n_parts=512)
+    victim = spark.createDataFrame([(7,)], "doc_id long")
+    delete_from_pair_graph(spark, path, victim)
+    assert 7 not in dict(_maintained(spark, path))
+    compact_pair_graph(spark, path)  # clears tombstones
+    labels = dict(_maintained(spark, path))
+    assert 7 not in labels, "deleted doc resurrected from stale partition"
+    assert _maintained(spark, path) == _full_labels(spark, path)
+
+
+def test_append_filters_tombstoned_endpoints(spark, tmp_path):
+    """r14 review finding: a pair whose endpoint is tombstoned (e.g.
+    from a stale LSH index entry) must not resurrect the deleted doc
+    or fuse clusters through an edge read_pair_graph filters out —
+    delete wins."""
+    docs = _docs(spark).filter(F.col("doc_id") < 60)
+    path = str(tmp_path / "g")
+    write_pair_graph(docs, path)
+    write_cluster_labels(spark, path, n_parts=8)
+
+    def nodes(*ids):
+        return spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+    def pair(a, b):
+        return spark.createDataFrame(
+            [(a, b, 1.0)], "doc_id_a long, doc_id_b long, jaccard double"
+        )
+
+    A, B, C = 2000001, 2000002, 2000003
+    append_pair_graph(spark, path, nodes(A, B), pair(A, B))
+    delete_from_pair_graph(spark, path, nodes(B))
+    # stale-index-shaped append: C pairs with the DELETED B
+    append_pair_graph(spark, path, nodes(C), pair(B, C))
+    labels = dict(_maintained(spark, path))
+    assert B not in labels, "tombstoned endpoint resurrected"
+    assert labels[A] == A and labels[C] == C  # not fused through B
+    assert _maintained(spark, path) == _full_labels(spark, path)

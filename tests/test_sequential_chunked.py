@@ -222,3 +222,66 @@ def test_chunked_plan_has_no_file_only_sn_window(spark, data):
         assert not pat.search(chunked_plan)
     finally:
         spark.conf.set("spark.sql.debug.maxToStringFields", old)
+
+
+def test_null_sn_bundle_start_bit_identical(spark):
+    """r14 review finding: a bundle STARTING with a NULL-sn record must
+    not split at the sentinel-chunk boundary (min_by/max_by skip NULL
+    ordering keys unless coalesced) — the single window's nulls-first
+    order keeps it one run, and the chunked form must agree, W6
+    included."""
+    rows = [
+        ("f", 5, None, 0, 4, T0, T0, True, False),
+        ("f", 5, 0, 1, 4, T0, T0, True, False),
+        ("f", 5, 1, 3, 4, T0, T0, True, False),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    spec = _spec(with_skip=False)
+    single = _canon(sequential_results(df, spec))
+    # the bundle must be ONE run: cnt 3 != bs 4 with last_rid == bs-1
+    assert any("number of records" in r[4] for r in single)
+    for n in (2, 4, 8):
+        assert _canon(sequential_results(df, spec, n_chunks=n)) == single
+
+
+def test_null_condition_does_not_poison_error_count(spark):
+    """r14 review finding: a NULL check condition (NULL bundleSize →
+    ``bs > 1`` NULL) must not NULL out the row's error sum — the file
+    has an emitted serial-gap error, so W8 must NOT fire and
+    seq_errors must count the emitted row, in BOTH forms."""
+    rows = [
+        ("f", 1, 0, 0, 2, T0, T0, True, False),
+        ("f", 1, 5, None, None, T0, T0, True, False),  # serial gap row
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    spec = _spec(with_skip=False)
+    for kwargs in ({}, {"n_chunks": 3}):
+        res = _canon(sequential_results(df, spec, **kwargs))
+        assert any(not r[3] for r in res), kwargs          # error emitted
+        assert not any(r[2] == "SequentialCheck" for r in res), kwargs
+        stats = sequential_stats(df, spec, **kwargs).collect()
+        assert [(r.seq_rows, r.seq_errors) for r in stats] == [(1, 1)], kwargs
+
+
+def test_offset_sn_domain_does_not_collapse_chunking(spark):
+    """r14 review finding: the chunk span derives from the largest
+    PER-FILE sn range — one small file with epoch-scale serials must
+    not inflate a global span and collapse the dense giant file into
+    one chunk."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.sequential import (
+        _base_projection,
+        _chunk_span,
+    )
+
+    rows = [("big", 1, sn, sn % 10, 10, T0, T0, True, False)
+            for sn in range(1000)]
+    rows += [("tiny", 1, 10**12 + i, i, 3, T0, T0, True, False)
+             for i in range(3)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    d, _ = _base_projection(df, _spec(with_skip=False))
+    lo, span = _chunk_span(d, 8)
+    assert span == 1000 // 8  # the big file's range, not the 1e12 gap
+    # and the full pipeline stays bit-identical on this shape
+    spec = _spec(with_skip=False)
+    single = _canon(sequential_results(df, spec))
+    assert _canon(sequential_results(df, spec, n_chunks=8)) == single
