@@ -31,7 +31,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F
 
 QUERIES = [
+    # the r14 catch and its fix, tracked side by side each round
     "dedup_tfidf_weighted_jaccard",
+    "dedup_tfidf_weighted_jaccard_capped",
     "dedup_match_scores",
     "dedup_link_prediction_capped",
     "dedup_clustering_coefficients",
