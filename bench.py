@@ -104,6 +104,7 @@ def main() -> None:
 
     from dev_dot_cvp_metadata_ingestion_spark.operators.dedup import (
         ngram_jaccard_pairs,
+        weighted_jaccard_pairs_capped,
     )
     from dev_dot_cvp_metadata_ingestion_spark.operators.retrieval import (
         bm25_prf_topk,
@@ -135,6 +136,38 @@ def main() -> None:
             [(1, 1, "w1"), (1, 2, "w2")],
             "q_id long, term_pos long, term string",
         )
+        # tf-idf weight relation for the capped weighted-jaccard row
+        # (r14: the one pair family whose UNcapped join bends quadratic
+        # under exactly this Zipf head — tools/bench_sf1_pairs.py —
+        # so the capped form gets a standing realistic number)
+        def _wjc():
+            tfc = (
+                rdocs.select(
+                    F.col("source").alias("block"),
+                    "doc_id",
+                    F.explode(F.split("text", r"\s+")).alias("term"),
+                )
+                .groupBy("block", "doc_id", "term")
+                .agg(F.count(F.lit(1)).alias("tf"))
+            )
+            n_rel = rdocs.agg(F.count(F.lit(1)).alias("n_docs"))
+            df_rel = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+            w = (
+                tfc.join(df_rel, "term")
+                .crossJoin(F.broadcast(n_rel))
+                .select(
+                    "block",
+                    "doc_id",
+                    "term",
+                    (
+                        F.col("tf") * F.expr("(n_docs * 1000000L) div df")
+                    ).alias("w"),
+                )
+            )
+            return weighted_jaccard_pairs_capped(
+                w, threshold=0.5, max_doc_freq=100
+            )
+
         realistic_cases = {
             "realistic_bm25_topk": lambda: bm25_topk(rdocs, rq, k=10),
             "realistic_phrase_search": lambda: phrase_search_topk(
@@ -144,6 +177,7 @@ def main() -> None:
             "realistic_ngram_pairs": lambda: ngram_jaccard_pairs(
                 rdocs, "doc_id", "text", "source", n=2, threshold=0.05
             ),
+            "realistic_wjaccard_capped": _wjc,
         }
         for name, fn in realistic_cases.items():
             realistic_rows[name] = fn().count()  # warm + volume metric
