@@ -843,6 +843,35 @@ def write_pair_graph(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def write_pair_graph_from_pairs(
+    nodes: DataFrame, pairs: DataFrame, path: str
+) -> None:
+    """Modality-agnostic pair-graph build: persist an EXPLICIT
+    evidence relation — pHash media pairs, simhash pairs, embedding
+    cosine pairs, any ``(doc_id_a, doc_id_b, ...)`` — with its node
+    set (``doc_id``), under the SAME layout as the LSH text build, so
+    the maintained cluster labels (``write_cluster_labels`` /
+    ``append_pair_graph`` / label-maintaining
+    ``delete_from_pair_graph``) and every graph analytic work for
+    every pair family, not just text (pinned modality-agnostic in
+    tests/test_cluster_labels_layout.py). The meta row carries NULL
+    build parameters — the caller owns pair semantics here, so there
+    is nothing for probes to re-derive."""
+    spark = nodes.sparkSession
+    os.makedirs(path, exist_ok=True)
+    _reset_generations(path, ("pairs", "nodes"))
+    import shutil
+
+    shutil.rmtree(f"{path}/labels", ignore_errors=True)
+    shutil.rmtree(f"{path}/labels_meta", ignore_errors=True)
+    pairs.write.mode("overwrite").parquet(f"{path}/pairs")
+    nodes.select("doc_id").write.mode("overwrite").parquet(f"{path}/nodes")
+    spark.createDataFrame(
+        [(None, None, None)],
+        "num_hashes int, n int, threshold double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
 def read_pair_graph(
     spark: SparkSession, path: str, include_deleted: bool = False
 ) -> tuple[DataFrame, DataFrame, dict]:

@@ -225,3 +225,57 @@ def test_append_filters_tombstoned_endpoints(spark, tmp_path):
     assert B not in labels, "tombstoned endpoint resurrected"
     assert labels[A] == A and labels[C] == C  # not fused through B
     assert _maintained(spark, path) == _full_labels(spark, path)
+
+
+def test_labels_layout_is_modality_agnostic(spark, tmp_path):
+    """write_pair_graph_from_pairs: the maintained labels work over an
+    EXPLICIT pair relation — here pHash-style frame-set Jaccard pairs
+    over media postings — with the same append/delete/full-recompute
+    invariants as the LSH text build."""
+    from dev_dot_cvp_metadata_ingestion_spark.operators.dedup import (
+        fingerprint_set_jaccard_pairs,
+    )
+    from dev_dot_cvp_metadata_ingestion_spark.sources.catalog import (
+        write_pair_graph_from_pairs,
+    )
+
+    # videos 1,2 share all frames; 3 shares half with 2; 4 disjoint
+    posts = spark.createDataFrame(
+        [(1, "fA"), (1, "fB"), (2, "fA"), (2, "fB"),
+         (3, "fB"), (3, "fC"), (4, "fZ")],
+        ["doc_id", "fp"],
+    )
+    pairs = fingerprint_set_jaccard_pairs(
+        posts, id_col="doc_id", fp_col="fp", threshold=0.4
+    )
+    nodes = posts.select("doc_id").distinct()
+    path = str(tmp_path / "media_graph")
+    write_pair_graph_from_pairs(nodes, pairs, path)
+    write_cluster_labels(spark, path, n_parts=4)
+    labels = dict(_maintained(spark, path))
+    # (1,2) jaccard 1.0 and (2,3) jaccard 1/3 < 0.4 → {1,2}, {3}, {4}
+    assert labels == {1: 1, 2: 1, 3: 3, 4: 4}
+    assert _maintained(spark, path) == _full_labels(spark, path)
+
+    # append: video 5 duplicates 3's frame set → merges with 3
+    new_posts = spark.createDataFrame(
+        [(5, "fB"), (5, "fC")], ["doc_id", "fp"]
+    )
+    new_pairs = fingerprint_set_jaccard_pairs(
+        posts.unionByName(new_posts), id_col="doc_id", fp_col="fp",
+        threshold=0.4,
+    ).filter((F.col("doc_id_a") == 5) | (F.col("doc_id_b") == 5))
+    append_pair_graph(
+        spark, path, new_posts.select("doc_id").distinct(), new_pairs
+    )
+    labels = dict(_maintained(spark, path))
+    assert labels[3] == labels[5] == 3
+    assert _maintained(spark, path) == _full_labels(spark, path)
+
+    # delete 1 → 2 becomes a singleton labelled by itself
+    delete_from_pair_graph(
+        spark, path, spark.createDataFrame([(1,)], "doc_id long")
+    )
+    labels = dict(_maintained(spark, path))
+    assert 1 not in labels and labels[2] == 2
+    assert _maintained(spark, path) == _full_labels(spark, path)
