@@ -78,6 +78,16 @@ BOARD: tuple[str, ...] = (
     # The 16 round-12 additions stay for their second consecutive
     # rows, and the 27 §2 re-audit reps stay so the reference's
     # core surface keeps current driver rows.
+    # --- round-14 deliverables, first driver rows this round: the
+    # chunk-stitched sequential form (VERDICT r13 ask #1) and the
+    # capped weighted-jaccard (the sf1 spot-check's quadratic-bend
+    # fix) take immediate driver slots — the two queries whose
+    # driver evidence this round's work rides on. Yielded: two of
+    # the A7 aggregate family's FOUR board reps (orders_status_pivot,
+    # lineitem_status_cube — both green r12+r13; order_priority_rollup
+    # and orders_grouping_sets keep the family's driver presence). ---
+    "cv_sequential_checks_chunked",
+    "dedup_tfidf_weighted_jaccard_capped",
     # --- round-13 additions, first driver rows this round ---
     "ann_pq_recall_report",
     "text_spelling_correction_d2",
@@ -107,7 +117,6 @@ BOARD: tuple[str, ...] = (
     # (last driver rows r8 — rotated off in round 9)
     "pricing_summary",
     "revenue_by_nation",
-    "lineitem_status_cube",
     "cv_validation_tallies",
     "cv_sequential_checks_gated",
     "file_metrics_counters",
@@ -131,11 +140,14 @@ BOARD: tuple[str, ...] = (
     "file_metadata_docs",
     "suppliers_with_large_shipments",
     "orders_grouping_sets",
-    "orders_status_pivot",
     "events_hourly_windows",
 )
 
 BACK: tuple[str, ...] = (
+    # --- rotated off mid-round-14 for the round-14 deliverables'
+    # first driver rows (A7 family keeps 2 of 4 reps on board) ---
+    "orders_status_pivot",
+    "lineitem_status_cube",
     # --- rotated off the board in round 14 (2-3 consecutive green
     # driver rounds each; family coverage continues via the local
     # hash-parity suite and, for the IVF-PQ residual family, the
@@ -280,10 +292,10 @@ BACK: tuple[str, ...] = (
     # --- round-9 additions not board-eligible (no SQL oracle; PCA's
     # driver-side eigensolve is Python-replica-pinned instead) ---
     "embedding_pca_projected",
-    # --- round-14 additions (first driver row next rotation) ---
+    # --- round-14 additions (first driver row next rotation; the
+    # chunked sequential + capped weighted-jaccard deliverables are
+    # already on BOARD this round) ---
     "dedup_frame_cap_report",
-    "cv_sequential_checks_chunked",
-    "dedup_tfidf_weighted_jaccard_capped",
     "dedup_wjaccard_cap_report",
 )
 
