@@ -1144,30 +1144,36 @@ def append_pair_graph(
             "doc_id", "cluster_id"
         )
         ep = new_pairs.select("doc_id_a", "doc_id_b")
-        la = old.select(
-            F.col("doc_id").alias("doc_id_a"), F.col("cluster_id").alias("la")
-        )
-        lb = old.select(
-            F.col("doc_id").alias("doc_id_b"), F.col("cluster_id").alias("lb")
-        )
-        mapped = (
-            ep.join(la, "doc_id_a", "left")
-            .join(lb, "doc_id_b", "left")
-            .select(
-                F.coalesce("la", "doc_id_a").alias("src"),
-                F.coalesce("lb", "doc_id_b").alias("dst"),
-            )
-        )
+        # ONE labels scan builds the batch-scale (doc_id → contracted
+        # node) mapping; endpoint lookups and the new-doc split then
+        # ride this small relation instead of re-scanning the
+        # corpus-sized labels table per join (three scans → one)
         batch_ids = (
             new_nodes.unionByName(ep.select(F.col("doc_id_a").alias("doc_id")))
             .unionByName(ep.select(F.col("doc_id_b").alias("doc_id")))
             .distinct()
         )
-        cnodes = (
+        mapping = (
             batch_ids.join(old, "doc_id", "left")
-            .select(F.coalesce("cluster_id", "doc_id").alias("node"))
-            .distinct()
+            .select(
+                "doc_id",
+                F.coalesce("cluster_id", "doc_id").alias("node"),
+                F.col("cluster_id").alias("_known"),
+            )
+            .localCheckpoint()
         )
+        la = mapping.select(
+            F.col("doc_id").alias("doc_id_a"), F.col("node").alias("la")
+        )
+        lb = mapping.select(
+            F.col("doc_id").alias("doc_id_b"), F.col("node").alias("lb")
+        )
+        mapped = (
+            ep.join(la, "doc_id_a")
+            .join(lb, "doc_id_b")
+            .select(F.col("la").alias("src"), F.col("lb").alias("dst"))
+        )
+        cnodes = mapping.select("node").distinct()
         cc = connected_components(
             mapped.filter(F.col("src") != F.col("dst")).distinct(),
             cnodes,
@@ -1185,8 +1191,8 @@ def append_pair_graph(
         # batch docs not yet labelled: their contracted node is
         # themselves — label from cc (or self if isolated)
         fresh = (
-            batch_ids.join(old, "doc_id", "left_anti")
-            .join(cc, F.col("doc_id") == F.col("node"), "left")
+            mapping.filter(F.col("_known").isNull())
+            .join(cc, "node", "left")
             .select(
                 "doc_id",
                 F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
