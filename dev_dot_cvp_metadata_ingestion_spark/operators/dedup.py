@@ -30,6 +30,7 @@ from contextlib import contextmanager
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.relations import rebalance_narrow_scan
 from ..functions.text import content_fingerprint, tokens
 
 MINHASH_P = 2_147_483_647  # 2^31 - 1
@@ -220,7 +221,8 @@ def lsh_near_duplicates(
     frame instead.
     """
     hs = _shingle_hashes(
-        docs.filter(_has_n_tokens(text_col, n)), id_col, text_col, n
+        rebalance_narrow_scan(docs.filter(_has_n_tokens(text_col, n))),
+        id_col, text_col, n,
     ).repartition(F.col("doc_id"))
     return _lsh_pairs_plan(hs, num_hashes, threshold)
 
@@ -244,7 +246,8 @@ def lsh_near_duplicates_banded(
     raising num_hashes, not by widening bands. Same pinned shingle-hash
     frame and verify step as :func:`lsh_near_duplicates`."""
     hs = _shingle_hashes(
-        docs.filter(_has_n_tokens(text_col, n)), id_col, text_col, n
+        rebalance_narrow_scan(docs.filter(_has_n_tokens(text_col, n))),
+        id_col, text_col, n,
     ).repartition(F.col("doc_id"))
     return _lsh_pairs_plan(hs, num_hashes, threshold, rows_per_band)
 
@@ -311,12 +314,19 @@ def _lsh_candidates(
         "doc_id",
         F.explode(F.array(*band_structs)).alias("b"),
     ).select("doc_id", "b.band", "b.value")
-    # scale note: bands and sh grow with the corpus, so no broadcast
-    # hints here — the band self-join shuffles on (band, value) and the
-    # verify join on doc_id, both linear-size shuffles; AQE picks
-    # broadcast automatically when a side is actually small
+    # scale note: bands grow with the corpus, so the self-join is
+    # PINNED to a shuffle merge join (the repeated-substrings device,
+    # r15): left to the planner, the size estimate at bench scale
+    # picks a BROADCAST of the corpus-derived band relation, which
+    # both funnels the join into a single task locally (the exchange
+    # is what creates parallelism here — measured 2.5× on the posting
+    # form) and is exactly the corpus-sized-broadcast shape that dies
+    # at 100 TB; the pinned join shuffles (band, value) tuples —
+    # linear — and a hot bucket is an AQE-splittable join partition.
+    # shuffle_hash, not merge: band keys are fixed-width, the sort
+    # buys nothing (A/B at sf0.1: 3.8 s hash / 4.1 none / 4.5 merge)
     left = bands.alias("l")
-    right = bands.alias("r")
+    right = bands.hint("shuffle_hash").alias("r")
     cands = (
         left.join(
             right,
@@ -390,7 +400,8 @@ def lsh_quality_report(
     (what the banding misses) — the two knobs the b×r operating point
     trades (match prob 1-(1-J^r)^b)."""
     hs = _shingle_hashes(
-        docs.filter(_has_n_tokens(text_col, n)), id_col, text_col, n
+        rebalance_narrow_scan(docs.filter(_has_n_tokens(text_col, n))),
+        id_col, text_col, n,
     ).repartition(F.col("doc_id"))
     cands = _lsh_candidates(hs, num_hashes, rows_per_band)
     verified = _verify_pairs(hs, cands, threshold)
@@ -405,7 +416,8 @@ def lsh_quality_report(
     inter = (
         posting.alias("l")
         .join(
-            posting.alias("r"),
+            # pinned shuffle join — see ngram_jaccard_pairs (r15)
+            posting.hint("shuffle_merge").alias("r"),
             (F.col("l.h") == F.col("r.h"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
@@ -1057,7 +1069,10 @@ def ngram_jaccard_pairs_capped(
     boilerplate. Candidate work is bounded by Σ_{{df(g)≤cap}} df(g)²
     ≤ cap × posting volume: linear in the corpus at fixed cap,
     regardless of skew (measured in SCALE.md)."""
-    sh = docs.select(
+    # rebalance (r15): parallelize the tokenize/shingle projection out
+    # of a single-task scan (guide §2.5 input skew; no-op on an
+    # already-parallel scan)
+    sh = rebalance_narrow_scan(docs).select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("doc_id"),
         shingles(F.col(text_col), n).alias("sh"),
@@ -1087,7 +1102,8 @@ def ngram_jaccard_pairs_capped(
         .agg(F.sort_array(F.collect_list("gram")).alias("hg"))
     )
     a = cold.alias("a")
-    b = cold.alias("b")
+    # pinned shuffle join — see ngram_jaccard_pairs (r15)
+    b = cold.hint("shuffle_merge").alias("b")
     i_cold = (
         a.join(
             b,
@@ -1229,7 +1245,10 @@ def simhash60(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (4-bit bands give 16 buckets — the pair join is quadratic by
     construction), 60 bits give 32768 buckets per 15-bit band.
     (doc_id, simhash)."""
-    tok = docs.select(
+    # rebalance (r15): tokenize+md5 otherwise run inside the
+    # single-task scan (guide §2.5); bit votes are integer sums, so
+    # partitioning cannot change the result
+    tok = rebalance_narrow_scan(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     ).select(
@@ -1303,7 +1322,9 @@ def simhash_pairs(
         ).alias("b"),
     ).select("doc_id", "simhash", "b.band", "b.val")
     a = bands
-    b = bands.select(
+    # pinned shuffle join — see ngram_jaccard_pairs (r15); hash, not
+    # merge: band keys are fixed-width ints, the sort buys nothing
+    b = bands.hint("shuffle_hash").select(
         F.col("band").alias("band2"),
         F.col("val").alias("val2"),
         F.col("doc_id").alias("doc_id_b"),
@@ -1355,7 +1376,10 @@ def ngram_jaccard_pairs(
     posting volume — and when gram skew demands it, the stop-gram cap
     is :func:`ngram_jaccard_pairs_capped` (measured flat under a
     50%-boilerplate skew that makes THIS form quadratic; SCALE.md)."""
-    sh = docs.select(
+    # rebalance (r15): parallelize the tokenize/shingle projection out
+    # of a single-task scan (guide §2.5 input skew; no-op on an
+    # already-parallel scan)
+    sh = rebalance_narrow_scan(docs).select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("doc_id"),
         shingles(F.col(text_col), n).alias("sh"),
@@ -1367,7 +1391,11 @@ def ngram_jaccard_pairs(
         F.count(F.lit(1)).alias("sz")
     )
     a = posts.alias("a")
-    b = posts.alias("b")
+    # pinned shuffle join (r15): the planner's size estimate broadcasts
+    # the corpus-derived posting relation at bench scale, serializing
+    # the join into one task (measured 6.0 → 2.4 s) — and a posting
+    # broadcast is the shape that cannot exist at 100 TB anyway
+    b = posts.hint("shuffle_merge").alias("b")
     inter = (
         a.join(
             b,
@@ -1458,7 +1486,9 @@ def banded_hamming_pairs(
             )
         ).alias("b"),
     ).select("_id", "_h", "b.band", "b.val")
-    other = bands.select(
+    # pinned shuffle join — see ngram_jaccard_pairs (r15); hash, not
+    # merge: band keys are fixed-width ints, the sort buys nothing
+    other = bands.hint("shuffle_hash").select(
         F.col("band").alias("band2"),
         F.col("val").alias("val2"),
         F.col("_id").alias("_id_b"),
@@ -1765,7 +1795,8 @@ def fingerprint_set_jaccard_pairs(
     )
     sizes = p.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = p.alias("a")
-    b = p.alias("b")
+    # pinned shuffle join — see ngram_jaccard_pairs (r15)
+    b = p.hint("shuffle_merge").alias("b")
     shared = (
         a.join(
             b,
@@ -2044,7 +2075,8 @@ def fingerprint_set_jaccard_pairs_capped(
         .agg(F.sort_array(F.collect_list("fp")).alias("hf"))
     )
     a = cold.alias("a")
-    b = cold.alias("b")
+    # pinned shuffle join — see ngram_jaccard_pairs (r15)
+    b = cold.hint("shuffle_merge").alias("b")
     i_cold = (
         a.join(
             b,
@@ -2141,7 +2173,8 @@ def weighted_jaccard_pairs_capped(
         "block", F.col("doc_id").alias("doc_id_a"), "term",
         F.col("w").alias("wa"),
     )
-    b = cold.select(
+    # pinned shuffle join — see ngram_jaccard_pairs (r15)
+    b = cold.hint("shuffle_merge").select(
         "block", F.col("doc_id").alias("doc_id_b"), "term",
         F.col("w").alias("wb"),
     )

@@ -293,6 +293,9 @@ def ivf_knn_join(
     clustered real corpus does far better), and is EXACTLY equal to
     ``knn_join`` at nprobe = n_cells (every pair surfaces; same
     cosine, same tie-break)."""
+    # ckpt=True: both returned relations are consumed below (the
+    # corpus cell join and the probe side), so the Lloyd chain runs
+    # once instead of once per consumer (values unchanged)
     assigned, cents = kmeans_assign(
         emb,
         k=n_cells,
@@ -301,6 +304,7 @@ def ivf_knn_join(
         vec_col=vec_col,
         scale=scale,
         return_centroids=True,
+        ckpt=True,
     )
     corpus = emb.select(F.col(id_col).alias("vec_id"), vec_col).join(
         assigned.select("vec_id", "cluster"), "vec_id"
@@ -481,7 +485,7 @@ def kmeans_assign(
     emb: DataFrame, k: int = 8, iters: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
     scale: int = 10_000_000, return_centroids: bool = False,
-    prescaled: bool = False,
+    prescaled: bool = False, ckpt: bool = False,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Deterministic Lloyd's k-means over an embedding column, fully
     distributed: assignments via crossJoin against the BROADCAST
@@ -508,7 +512,14 @@ def kmeans_assign(
     ``array<long>`` and skips the quantization step — the input mode
     the residual-PQ trainer uses (residuals are exact integer
     differences of quantized vectors; re-quantizing them through a
-    float round-trip would break the determinism chain)."""
+    float round-trip would break the determinism chain).
+
+    ``ckpt=True`` materializes the per-round centroid relation (k rows)
+    with localCheckpoint, so a consumer that evaluates the returned
+    assignment (or centroids) more than once — or through further
+    checkpoints — pays the iterative Lloyd chain exactly once instead
+    of replaying it per consumer. Values are unchanged; only lineage
+    is truncated."""
     if prescaled:
         x = emb.select(
             F.col(id_col).alias("vec_id"),
@@ -527,9 +538,15 @@ def kmeans_assign(
         .limit(k)
         .select(F.col("vec_id").alias("cluster"), F.col("xf").alias("cf"))
     )
+    if ckpt:
+        cents = cents.localCheckpoint()
     assigned = None
     cents_used = cents
-    for _ in range(iters):
+    for i in range(iters):
+        if i > 0:
+            cents = _centroid_update(assigned, ["cluster"])
+            if ckpt:
+                cents = cents.localCheckpoint()
         cents_used = cents
         dist = F.aggregate(
             F.zip_with(F.col("xf"), F.col("cf"), lambda a, b: (a - b) * (a - b)),
@@ -551,31 +568,136 @@ def kmeans_assign(
                 "xf",
             )
         )
-        cents = (
-            assigned.select(
-                "cluster", F.posexplode("xf").alias("dim", "v")
-            )
-            .groupBy("cluster", "dim")
-            .agg(
-                F.floor(
-                    F.sum("v").cast("double") / F.count(F.lit(1))
-                ).cast("long").alias("cv")
-            )
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "cv"))),
-                    lambda s: s.getField("cv"),
-                ).alias("cf")
-            )
-        )
     out = assigned.select("vec_id", "cluster", "dist")
     if return_centroids:
-        # `cents` after the loop is one re-estimate AHEAD of the final
-        # assignment; consumers probing the partition (IVF) need the
-        # centroids the last assignment was actually made against
+        # the final re-estimate (one AHEAD of the final assignment) is
+        # never constructed; consumers probing the partition (IVF) need
+        # the centroids the last assignment was actually made against
         return out, cents_used
     return out
+
+
+def _centroid_update(assigned: DataFrame, keys: list[str]) -> DataFrame:
+    """Lloyd re-estimation shared by the plain and grouped trainers:
+    per-(keys, dim) fixed-point ``floor(sum/count)`` means, re-packed
+    into the dim-ordered centroid array. Exactly the expression the
+    ungrouped loop always used — values are engine-stable int64."""
+    return (
+        assigned.select(*keys, F.posexplode("xf").alias("dim", "v"))
+        .groupBy(*keys, "dim")
+        .agg(
+            F.floor(
+                F.sum("v").cast("double") / F.count(F.lit(1))
+            ).cast("long").alias("cv")
+        )
+        .groupBy(*keys)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                lambda s: s.getField("cv"),
+            ).alias("cf")
+        )
+    )
+
+
+def _pq_long_form(
+    df: DataFrame,
+    d: int,
+    m: int,
+    id_out: str,
+    vec_col: str,
+    scale: int | None,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Long-form subspace slices: one row per (row, subspace) with the
+    fixed-point (d/m)-dim slice as ``xf`` — the single projection that
+    replaces m separate sliced views of the same relation.
+    ``scale=None`` means the input array is already fixed-point int64
+    (the residual trainer's prescaled mode)."""
+    sub = d // m
+    slices = F.array(
+        *[F.slice(F.col(vec_col), s * sub + 1, sub) for s in range(m)]
+    )
+    x = df.select(
+        *extra_cols, id_out, F.posexplode(slices).alias("subspace", "_sv")
+    )
+    if scale is None:
+        q = lambda v: v.cast("long")  # noqa: E731
+    else:
+        q = lambda v: F.floor(v.cast("double") * scale).cast("long")  # noqa: E731
+    return x.select(
+        "subspace", *extra_cols, id_out, F.transform("_sv", q).alias("xf")
+    )
+
+
+def kmeans_assign_grouped(
+    x: DataFrame, k: int, iters: int, group_col: str = "subspace"
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic Lloyd's k-means over MANY groups in ONE chain —
+    the PQ trainer's scale/latency shape: instead of m independent
+    ``kmeans_assign`` plans (m centroid materializations, m broadcast
+    chains, m× the Spark jobs), the m subspace problems run as one
+    DataFrame recursion keyed by ``group_col``. Input contract: ``x``
+    is (group_col, vec_id, xf array<long> fixed-point), with every
+    vec_id present in EVERY group (the slice long-form guarantees it).
+
+    Per-group arithmetic, init, and tie-breaks are expression-for-
+    expression the ones ``kmeans_assign`` uses — init is the k smallest
+    vec_ids' vectors (identical per group because the id set is shared;
+    computed once as a TakeOrdered, never a per-group window over the
+    corpus), assignment is a broadcast join on the (m·k)-row centroid
+    relation, re-estimation is the shared fixed-point
+    ``_centroid_update`` keyed by (group, cluster) — so assignments,
+    dists, and centroids are bit-identical to the m-chain form (pinned
+    by the unchanged PQ-family oracles). Centroids are checkpointed
+    per round: the whole training is iters jobs, and both returned
+    relations replay at most one broadcast-join pass.
+
+    Returns (assigned, cents_used): assigned = (group, vec_id, cluster,
+    dist, xf); cents_used = (group, cluster, cf) — the centroids the
+    final assignment was made against."""
+    ids = (
+        x.select("vec_id").distinct().orderBy("vec_id").limit(k)
+    )
+    cents = (
+        x.join(F.broadcast(ids), "vec_id")
+        .select(
+            group_col,
+            F.col("vec_id").alias("cluster"),
+            F.col("xf").alias("cf"),
+        )
+        .localCheckpoint()
+    )
+    assigned = None
+    cents_used = cents
+    for i in range(iters):
+        if i > 0:
+            cents = _centroid_update(
+                assigned, [group_col, "cluster"]
+            ).localCheckpoint()
+        cents_used = cents
+        dist = F.aggregate(
+            F.zip_with(F.col("xf"), F.col("cf"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, y: acc + y,
+        )
+        assigned = (
+            x.join(F.broadcast(cents), group_col)
+            .select(group_col, "vec_id", "xf", "cluster", dist.alias("dist"))
+            .groupBy(group_col, "vec_id")
+            .agg(
+                F.min(F.struct("dist", "cluster")).alias("_m"),
+                F.first("xf").alias("xf"),
+            )
+            .select(
+                group_col,
+                "vec_id",
+                F.col("_m.cluster").alias("cluster"),
+                F.col("_m.dist").alias("dist"),
+                "xf",
+            )
+        )
+    return assigned, cents_used
 
 
 def pq_codes(
@@ -599,41 +721,29 @@ def pq_codes(
     per vec_id gives the vector's total reconstruction error, the
     codebook-quality metric.
 
-    Scale shape: m independent copies of the kmeans_assign plan, each
-    over a SLICED (d/m)-dim view of the same scan — per-subspace
-    centroids are k-row broadcasts, assignments never shuffle the
-    corpus, and the union is plan-level (no data motion). All
-    arithmetic inherits kmeans_assign's fixed-point int64 doctrine, so
-    the full code table is bit-identical across engines and
-    partitionings."""
+    Scale shape: ONE grouped kmeans chain over the long-form
+    (vec_id, subspace, slice) relation (``kmeans_assign_grouped`` —
+    r15: the m independent per-subspace chains collapsed into one, m×
+    fewer jobs and exchanges, values bit-identical) — the (m·k)-row
+    centroid relation is a broadcast, assignments never shuffle the
+    corpus. All arithmetic inherits kmeans_assign's fixed-point int64
+    doctrine, so the full code table is bit-identical across engines
+    and partitionings."""
     if d % m:
         raise ValueError(f"d={d} not divisible by m={m}")
-    sub = d // m
-    # every subspace chain (and each Lloyd iteration inside it) re-reads
-    # the embedding relation through its lineage — one materialization
-    # replaces the 24-36 repeated parquet scans the plan audit counted
-    # (same device as the drift/pagerank localCheckpoint pass, hashes
-    # unchanged)
+    # one materialization of the projected input replaces repeated
+    # parquet scans through the iterative lineage (hashes unchanged)
     emb = emb.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
-    outs = []
-    for s in range(m):
-        sl = emb.select(
-            F.col(id_col).alias("vec_id"),
-            F.slice(F.col(vec_col), s * sub + 1, sub).alias("embedding"),
-        )
-        asg = kmeans_assign(sl, k=k, iters=iters, scale=scale)
-        outs.append(
-            asg.select(
-                "vec_id",
-                F.lit(s).cast("long").alias("subspace"),
-                F.col("cluster").alias("code"),
-                "dist",
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    x = _pq_long_form(
+        emb, d, m, id_out=id_col, vec_col=vec_col, scale=scale
+    ).withColumnRenamed(id_col, "vec_id")
+    asg, _ = kmeans_assign_grouped(x, k=k, iters=iters)
+    return asg.select(
+        "vec_id",
+        F.col("subspace").cast("long").alias("subspace"),
+        F.col("cluster").alias("code"),
+        "dist",
+    )
 
 
 def pq_adc_topk(
@@ -670,62 +780,34 @@ def pq_adc_topk(
     (plans/datapipe.py:_adc_oracle)."""
     if d % m:
         raise ValueError(f"d={d} not divisible by m={m}")
-    sub = d // m
-    # every subspace chain (and each Lloyd iteration inside it) re-reads
-    # the embedding relation through its lineage — one materialization
-    # replaces the 24-36 repeated parquet scans the plan audit counted
-    # (same device as the drift/pagerank localCheckpoint pass, hashes
-    # unchanged)
+    # one materialization of the projected input replaces repeated
+    # parquet scans through the iterative lineage (hashes unchanged)
     emb = emb.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
-    # the query relation is config-scale but feeds one sliced view per
-    # subspace — checkpoint it too so the probe side scans once
+    # the query relation is config-scale but feeds the sliced long
+    # form — checkpoint it too so the probe side scans once
     queries = queries.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
-    code_parts, dt_parts = [], []
-    for s in range(m):
-        sl = emb.select(
-            F.col(id_col).alias("vec_id"),
-            F.slice(F.col(vec_col), s * sub + 1, sub).alias("embedding"),
-        )
-        asg, cents = kmeans_assign(
-            sl, k=k_codebook, iters=iters, scale=scale, return_centroids=True
-        )
-        # the centroid relation is k rows but its lineage is the whole
-        # iterative kmeans chain, and it has TWO consumers here (the
-        # assignment that produced the codes, and the query distance
-        # table) — materialize it so the chain runs once per subspace,
-        # not once per consumer (measured 14.3 → ~8 s at sf0.1)
-        cents = cents.localCheckpoint()
-        qf = queries.select(
-            F.col(id_col).alias("q_id"),
-            F.transform(
-                F.slice(F.col(vec_col), s * sub + 1, sub),
-                lambda v: F.floor(v.cast("double") * scale).cast("long"),
-            ).alias("qf"),
-        )
-        qd = F.aggregate(
-            F.zip_with(F.col("qf"), F.col("cf"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, y: acc + y,
-        )
-        dt_parts.append(
-            qf.crossJoin(F.broadcast(cents)).select(
-                F.lit(s).alias("subspace"), "q_id", "cluster", qd.alias("qd")
-            )
-        )
-        code_parts.append(
-            asg.select(
-                F.lit(s).alias("subspace"), "vec_id", "cluster"
-            )
-        )
-    # single long-form (subspace, cluster) lookup join instead of m
-    # separate join+union stages: the broadcast side is all m distance
-    # tables together (|queries| x k x m rows — still config-scale)
-    codes = code_parts[0]
-    for c in code_parts[1:]:
-        codes = codes.unionByName(c)
-    dts = dt_parts[0]
-    for t in dt_parts[1:]:
-        dts = dts.unionByName(t)
+    # ONE grouped kmeans over the long-form slices instead of m
+    # independent chains (r15; values bit-identical — see pq_codes)
+    x = _pq_long_form(
+        emb, d, m, id_out=id_col, vec_col=vec_col, scale=scale
+    ).withColumnRenamed(id_col, "vec_id")
+    asg, cents = kmeans_assign_grouped(x, k=k_codebook, iters=iters)
+    codes = asg.select("subspace", "vec_id", "cluster")
+    qx = _pq_long_form(
+        queries, d, m, id_out=id_col, vec_col=vec_col, scale=scale
+    ).select("subspace", F.col(id_col).alias("q_id"), F.col("xf").alias("qf"))
+    qd = F.aggregate(
+        F.zip_with(F.col("qf"), F.col("cf"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    # single long-form (subspace, cluster) lookup join: the broadcast
+    # side is all m distance tables together (|queries| x k x m rows —
+    # still config-scale), built by ONE subspace-keyed join instead of
+    # m crossJoin+union stages
+    dts = qx.join(F.broadcast(cents), "subspace").select(
+        "subspace", "q_id", "cluster", qd.alias("qd")
+    )
     scored = (
         codes.join(F.broadcast(dts), ["subspace", "cluster"])
         .groupBy("q_id", "vec_id")
@@ -852,12 +934,14 @@ def ivf_pq_adc_topk(
     turns the cell join into partition pruning at the file level."""
     from pyspark.sql import Window
 
-    sub = d // m
     # one materialization of the projected input replaces the repeated
-    # parquet scans of the coarse chain + 8 subspace chains (see
+    # parquet scans of the coarse chain + the grouped PQ chain (see
     # pq_codes); hashes unchanged
     emb = emb.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
     queries = queries.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
+    # ckpt=True: the coarse chain's centroids are materialized per
+    # round, so neither the cellmap nor the probe side replays the
+    # iterative Lloyd lineage (values unchanged)
     coarse_asg, coarse_cents = kmeans_assign(
         emb,
         k=n_cells,
@@ -866,8 +950,8 @@ def ivf_pq_adc_topk(
         vec_col=vec_col,
         scale=coarse_scale,
         return_centroids=True,
+        ckpt=True,
     )
-    coarse_cents = coarse_cents.localCheckpoint()
     qx = queries.select(
         F.col(id_col).alias("q_id"),
         F.transform(
@@ -888,43 +972,24 @@ def ivf_pq_adc_topk(
         .filter(F.col("_pr") <= nprobe)
         .select("q_id", "cell")
     )
-    # PQ halves — identical chains to pq_adc_topk
-    code_parts, dt_parts = [], []
-    for s in range(m):
-        sl = emb.select(
-            F.col(id_col).alias("vec_id"),
-            F.slice(F.col(vec_col), s * sub + 1, sub).alias("embedding"),
-        )
-        asg, cents = kmeans_assign(
-            sl, k=k_codebook, iters=iters, scale=scale, return_centroids=True
-        )
-        cents = cents.localCheckpoint()
-        qf = queries.select(
-            F.col(id_col).alias("q_id"),
-            F.transform(
-                F.slice(F.col(vec_col), s * sub + 1, sub),
-                lambda v: F.floor(v.cast("double") * scale).cast("long"),
-            ).alias("qf"),
-        )
-        qd = F.aggregate(
-            F.zip_with(F.col("qf"), F.col("cf"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, y: acc + y,
-        )
-        dt_parts.append(
-            qf.crossJoin(F.broadcast(cents)).select(
-                F.lit(s).alias("subspace"), "q_id", "cluster", qd.alias("qd")
-            )
-        )
-        code_parts.append(
-            asg.select(F.lit(s).alias("subspace"), "vec_id", "cluster")
-        )
-    codes = code_parts[0]
-    for c in code_parts[1:]:
-        codes = codes.unionByName(c)
-    dts = dt_parts[0]
-    for t in dt_parts[1:]:
-        dts = dts.unionByName(t)
+    # PQ half — ONE grouped kmeans over the long-form slices (r15;
+    # identical values to the m-chain form, see pq_codes)
+    x = _pq_long_form(
+        emb, d, m, id_out=id_col, vec_col=vec_col, scale=scale
+    ).withColumnRenamed(id_col, "vec_id")
+    asg, cents = kmeans_assign_grouped(x, k=k_codebook, iters=iters)
+    codes = asg.select("subspace", "vec_id", "cluster")
+    qfl = _pq_long_form(
+        queries, d, m, id_out=id_col, vec_col=vec_col, scale=scale
+    ).select("subspace", F.col(id_col).alias("q_id"), F.col("xf").alias("qf"))
+    qd2 = F.aggregate(
+        F.zip_with(F.col("qf"), F.col("cf"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    dts = qfl.join(F.broadcast(cents), "subspace").select(
+        "subspace", "q_id", "cluster", qd2.alias("qd")
+    )
     cellmap = coarse_asg.select("vec_id", F.col("cluster").alias("cell"))
     scored = (
         codes.join(cellmap, "vec_id")
@@ -1097,9 +1162,10 @@ def ivf_pq_residual_topk(
     ratio = coarse_scale // scale
     off = 4 * coarse_scale  # |xf|,|cf| <= 2*coarse_scale => r+off > 0
     off_r = off // ratio
-    sub = d // m
     emb = emb.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
     queries = queries.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
+    # ckpt=True: coarse centroids materialized per round — the cellmap
+    # and residual projection never replay the Lloyd chain
     coarse_asg, coarse_cents = kmeans_assign(
         emb,
         k=n_cells,
@@ -1108,8 +1174,8 @@ def ivf_pq_residual_topk(
         vec_col=vec_col,
         scale=coarse_scale,
         return_centroids=True,
+        ckpt=True,
     )
-    coarse_cents = coarse_cents.localCheckpoint()
     requant = (
         f"transform(zip_with(xf, cf, (a, b) -> a - b), "
         f"r -> ((r + {off}L) div {ratio}L) - {off_r}L)"
@@ -1179,49 +1245,24 @@ def ivf_pq_residual_topk(
         .select("q_id", "cell", F.expr(q_requant).alias("qrf"))
         .localCheckpoint()
     )
-    code_parts, dt_parts = [], []
-    for s in range(m):
-        sl = xr.select(
-            "vec_id", F.slice(F.col("rf"), s * sub + 1, sub).alias("rslice")
-        )
-        asg, cents = kmeans_assign(
-            sl,
-            k=k_codebook,
-            iters=iters,
-            vec_col="rslice",
-            scale=scale,
-            return_centroids=True,
-            prescaled=True,
-        )
-        cents = cents.localCheckpoint()
-        qf = qr.select(
-            "q_id",
-            "cell",
-            F.slice(F.col("qrf"), s * sub + 1, sub).alias("qf"),
-        )
-        qd = F.aggregate(
-            F.zip_with(F.col("qf"), F.col("cf"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, y: acc + y,
-        )
-        dt_parts.append(
-            qf.crossJoin(F.broadcast(cents)).select(
-                F.lit(s).alias("subspace"),
-                "q_id",
-                "cell",
-                "cluster",
-                qd.alias("qd"),
-            )
-        )
-        code_parts.append(
-            asg.select(F.lit(s).alias("subspace"), "vec_id", "cluster")
-        )
-    codes = code_parts[0]
-    for c in code_parts[1:]:
-        codes = codes.unionByName(c)
-    dts = dt_parts[0]
-    for t in dt_parts[1:]:
-        dts = dts.unionByName(t)
+    # residual PQ half — ONE grouped kmeans over the long-form residual
+    # slices (prescaled: rf is already fixed-point int64); values
+    # bit-identical to the m-chain form (see pq_codes)
+    x = _pq_long_form(xr, d, m, id_out="vec_id", vec_col="rf", scale=None)
+    asg, cents = kmeans_assign_grouped(x, k=k_codebook, iters=iters)
+    codes = asg.select("subspace", "vec_id", "cluster")
+    qfl = _pq_long_form(
+        qr, d, m, id_out="q_id", vec_col="qrf", scale=None,
+        extra_cols=("cell",),
+    ).select("subspace", "q_id", "cell", F.col("xf").alias("qf"))
+    qd2 = F.aggregate(
+        F.zip_with(F.col("qf"), F.col("cf"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    dts = qfl.join(F.broadcast(cents), "subspace").select(
+        "subspace", "q_id", "cell", "cluster", qd2.alias("qd")
+    )
     cellmap = xr.select("vec_id", "cell")
     scored = (
         codes.join(cellmap, "vec_id")

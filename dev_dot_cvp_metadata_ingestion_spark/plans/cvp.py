@@ -68,7 +68,13 @@ def _events_ruleset():
 
 
 def _events_with_file(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # rebalance (r15): the compiled rule projection and the per-file
+    # window stages otherwise inherit the scan's partitioning — ONE
+    # task for the single-row-group bench file (guide §2.5 input
+    # skew); no-op whenever the scan is already core-parallel
+    from ..functions.relations import rebalance_narrow_scan
+
+    ev = rebalance_narrow_scan(load_table(spark, sf_dir, "events"))
     return ev.withColumn(
         "file",
         F.concat(F.lit("f"), F.floor(F.col("event_id") / 2000).cast("string")),

@@ -174,7 +174,14 @@ def _bucket_sql(n_planes: int, v: str = "v") -> str:
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts, punctuation/stopword ratios, composite quality,
     rolling hash, content fingerprint — the cheap text-quality sweep."""
-    d = load_table(spark, sf_dir, "documents")
+    from ..functions.relations import rebalance_narrow_scan
+
+    # rebalance (r15): a pure per-row projection otherwise runs inside
+    # the single-task scan of the one-row-group bench file (guide §2.5
+    # input skew; measured 1.23 → 0.49 s at sf0.1; no-op on a
+    # realistically multi-file scan). Per-row values are partitioning-
+    # independent by construction.
+    d = rebalance_narrow_scan(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -2992,7 +2999,15 @@ def _embedding_cosine_pairs(
         F.col("u").alias("ua"),
         F.col("bucket").alias("ba"),
     )
-    b = unit.select(
+    # pinned shuffle join (r15, the ngram_jaccard_pairs device): the
+    # planner broadcasts the corpus-derived bucket relation at bench
+    # scale, which funnels the join AND the downstream 64-products-
+    # per-pair explode+sum into a single task; the pinned join
+    # parallelizes by bucket (hot buckets AQE-splittable) and a corpus
+    # broadcast is the shape that cannot exist at 100 TB. Value-safe:
+    # each pair's product rows still come from one explode in one
+    # task, so the per-pair partial-sum order is unchanged.
+    b = unit.hint("shuffle_hash").select(
         F.col("vec_id").alias("vec_id_b"),
         F.col("u").alias("ub"),
         F.col("bucket").alias("bb"),
@@ -10105,7 +10120,10 @@ def dedup_tfidf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "block", F.col("doc_id").alias("doc_id_a"), "term",
         F.col("w").alias("wa"),
     )
-    b = w.select(
+    # pinned shuffle join — see operators/dedup.py ngram_jaccard_pairs
+    # (r15): a corpus-derived broadcast serializes the join locally
+    # and cannot exist at scale
+    b = w.hint("shuffle_merge").select(
         "block", F.col("doc_id").alias("doc_id_b"), "term",
         F.col("w").alias("wb"),
     )

@@ -65,11 +65,20 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: A2/A7-style tallying (cvp_bucket_event_lambda_handler.py:115-153)
     generalized to a grouped aggregate.
     """
+    from ..functions.relations import rebalance_narrow_scan
+
     l = load_table(spark, sf_dir, "lineitem")
     disc_price = _dec("l_extendedprice") * (1 - _dec("l_discount", _RATE))
     charge = disc_price * (1 + _dec("l_tax", _RATE))
+    # rebalance (r15): the decimal partial aggregate otherwise runs in
+    # the single-task scan (guide §2.5; measured 1.58 → 0.87 s at
+    # sf0.1). DECIMAL sums are exact, so merge order cannot change
+    # the result; the filter still pushes to the scan (the rebalance
+    # sits above it after predicate pushdown).
     return (
-        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        rebalance_narrow_scan(
+            l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(_dec("l_quantity", _QTY)).cast("double").alias("sum_qty"),

@@ -486,6 +486,7 @@ def write_ivf_layout(
         vec_col=vec_col,
         scale=scale,
         return_centroids=True,
+        ckpt=True,
     )
     keyed = emb.select(F.col(id_col).alias("vec_id"), vec_col).join(
         assigned.select("vec_id", "cluster"), "vec_id"
@@ -2210,32 +2211,20 @@ def write_pq_layout(
     tests/test_pq_layout.py)."""
     from pyspark.sql import functions as F
 
-    from ..operators.similarity import kmeans_assign
+    from ..operators.similarity import _pq_long_form, kmeans_assign_grouped
 
     os.makedirs(path, exist_ok=True)
     _reset_generations(path, ("codes",))
-    sub = d // m
-    code_parts, cb_parts = [], []
-    for s in range(m):
-        sl = emb.select(
-            F.col(id_col).alias("vec_id"),
-            F.slice(F.col(vec_col), s * sub + 1, sub).alias("embedding"),
-        )
-        asg, cents = kmeans_assign(
-            sl, k=k_codebook, iters=iters, scale=scale, return_centroids=True
-        )
-        code_parts.append(
-            asg.select(F.lit(s).alias("subspace"), "vec_id", "cluster")
-        )
-        cb_parts.append(
-            cents.select(F.lit(s).alias("subspace"), "cluster", "cf")
-        )
-    codes = code_parts[0]
-    for c in code_parts[1:]:
-        codes = codes.unionByName(c)
-    cbs = cb_parts[0]
-    for c in cb_parts[1:]:
-        cbs = cbs.unionByName(c)
+    # ONE grouped kmeans over the long-form slices instead of m
+    # independent chains (r15; values bit-identical — probe twins
+    # pinned in tests/test_pq_layout.py stay green)
+    emb_p = emb.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
+    x = _pq_long_form(
+        emb_p, d, m, id_out=id_col, vec_col=vec_col, scale=scale
+    ).withColumnRenamed(id_col, "vec_id")
+    asg, cents = kmeans_assign_grouped(x, k=k_codebook, iters=iters)
+    codes = asg.select("subspace", "vec_id", "cluster")
+    cbs = cents.select("subspace", "cluster", "cf")
     codes.write.mode("overwrite").parquet(f"{path}/codes")
     cbs.write.mode("overwrite").parquet(f"{path}/codebooks")
     emb.sparkSession.createDataFrame(
@@ -2360,42 +2349,35 @@ def write_ivf_pq_layout(
     (tests/test_ivf_pq_layout.py)."""
     from pyspark.sql import functions as F
 
-    from ..operators.similarity import kmeans_assign
+    from ..operators.similarity import (
+        _pq_long_form,
+        kmeans_assign,
+        kmeans_assign_grouped,
+    )
 
     os.makedirs(path, exist_ok=True)
     _reset_generations(path, ("codes",))
-    sub = d // m
+    emb_p = emb.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
     coarse_asg, coarse_cents = kmeans_assign(
-        emb,
+        emb_p,
         k=n_cells,
         iters=iters,
         id_col=id_col,
         vec_col=vec_col,
         scale=coarse_scale,
         return_centroids=True,
+        ckpt=True,
     )
     cellmap = coarse_asg.select("vec_id", F.col("cluster").alias("cell"))
-    code_parts, cb_parts = [], []
-    for s in range(m):
-        sl = emb.select(
-            F.col(id_col).alias("vec_id"),
-            F.slice(F.col(vec_col), s * sub + 1, sub).alias("embedding"),
-        )
-        asg, cents = kmeans_assign(
-            sl, k=k_codebook, iters=iters, scale=scale, return_centroids=True
-        )
-        code_parts.append(
-            asg.select(F.lit(s).alias("subspace"), "vec_id", "cluster")
-        )
-        cb_parts.append(
-            cents.select(F.lit(s).alias("subspace"), "cluster", "cf")
-        )
-    codes = code_parts[0]
-    for c in code_parts[1:]:
-        codes = codes.unionByName(c)
-    cbs = cb_parts[0]
-    for c in cb_parts[1:]:
-        cbs = cbs.unionByName(c)
+    # ONE grouped kmeans over the long-form slices instead of m
+    # independent chains (r15; values bit-identical — probe twins
+    # pinned in tests/test_ivf_pq_layout.py stay green)
+    x = _pq_long_form(
+        emb_p, d, m, id_out=id_col, vec_col=vec_col, scale=scale
+    ).withColumnRenamed(id_col, "vec_id")
+    asg, cents = kmeans_assign_grouped(x, k=k_codebook, iters=iters)
+    codes = asg.select("subspace", "vec_id", "cluster")
+    cbs = cents.select("subspace", "cluster", "cf")
     keyed = codes.join(cellmap, "vec_id").withColumn(
         "cell", F.col("cell").cast("int")
     )
@@ -2565,7 +2547,11 @@ def write_ivf_pq_residual_layout(
     in tests/test_ivf_pq_residual_layout.py)."""
     from pyspark.sql import functions as F
 
-    from ..operators.similarity import kmeans_assign
+    from ..operators.similarity import (
+        _pq_long_form,
+        kmeans_assign,
+        kmeans_assign_grouped,
+    )
 
     if coarse_scale % scale:
         raise ValueError(
@@ -2574,7 +2560,6 @@ def write_ivf_pq_residual_layout(
     ratio = coarse_scale // scale
     off = 4 * coarse_scale
     off_r = off // ratio
-    sub = d // m
     spark = emb.sparkSession
     os.makedirs(path, exist_ok=True)
     _reset_generations(path, ("codes",))
@@ -2588,8 +2573,8 @@ def write_ivf_pq_residual_layout(
         vec_col=vec_col,
         scale=coarse_scale,
         return_centroids=True,
+        ckpt=True,
     )
-    coarse_cents = coarse_cents.localCheckpoint()
     requant = (
         f"transform(zip_with(xf, cf, (a, b) -> a - b), "
         f"r -> ((r + {off}L) div {ratio}L) - {off_r}L)"
@@ -2615,32 +2600,13 @@ def write_ivf_pq_residual_layout(
         .select("vec_id", "cell", F.expr(requant).alias("rf"))
         .localCheckpoint()
     )
-    code_parts, cb_parts = [], []
-    for s in range(m):
-        sl = xr.select(
-            "vec_id", F.slice(F.col("rf"), s * sub + 1, sub).alias("rslice")
-        )
-        asg, cents = kmeans_assign(
-            sl,
-            k=k_codebook,
-            iters=iters,
-            vec_col="rslice",
-            scale=scale,
-            return_centroids=True,
-            prescaled=True,
-        )
-        code_parts.append(
-            asg.select(F.lit(s).alias("subspace"), "vec_id", "cluster")
-        )
-        cb_parts.append(
-            cents.select(F.lit(s).alias("subspace"), "cluster", "cf")
-        )
-    codes = code_parts[0]
-    for c in code_parts[1:]:
-        codes = codes.unionByName(c)
-    cbs = cb_parts[0]
-    for c in cb_parts[1:]:
-        cbs = cbs.unionByName(c)
+    # ONE grouped kmeans over the long-form residual slices instead of
+    # m independent chains (r15; values bit-identical — probe twins
+    # pinned in tests/test_ivf_pq_residual_layout.py stay green)
+    x = _pq_long_form(xr, d, m, id_out="vec_id", vec_col="rf", scale=None)
+    asg, cents = kmeans_assign_grouped(x, k=k_codebook, iters=iters)
+    codes = asg.select("subspace", "vec_id", "cluster")
+    cbs = cents.select("subspace", "cluster", "cf")
     keyed = codes.join(xr.select("vec_id", "cell"), "vec_id").withColumn(
         "cell", F.col("cell").cast("int")
     )
