@@ -1084,22 +1084,31 @@ def ngram_jaccard_pairs_capped(
         .filter(F.col("_df") > max_doc_freq)
         .select("block", "gram")
     )
-    cold = posts.join(hot, ["block", "gram"], "left_anti")
     # exact intersection without a full-array rejoin: cold collisions
     # fall out of the pair aggregate (i_cold = #shared cold grams),
     # hot grams rejoin as SMALL per-doc arrays (≤ the block's
     # boilerplate vocabulary) whose pairwise overlap tops i back up —
     # so the clean-corpus overhead shrinks to the df aggregate + the
-    # anti join (measured at sf0.1, unskewed: uncapped 4.7 s,
+    # hot-mark join (measured at sf0.1, unskewed: uncapped 4.7 s,
     # array-verify capped form 8.3 s, this form 6.6 s — 1.4× for the
-    # skew insurance that is 15.6× the other way under boilerplate)
-    sizes = posts.groupBy("block", "doc_id").agg(
-        F.count(F.lit(1)).alias("sz")
+    # skew insurance that is 15.6× the other way under boilerplate).
+    # r15: ONE hot-marking join feeds both the cold side and the
+    # per-doc aggregate (was a left_anti plus an inner join over the
+    # same postings), and sizes + hot arrays ride ONE groupBy
+    # (collect_list skips the null-for-cold entries; a doc with no hot
+    # grams gets an empty array — same intersect the old
+    # null-then-coalesce path produced)
+    pf = posts.join(
+        F.broadcast(hot.withColumn("_hot", F.lit(True))),
+        ["block", "gram"],
+        "left",
     )
-    hot_arrays = (
-        posts.join(hot, ["block", "gram"])
-        .groupBy("block", "doc_id")
-        .agg(F.sort_array(F.collect_list("gram")).alias("hg"))
+    cold = pf.filter(F.col("_hot").isNull()).drop("_hot")
+    per_doc = pf.groupBy("block", "doc_id").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("_hot"), F.col("gram")))
+        ).alias("hg"),
     )
     a = cold.alias("a")
     # pinned shuffle join — see ngram_jaccard_pairs (r15)
@@ -1119,17 +1128,17 @@ def ngram_jaccard_pairs_capped(
         .agg(F.count(F.lit(1)).alias("ic"))
     )
     empty = F.array().cast("array<string>")
-    ha = hot_arrays.select(
-        "block", F.col("doc_id").alias("doc_id_a"), F.col("hg").alias("hg_a")
+    pa = per_doc.select(
+        "block",
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("sz").alias("la"),
+        F.col("hg").alias("hg_a"),
     )
-    hb = hot_arrays.select(
-        "block", F.col("doc_id").alias("doc_id_b"), F.col("hg").alias("hg_b")
-    )
-    la = sizes.select(
-        "block", F.col("doc_id").alias("doc_id_a"), F.col("sz").alias("la")
-    )
-    lb = sizes.select(
-        "block", F.col("doc_id").alias("doc_id_b"), F.col("sz").alias("lb")
+    pb = per_doc.select(
+        "block",
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("sz").alias("lb"),
+        F.col("hg").alias("hg_b"),
     )
     inter = F.col("ic") + F.size(
         F.array_intersect(
@@ -1148,10 +1157,8 @@ def ngram_jaccard_pairs_capped(
         F.lit(0.0)
     )
     return (
-        i_cold.join(la, ["block", "doc_id_a"])
-        .join(lb, ["block", "doc_id_b"])
-        .join(ha, ["block", "doc_id_a"], "left")
-        .join(hb, ["block", "doc_id_b"], "left")
+        i_cold.join(pa, ["block", "doc_id_a"])
+        .join(pb, ["block", "doc_id_b"])
         .select(
             "block",
             "doc_id_a",
@@ -1685,7 +1692,12 @@ def sorted_neighborhood_pairs(
     per-candidate array-intersect over the pair's shingle sets —
     affordable precisely because SNM caps candidates at
     ``n_docs * window`` (contrast ``ngram_jaccard_pairs``, whose
-    posting-list join must bound the quadratic blow-up itself). Output
+    posting-list join must bound the quadratic blow-up itself).
+    Shingle sets are computed ONCE PER DOC and joined onto the
+    candidates by id (r15 — the multipass verify's shape; inlining
+    ``shingles(text_a)`` into the candidate projection tokenized every
+    doc once per candidate it appears in, ~2·window× the work for
+    identical arrays). Output
     (block, doc_id_a, doc_id_b, rank_gap, jaccard), unordered."""
     cand = sorted_neighborhood_candidates(
         docs,
@@ -1694,23 +1706,30 @@ def sorted_neighborhood_pairs(
         block_col,
         window=window,
         key_chars=key_chars,
+    ).select("block", "doc_id_a", "doc_id_b", "rank_gap")
+    t = docs.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), n).alias("sh"),
     )
-    sha = shingles(F.col("text_a"), n)
-    shb = shingles(F.col("text_b"), n)
-    i = F.size(F.array_intersect(sha, shb)).cast("long")
-    la = F.size(sha).cast("long")
-    lb = F.size(shb).cast("long")
+    a = t.select(
+        "block", F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a")
+    )
+    b = t.select(
+        "block", F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b")
+    )
+    ver = cand.join(a, ["block", "doc_id_a"]).join(b, ["block", "doc_id_b"])
+    i = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    la = F.size("sh_a").cast("long")
+    lb = F.size("sh_b").cast("long")
     jac = i.cast("double") / (la + lb - i)
-    return (
-        cand.select(
-            "block",
-            "doc_id_a",
-            "doc_id_b",
-            "rank_gap",
-            jac.alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return ver.select(
+        "block",
+        "doc_id_a",
+        "doc_id_b",
+        "rank_gap",
+        jac.alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def sorted_neighborhood_edit_pairs(
@@ -2067,12 +2086,18 @@ def fingerprint_set_jaccard_pairs_capped(
     )
     df_rel = p.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
     hot = df_rel.filter(F.col("_df") > max_doc_freq).select("fp")
-    cold = p.join(hot, "fp", "left_anti")
-    sizes = p.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    hot_arrays = (
-        p.join(hot, "fp")
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_list("fp")).alias("hf"))
+    # ONE hot-marking join + ONE per-doc aggregate (r15 — see
+    # ngram_jaccard_pairs_capped; hot fingerprints are the corpus's
+    # ubiquitous-frame vocabulary, broadcast-scale by definition)
+    pf = p.join(
+        F.broadcast(hot.withColumn("_hot", F.lit(True))), "fp", "left"
+    )
+    cold = pf.filter(F.col("_hot").isNull()).drop("_hot")
+    per_doc = pf.groupBy("id").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("_hot"), F.col("fp")))
+        ).alias("hf"),
     )
     a = cold.alias("a")
     # pinned shuffle join — see ngram_jaccard_pairs (r15)
@@ -2094,10 +2119,16 @@ def fingerprint_set_jaccard_pairs_capped(
     from pyspark.sql.types import ArrayType
 
     empty = F.array().cast(ArrayType(p.schema["fp"].dataType))
-    ha = hot_arrays.select(F.col("id").alias("id_a"), F.col("hf").alias("hf_a"))
-    hb = hot_arrays.select(F.col("id").alias("id_b"), F.col("hf").alias("hf_b"))
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b"))
+    pa = per_doc.select(
+        F.col("id").alias("id_a"),
+        F.col("sz").alias("size_a"),
+        F.col("hf").alias("hf_a"),
+    )
+    pb = per_doc.select(
+        F.col("id").alias("id_b"),
+        F.col("sz").alias("size_b"),
+        F.col("hf").alias("hf_b"),
+    )
     inter = F.col("ic") + F.size(
         F.array_intersect(F.coalesce("hf_a", empty), F.coalesce("hf_b", empty))
     )
@@ -2105,10 +2136,8 @@ def fingerprint_set_jaccard_pairs_capped(
         F.col("size_a") + F.col("size_b") - inter
     )
     return (
-        i_cold.join(sa, "id_a")
-        .join(sb, "id_b")
-        .join(ha, "id_a", "left")
-        .join(hb, "id_b", "left")
+        i_cold.join(pa, "id_a")
+        .join(pb, "id_b")
         .select(
             F.col("id_a").alias(f"{id_col}_a"),
             F.col("id_b").alias(f"{id_col}_b"),
@@ -2158,16 +2187,28 @@ def weighted_jaccard_pairs_capped(
     ).localCheckpoint()
     df_rel = p.groupBy("block", "term").agg(F.count(F.lit(1)).alias("_df"))
     hot = df_rel.filter(F.col("_df") > max_doc_freq).select("block", "term")
-    cold = p.join(hot, ["block", "term"], "left_anti")
-    tot = p.groupBy("block", "doc_id").agg(F.sum("w").alias("s"))
-    hot_maps = (
-        p.join(hot, ["block", "term"])
-        .groupBy("block", "doc_id")
-        .agg(
-            F.map_from_entries(
-                F.sort_array(F.collect_list(F.struct("term", "w")))
-            ).alias("hm")
-        )
+    # ONE hot-marking join feeds both the cold candidate side and the
+    # per-doc aggregate (r15 — was a left_anti plus an inner join over
+    # the same posting relation), and the per-doc totals and hot maps
+    # ride ONE groupBy instead of two (collect_list skips the
+    # null-for-cold entries, so hm holds exactly the hot terms; a doc
+    # with no hot terms gets an empty map — the same Σ min the old
+    # null-then-coalesce path produced)
+    pf = p.join(
+        F.broadcast(hot.withColumn("_hot", F.lit(True))),
+        ["block", "term"],
+        "left",
+    )
+    cold = pf.filter(F.col("_hot").isNull()).drop("_hot")
+    per_doc = pf.groupBy("block", "doc_id").agg(
+        F.sum("w").alias("s"),
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_hot"), F.struct("term", "w"))
+                )
+            )
+        ).alias("hm"),
     )
     a = cold.select(
         "block", F.col("doc_id").alias("doc_id_a"), "term",
@@ -2200,17 +2241,17 @@ def weighted_jaccard_pairs_capped(
             )
         )
     )
-    ha = hot_maps.select(
-        "block", F.col("doc_id").alias("doc_id_a"), F.col("hm").alias("hm_a")
+    pa = per_doc.select(
+        "block",
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("s").alias("s_a"),
+        F.col("hm").alias("hm_a"),
     )
-    hb = hot_maps.select(
-        "block", F.col("doc_id").alias("doc_id_b"), F.col("hm").alias("hm_b")
-    )
-    sa = tot.select(
-        "block", F.col("doc_id").alias("doc_id_a"), F.col("s").alias("s_a")
-    )
-    sb = tot.select(
-        "block", F.col("doc_id").alias("doc_id_b"), F.col("s").alias("s_b")
+    pb = per_doc.select(
+        "block",
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("s").alias("s_b"),
+        F.col("hm").alias("hm_b"),
     )
     # Σ min over hot terms: map_zip_with unions keys — a key on ONE
     # side must contribute 0, and Spark's least() IGNORES nulls, so
@@ -2231,10 +2272,8 @@ def weighted_jaccard_pairs_capped(
     smin = F.col("_smin_cold") + hot_min
     wj = smin.cast("double") / (F.col("s_a") + F.col("s_b") - smin)
     return (
-        smin_cold.join(sa, ["block", "doc_id_a"])
-        .join(sb, ["block", "doc_id_b"])
-        .join(ha, ["block", "doc_id_a"], "left")
-        .join(hb, ["block", "doc_id_b"], "left")
+        smin_cold.join(pa, ["block", "doc_id_a"])
+        .join(pb, ["block", "doc_id_b"])
         .select(
             "block", "doc_id_a", "doc_id_b", wj.alias("wjaccard")
         )

@@ -117,9 +117,14 @@ def corpus_postings(
     the totals row from dl, so the corpus tokenize has a single
     consumer and every downstream aggregate is map-side combined over
     an already-shrunk relation."""
+    from ..functions.relations import rebalance_narrow_scan
     from ..functions.text import tokens
 
-    toks = docs.select(
+    # rebalance (r15): the corpus tokenize otherwise runs inside the
+    # single-task scan (guide §2.5 input skew; no-op on an
+    # already-parallel scan); tf counts are integers, so partitioning
+    # cannot change any downstream value
+    toks = rebalance_narrow_scan(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("word"),
     )

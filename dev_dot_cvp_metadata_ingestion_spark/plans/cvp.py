@@ -1171,7 +1171,12 @@ def csv_rule_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercises the string→decimal parse-failure branch (the 'flag'
     column is alphabetic) and DateFormat timestamp parsing
     (validator.py:208-229, 419-432)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    from ..functions.relations import rebalance_narrow_scan
+
+    # rebalance (r15): the compiled rule projection over 600k synthetic
+    # CSV records otherwise runs inside the single-task scan (guide
+    # §2.5 input skew; no-op on an already-parallel scan)
+    li = rebalance_narrow_scan(load_table(spark, sf_dir, "lineitem"))
     rec = li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rec_id"),
         F.col("l_suppkey").cast("string").alias("deviceid"),

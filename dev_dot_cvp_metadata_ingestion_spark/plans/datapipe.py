@@ -1005,9 +1005,17 @@ def _curated_plan(d: DataFrame, pin=lambda df: df) -> DataFrame:
     quality_pass — each consumed by 2-3 downstream branches); the pure
     form passes them through, ``curate_documents_scoped`` persists
     them."""
+    from ..functions.relations import rebalance_narrow_scan
     from ..functions.text import tokens as toks_fn
     from ..operators.dedup import base_hash
 
+    # rebalance (r15): the tokenize/fingerprint/quality projection —
+    # re-evaluated column-pruned by each diamond consumer — otherwise
+    # runs inside the single-task scan (guide §2.5; no-op on a
+    # parallel scan). Every downstream aggregate is exact (integer
+    # counts, min_by argmins, exact percentile), so partitioning
+    # cannot change any value.
+    d = rebalance_narrow_scan(d)
     t = toks_fn(F.col("text"))
     n = F.size(t)
     scored = d.select(
@@ -1148,8 +1156,13 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id), so the only joins are the token-keyed df join and a
     broadcast 1-row corpus count; the final window partitions by
     doc_id — state bounded by per-doc vocabulary."""
+    from ..functions.relations import rebalance_narrow_scan
+
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
+    # rebalance (r15): BOTH tokenize passes otherwise run inside the
+    # single-task scan (guide §2.5; no-op on a parallel scan); tf/df
+    # are integer counts, partitioning cannot change them
+    tok = rebalance_narrow_scan(d).select(
         "doc_id",
         token_count(F.col("text")).alias("dl"),
         F.explode(tokens(F.col("text"))).alias("token"),
