@@ -139,11 +139,34 @@ def main() -> None:
         # tf-idf weight relation for the capped weighted-jaccard row
         # (r14: the one pair family whose UNcapped join bends quadratic
         # under exactly this Zipf head — tools/bench_sf1_pairs.py —
-        # so the capped form gets a standing realistic number)
+        # so the capped form gets a standing realistic number).
+        # r15 MEASUREMENT FIX (r14 VERDICT "What's wrong #2"): the row
+        # previously timed a query returning 0 rows (threshold 0.5
+        # over the random Zipf corpus admits no pairs), so a bug that
+        # silently emptied the FOUND relation would read as a speedup.
+        # The input now plants deterministic mirror copies (doc 33k+1
+        # = copy of doc 33k, the tools/bench_sf1_pairs.py device) and
+        # blocks by doc_id div 33 so each mirror group shares a block
+        # — realistic_rows carries a stable non-zero pair count
+        # (~n_docs/33). Timing is therefore NOT comparable to the r14
+        # 17.5 s number (different input); both are recorded in
+        # OPTIMIZATION_r15.md.
         def _wjc():
+            tmpl = rdocs.filter(F.col("doc_id") % 33 == 0).select(
+                (F.col("doc_id") + 1).alias("doc_id"),
+                F.col("text").alias("_tmpl"),
+            )
+            wdocs = rdocs.join(tmpl, "doc_id", "left").select(
+                "doc_id",
+                F.coalesce("_tmpl", "text").alias("text"),
+                F.concat(
+                    F.lit("s"),
+                    (F.expr("doc_id div 33") % 8).cast("string"),
+                ).alias("block"),
+            )
             tfc = (
-                rdocs.select(
-                    F.col("source").alias("block"),
+                wdocs.select(
+                    "block",
                     "doc_id",
                     F.explode(F.split("text", r"\s+")).alias("term"),
                 )

@@ -601,7 +601,10 @@ def theil_sen_from_counts(wc: DataFrame) -> DataFrame:
         F.col("x").alias("x1"),
         F.col("n_events").alias("y1"),
     )
-    b = d.select(
+    # pinned shuffle join (r15): the planner broadcasts the count
+    # relation, which funnels the O(h²) slope generation into one
+    # task; the pinned join parallelizes it per type
+    b = d.hint("shuffle_hash").select(
         "event_type",
         F.col("x").alias("x2"),
         F.col("n_events").alias("y2"),

@@ -115,8 +115,12 @@ def winnow_fingerprints(
         .when(nh > 0, F.array(F.array_min(hs_col)))
         .otherwise(F.array().cast("array<bigint>"))
     )
+    # rebalance (r15): the gram-hash + window-minima projection
+    # otherwise runs inside the single-task scan (guide §2.5 input
+    # skew; no-op on an already-parallel scan); per-row values are
+    # partitioning-independent
     return (
-        df.withColumn(
+        rebalance_narrow_scan(df).withColumn(
             "_hs", F.transform(ordered_grams(F.col(text_col), n), base_hash)
         )
         .withColumn(out, fps)
@@ -720,9 +724,19 @@ def connected_components(
                 "label",
             )
         ).localCheckpoint()
-        changed = new_labels.filter(
-            F.col("new_label") != F.col("label")
-        ).count()
+        # round 1 skips the convergence count (r15): any graph with an
+        # edge changes at least one label in round 1, so the count is
+        # informative only from round 2 on — one fewer job per CC call
+        # on every real graph. An EDGELESS graph pays one extra
+        # (cheap) round before its round-2 count reads 0; termination
+        # and results are unchanged.
+        changed = (
+            1
+            if rounds == 1 and max_iters > 1
+            else new_labels.filter(
+                F.col("new_label") != F.col("label")
+            ).count()
+        )
         labels = new_labels.select(
             "node", F.col("new_label").alias("label")
         )
@@ -904,7 +918,10 @@ def segment_boilerplate_removal(
         F.transform(F.sequence(F.lit(0), (nseg - 1).cast("int")), seg_at),
     ).otherwise(F.array().cast("array<string>"))
 
-    exploded = docs.select(
+    # rebalance (r15): the tokenize+segment projection otherwise runs
+    # inside the single-task scan (guide §2.5; no-op on a parallel
+    # scan); all downstream aggregates are integer/min_by-exact
+    exploded = rebalance_narrow_scan(docs).select(
         F.col(id_col).alias("_sid"), segs.alias("_segs")
     ).select("_sid", F.posexplode_outer("_segs").alias("pos", "seg"))
 
@@ -988,7 +1005,10 @@ def segment_first_occurrence_dedup(
         F.transform(F.sequence(F.lit(0), (nseg - 1).cast("int")), seg_at),
     ).otherwise(F.array().cast("array<string>"))
 
-    exploded = docs.select(
+    # rebalance (r15): the tokenize+segment projection otherwise runs
+    # inside the single-task scan (guide §2.5; no-op on a parallel
+    # scan); all downstream aggregates are integer/min_by-exact
+    exploded = rebalance_narrow_scan(docs).select(
         F.col(id_col).alias("_sid"), segs.alias("_segs")
     ).select("_sid", F.posexplode_outer("_segs").alias("pos", "seg"))
 

@@ -42,6 +42,10 @@ def covariance_moments(emb: DataFrame, vec_col: str = "embedding"):
     if head is None:  # empty input: no moments, caller short-circuits
         return 0, {}, {}, 0
     d = head["d"]
+    # NOT rebalanced (r15 A/B): the moment relations are consumed by
+    # THREE separate driver actions (count + two collects), and each
+    # action would re-pay a rebalance exchange — measured 2.7 → 12.7 s
+    # at sf0.1, the one site where the narrow-scan rebalance loses
     x = emb.select(
         F.expr(
             f"transform({vec_col}, v -> CAST(floor(CAST(v AS DOUBLE)"

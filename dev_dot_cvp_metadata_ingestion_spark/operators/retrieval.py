@@ -117,14 +117,15 @@ def corpus_postings(
     the totals row from dl, so the corpus tokenize has a single
     consumer and every downstream aggregate is map-side combined over
     an already-shrunk relation."""
-    from ..functions.relations import rebalance_narrow_scan
     from ..functions.text import tokens
 
-    # rebalance (r15): the corpus tokenize otherwise runs inside the
-    # single-task scan (guide §2.5 input skew; no-op on an
-    # already-parallel scan); tf counts are integers, so partitioning
-    # cannot change any downstream value
-    toks = rebalance_narrow_scan(docs).select(
+    # NOT rebalanced (r15 interleaved A/B): the postings relation is
+    # checkpointed right after the tf aggregate, so the serial
+    # tokenize is paid once and the query time is dominated by the
+    # post-checkpoint ranking passes — adding the narrow-scan
+    # rebalance exchange measured consistently SLOWER on bm25_prf
+    # (3.2-3.9 s with vs 2.9-3.2 s without at sf0.1)
+    toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("word"),
     )

@@ -1550,7 +1550,14 @@ def _mmr_greedy(cand: DataFrame, k: int, lam_ppm: int) -> DataFrame:
         pick = argmin(dmin.withColumn("mmr", mmr), "mmr").select(
             "q_id", "vec_id", "dq", "xf", F.lit(r).cast("long").alias("pick")
         )
-        selall = selall.unionByName(pick)
+        # checkpointed per round (r15): round r's rem/dmin reference
+        # EVERY previous round's pick, so the lazy form re-plans and
+        # re-evaluates a multiplicatively growing subtree over the
+        # checkpointed candidates (the 484-Exchange plan the r15 audit
+        # found on ann_mmr_rerank_ivf); the selected set is
+        # ≤ |queries| × k rows, so each round's materialization is a
+        # config-scale job and the final plan is flat
+        selall = selall.unionByName(pick).localCheckpoint()
     return selall.select("q_id", "vec_id", "dq", "pick")
 
 
@@ -1594,6 +1601,8 @@ def mmr_rerank_ivf(
 
     emb_p = emb.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
     q_p = queries.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
+    # ckpt=True (r15): the coarse chain feeds both the cell map and
+    # the probe side — materialize the per-round centroids once
     coarse_asg, coarse_cents = kmeans_assign(
         emb_p,
         k=n_cells,
@@ -1602,8 +1611,8 @@ def mmr_rerank_ivf(
         vec_col=vec_col,
         scale=coarse_scale,
         return_centroids=True,
+        ckpt=True,
     )
-    coarse_cents = coarse_cents.localCheckpoint()
     qx = q_p.select(
         F.col(id_col).alias("q_id"),
         F.transform(

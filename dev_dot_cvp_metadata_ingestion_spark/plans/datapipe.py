@@ -216,7 +216,10 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-tokenizer match count (the BPE-cost proxy), plus their ratio
     (fertility) — the standard signal for code/punct-heavy documents
     that whitespace counting underestimates."""
-    d = load_table(spark, sf_dir, "documents")
+    from ..functions.relations import rebalance_narrow_scan
+
+    # rebalance (r15): pure per-row projection — see text_lang_id
+    d = rebalance_narrow_scan(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     ws = token_count(t)
     bpe = bpe_token_count(t)
@@ -256,7 +259,11 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language ID next to the labeled lang column."""
-    d = load_table(spark, sf_dir, "documents")
+    from ..functions.relations import rebalance_narrow_scan
+
+    # rebalance (r15): pure per-row projection, otherwise single-task
+    # on the one-row-group bench file (guide §2.5; no-op when parallel)
+    d = rebalance_narrow_scan(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -422,7 +429,12 @@ def documents_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     any scale."""
     from pyspark.sql.functions import broadcast
 
-    d = load_table(spark, sf_dir, "documents")
+    from ..functions.relations import rebalance_narrow_scan
+
+    # rebalance (r15): the quality projection feeds both the exact
+    # per-lang quantile and the gate join; otherwise single-task
+    # (guide §2.5; no-op when the scan is parallel)
+    d = rebalance_narrow_scan(load_table(spark, sf_dir, "documents"))
     q = d.select(
         "doc_id",
         "lang",
@@ -4331,7 +4343,12 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dist").alias("da"),
         F.col("u").alias("ua"),
     )
-    b = m.select(
+    # pinned shuffle join (r15, the _embedding_cosine_pairs device): a
+    # corpus-derived broadcast funnels the join and the quadratic
+    # explode+sum into one task locally and cannot exist at 100 TB;
+    # value-safe — each pair's product rows still come from one
+    # explode in one task, per-pair sum order unchanged
+    b = m.hint("shuffle_hash").select(
         F.col("vec_id").alias("idb"),
         F.col("cluster").alias("cb"),
         F.col("dist").alias("db"),
