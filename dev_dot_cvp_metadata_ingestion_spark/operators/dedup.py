@@ -1421,8 +1421,19 @@ def ngram_jaccard_pairs(
     # pinned shuffle join (r15): the planner's size estimate broadcasts
     # the corpus-derived posting relation at bench scale, serializing
     # the join into one task (measured 6.0 → 2.4 s) — and a posting
-    # broadcast is the shape that cannot exist at 100 TB anyway
-    b = posts.hint("shuffle_merge").alias("b")
+    # broadcast is the shape that cannot exist at 100 TB anyway.
+    # r16 (VERDICT item 1): shuffle_merge → shuffle_hash. The r15 pin
+    # was only A/B'd at sf0.1 document density; on the realistic Zipf
+    # corpus the driver measured it 2.3× SLOWER and anti-scaling (10.58
+    # s @32c vs 5.64 s @8c) — the sort pass buys nothing on posting
+    # keys and loses badly where grams are dense. Re-A/B'd on BOTH
+    # corpora (tools/ab_ngram_join.py): realistic 32c hash 2.83 /
+    # merge 3.44 / unhinted 4.14; realistic 8c hash 5.17 / merge 5.77
+    # (32c < 8c restored); sf0.1 hash 1.81 ≈ merge 1.77 — the r15
+    # sf0.1 win is retained. AQE skew-split applies to shuffled-hash
+    # joins the same as sort-merge, so the hot-gram skew story at
+    # scale is unchanged.
+    b = posts.hint("shuffle_hash").alias("b")
     inter = (
         a.join(
             b,

@@ -67,14 +67,30 @@ def _events_ruleset():
     return parse_rules_ini(EVENTS_RULES_INI)
 
 
-def _events_with_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_with_file(
+    spark: SparkSession, sf_dir: str, rebalance: bool = False
+) -> DataFrame:
     # rebalance (r15): the compiled rule projection and the per-file
     # window stages otherwise inherit the scan's partitioning — ONE
     # task for the single-row-group bench file (guide §2.5 input
-    # skew); no-op whenever the scan is already core-parallel
-    from ..functions.relations import rebalance_narrow_scan
+    # skew); no-op whenever the scan is already core-parallel.
+    # r16 (VERDICT item 2): PER-CONSUMER. The driver measured the
+    # blanket r15 rebalance a 38% REGRESSION on cv_validation_tallies
+    # (1.809 → 2.499 s) — its first heavy stages already exchange by
+    # file, so the round-robin is a pure extra shuffle before the real
+    # exchange (the exact shape the r15 revenue_by_nation A/B
+    # rejected). Re-A/B'd per consumer (tools/ab_cv_rebalance.py,
+    # interleaved min-of-3 at 32c): identity wins or ties on
+    # results/tallies/message_metrics/error_histogram/now_token/
+    # chunked/gated (e.g. tallies 1.47 vs 1.98, chunked 3.40 vs 3.88);
+    # only the plain sequential form keeps it (the driver measured it
+    # +9% there, and the single full-width window stage is the one
+    # consumer whose pre-exchange projection is heavy enough to pay).
+    ev = load_table(spark, sf_dir, "events")
+    if rebalance:
+        from ..functions.relations import rebalance_narrow_scan
 
-    ev = rebalance_narrow_scan(load_table(spark, sf_dir, "events"))
+        ev = rebalance_narrow_scan(ev)
     return ev.withColumn(
         "file",
         F.concat(F.lit("f"), F.floor(F.col("event_id") / 2000).cast("string")),
@@ -95,7 +111,8 @@ def _events_seq_spec() -> SequentialSpec:
 
 
 def _seq_results(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _events_with_file(spark, sf_dir)
+    # the one consumer that keeps the rebalance (see _events_with_file)
+    d = _events_with_file(spark, sf_dir, rebalance=True)
     return sequential_results(d, _events_seq_spec())
 
 

@@ -1,8 +1,8 @@
-"""Dump .explain("formatted") for named queries to plans/<outdir>/.
+"""Dump .explain("formatted") for named queries to plans/<round>/.
 
-Usage: python tools/dump_plans.py <outdir-suffix> <name> [name ...]
-Writes plans/r15/<name>_<suffix>.txt for each query (sf0.001 input so
-the dump is fast; plan SHAPE is what the files pin, not sizes).
+Usage: python tools/dump_plans.py [--round rNN] <suffix> <name> [name ...]
+Writes plans/<round>/<name>_<suffix>.txt for each query (sf0.001 input
+so the dump is fast; plan SHAPE is what the files pin, not sizes).
 """
 
 from __future__ import annotations
@@ -12,17 +12,24 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+ROUND = "r16"
+
 
 def main() -> None:
-    suffix = sys.argv[1]
-    names = sys.argv[2:]
+    args = sys.argv[1:]
+    rnd = ROUND
+    if args and args[0] == "--round":
+        rnd = args[1]
+        args = args[2:]
+    suffix = args[0]
+    names = args[1:]
     sf_dir = "/root/testdata/sf0.001"
     from dev_dot_cvp_metadata_ingestion_spark.plans import registry
     from dev_dot_cvp_metadata_ingestion_spark.session import get_spark
 
     registry.load_all()
     spark = get_spark("dump-plans")
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r15"
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / rnd
     out_dir.mkdir(parents=True, exist_ok=True)
     for name in names:
         df = registry.QUERIES[name](spark, sf_dir)
