@@ -112,12 +112,22 @@ def knn_join(
     # fold.) Bit-parity with the oracle's dot/(sqrt·sqrt) holds: the
     # cached norms are the same IEEE values the per-pair form
     # recomputed, and the dot fold is unchanged.
+    from ..functions.relations import rebalance_narrow_scan
+
     q = queries.select(
         F.col(id_col).alias("q_id"),
         _as_double(F.col(vec_col)).alias("qd"),
         l2_norm(F.col(vec_col)).alias("nq"),
     )
-    corpus = emb.select(
+    # rebalance (r16, guide §2.5 input skew): the broadcast-query
+    # scoring pass inherits the CORPUS scan's partitioning — one task
+    # for a single-row-group bench file, serializing the |q|·|corpus|
+    # d-dim dot folds onto one core. Measured min-of-3 interleaved at
+    # sf0.1/32c: embedding_label_propagation 4.49 → 1.22 s (3.7×),
+    # embedding_contamination_semantic 4.10 → 1.05 s (3.9×). No-op
+    # whenever the scan is already core-parallel, so no extra shuffle
+    # exists at scale.
+    corpus = rebalance_narrow_scan(emb).select(
         F.col(id_col).alias("vec_id"),
         _as_double(F.col(vec_col)).alias("vd"),
         l2_norm(F.col(vec_col)).alias("na"),
@@ -203,6 +213,9 @@ def exact_l2_topk(
             lambda v: F.floor(v.cast("double") * scale).cast("long"),
         )
 
+    # NO rebalance here (r16 A/B): ann_pq_recall_report 3.99 s without
+    # vs 4.16 s with — the 6-query exact side is too small to pay the
+    # extra exchange (guide §1: measure, don't assume)
     corpus = emb.select(F.col(id_col).alias("vec_id"), xf(vec_col).alias("xf"))
     q = queries.select(F.col(id_col).alias("q_id"), xf(vec_col).alias("qxf"))
     dist = F.aggregate(
@@ -520,6 +533,12 @@ def kmeans_assign(
     checkpoints — pays the iterative Lloyd chain exactly once instead
     of replaying it per consumer. Values are unchanged; only lineage
     is truncated."""
+    # NO bare rebalance here (r16 A/B): the x projection is re-evaluated
+    # by every Lloyd round, so a pre-training exchange is re-paid per
+    # round — measured a uniform ~10% REGRESSION across the IVF/PQ
+    # family (ann_pq_adc_topk 2.56 → 2.99 s, recall_report 4.02 → 4.79)
+    # — the same multi-consumer shape that rejected the PCA rebalance
+    # in r15 (guide §1: measure, don't assume)
     if prescaled:
         x = emb.select(
             F.col(id_col).alias("vec_id"),
@@ -533,6 +552,16 @@ def kmeans_assign(
                 lambda v: F.floor(v.cast("double") * scale).cast("long"),
             ).alias("xf"),
         )
+    if ckpt:
+        # materialize the quantized projection ONCE, core-parallel
+        # (guide §5): every Lloyd round re-evaluates x for its argmin
+        # fold — against the raw scan that is iters× the scan+quantize
+        # AND serial on a single-row-group bench file; the checkpointed
+        # form pays one exchange+materialization and every round reads
+        # it parallel. Values are exact integers, partition-invariant.
+        from ..functions.relations import rebalance_narrow_scan
+
+        x = rebalance_narrow_scan(x).localCheckpoint()
     cents = (
         x.orderBy("vec_id")
         .limit(k)
@@ -618,13 +647,15 @@ def _pq_long_form(
     slices = F.array(
         *[F.slice(F.col(vec_col), s * sub + 1, sub) for s in range(m)]
     )
-    x = df.select(
-        *extra_cols, id_out, F.posexplode(slices).alias("subspace", "_sv")
-    )
+    # NO rebalance here (r16 A/B): same per-round re-evaluation shape
+    # as kmeans_assign — adding one regressed the PQ family ~10%
     if scale is None:
         q = lambda v: v.cast("long")  # noqa: E731
     else:
         q = lambda v: F.floor(v.cast("double") * scale).cast("long")  # noqa: E731
+    x = df.select(
+        *extra_cols, id_out, F.posexplode(slices).alias("subspace", "_sv")
+    )
     return x.select(
         "subspace", *extra_cols, id_out, F.transform("_sv", q).alias("xf")
     )
@@ -656,6 +687,15 @@ def kmeans_assign_grouped(
     Returns (assigned, cents_used): assigned = (group, vec_id, cluster,
     dist, xf); cents_used = (group, cluster, cf) — the centroids the
     final assignment was made against."""
+    # r16 (guide §5): materialize the long-form slice relation ONCE,
+    # core-parallel — every Lloyd round (plus the init join below)
+    # otherwise re-evaluates the m-way posexplode over the raw scan,
+    # serial on a single-row-group bench file. One exchange + one
+    # materialization instead of (iters+1)× the projection; values are
+    # exact integers, partition-invariant.
+    from ..functions.relations import rebalance_narrow_scan
+
+    x = rebalance_narrow_scan(x).localCheckpoint()
     ids = (
         x.select("vec_id").distinct().orderBy("vec_id").limit(k)
     )
@@ -1453,6 +1493,9 @@ def mmr_rerank(
             lambda v: F.floor(v.cast("double") * scale).cast("long"),
         ).alias("qf"),
     )
+    # NO rebalance here (r16 A/B): ann_mmr_rerank 2.13 s without vs
+    # 2.10 s with — flat; the greedy rounds, not candidate generation,
+    # dominate this operator (guide §1: measure, don't assume)
     corpus = emb.select(
         F.col(id_col).alias("vec_id"),
         F.transform(
@@ -1897,7 +1940,10 @@ def range_search(
         _as_double(F.col(vec_col)).alias("qd"),
         l2_norm(F.col(vec_col)).alias("nq"),
     )
-    corpus = emb.select(
+    # rebalance (r16): same serial-scoring fix as knn_join
+    from ..functions.relations import rebalance_narrow_scan
+
+    corpus = rebalance_narrow_scan(emb).select(
         F.col(id_col).alias("vec_id"),
         _as_double(F.col(vec_col)).alias("vd"),
         l2_norm(F.col(vec_col)).alias("na"),
