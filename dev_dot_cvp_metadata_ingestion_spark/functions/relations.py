@@ -23,6 +23,18 @@ def rebalance_narrow_scan(df: DataFrame) -> DataFrame:
     sort-before-repartition determinism under task retry; consumers in
     this repo are partitioning-invariant (directly pinned by
     tests/test_partition_invariance.py).
+
+    Known costs, accepted deliberately (ADVICE r15): the
+    ``df.rdd.getNumPartitions()`` probe forces physical planning of
+    ``df`` at call time, and the decision depends on the host's
+    defaultParallelism — so dumped plans are parallelism-dependent
+    (plans/rNN dumps are all taken at the same default session), and
+    call sites keep the probe off complex multi-consumer intermediates
+    (the r16 kmeans/PQ sites gate it to raw-scan inputs for exactly
+    this reason). The probe stays because it is the only EXACT source
+    of the scan's split count: deriving it from the file listing would
+    re-implement Spark's bin-packing (maxPartitionBytes/openCost) and
+    silently drift from it.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() * 2 <= target:

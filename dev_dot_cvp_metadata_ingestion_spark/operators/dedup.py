@@ -319,7 +319,7 @@ def _lsh_candidates(
         F.explode(F.array(*band_structs)).alias("b"),
     ).select("doc_id", "b.band", "b.value")
     # scale note: bands grow with the corpus, so the self-join is
-    # PINNED to a shuffle merge join (the repeated-substrings device,
+    # PINNED to a shuffle hash join (the repeated-substrings device,
     # r15): left to the planner, the size estimate at bench scale
     # picks a BROADCAST of the corpus-derived band relation, which
     # both funnels the join into a single task locally (the exchange
@@ -681,6 +681,12 @@ def connected_components(
     doesn't replan rounds 1..k-1. The loop is driver-side but each
     step is fully distributed — the driver only compares a per-round
     change count.
+
+    ``rounds_out`` semantics (r15 optimization, noted per ADVICE r15):
+    round 1 skips its convergence count (any graph with an edge
+    changes a label in round 1), so an EDGELESS graph now runs and
+    reports 2 rounds where it previously reported 1 — results and
+    termination are unchanged; only the diagnostic round count moved.
     """
     # edges join every round: materialize once so the (potentially
     # expensive) pair lineage isn't re-executed per iteration
@@ -935,8 +941,11 @@ def segment_boilerplate_removal(
         .select("seg", F.lit(True).alias("_hot"))
     )
     is_kept = F.col("_hot").isNull() & F.col("seg").isNotNull()
+    # r16 (ADVICE on the capped pair family, same shape): forced
+    # broadcast → pinned shuffle_hash — hot segments grow with the
+    # corpus; measured at parity-or-better locally
     return (
-        exploded.join(F.broadcast(hot), "seg", "left")
+        exploded.join(hot.hint("shuffle_hash"), "seg", "left")
         .groupBy("_sid")
         .agg(
             F.array_join(
@@ -1117,9 +1126,18 @@ def ngram_jaccard_pairs_capped(
     # same postings), and sizes + hot arrays ride ONE groupBy
     # (collect_list skips the null-for-cold entries; a doc with no hot
     # grams gets an empty array — same intersect the old
-    # null-then-coalesce path produced)
+    # null-then-coalesce path produced).
+    # r16 (ADVICE medium): the FORCED broadcast of hot is gone — hot
+    # grows ~posting_volume/max_doc_freq with the corpus, so pinning a
+    # broadcast is exactly the corpus-derived-broadcast shape the
+    # shuffle-join pins exist to forbid (it would OOM at 100 TB where
+    # an unhinted join degrades gracefully). Pinned to shuffle_hash
+    # instead: A/B at sf0.1/32c beats even the old broadcast
+    # (ngram_capped 3.87 → 3.62 s, containment_capped 3.19 → 2.85,
+    # wjaccard_capped 2.70 → 2.47; plain unhinted was ~10% SLOWER than
+    # broadcast because the planner's aggregate estimate picks SMJ).
     pf = posts.join(
-        F.broadcast(hot.withColumn("_hot", F.lit(True))),
+        hot.withColumn("_hot", F.lit(True)).hint("shuffle_hash"),
         ["block", "gram"],
         "left",
     )
@@ -1131,7 +1149,10 @@ def ngram_jaccard_pairs_capped(
         ).alias("hg"),
     )
     a = cold.alias("a")
-    # pinned shuffle join — see ngram_jaccard_pairs (r15)
+    # pinned shuffle join — see ngram_jaccard_pairs (r15). Stays
+    # shuffle_merge (r16 A/B: hash was FLAT here — 4.12 vs 3.98 /
+    # 3.07 vs 3.19 — unlike the uncapped posting join; SMJ spills
+    # gracefully at scale so the default keeps the safer strategy)
     b = cold.hint("shuffle_merge").alias("b")
     i_cold = (
         a.join(
@@ -2118,10 +2139,11 @@ def fingerprint_set_jaccard_pairs_capped(
     df_rel = p.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
     hot = df_rel.filter(F.col("_df") > max_doc_freq).select("fp")
     # ONE hot-marking join + ONE per-doc aggregate (r15 — see
-    # ngram_jaccard_pairs_capped; hot fingerprints are the corpus's
-    # ubiquitous-frame vocabulary, broadcast-scale by definition)
+    # ngram_jaccard_pairs_capped). r16 (ADVICE medium): forced
+    # broadcast → pinned shuffle_hash (hot grows with the corpus;
+    # measured at parity-or-better locally, graceful at scale).
     pf = p.join(
-        F.broadcast(hot.withColumn("_hot", F.lit(True))), "fp", "left"
+        hot.withColumn("_hot", F.lit(True)).hint("shuffle_hash"), "fp", "left"
     )
     cold = pf.filter(F.col("_hot").isNull()).drop("_hot")
     per_doc = pf.groupBy("id").agg(
@@ -2131,7 +2153,10 @@ def fingerprint_set_jaccard_pairs_capped(
         ).alias("hf"),
     )
     a = cold.alias("a")
-    # pinned shuffle join — see ngram_jaccard_pairs (r15)
+    # pinned shuffle join — see ngram_jaccard_pairs (r15). Stays
+    # shuffle_merge (r16 A/B: hash was FLAT here — 4.12 vs 3.98 /
+    # 3.07 vs 3.19 — unlike the uncapped posting join; SMJ spills
+    # gracefully at scale so the default keeps the safer strategy)
     b = cold.hint("shuffle_merge").alias("b")
     i_cold = (
         a.join(
@@ -2225,8 +2250,10 @@ def weighted_jaccard_pairs_capped(
     # null-for-cold entries, so hm holds exactly the hot terms; a doc
     # with no hot terms gets an empty map — the same Σ min the old
     # null-then-coalesce path produced)
+    # r16 (ADVICE medium): forced broadcast → pinned shuffle_hash —
+    # see ngram_jaccard_pairs_capped
     pf = p.join(
-        F.broadcast(hot.withColumn("_hot", F.lit(True))),
+        hot.withColumn("_hot", F.lit(True)).hint("shuffle_hash"),
         ["block", "term"],
         "left",
     )

@@ -1,10 +1,13 @@
 """Time a subset of registered queries with the bench methodology
 (warm once at sf0.001, then min of 2 consecutive noop-sink runs at the
-given sf dir). Usage: python tools/time_queries.py [sf_dir] name ...
+given sf dir).
+
+Usage: python tools/time_queries.py [--sf-dir DIR] name [name ...]
 """
 
 from __future__ import annotations
 
+import argparse
 import sys
 import time
 from pathlib import Path
@@ -13,12 +16,25 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if "/" in sys.argv[1] else "/root/testdata/sf0.1"
-    names = sys.argv[2:] if "/" in sys.argv[1] else sys.argv[1:]
+    ap = argparse.ArgumentParser(
+        description="Time registered queries (bench methodology)."
+    )
+    ap.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.1",
+        help="scale-factor data directory (default /root/testdata/sf0.1)",
+    )
+    ap.add_argument("names", nargs="+", help="registered query names")
+    args = ap.parse_args()
+    sf_dir = args.sf_dir
+    names = args.names
     from dev_dot_cvp_metadata_ingestion_spark.plans import registry
     from dev_dot_cvp_metadata_ingestion_spark.session import get_spark
 
     registry.load_all()
+    unknown = [n for n in names if n not in registry.QUERIES]
+    if unknown:
+        ap.error(f"unknown queries: {', '.join(unknown)}")
     spark = get_spark("time-queries")
     for name in names:
         fn = registry.QUERIES[name]
