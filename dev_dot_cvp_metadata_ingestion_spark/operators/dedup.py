@@ -1770,7 +1770,11 @@ def sorted_neighborhood_pairs(
     b = t.select(
         "block", F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b")
     )
-    ver = cand.join(a, ["block", "doc_id_a"]).join(b, ["block", "doc_id_b"])
+    # r16: pinned shuffle-hash — the shingle relation is corpus-derived
+    # (broadcast is the forbidden 100 TB shape; see the hot-mark joins)
+    ver = cand.join(a.hint("shuffle_hash"), ["block", "doc_id_a"]).join(
+        b.hint("shuffle_hash"), ["block", "doc_id_b"]
+    )
     i = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
     la = F.size("sh_a").cast("long")
     lb = F.size("sh_b").cast("long")
@@ -1974,7 +1978,11 @@ def sorted_neighborhood_multipass_pairs(
     b = t.select(
         "block", F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b")
     )
-    ver = cand.join(a, ["block", "doc_id_a"]).join(b, ["block", "doc_id_b"])
+    # r16: pinned shuffle-hash — the shingle relation is corpus-derived
+    # (broadcast is the forbidden 100 TB shape; see the hot-mark joins)
+    ver = cand.join(a.hint("shuffle_hash"), ["block", "doc_id_a"]).join(
+        b.hint("shuffle_hash"), ["block", "doc_id_b"]
+    )
     i = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
     la = F.size("sh_a").cast("long")
     lb = F.size("sh_b").cast("long")
@@ -2044,7 +2052,10 @@ def match_scores(
         "block", F.col("doc_id").alias("doc_id_b"),
         F.col("text").alias("text_b"), F.col("sh").alias("sh_b"),
     )
-    j = cand.join(a, ["block", "doc_id_a"]).join(b, ["block", "doc_id_b"])
+    # r16: pinned shuffle-hash — see sorted_neighborhood verify joins
+    j = cand.join(a.hint("shuffle_hash"), ["block", "doc_id_a"]).join(
+        b.hint("shuffle_hash"), ["block", "doc_id_b"]
+    )
     i = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
     la = F.size("sh_a").cast("long")
     lb = F.size("sh_b").cast("long")
