@@ -1719,7 +1719,10 @@ def sorted_neighborhood_candidates(
         F.col("text").alias("text_b"),
         "rk",
     )
-    return left.join(right, ["block", "rk"]).select(
+    # r16: pinned shuffle-hash — right is the corpus-sized ranked
+    # relation (broadcast is the forbidden 100 TB shape, and it
+    # serialized the downstream verify locally; see the verify joins)
+    return left.join(right.hint("shuffle_hash"), ["block", "rk"]).select(
         "block",
         "doc_id_a",
         "doc_id_b",
