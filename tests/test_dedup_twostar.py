@@ -99,3 +99,12 @@ def test_twostar_singleton_and_self_pairs(spark):
         (4, 4),
         (6, 6),
     }
+
+
+# r16 fast-tier split (VERDICT r15 item 3): this module is in the SLOW
+# tier — long layout/stream/property sweeps excluded from the default
+# `-m "not slow"` run (pytest.ini) so the driver's verify-window pytest
+# completes; run the FULL suite with `pytest -m ""`.
+import pytest as _pytest_r16
+
+pytestmark = _pytest_r16.mark.slow

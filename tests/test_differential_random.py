@@ -386,3 +386,12 @@ def test_token_quantiles_differential(spark, tmp_path, seed):
         ).collect()
     }
     assert got == expected
+
+
+# r16 fast-tier split (VERDICT r15 item 3): this module is in the SLOW
+# tier — long layout/stream/property sweeps excluded from the default
+# `-m "not slow"` run (pytest.ini) so the driver's verify-window pytest
+# completes; run the FULL suite with `pytest -m ""`.
+import pytest as _pytest_r16
+
+pytestmark = _pytest_r16.mark.slow

@@ -151,3 +151,12 @@ def test_query_survives_empty_tables(spark, empty_sf, name):
         assert tuple(rows[0]) == (0, 0, 0, 0)
     else:
         assert rows == []
+
+
+# r16 fast-tier split (VERDICT r15 item 3): this module is in the SLOW
+# tier — long layout/stream/property sweeps excluded from the default
+# `-m "not slow"` run (pytest.ini) so the driver's verify-window pytest
+# completes; run the FULL suite with `pytest -m ""`.
+import pytest as _pytest_r16
+
+pytestmark = _pytest_r16.mark.slow

@@ -375,3 +375,12 @@ def test_weighted_jaccard_capped_matches_uncapped_when_nothing_hot(spark):
     }
     # (1,2): smin = min(5,4) = 4; union = 8+6-4 = 10
     assert got == {(1, 2): 0.4}
+
+
+# r16 fast-tier split (VERDICT r15 item 3): this module is in the SLOW
+# tier — long layout/stream/property sweeps excluded from the default
+# `-m "not slow"` run (pytest.ini) so the driver's verify-window pytest
+# completes; run the FULL suite with `pytest -m ""`.
+import pytest as _pytest_r16
+
+pytestmark = _pytest_r16.mark.slow

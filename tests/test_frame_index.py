@@ -222,3 +222,12 @@ def test_empty_index_stays_readable(spark, frames, tmp_path):
     assert posts.count() == 0 and meta["n_buckets"] == 64
     probe = frame_probe_pairs(spark, p, frames.limit(3))
     assert probe.count() == 0
+
+
+# r16 fast-tier split (VERDICT r15 item 3): this module is in the SLOW
+# tier — long layout/stream/property sweeps excluded from the default
+# `-m "not slow"` run (pytest.ini) so the driver's verify-window pytest
+# completes; run the FULL suite with `pytest -m ""`.
+import pytest as _pytest_r16
+
+pytestmark = _pytest_r16.mark.slow

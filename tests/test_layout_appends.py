@@ -202,3 +202,12 @@ def test_append_empty_shard_is_noop(spark, emb, halves, tmp_path):
     before = _code_rows(read_pq_layout(spark, p)[0])
     append_pq_layout(emb.filter(F.lit(False)), p)
     assert _code_rows(read_pq_layout(spark, p)[0]) == before
+
+
+# r16 fast-tier split (VERDICT r15 item 3): this module is in the SLOW
+# tier — long layout/stream/property sweeps excluded from the default
+# `-m "not slow"` run (pytest.ini) so the driver's verify-window pytest
+# completes; run the FULL suite with `pytest -m ""`.
+import pytest as _pytest_r16
+
+pytestmark = _pytest_r16.mark.slow

@@ -325,3 +325,12 @@ def test_compact_crash_before_flip_leaves_old_generation_readable(
     assert _table_dir(p, "shingles") == f"{p}/shingles_v1"
     assert not os.path.isdir(f"{p}/tombstones")
     assert probe_rows() == want
+
+
+# r16 fast-tier split (VERDICT r15 item 3): this module is in the SLOW
+# tier — long layout/stream/property sweeps excluded from the default
+# `-m "not slow"` run (pytest.ini) so the driver's verify-window pytest
+# completes; run the FULL suite with `pytest -m ""`.
+import pytest as _pytest_r16
+
+pytestmark = _pytest_r16.mark.slow

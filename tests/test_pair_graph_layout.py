@@ -142,3 +142,12 @@ def test_kcore_and_clusters_from_layout_equal_in_query(spark, layout):
         for r in registry.QUERIES["dedup_graph_kcore"](spark, SF).collect()
     )
     assert got == ref and got
+
+
+# r16 fast-tier split (VERDICT r15 item 3): this module is in the SLOW
+# tier — long layout/stream/property sweeps excluded from the default
+# `-m "not slow"` run (pytest.ini) so the driver's verify-window pytest
+# completes; run the FULL suite with `pytest -m ""`.
+import pytest as _pytest_r16
+
+pytestmark = _pytest_r16.mark.slow

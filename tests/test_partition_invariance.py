@@ -117,3 +117,12 @@ def test_partition_count_invariance(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert base == alt, f"{name} output depends on shuffle partitioning"
+
+
+# r16 fast-tier split (VERDICT r15 item 3): this module is in the SLOW
+# tier — long layout/stream/property sweeps excluded from the default
+# `-m "not slow"` run (pytest.ini) so the driver's verify-window pytest
+# completes; run the FULL suite with `pytest -m ""`.
+import pytest as _pytest_r16
+
+pytestmark = _pytest_r16.mark.slow

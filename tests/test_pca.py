@@ -110,3 +110,12 @@ def test_recovers_planted_axis(spark):
 def test_empty_embeddings(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert pca_project(df).collect() == []
+
+
+# r16 fast-tier split (VERDICT r15 item 3): this module is in the SLOW
+# tier — long layout/stream/property sweeps excluded from the default
+# `-m "not slow"` run (pytest.ini) so the driver's verify-window pytest
+# completes; run the FULL suite with `pytest -m ""`.
+import pytest as _pytest_r16
+
+pytestmark = _pytest_r16.mark.slow

@@ -253,3 +253,12 @@ def test_cli_list_queries_covers_registry(capsys):
     out = capsys.readouterr().out.splitlines()
     names = [line.split()[0] for line in out if line.strip()]
     assert names == list(registry.ordered_queries())
+
+
+# r16 fast-tier split (VERDICT r15 item 3): this module is in the SLOW
+# tier — long layout/stream/property sweeps excluded from the default
+# `-m "not slow"` run (pytest.ini) so the driver's verify-window pytest
+# completes; run the FULL suite with `pytest -m ""`.
+import pytest as _pytest_r16
+
+pytestmark = _pytest_r16.mark.slow

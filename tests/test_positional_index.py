@@ -138,3 +138,12 @@ def test_empty_corpus_positional_layout(spark, docs, tmp_path):
         [], "q_id long, term_pos long, term string"
     )
     assert phrase_probe_index(spark, p, empty_q, k=5).collect() == []
+
+
+# r16 fast-tier split (VERDICT r15 item 3): this module is in the SLOW
+# tier — long layout/stream/property sweeps excluded from the default
+# `-m "not slow"` run (pytest.ini) so the driver's verify-window pytest
+# completes; run the FULL suite with `pytest -m ""`.
+import pytest as _pytest_r16
+
+pytestmark = _pytest_r16.mark.slow

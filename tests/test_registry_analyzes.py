@@ -63,3 +63,12 @@ def test_registered_schemas_scalar_only(spark, name):
         f"{name} outputs driver-unhashable complex columns {complex_cols}; "
         "register a scalar surface (long form or serialized strings)"
     )
+
+
+# r16 fast-tier split (VERDICT r15 item 3): this module is in the SLOW
+# tier — long layout/stream/property sweeps excluded from the default
+# `-m "not slow"` run (pytest.ini) so the driver's verify-window pytest
+# completes; run the FULL suite with `pytest -m ""`.
+import pytest as _pytest_r16
+
+pytestmark = _pytest_r16.mark.slow

